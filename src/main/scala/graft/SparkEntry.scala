@@ -1,13 +1,38 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Parity, Relational}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries are assembled from the per-module registries; every entry
+  * with SQL-expressible semantics also appears in [[oracleSql]] with
+  * IDENTICAL column names (the driver sorts columns by name before
+  * hashing values).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The multi-join Q5 exercises scan→filter→join(broadcast dims)→agg.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q5RegionRevenue(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Parity.queries ++ Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver records a weaker
+    * rows-only check (used only for non-SQL-expressible ops).
+    */
+  def oracleSql: Map[String, String] =
+    Parity.oracleSql ++ Relational.oracleSql
+
+  /** Headline queries Bench times at sf0.1 — the scale-representative
+    * subset (scan-agg, fact-fact join, window, text, dedup paths).
+    */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing", "q3_top_revenue", "q5_region_revenue", "agg_distinct",
+    "window_rank", "topk_per_group", "wc", "indexer", "json_extract",
+    "union_all_agg")
 }

@@ -1,0 +1,424 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables._
+
+/** Relational query surface over the TPC-H-ish tables (SURVEY.md §7.3
+  * phase 3): scan/filter/project, hash + broadcast joins, semi/anti
+  * joins, hash aggregation (partial+final automatic), distinct aggs,
+  * rollup/cube, ranking/analytic windows, top-k per group, sorts/limits,
+  * set operations, scalar string/date/math/json functions.
+  *
+  * The reference has none of these as standalone operators (its only
+  * query shape is map→shuffle→reduce, SURVEY.md §2.3); this module is
+  * the "same query capabilities, Spark-first" superset. All queries are
+  * declarative DataFrame plans → Catalyst does pushdown, pruning, join
+  * selection; the only hints given are `broadcast()` on the
+  * constant-size dimension tables (region: 5 rows, nation: 25 rows at
+  * every scale factor).
+  *
+  * Determinism rules (driver hash-compares against DuckDB):
+  *  - every aggregate double is round()ed so parallel-summation ulp
+  *    noise cannot flip the hash;
+  *  - every LIMIT/row_number has a total tie-break order;
+  *  - timestamps are never emitted raw — always date_format strings or
+  *    epoch numbers (parquet ns vs µs precision).
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** TPC-H Q1: pricing summary. Single scan, hash agg; filter pushed to
+    * parquet. At 100 TB this is the canonical partial-agg query — 6
+    * group keys, map-side combine reduces the shuffle to O(partitions).
+    */
+  def q1Pricing(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-like: shipping priority. customer⋈orders⋈lineitem with
+    * selective filters on both fact sides; top 10 by revenue.
+    */
+  def q3TopRevenue(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d).filter(col("o_orderdate") < ts("1998-06-01"))
+    val l = lineitem(s, d).filter(col("l_shipdate") > ts("1998-06-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-like: revenue per nation for one region & year, with the
+    * local-supplier condition (c_nationkey = s_nationkey). Fact-fact
+    * join shuffles on orderkey; nation/region are broadcast (constant
+    * size at any SF).
+    */
+  def q5RegionRevenue(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+    val joined = lineitem(s, d)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+    joined
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
+  /** Left-semi join (EXISTS): customers having at least one open order. */
+  def joinSemi(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderstatus") === "O")
+    customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no 'P' order. */
+  def joinAnti(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_orderstatus") === "P")
+    customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Distinct aggregation: Spark plans count(distinct) as a two-phase
+    * expand+agg — no driver-side work at any scale.
+    */
+  def aggDistinct(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+
+  def rollupSales(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  def cubeSales(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
+  /** Ranking windows; rank/dense_rank tolerate double ties (same bits
+    * both engines → same ranks).
+    */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"))
+  }
+
+  /** Analytic window with running frame + lag, over the events table. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d).select(
+      col("user_id"), col("event_id"),
+      round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).as("run_sum"),
+      round(lag(col("value"), 1).over(w), 2).as("prev_value"))
+  }
+
+  /** Top-k per group via row_number with a total tie-break order. */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+  }
+
+  /** Global sort + limit (Spark executes as TakeOrderedAndProject — no
+    * full sort materialization).
+    */
+  def sortLimit(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey").asc)
+      .limit(20)
+
+  def setopUnion(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    val b = customer(s, d).filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("custkey"))
+    a.union(b).distinct()
+  }
+
+  def setopIntersect(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val b = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.intersect(b)
+  }
+
+  def setopExcept(s: SparkSession, d: String): DataFrame = {
+    val a = customer(s, d).select(col("c_custkey").as("custkey"))
+    val b = orders(s, d).filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey").as("custkey"))
+    a.except(b)
+  }
+
+  def scalarString(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("up_name"),
+      substring(col("p_name"), 1, 8).as("pre8"),
+      regexp_replace(col("p_type"), " ", "_").as("type_u"),
+      length(col("p_name")).as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+      reverse(col("p_brand")).as("rev_brand"))
+
+  def scalarDate(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dy"),
+      quarter(col("o_orderdate")).as("qtr"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("ds"),
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"))
+
+  def scalarMath(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(col("l_extendedprice"), 1).as("r1"),
+      floor(col("l_discount") * 100).as("flr"),
+      ceil(col("l_discount") * 100).as("cl"),
+      round(abs(col("l_discount") - 0.05), 6).as("ab"),
+      round(sqrt(col("l_extendedprice")), 6).as("sq"),
+      round(log(col("l_extendedprice") + 1), 6).as("logv"),
+      round(pow(col("l_quantity"), 2), 6).as("pw"),
+      (col("l_linenumber") % 3).as("md"),
+      round(greatest(col("l_tax"), col("l_discount")), 6).as("gr"))
+
+  /** JSON scalar extraction (the reference uses JSON only as a shuffle
+    * codec, worker.go:147; here it is a first-class column function).
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("value"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum("k").as("k_sum"),
+        round(avg("value"), 2).as("avg_val"))
+
+  def caseBucket(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("band",
+        when(col("o_totalprice") < 1000, "low")
+          .when(col("o_totalprice") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy("band", "o_orderstatus")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+
+  def havingFilter(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .filter(col("n") >= 3)
+
+  def unionAllAgg(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val a = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"), col("o_totalprice"))
+    val b = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"), col("o_totalprice"))
+    a.unionAll(b)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing" -> q1Pricing,
+    "q3_top_revenue" -> q3TopRevenue,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "agg_distinct" -> aggDistinct,
+    "rollup_sales" -> rollupSales,
+    "cube_sales" -> cubeSales,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "topk_per_group" -> topkPerGroup,
+    "sort_limit" -> sortLimit,
+    "setop_union" -> setopUnion,
+    "setop_intersect" -> setopIntersect,
+    "setop_except" -> setopExcept,
+    "scalar_string" -> scalarString,
+    "scalar_date" -> scalarDate,
+    "scalar_math" -> scalarMath,
+    "json_extract" -> jsonExtract,
+    "case_bucket" -> caseBucket,
+    "having_filter" -> havingFilter,
+    "union_all_agg" -> unionAllAgg)
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_revenue" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+    "agg_distinct" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "rollup_sales" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "cube_sales" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS INTEGER) AS drnk
+        |FROM orders""".stripMargin,
+    "window_running" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum,
+        |  round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value
+        |FROM events""".stripMargin,
+    "topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, price, rn FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "sort_limit" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 20""".stripMargin,
+    "setop_union" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000""".stripMargin,
+    "setop_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "setop_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "scalar_string" ->
+      """SELECT p_partkey, upper(p_name) AS up_name,
+        |  substr(p_name, 1, 8) AS pre8,
+        |  replace(p_type, ' ', '_') AS type_u,
+        |  CAST(length(p_name) AS INTEGER) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS bt,
+        |  reverse(p_brand) AS rev_brand
+        |FROM part""".stripMargin,
+    "scalar_date" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS yr,
+        |  CAST(month(o_orderdate) AS INTEGER) AS mo,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dy,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS ds,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+        |FROM orders""".stripMargin,
+    "scalar_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS r1,
+        |  CAST(floor(l_discount * 100) AS BIGINT) AS flr,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS cl,
+        |  round(abs(l_discount - 0.05), 6) AS ab,
+        |  round(sqrt(l_extendedprice), 6) AS sq,
+        |  round(ln(l_extendedprice + 1), 6) AS logv,
+        |  round(pow(l_quantity, 2), 6) AS pw,
+        |  l_linenumber % 3 AS md,
+        |  round(greatest(l_tax, l_discount), 6) AS gr
+        |FROM lineitem""".stripMargin,
+    "json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  round(avg(value), 2) AS avg_val
+        |FROM events GROUP BY event_type""".stripMargin,
+    "case_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+        |            WHEN o_totalprice < 5000 THEN 'mid'
+        |            ELSE 'high' END AS band,
+        |  o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "having_filter" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3""".stripMargin,
+    "union_all_agg" ->
+      """SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM (
+        |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY o_custkey""".stripMargin)
+}
