@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Parity, Relational}
+import graft.queries.{Dedup, EventOps, Parity, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are assembled from the per-module registries; every entry
@@ -19,14 +19,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.queries ++ Relational.queries
+    Parity.queries ++ Relational.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextOps.queries ++ EventOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
     * rows-only check (used only for non-SQL-expressible ops).
     */
   def oracleSql: Map[String, String] =
-    Parity.oracleSql ++ Relational.oracleSql
+    Parity.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
+      Similarity.oracleSql ++ TextOps.oracleSql ++ EventOps.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative
     * subset (scan-agg, fact-fact join, window, text, dedup paths).
@@ -34,5 +36,6 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "q1_pricing", "q3_top_revenue", "q5_region_revenue", "agg_distinct",
     "window_rank", "topk_per_group", "wc", "indexer", "json_extract",
-    "union_all_agg")
+    "union_all_agg", "dedup_exact", "dedup_minhash", "ann_cosine",
+    "quality_score", "events_session")
 }

@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deduplication operators for large-scale training-data pipelines
+  * ([EXT], no reference citation by definition — SURVEY.md §0): exact
+  * (hash-groupBy), n-gram Jaccard (shingle join), MinHash+LSH banding,
+  * SimHash. All are pure DataFrame plans (codegen'd array lambdas — no
+  * Scala UDFs in the hot path).
+  *
+  * Scale design: exact dedup and MinHash are the 100 TB paths — both
+  * are linear in corpus size (hash-shuffle on digest / band bucket).
+  * The pairwise n-gram join is the quadratic oracle-able baseline;
+  * MinHash banding is its scale replacement (candidates ∝ true
+  * near-dups, not n²).
+  */
+object Dedup {
+
+  /** Letter tokens, shared with Parity/TextOps (Go unicode.IsLetter ≈ \p{L}). */
+  def tokensCol(text: Column): Column =
+    filter(split(text, Parity.TokenRe), w => length(w) > 0)
+
+  /** Distinct word 3-gram shingles from a TOKEN-ARRAY ATTRIBUTE. `ws`
+    * must be a materialized column, not an inline expression: the lambda
+    * references it per shingle, and higher-order functions re-evaluate
+    * non-attribute subtrees on every call (no CSE inside lambdas) —
+    * inlining the tokenizer here is O(words^2) per document.
+    */
+  def shinglesFromTokens(ws: Column): Column =
+    when(size(ws) >= 3,
+      array_distinct(transform(sequence(lit(1), size(ws) - 2),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** (doc_id, sh): one compiled pass per document via the native
+    * [[graft.functions.WordShingles]] expression (the declarative
+    * twin [[shinglesFromTokens]] stays for spec cross-checks).
+    */
+  def shingleDocs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+  }
+
+  /** Exact dedup: sha256(text) → groupBy digest. One shuffle on the
+    * digest; at 100 TB this is the canonical first pass (hash is 32
+    * bytes/row regardless of doc size — shuffle stays tiny).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(sha2(col("text"), 256).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
+
+  /** Near-dup candidates by exact n-gram Jaccard: explode distinct
+    * shingles, self-join on shingle, count common / union. Top-50 most
+    * similar pairs (total tie-break) so the result is deterministic and
+    * non-empty on any corpus. QUADRATIC in co-occurring docs — the
+    * oracle-able baseline; use [[dedupMinhash]] at scale.
+    */
+  def dedupNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = shingleDocs(s, d)
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("nsh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val pairs = ex.as("x")
+      .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+
+  // MinHash parameters: 48 universal hashes h_i(x) = (a_i x + b_i) mod P
+  // over murmur3 shingle hashes, banded 8 × r6. P = 2^31-1 (prime);
+  // a_i odd so the family is well-spread. Deterministic → stable results.
+  private val P = 2147483647L
+  private val NumHashes = 48
+  private val Bands = 8
+  private val RowsPerBand = 6
+  private val hashA = array(Array.tabulate(NumHashes)(i => lit(2L * i + 1)): _*)
+  private val hashB = array(Array.tabulate(NumHashes)(i => lit((2654435761L * (i + 1)) % P)): _*)
+
+  /** 8 band-bucket keys per doc in ONE pass over the shingle set:
+    * aggregate(shingle-hashes, [P]*48, running zip_with min, finish =
+    * hash each 6-row band slice). The merge and finish lambdas only
+    * touch bound lambda variables — nothing is re-evaluated per
+    * iteration (the trap that made the first cut O(48x) slower).
+    */
+  def minhashBuckets(sh: Column): Column = {
+    val hs = transform(sh, x => hash(x).cast("long").bitwiseAND(lit(0x7FFFFFFFL)))
+    aggregate(hs,
+      array_repeat(lit(P), NumHashes),
+      (acc, h) => zip_with(acc,
+        zip_with(hashA, hashB, (a, b) => (a * h + b) % P),
+        (x, y) => least(x, y)),
+      acc => transform(sequence(lit(0), lit(Bands - 1)),
+        b => hash(slice(acc, b * RowsPerBand + 1, lit(RowsPerBand)), b)))
+  }
+
+  /** MinHash + LSH banding near-dedup — the scale path: per doc compute
+    * a 48-int signature (one pass over shingles), hash 8 bands of 6
+    * rows into bucket keys, shuffle on (band, bucket); only docs
+    * sharing a band bucket are paired, then verified with exact Jaccard
+    * on their shingle sets. Cost ∝ docs + true-candidate pairs — never
+    * n². Not DuckDB-oracle-able (murmur3-specific); spec'd by
+    * DedupSpec against [[dedupNgram]] ground truth.
+    */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
+    val docs = shingleDocs(s, d).filter(size(col("sh")) > 0)
+    // Candidate pairs WITHOUT a self-join on the signature subtree:
+    // group doc_ids per (band, bucket) and expand in-bucket pairs with
+    // array lambdas — the shingle+signature chain is evaluated exactly
+    // once per document, and only buckets with >1 doc produce work.
+    val bands = docs
+      .select(col("doc_id"), col("sh"), expr("minhash_buckets(sh)").as("bks"))
+      .select(col("doc_id"), posexplode(col("bks")))
+      .toDF("doc_id", "band", "bucket")
+    val cand = bands
+      .groupBy("band", "bucket")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(least(a, b).as("doc_a"), greatest(a, b).as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    // Verify only the candidates: exact Jaccard runs on O(candidates)
+    // pairs, never O(corpus^2); the shingle recompute on the join side
+    // is one compiled pass over the corpus (AQE broadcasts the tiny
+    // candidate set, so no corpus shuffle).
+    val withSets = cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+    withSets
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+
+  /** 64-bit SimHash per document: per word, xxhash64; per bit, sum ±1
+    * weighted by occurrences; simhash bit i = sign of sum. Emitted as
+    * the signed long plus candidate pairs within Hamming ≤ 12, found by
+    * 4×16-bit chunk collision (pigeonhole: Hamming ≤ 3 guarantees a
+    * chunk match; larger radii are best-effort). Word-frequency-driven,
+    * so near-identical docs collide. Not oracle-able (xxhash64).
+    */
+  def simhashSql(textCol: String): String = {
+    val hs = s"transform(filter(split($textCol, '[^\\\\p{L}]+'), w -> length(w) > 0), w -> xxhash64(w))"
+    s"""aggregate($hs,
+       |  array_repeat(CAST(0 AS BIGINT), 64),
+       |  (acc, h) -> transform(acc, (a, i) -> a + IF((h >> i) & 1 = 1, 1L, -1L)),
+       |  acc -> aggregate(transform(acc, (a, i) -> IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), 0L)),
+       |                   CAST(0 AS BIGINT), (s, x) -> s + x))""".stripMargin
+  }
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), expr(simhashSql("text")).as("simhash"))
+    val chunks = docs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "simhash", "chunk", "ckey")
+    val cand = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= 12)
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash)
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT sha256(text) AS text_hash, count(*) AS n_copies,
+        |  min(doc_id) AS keeper
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common), 4) AS jac
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |ORDER BY jac DESC, doc_a, doc_b LIMIT 50""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Time-window analytics over the `events` table in BATCH mode — the
+  * same `window()`/`session_window()` operators Structured Streaming
+  * uses (graft.streaming.StreamingOps runs the readStream versions;
+  * these batch forms are the DuckDB-oracle-checkable twins).
+  *
+  * ts arrives as epoch-nanos long (see Tables.events); wall-clock
+  * columns derive via integer division (`ts DIV 1000` → µs), and
+  * results emit epoch SECONDS as BIGINT — never raw timestamps — so
+  * ns-vs-µs precision can't skew the comparison.
+  */
+object EventOps {
+
+  private def withTsm(df: DataFrame): DataFrame =
+    df.withColumn("tsm", timestamp_micros(expr("ts DIV 1000")))
+
+  /** Tumbling 1-hour windows × event_type. */
+  def eventsTumbling(s: SparkSession, d: String): DataFrame =
+    withTsm(Tables.events(s, d))
+      .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+      .select(col("window.start").cast("long").as("wstart"), col("event_type"),
+        col("n"), col("sum_val"))
+
+  /** Sliding 1-hour windows every 15 minutes (each event in 4 windows). */
+  def eventsSliding(s: SparkSession, d: String): DataFrame =
+    withTsm(Tables.events(s, d))
+      .groupBy(window(col("tsm"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+      .select(col("window.start").cast("long").as("wstart"), col("n"), col("sum_val"))
+
+  /** Session windows per user with a 30-minute inactivity gap — the
+    * native session operator (merge-able session state in streaming;
+    * here the batch twin). Oracle = classic gaps-and-islands SQL.
+    */
+  def eventsSession(s: SparkSession, d: String): DataFrame =
+    withTsm(Tables.events(s, d))
+      .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+      .select(col("user_id"), col("session_window.start").cast("long").as("sstart"),
+        col("n"), col("sum_val"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_tumbling" -> eventsTumbling,
+    "events_sliding" -> eventsSliding,
+    "events_session" -> eventsSession)
+
+  def oracleSql: Map[String, String] = Map(
+    "events_tumbling" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS wstart,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - k * 900 AS BIGINT) AS wstart,
+        |  count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offs
+        |GROUP BY 1""".stripMargin,
+    "events_session" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id,
+        |  CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS sstart,
+        |  count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM y GROUP BY user_id, sid""".stripMargin)
+}

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text analysis for training-data pipelines ([EXT]): token counting,
+  * quality scoring, per-language corpus stats, heuristic language ID,
+  * and rolling-hash document fingerprinting. Everything is built-in
+  * column functions / array lambdas (whole-stage codegen'd; one scan of
+  * `documents`, no shuffle except the final group-bys) — the shape that
+  * survives a 100 TB corpus: per-row work, linear, embarrassingly
+  * parallel.
+  */
+object TextOps {
+
+  private def toks(text: Column): Column = Dedup.tokensCol(text)
+
+  /** BPE-ish pre-tokenizer: letter runs | single digits | single
+    * non-alnum marks (a common pattern-based proxy for byte-pair
+    * vocabularies when the real tokenizer isn't on the cluster).
+    */
+  val BpeRe = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  /** Per-doc token counts: whitespace tokens, letter tokens, BPE-ish. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), w => length(w) > 0)).as("ws_tokens"),
+      size(toks(col("text"))).as("letter_tokens"),
+      expr(s"size(regexp_extract_all(text, '${BpeRe.replace("\\", "\\\\")}', 0))").as("bpe_tokens"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Per-doc quality signals: length, token count, mean word length,
+    * punctuation ratio, stopword ratio, and a composite score — the
+    * usual cheap pre-filters before expensive dedup/training.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws") // materialized token attribute (see shinglesFromTokens note)
+    val nTok = size(ws)
+    val sumLen = aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x)
+    val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", ""))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val nStop = size(filter(ws, w => array_contains(stopArr, w)))
+    val nChars = length(col("text"))
+    val stopRatio = nStop.cast("double") / nTok
+    val punctRatio = punct.cast("double") / nChars
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks(col("text")).as("ws"))
+      .select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTok.as("n_tokens"),
+      round(sumLen.cast("double") / nTok, 4).as("avg_word_len"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stop_ratio"),
+      // floor(x*1e4+0.5)/1e4 instead of round(): the composite can land
+      // exactly on a 4th-decimal half (e.g. 0.53575), where Spark's
+      // decimal HALF_UP and DuckDB's binary round disagree; floor on
+      // the shared IEEE value is bit-deterministic in both engines.
+      (floor((stopRatio * 0.4 + least(nTok / lit(100.0), lit(1.0)) * 0.3
+        + (lit(1.0) - punctRatio) * 0.3) * 10000 + 0.5) / 10000.0).as("quality"))
+  }
+
+  /** Corpus stats per declared language. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), size(toks(col("text"))).as("ntok"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 2).as("avg_chars"),
+        round(avg("ntok"), 2).as("avg_tokens"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+
+  // Tiny per-language stopword profiles for the n-gram/stopword
+  // language-ID heuristic. (The synthetic corpus shares one vocabulary
+  // across langs, so this demonstrates the operator shape, not NLP.)
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "de", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "不"))
+
+  /** Heuristic language ID: score = fraction of tokens hitting each
+    * language's stopword profile; argmax with (score, lang) struct
+    * ordering for a deterministic tie-break. Rows-only check (the
+    * heuristic itself is the operator under test; LangIdSpec covers it).
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws")
+    val nTok = size(ws)
+    val scored = array(LangProfiles.map { case (lang, words) =>
+      val prof = array(words.map(lit): _*)
+      struct(
+        (size(filter(ws, w => array_contains(prof, w))).cast("double") / nTok).as("score"),
+        lit(lang).as("plang"))
+    }: _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"), array_max(scored).as("best"))
+      .select(col("doc_id"), col("lang"),
+        col("best").getField("plang").as("pred_lang"),
+        round(col("best").getField("score"), 4).as("conf"))
+  }
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * fp = fold(tokens, acc -> (acc*131 + tokval) mod 1e9+7) with
+    * tokval = 31*code(first char) + code(last char) + len. A cheap
+    * order-sensitive content signature (exact-dup detection robust to
+    * whitespace/punctuation noise, unlike sha256 of raw text).
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val ws = toks(col("text"))
+    val tokVal = (w: Column) =>
+      ascii(w) * 31 + ascii(substring(w, -1, 1)) + length(w)
+    val fp = aggregate(ws, lit(0L), (acc, w) => (acc * 131 + tokVal(w)) % 1000000007L)
+    Tables.documents(s, d).select(col("doc_id"), fp.as("fp"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_count" -> tokenCount,
+    "quality_score" -> qualityScore,
+    "text_stats" -> textStats,
+    "lang_id" -> langId,
+    "fingerprint" -> fingerprint)
+
+  private val tokSqlDuck =
+    "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,
+         |  CAST(len($tokSqlDuck) AS INTEGER) AS letter_tokens,
+         |  CAST(len(regexp_extract_all(text, '$BpeRe')) AS INTEGER) AS bpe_tokens
+         |FROM documents""".stripMargin,
+    "quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokSqlDuck AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(ws) AS INTEGER) AS n_tokens,
+         |  CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) AS sum_len,
+         |  CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |  CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) AS nstop
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  round(sum_len / n_tokens, 4) AS avg_word_len,
+         |  round(punct / n_chars, 4) AS punct_ratio,
+         |  round(nstop / n_tokens, 4) AS stop_ratio,
+         |  floor(((nstop / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3
+         |        + (1.0 - punct / n_chars) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+         |FROM m""".stripMargin,
+    "text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  round(avg(n_chars), 2) AS avg_chars,
+         |  round(avg(len($tokSqlDuck)), 2) AS avg_tokens,
+         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         |FROM documents GROUP BY lang""".stripMargin,
+    "fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform($tokSqlDuck,
+         |        w -> CAST(31 * ascii(w) + ascii(right(w, 1)) + len(w) AS BIGINT))),
+         |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+         |FROM documents""".stripMargin)
+}
