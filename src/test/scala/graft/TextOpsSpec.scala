@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Dedup, TextOps}
+
+class TextOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("tokensCol splits on non-letters like Go unicode.IsLetter (wc.go:21-34)") {
+    val got = Seq(("héllo, wörld42—foo!", 1)).toDF("text", "id")
+      .select(Dedup.tokensCol(col("text"))).first().getSeq[String](0)
+    assert(got === Seq("héllo", "wörld", "foo"))
+  }
+
+  test("fingerprint: content-identical docs equal; reordered tokens differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha   beta...gamma"), // same tokens, junk separators
+      (3L, "gamma beta alpha")) // reordered
+      .toDF("doc_id", "text")
+    graft.functions.WordShingles.register(spark)
+    val ws = Dedup.tokensCol(col("text"))
+    val tokVal = (w: org.apache.spark.sql.Column) =>
+      ascii(w) * 31 + ascii(substring(w, -1, 1)) + length(w)
+    val fp = aggregate(ws, lit(0L), (acc, w) => (acc * 131 + tokVal(w)) % 1000000007L)
+    val fps = df.select(col("doc_id"), fp.as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) === fps(2L), "separator noise must not change fingerprint")
+    assert(fps(1L) !== fps(3L), "token order must change fingerprint")
+  }
+
+  test("quality/ratio bounds on the real corpus") {
+    val rows = TextOps.qualityScore(spark, sfDir).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1) // punct_ratio
+      assert(r.getDouble(5) >= 0 && r.getDouble(5) <= 1) // stop_ratio
+      assert(r.getDouble(6) >= 0 && r.getDouble(6) <= 1) // quality
+    }
+  }
+
+  test("langId predicts a known profile language with deterministic tie-break") {
+    val rows = TextOps.langId(spark, sfDir).collect()
+    assert(rows.length === 500)
+    val langs = Set("en", "es", "de", "fr", "zh")
+    rows.foreach { r =>
+      assert(langs.contains(r.getString(2)))
+      assert(r.getDouble(3) >= 0)
+    }
+    // deterministic: same input → same prediction across two runs
+    val again = TextOps.langId(spark, sfDir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      again.map(r => (r.getLong(0), r.getString(2))).toSeq)
+  }
+
+  test("textStats covers every language partition") {
+    val rows = TextOps.textStats(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("en", "es", "de", "fr", "zh"))
+    assert(rows.map(_.getLong(1)).sum === 500)
+  }
+}
