@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Dedup, EventOps, Parity, Relational, Similarity, TextOps}
+import graft.queries.{Advanced, Dedup, EventOps, Parity, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries are assembled from the per-module registries; every entry
@@ -20,7 +20,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Parity.queries ++ Relational.queries ++ Dedup.queries ++
+    Parity.queries ++ Relational.queries ++ Advanced.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ EventOps.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,7 +28,7 @@ object SparkEntry {
     * rows-only check (used only for non-SQL-expressible ops).
     */
   def oracleSql: Map[String, String] =
-    Parity.oracleSql ++ Relational.oracleSql ++ Dedup.oracleSql ++
+    Parity.oracleSql ++ Relational.oracleSql ++ Advanced.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextOps.oracleSql ++ EventOps.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Second relational wave: grouping sets, exact percentiles/stat
+  * aggregates, pivot, array scalar functions, correlated subqueries
+  * (Catalyst decorrelation), range window frames, navigation window
+  * functions. All DuckDB-oracle-checked.
+  *
+  * Stat aggregates are computed from raw power sums (sum, sum of
+  * squares, sum of products) in BOTH engines rather than builtin
+  * stddev/corr — builtin implementations differ (Welford vs moments)
+  * at the ulp level, while identical formulas over identical sums
+  * round identically.
+  */
+object Advanced {
+
+  /** GROUP BY GROUPING SETS — finer than rollup/cube. */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(1) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
+  /** Exact percentiles (interpolated) + stddev/corr from power sums. */
+  def statsAgg(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    li.groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_extendedprice, array(0.25, 0.75))")(0), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, array(0.25, 0.75))")(1), 4).as("p75_price"),
+        sum(q).as("sq"), sum(q * q).as("sqq"),
+        sum(p).as("sp"), sum(p * p).as("spp"), sum(q * p).as("sqp"))
+      .select(
+        col("l_returnflag"), col("n"), col("median_qty"), col("p25_price"), col("p75_price"),
+        round(sqrt((col("sqq") - col("sq") * col("sq") / col("n")) / (col("n") - 1)), 4).as("sd_qty"),
+        round((col("n") * col("sqp") - col("sq") * col("sp")) /
+          (sqrt(col("n") * col("sqq") - col("sq") * col("sq")) *
+            sqrt(col("n") * col("spp") - col("sp") * col("sp"))), 4).as("corr_qp"))
+  }
+
+  /** Pivot: language × fixed source columns (explicit value list — at
+    * scale an unbounded pivot would need a distinct-values pass; fixing
+    * the list keeps it one aggregation).
+    */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy("lang")
+      .pivot("source", Seq("src0", "src1", "src2"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** Array scalar functions over the embedding vectors. */
+  def scalarArray(s: SparkSession, d: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(v).as("dim"),
+      round(element_at(v, 1), 6).as("first_val"),
+      round(array_max(v), 6).as("max_val"),
+      round(array_min(v), 6).as("min_val"),
+      round(aggregate(v, lit(0.0), (a, x) => a + x), 6).as("sum_val"),
+      round(element_at(array_sort(v), 32), 6).as("sorted_mid"),
+      size(filter(v, x => x > 0)).as("n_pos"))
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates to a join):
+    * orders priced above 1.5× their customer's average.
+    */
+  def subqueryCorr(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+        |FROM orders_v o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT avg(i.o_totalprice) FROM orders_v i
+        |  WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  /** RANGE window frame: trailing-30-day revenue per customer (frame
+    * over an integer day offset — value-based, not row-based).
+    */
+  def windowRange(s: SparkSession, d: String): DataFrame = {
+    val days = datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+    val w = Window.partitionBy("o_custkey").orderBy("day_no")
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), days.as("day_no"), col("o_totalprice"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_no"),
+        round(sum("o_totalprice").over(w), 2).as("rev_30d"))
+  }
+
+  /** Navigation window functions: lead/first/last/nth over a total
+    * per-customer order.
+    */
+  def windowNav(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lead(col("o_orderkey"), 1).over(w).as("next_order"),
+      first(col("o_orderkey")).over(wf).as("first_order"),
+      last(col("o_orderkey")).over(wf).as("last_order"),
+      nth_value(col("o_orderkey"), 2).over(wf).as("second_order"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "grouping_sets" -> groupingSets,
+    "stats_agg" -> statsAgg,
+    "pivot_counts" -> pivotCounts,
+    "scalar_array" -> scalarArray,
+    "subquery_corr" -> subqueryCorr,
+    "window_range" -> windowRange,
+    "window_nav" -> windowNav)
+
+  def oracleSql: Map[String, String] = Map(
+    "grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "stats_agg" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    quantile_cont(l_quantity, 0.5) AS med,
+        |    quantile_cont(l_extendedprice, 0.25) AS p25,
+        |    quantile_cont(l_extendedprice, 0.75) AS p75,
+        |    sum(l_quantity) AS sq, sum(l_quantity * l_quantity) AS sqq,
+        |    sum(l_extendedprice) AS sp, sum(l_extendedprice * l_extendedprice) AS spp,
+        |    sum(l_quantity * l_extendedprice) AS sqp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(med, 4) AS median_qty, round(p25, 4) AS p25_price, round(p75, 4) AS p75_price,
+        |  round(sqrt((sqq - sq * sq / n) / (n - 1)), 4) AS sd_qty,
+        |  round((n * sqp - sq * sp) /
+        |        (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 4) AS corr_qp
+        |FROM m""".stripMargin,
+    "pivot_counts" ->
+      """SELECT lang,
+        |  count(*) FILTER (WHERE source = 'src0') AS src0,
+        |  count(*) FILTER (WHERE source = 'src1') AS src1,
+        |  count(*) FILTER (WHERE source = 'src2') AS src2
+        |FROM documents GROUP BY lang""".stripMargin,
+    "scalar_array" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(len(v) AS INTEGER) AS dim,
+        |  round(v[1], 6) AS first_val,
+        |  round(list_max(v), 6) AS max_val,
+        |  round(list_min(v), 6) AS min_val,
+        |  round(list_sum(v), 6) AS sum_val,
+        |  round(list_sort(v)[32], 6) AS sorted_mid,
+        |  CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos
+        |FROM e""".stripMargin,
+    "subquery_corr" ->
+      """SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT avg(i.o_totalprice) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+    "window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day_no,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rev_30d
+        |FROM orders""".stripMargin,
+    "window_nav" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lead(o_orderkey, 1) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER wf AS first_order,
+        |  last_value(o_orderkey) OVER wf AS last_order,
+        |  nth_value(o_orderkey, 2) OVER wf AS second_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin)
+}
