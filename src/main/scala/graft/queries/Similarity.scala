@@ -21,11 +21,18 @@ import graft.core.Tables
   */
 object Similarity {
 
+  /** Compiled dot product (graft.functions.DotProduct — true codegen).
+    * The declarative twin [[dotLambda]] stays for spec cross-checks.
+    */
   private def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** vec_id, v (double[]), nrm. */
   private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
     val v = col("embedding").cast("array<double>")
     Tables.embeddings(s, d)
       .select(col("vec_id"), v.as("v"))

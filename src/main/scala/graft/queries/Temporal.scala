@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Temporal join operators over `events` ([EXT] — the reference is
+  * pure batch MapReduce with no joins at all, SURVEY.md §2.3): as-of
+  * join and a bounded range (band) join, both expressed in their
+  * 100 TB-scalable forms.
+  *
+  * Scale design: the naive formulation of both is an inequality
+  * theta-join, which Spark (and every MPP) executes as
+  * BroadcastNestedLoopJoin — O(n²) and a driver OOM at scale. Instead:
+  *
+  *  - As-of = union both sides tagged + ONE hash shuffle on user_id +
+  *    a single ordered window carrying the right side forward
+  *    (`last(_, ignoreNulls)`). Cost: one shuffle + one sort —
+  *    identical asymptotics to a sort-merge join, no quadratic blowup,
+  *    no broadcast. This is the standard MPP as-of idiom.
+  *  - Band join (|Δt| bounded) = time-bucket both sides at the band
+  *    width, replicate ONE side into its 2 candidate buckets (explode
+  *    of 2 keys — bounded ×2 amplification), equi-join on
+  *    (user, bucket), then exact predicate. Candidates ∝ true matches,
+  *    never n².
+  *
+  * ts is epoch-nanos long (Tables.events); all emitted times are
+  * epoch seconds/minutes as BIGINT so ns-vs-µs precision cannot skew
+  * the oracle compare.
+  */
+object Temporal {
+
+  private val NanosPerSec = 1000000000L
+
+  /** As-of join: each purchase matched to the same user's most recent
+    * click at-or-before it. Left outer (purchases with no prior click
+    * keep NULL). Implemented as union + carry-forward window — one
+    * shuffle on user_id, no inequality join.
+    */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"), lit(1).as("side"))
+    // side asc ⇒ at equal ts the click sorts first ⇒ "at or before".
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(purchases)
+      .withColumn("asof_click", last(when(col("side") === 0, col("click_id")), ignoreNulls = true).over(w))
+      .withColumn("asof_ts", last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(
+        col("click_id").as("purchase_id"),
+        col("user_id"),
+        // Integer DIV, never `/`: epoch-nanos exceed 2^53, double
+        // division can flip the low bits (see Tables.events).
+        expr(s"ts DIV $NanosPerSec").as("purchase_s"),
+        col("asof_click").as("click_id"),
+        expr(s"(ts - asof_ts) DIV $NanosPerSec").as("gap_s"))
+  }
+
+  /** Band (range) join: click→purchase conversion pairs — same user,
+    * purchase within 10 minutes AFTER the click. Time-bucketed
+    * candidate join: both sides keyed by 10-min bucket, purchases
+    * replicated into (b-1, b), equi-join on (user, bucket), exact
+    * band predicate last. No inequality join operator in the plan.
+    */
+  def joinRange(s: SparkSession, d: String): DataFrame = {
+    val BandNs = 600L * NanosPerSec
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"),
+        expr(s"ts DIV $BandNs").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"),
+        explode(array(expr(s"ts DIV $BandNs") - 1, expr(s"ts DIV $BandNs"))).as("bucket"))
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("pts") >= col("cts") && col("pts") - col("cts") <= BandNs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        expr(s"(pts - cts) DIV $NanosPerSec").as("gap_s"))
+      .distinct()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_asof" -> joinAsof,
+    "join_range" -> joinRange)
+
+  def oracleSql: Map[String, String] = Map(
+    // Same union + carry-forward formulation so semantics (incl. the
+    // at-equal-ts ordering) match by construction.
+    "join_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side
+        |            ROWS UNBOUNDED PRECEDING) AS asof_click,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side
+        |            ROWS UNBOUNDED PRECEDING) AS asof_ts
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS purchase_s,
+        |  asof_click AS click_id,
+        |  CAST(floor(epoch(ts - asof_ts)) AS BIGINT) AS gap_s
+        |FROM w WHERE side = 1""".stripMargin,
+    "join_range" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  CAST(floor(epoch(p.ts - c.ts)) AS BIGINT) AS gap_s
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.Sketches
+
+/** Sketch accuracy against exact answers: HLL estimates must land
+  * within the configured error bounds, and the two-level union-merge
+  * must agree with a single-level sketch over the same data.
+  */
+class SketchesSpec extends SparkSuite {
+
+  private lazy val exactUsers: Map[String, Long] =
+    Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("u"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+
+  test("approx_count_distinct within 3×rsd of exact") {
+    val rows = Sketches.approxDistinct(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet === exactUsers.keySet)
+    rows.foreach { r =>
+      val exact = exactUsers(r.getString(0)).toDouble
+      val est = r.getLong(2).toDouble
+      assert(math.abs(est - exact) <= math.max(1.0, 3 * 0.02 * exact),
+        s"${r.getString(0)}: est=$est exact=$exact")
+    }
+  }
+
+  test("approx percentiles bracketed by column min/max") {
+    val mm = Tables.events(spark, sfDir)
+      .agg(min("value"), max("value")).collect()(0)
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    Sketches.approxDistinct(spark, sfDir).collect().foreach { r =>
+      val p50 = r.getDouble(3); val p99 = r.getDouble(4)
+      assert(p50 >= lo && p50 <= hi)
+      assert(p99 >= lo && p99 <= hi)
+      assert(p50 <= p99)
+    }
+  }
+
+  test("two-level HLL merge within 5% of exact distinct users") {
+    Sketches.hllMerge(spark, sfDir).collect().foreach { r =>
+      val exact = exactUsers(r.getString(0)).toDouble
+      val est = r.getLong(2).toDouble
+      assert(math.abs(est - exact) <= math.max(1.0, 0.05 * exact),
+        s"${r.getString(0)}: merged est=$est exact=$exact")
+    }
+  }
+
+  test("hll_union_agg(per-day sketches) == single sketch over all rows") {
+    val ev = Tables.events(spark, sfDir)
+    val single = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = Sketches.hllMerge(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(merged === single)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.Temporal
+
+/** As-of and band join semantics, differentially checked against the
+  * naive inequality-join formulation (the quadratic plan the scalable
+  * forms replace — same answers, different asymptotics).
+  */
+class TemporalSpec extends SparkSuite {
+
+  private lazy val ev = Tables.events(spark, sfDir).cache()
+
+  test("joinAsof matches the naive inequality-join formulation") {
+    val got = Temporal.joinAsof(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .toMap
+
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    // Naive as-of: left join all prior clicks, keep the latest per purchase.
+    val naive = purchases
+      .join(clicks, col("cu") === col("pu") && col("cts") <= col("pts"), "left")
+      .groupBy("pid")
+      .agg(max(struct(col("cts"), col("cid"))).as("best"))
+      .select(col("pid"), col("best.cid"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+
+    assert(got.size === naive.size)
+    assert(got === naive)
+  }
+
+  test("joinAsof: every purchase appears exactly once; gaps non-negative") {
+    val rows = Temporal.joinAsof(spark, sfDir).collect()
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(rows.length.toLong === nPurch)
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.filter(!_.isNullAt(4)).foreach(r => assert(r.getLong(4) >= 0))
+  }
+
+  test("joinRange matches the naive inequality join") {
+    val got = Temporal.joinRange(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+
+    val bandNs = 600L * 1000000000L
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val naive = purchases
+      .join(clicks, col("cu") === col("pu") &&
+        col("pts") >= col("cts") && col("pts") - col("cts") <= bandNs)
+      .select(col("cid"), col("pid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(got === naive)
+  }
+
+  test("joinAsof plan has no nested-loop join (scalable form)") {
+    val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("joinRange plan joins on equi-keys, no nested loop") {
+    val plan = Temporal.joinRange(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
