@@ -101,6 +101,69 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  // IVF parameters: 16 coarse cells, queries probe the 2 nearest.
+  private val NCells = 16
+  private val NProbe = 2
+
+  /** Coarse quantizer: deterministic seeds (vec_id < NCells) refined by
+    * one distributed Lloyd iteration (assign-all → per-cell mean via
+    * posexplode/groupBy — no driver-side math). Returns (cell_id, cv,
+    * cnrm). Centroid count is O(cells), so it broadcasts everywhere.
+    */
+  private def centroids(all: DataFrame): DataFrame = {
+    val seeds = all.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell_id").asc)
+    val assigned = all.join(broadcast(seeds))
+      .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("cell_id"), posexplode(col("v")))
+      .groupBy("cell_id", "pos")
+      .agg(avg("col").as("m"))
+      .groupBy("cell_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell_id"), transform(col("pm"), x => x("m")).as("cv"))
+      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+  }
+
+  /** IVF (inverted-file) ANN — the cluster-then-probe scale path:
+    * corpus vectors are bucketed by nearest coarse centroid (the
+    * inverted lists); each query scores only the NProbe nearest cells'
+    * lists — a (NProbe/NCells) fraction of the corpus instead of all
+    * of it. Centroids are broadcast (O(cells)); the corpus is scanned
+    * once to assign and once per query batch to score. Recall
+    * spec-checked against [[annCosine]]; rows-only for the driver
+    * (plan-time refined centroids aren't SQL-expressible).
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    val cents = centroids(all)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell_id").asc)
+    val assigned = all.join(broadcast(cents))
+      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"))
+    val probes = assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .join(broadcast(cents))
+      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell_id").asc)))
+      .filter(col("rn") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding near-dup pairs: top-50 cosine pairs over a bounded slice
     * (vec_id < 2000 — keeps the exact pairwise form bounded at any SF;
     * the unbounded path is [[annLsh]]'s bucketing).
@@ -119,6 +182,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine" -> annCosine,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding)
 
   def oracleSql: Map[String, String] = Map(

@@ -1,0 +1,120 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.core.Tables
+
+/** Source/sink formats beyond parquet ([EXT] — the reference reads
+  * whole local text files and writes "k v" lines only, SURVEY.md §2.3
+  * F1/F9): CSV and JSON-lines round-trips with explicit schemas, and
+  * hive-style partitioned layout with partition pruning.
+  *
+  * Scale design:
+  *  - Schemas are always explicit — `inferSchema` is a full extra pass
+  *    over the data (2× the 100 TB scan) and nondeterministic under
+  *    sampling; never used here.
+  *  - The partitioned layout (`partitionBy(lang)`) turns the `lang`
+  *    predicate into directory pruning: the `en` query reads 1/5 of
+  *    the files, shown as PartitionFilters in the scan (spec-checked).
+  *  - Round-trip staging dirs are derived from the input path and
+  *    written once (idempotent overwrite) — the pattern for landing
+  *    external feeds before columnar conversion.
+  */
+object Formats {
+
+  private def stage(d: String, kind: String): String =
+    s"/tmp/graft_stage/${Paths.get(d).getFileName}/$kind"
+
+  private def done(dir: String): Boolean =
+    Files.exists(Paths.get(dir, "_SUCCESS"))
+
+  val ordersCsvSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderpriority", StringType)))
+
+  /** Parquet → CSV (header, explicit schema) → read back → aggregate.
+    * Exercises the CSV reader/writer with quoting left to defaults on
+    * non-quoted columns (keys, enums, numerics).
+    */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(d, "orders_csv")
+    if (!done(dir)) {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").option("header", "true").csv(dir)
+    }
+    s.read.schema(ordersCsvSchema).option("header", "true").csv(dir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
+  val eventsJsonSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Parquet → JSON-lines → read back → aggregate. JSONL is the
+    * reference's intermediate codec (worker.go:147-152) promoted to a
+    * first-class source format.
+    */
+  def jsonlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(d, "events_jsonl")
+    if (!done(dir)) {
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .write.mode("overwrite").json(dir)
+    }
+    s.read.schema(eventsJsonSchema).json(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("n_users"),
+        round(sum("value"), 2).as("sum_val"))
+  }
+
+  /** Hive-partitioned parquet by lang; the lang='en' filter prunes to
+    * one directory before any file is opened (PartitionFilters —
+    * spec-asserted in FormatsSpec).
+    */
+  def partitionedDocs(s: SparkSession, d: String): String = {
+    val dir = stage(d, "docs_by_lang")
+    if (!done(dir)) {
+      Tables.documents(s, d)
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    }
+    dir
+  }
+
+  def partitionedScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(partitionedDocs(s, d))
+      .filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_source" -> csvRoundtrip,
+    "jsonl_source" -> jsonlRoundtrip,
+    "partitioned_scan" -> partitionedScan)
+
+  /** Oracles read the ORIGINAL parquet — the round-trip through the
+    * text format must be lossless for these columns.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "csv_source" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "jsonl_source" ->
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS sum_val
+        |FROM events GROUP BY 1""".stripMargin,
+    "partitioned_scan" ->
+      """SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+        |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.Skew
+import graft.sources.Formats
+
+/** Source/sink round-trips and the salted join: text formats must be
+  * lossless for the exercised columns, partition pruning must reach
+  * the file index, and salting must not change join results.
+  */
+class FormatsSpec extends SparkSuite {
+
+  test("csv round-trip aggregate equals direct parquet aggregate") {
+    val viaCsv = Formats.csvRoundtrip(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(viaCsv === direct)
+  }
+
+  test("jsonl round-trip aggregate equals direct parquet aggregate") {
+    val viaJson = Formats.jsonlRoundtrip(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val direct = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)), countDistinct("user_id"), round(sum("value"), 2)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(viaJson === direct)
+  }
+
+  test("partitioned scan prunes by lang before reading files") {
+    val df = Formats.partitionedScan(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    // the lang predicate must be a partition filter, not a data filter
+    assert(scan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("lang")), scan)
+    // and results match the unpartitioned layout
+    val got = df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = Tables.documents(spark, sfDir)
+      .filter(col("lang") === "en")
+      .groupBy("source").agg(count(lit(1)), sum("n_chars")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === direct)
+  }
+
+  test("salted join result identical to plain join") {
+    val salted = Skew.joinSalted(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue -> (r.getLong(1), r.getDouble(2))).toMap
+    val plain = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)), round(sum("o_totalprice"), 2)).collect()
+      .map(r => r.getAs[Number](0).longValue -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(salted === plain)
+  }
+
+  test("salting spreads a hot key across NSalt shuffle keys") {
+    // with broadcast disabled, the salted join's shuffle key is
+    // (custkey, salt) — 8 distinct shuffle keys for any single custkey
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Skew.joinSalted(spark, sfDir).queryExecution.executedPlan.toString
+      assert(plan.contains("salt"), plan)
+      assert(!plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

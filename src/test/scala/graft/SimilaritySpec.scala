@@ -30,6 +30,16 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.0, s"LSH recall should be positive, got $recall (hits=${hits.size})")
   }
 
+  test("annIvf: 5 neighbors per query, recall ≥ 0.6 vs exact") {
+    val exact = Similarity.annCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, sfDir).collect()
+    assert(ivf.length === 40) // 8 queries × top-5
+    val hits = ivf.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = hits.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall $recall (probing $hits)")
+  }
+
   test("dedupEmbedding: top-50 pairs, ordered by cosine desc, no self-pairs") {
     val rows = Similarity.dedupEmbedding(spark, sfDir).collect()
     assert(rows.length === 50)
