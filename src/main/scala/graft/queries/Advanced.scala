@@ -115,7 +115,61 @@ object Advanced {
       nth_value(col("o_orderkey"), 2).over(wf).as("second_order"))
   }
 
+  /** Full outer join: per-customer order rollup ⟗ customer — nulls on
+    * both sides survive (customers without orders; orphaned orders).
+    */
+  def joinFull(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+      .join(agg, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("sum_price"))
+  }
+
+  /** Cross join (cartesian) over the two constant-size dims. */
+  def joinCross(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(col("n_name"))
+      .crossJoin(Tables.region(s, d).select(col("r_name")))
+
+  /** String functions, second wave: regex extraction, edit distance,
+    * padding, field splitting, char translation, digest.
+    */
+  def scalarString2(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_brand"), "#(\\d+)", 1).as("brand_num"),
+      levenshtein(col("p_brand"), col("p_type")).as("lev"),
+      lpad(col("p_partkey").cast("string"), 10, "0").as("padded"),
+      split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+      translate(col("p_brand"), "#", "-").as("dashed"),
+      repeat(col("p_brand"), 2).as("brand2"),
+      substring(col("p_name"), 1, 3).as("left3"),
+      instr(col("p_type"), "BRUSHED").as("pos_brushed"),
+      md5(col("p_brand")).as("brand_md5"))
+
+  /** NULL-handling functions over synthesized nulls (nullif makes
+    * them, coalesce/ifnull/when recover them).
+    */
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      expr("nullif(o_orderstatus, 'O')").as("non_open"),
+      coalesce(expr("nullif(o_orderstatus, 'O')"), lit("OPEN")).as("status_or_open"),
+      when(expr("nullif(o_orderstatus, 'O')").isNull, 0)
+        .otherwise(1).as("closed_flag"),
+      expr("ifnull(nullif(o_orderpriority, o_orderpriority), 'same')").as("always_same"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_full" -> joinFull,
+    "join_cross" -> joinCross,
+    "scalar_string2" -> scalarString2,
+    "null_handling" -> nullHandling,
     "grouping_sets" -> groupingSets,
     "stats_agg" -> statsAgg,
     "pivot_counts" -> pivotCounts,
@@ -125,6 +179,35 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "join_full" ->
+      """WITH agg AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+        |  coalesce(n_orders, 0) AS n_orders, sum_price
+        |FROM customer FULL OUTER JOIN agg ON c_custkey = o_custkey""".stripMargin,
+    "join_cross" ->
+      "SELECT n_name, r_name FROM nation CROSS JOIN region",
+    "scalar_string2" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+        |  CAST(levenshtein(p_brand, p_type) AS INTEGER) AS lev,
+        |  lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded,
+        |  split_part(p_type, ' ', 1) AS type_head,
+        |  translate(p_brand, '#', '-') AS dashed,
+        |  repeat(p_brand, 2) AS brand2,
+        |  substr(p_name, 1, 3) AS left3,
+        |  CAST(instr(p_type, 'BRUSHED') AS INTEGER) AS pos_brushed,
+        |  md5(p_brand) AS brand_md5
+        |FROM part""".stripMargin,
+    "null_handling" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS non_open,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |  CASE WHEN nullif(o_orderstatus, 'O') IS NULL THEN 0 ELSE 1 END AS closed_flag,
+        |  ifnull(nullif(o_orderpriority, o_orderpriority), 'same') AS always_same
+        |FROM orders""".stripMargin,
     "grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
