@@ -151,12 +151,18 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     // Verify only the candidates: exact Jaccard runs on O(candidates)
-    // pairs, never O(corpus^2); the shingle recompute on the join side
-    // is one compiled pass over the corpus (AQE broadcasts the tiny
-    // candidate set, so no corpus shuffle).
+    // pairs, never O(corpus^2). ONE corpus pass fetches both sides'
+    // shingle sets: explode each pair into its two members, join docs
+    // once, regroup — only candidate docs' shingles shuffle (small),
+    // and the corpus shingling is not recomputed per join side.
     val withSets = cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(docs, "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true).as("sa"),
+        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true).as("sb"))
     withSets
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).as("common"),

@@ -106,18 +106,30 @@ object Similarity {
   private val NProbe = 2
 
   /** Coarse quantizer: deterministic seeds (vec_id < NCells) refined by
-    * one distributed Lloyd iteration (assign-all → per-cell mean via
-    * posexplode/groupBy — no driver-side math). Returns (cell_id, cv,
-    * cnrm). Centroid count is O(cells), so it broadcasts everywhere.
+    * one distributed Lloyd iteration over a BOUNDED deterministic
+    * training set (vec_id < TrainCap — never rand(); retries must see
+    * the same rows). Quantizer training needs only a bounded sample:
+    * at 100 TB the vec_id predicate prunes the scan and training cost
+    * stays O(TrainCap·cells) regardless of corpus size, while at small
+    * SF the cap covers the whole corpus (full-quality centroids).
+    * Returns (cell_id, cv, cnrm); centroid count is O(cells), so it
+    * broadcasts everywhere.
     */
+  private val TrainCap = 2048
+
   private def centroids(all: DataFrame): DataFrame = {
+    val sample = all.filter(col("vec_id") < TrainCap)
     val seeds = all.filter(col("vec_id") < NCells)
       .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell_id").asc)
-    val assigned = all.join(broadcast(seeds))
+    // argmax via max_by hash aggregation, not a row_number window: the
+    // agg shuffles one row per vector; the window would sort the whole
+    // (vector × cell) expansion. Ties break to the smallest cell_id.
+    val assigned = sample.join(broadcast(seeds))
       .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cell_id"), col("v")),
+        struct(col("cos"), -col("cell_id"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("best.v").as("v"))
     assigned
       .select(col("cell_id"), posexplode(col("v")))
       .groupBy("cell_id", "pos")
@@ -140,12 +152,13 @@ object Similarity {
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
     val cents = centroids(all)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell_id").asc)
     val assigned = all.join(broadcast(cents))
       .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell_id"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("cell_id"), col("v"), col("nrm")),
+        struct(col("ccos"), -col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.nrm").as("nrm"), col("best.cell_id").as("cell_id"))
     val probes = assigned.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
       .join(broadcast(cents))
