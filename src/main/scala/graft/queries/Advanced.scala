@@ -165,7 +165,42 @@ object Advanced {
         .otherwise(1).as("closed_flag"),
       expr("ifnull(nullif(o_orderpriority, o_orderpriority), 'same')").as("always_same"))
 
+  /** Nested types: per-user event history as an array of structs
+    * (sorted, sliced to the first 3), exploded back to flat rows —
+    * the collect/sort/slice/explode cycle every feature pipeline uses.
+    * ts emitted as epoch seconds (see Tables.events on ns precision).
+    */
+  def nestedStruct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_s"),
+        col("event_type"), col("value"))
+      .groupBy("user_id")
+      .agg(slice(sort_array(collect_list(
+        struct(col("ts_s"), col("event_type"), col("value")))), 1, 3).as("hist"))
+      .select(col("user_id"), posexplode(col("hist")))
+      .select(col("user_id"), (col("pos") + 1).as("seq"),
+        col("col.ts_s").as("ts_s"), col("col.event_type").as("event_type"),
+        round(col("col.value"), 2).as("value"))
+
+  /** Map type: per-user event_type→count map built with
+    * map_from_entries, then key lookups (element_at returns NULL for
+    * absent keys — coalesced to 0).
+    */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("cnt"))))).as("mp"))
+      .select(col("user_id"),
+        size(col("mp")).as("n_types"),
+        coalesce(element_at(col("mp"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("mp"), "purchase"), lit(0L)).as("n_purchase"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nested_struct" -> nestedStruct,
+    "map_funcs" -> mapFuncs,
     "join_full" -> joinFull,
     "join_cross" -> joinCross,
     "scalar_string2" -> scalarString2,
@@ -179,6 +214,22 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "nested_struct" ->
+      """SELECT user_id, CAST(rn AS INTEGER) AS seq, ts_s, event_type,
+        |  round(value, 2) AS value
+        |FROM (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+        |    event_type, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events)
+        |WHERE rn <= 3""".stripMargin,
+    "map_funcs" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+        |FROM events GROUP BY user_id""".stripMargin,
     "join_full" ->
       """WITH agg AS (
         |  SELECT o_custkey, count(*) AS n_orders,
