@@ -198,7 +198,23 @@ object Advanced {
         coalesce(element_at(col("mp"), "click"), lit(0L)).as("n_click"),
         coalesce(element_at(col("mp"), "purchase"), lit(0L)).as("n_purchase"))
 
+  /** Unpivot (melt): wide measure columns → long (measure, val) rows,
+    * then aggregate per measure — the inverse of [[pivotCounts]].
+    */
+  def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("sum_val"),
+        round(avg("val"), 4).as("avg_val"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "unpivot_measures" -> unpivotMeasures,
     "nested_struct" -> nestedStruct,
     "map_funcs" -> mapFuncs,
     "join_full" -> joinFull,
@@ -214,6 +230,14 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "unpivot_measures" ->
+      """SELECT measure, count(*) AS n, round(sum(val), 2) AS sum_val,
+        |  round(avg(val), 4) AS avg_val
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem)
+        |GROUP BY measure""".stripMargin,
     "nested_struct" ->
       """SELECT user_id, CAST(rn AS INTEGER) AS seq, ts_s, event_type,
         |  round(value, 2) AS value
