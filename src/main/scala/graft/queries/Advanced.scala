@@ -213,7 +213,28 @@ object Advanced {
       .agg(count(lit(1)).as("n"), round(sum("val"), 2).as("sum_val"),
         round(avg("val"), 4).as("avg_val"))
 
+  /** Top-3 orders per customer via the typed bounded-buffer
+    * [[graft.functions.TopKAggregator]] (map-side mergeable — shuffles
+    * ≤k rows per partition-group instead of sorting whole groups like
+    * the window twin `topk_per_group`; same oracle SQL).
+    */
+  def topkAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.TopKAggregator.topK(3))
+      .toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), col("col._2").as("o_orderkey"),
+        round(col("col._1"), 2).as("price"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_agg" -> topkAgg,
     "unpivot_measures" -> unpivotMeasures,
     "nested_struct" -> nestedStruct,
     "map_funcs" -> mapFuncs,
@@ -230,6 +251,12 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "topk_agg" ->
+      """SELECT o_custkey, o_orderkey, price, rn FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
     "unpivot_measures" ->
       """SELECT measure, count(*) AS n, round(sum(val), 2) AS sum_val,
         |  round(avg(val), 4) AS avg_val
