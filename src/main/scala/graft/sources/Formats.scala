@@ -96,6 +96,18 @@ object Formats {
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
 
+  /** Robust JSONL ingestion: malformed lines land in a corrupt-record
+    * column instead of failing the 100 TB job (PERMISSIVE mode). The
+    * quarantine split (good vs corrupt) is the standard landing-zone
+    * pattern; FormatsSpec exercises it with injected garbage.
+    */
+  def readJsonlRobust(s: SparkSession, dir: String, schema: StructType): DataFrame =
+    s.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_source" -> csvRoundtrip,
     "jsonl_source" -> jsonlRoundtrip,
