@@ -233,7 +233,26 @@ object Advanced {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** min_by/max_by and bit/bool aggregates. The argmin/argmax ordering
+    * key is a fixed-width formatted string (price then orderkey) —
+    * unique, so ties can't make the answer engine-dependent.
+    */
+  def aggMinmaxBy(s: SparkSession, d: String): DataFrame = {
+    val okey = format_string("%020.2f-%010d", col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        min_by(col("o_orderkey"), okey).as("cheapest_order"),
+        max_by(col("o_orderkey"), okey).as("priciest_order"),
+        expr("bit_and(o_orderkey)").as("key_band"),
+        expr("bit_or(o_orderkey)").as("key_bor"),
+        expr("bit_xor(o_orderkey)").as("key_bxor"),
+        expr("bool_and(o_totalprice > 100)").as("all_over_100"),
+        expr("bool_or(o_totalprice > 100000)").as("any_over_100k"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_minmax_by" -> aggMinmaxBy,
     "topk_agg" -> topkAgg,
     "unpivot_measures" -> unpivotMeasures,
     "nested_struct" -> nestedStruct,
@@ -251,6 +270,16 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  arg_min(o_orderkey, printf('%020.2f-%010d', o_totalprice, o_orderkey)) AS cheapest_order,
+        |  arg_max(o_orderkey, printf('%020.2f-%010d', o_totalprice, o_orderkey)) AS priciest_order,
+        |  bit_and(o_orderkey) AS key_band,
+        |  bit_or(o_orderkey) AS key_bor,
+        |  bit_xor(o_orderkey) AS key_bxor,
+        |  bool_and(o_totalprice > 100) AS all_over_100,
+        |  bool_or(o_totalprice > 100000) AS any_over_100k
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "topk_agg" ->
       """SELECT o_custkey, o_orderkey, price, rn FROM (
         |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
