@@ -251,7 +251,47 @@ object Advanced {
         expr("bool_or(o_totalprice > 100000)").as("any_over_100k"))
   }
 
+  /** Higher-order array functions: exists/forall/zip_with plus
+    * distinct-transform — expressed natively in Spark; the oracle uses
+    * the semantically-equal list_filter/list_dot_product forms.
+    */
+  def scalarArray2(s: SparkSession, d: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      exists(v, x => x > lit(2.0)).as("any_gt2"),
+      forall(v, x => abs(x) < lit(100.0)).as("all_small"),
+      size(filter(v, x => x > lit(1.0))).as("n_gt1"),
+      round(aggregate(zip_with(v, reverse(v), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x), 6).as("dot_rev"),
+      array_join(array_sort(array_distinct(
+        transform(v, x => signum(x).cast("int")))), ",").as("signs"))
+  }
+
+  /** Distribution window functions over a unique total order. */
+  def windowDist(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderstatus"), col("o_orderkey"),
+      round(percent_rank().over(w), 6).as("pr"),
+      round(cume_dist().over(w), 6).as("cd"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  /** Encoding scalar functions: base64, hex, ascii, chr. */
+  def encodings(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      base64(encode(col("p_brand"), "UTF-8")).as("brand_b64"),
+      hex(col("p_partkey")).as("key_hex"),
+      ascii(col("p_name")).as("first_code"),
+      chr(lit(65) + pmod(col("p_partkey"), lit(26))).as("key_chr"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_array2" -> scalarArray2,
+    "window_dist" -> windowDist,
+    "encodings" -> encodings,
     "agg_minmax_by" -> aggMinmaxBy,
     "topk_agg" -> topkAgg,
     "unpivot_measures" -> unpivotMeasures,
@@ -270,6 +310,30 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "scalar_array2" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  len(list_filter(v, x -> x > 2.0)) > 0 AS any_gt2,
+        |  len(list_filter(v, x -> abs(x) < 100.0)) = len(v) AS all_small,
+        |  CAST(len(list_filter(v, x -> x > 1.0)) AS INTEGER) AS n_gt1,
+        |  round(list_dot_product(v, list_reverse(v)), 6) AS dot_rev,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_transform(v, x -> CAST(sign(x) AS INTEGER)))), ',') AS signs
+        |FROM e""".stripMargin,
+    "window_dist" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "encodings" ->
+      """SELECT p_partkey,
+        |  base64(encode(p_brand)) AS brand_b64,
+        |  hex(p_partkey) AS key_hex,
+        |  CAST(ascii(p_name) AS INTEGER) AS first_code,
+        |  chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS key_chr
+        |FROM part""".stripMargin,
     "agg_minmax_by" ->
       """SELECT o_orderstatus,
         |  arg_min(o_orderkey, printf('%020.2f-%010d', o_totalprice, o_orderkey)) AS cheapest_order,
