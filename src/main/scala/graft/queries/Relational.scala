@@ -186,6 +186,24 @@ object Relational {
     a.except(b)
   }
 
+  /** Bag semantics: INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (min / difference of per-key counts).
+    */
+  def setopIntersectAll(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("custkey"))
+    val b = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.intersectAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+  }
+
+  def setopExceptAll(s: SparkSession, d: String): DataFrame = {
+    val a = orders(s, d).select(col("o_custkey").as("custkey"))
+    val b = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.exceptAll(b).groupBy("custkey").agg(count(lit(1)).as("n"))
+  }
+
   def scalarString(s: SparkSession, d: String): DataFrame =
     part(s, d).select(
       col("p_partkey"),
@@ -275,6 +293,8 @@ object Relational {
     "setop_union" -> setopUnion,
     "setop_intersect" -> setopIntersect,
     "setop_except" -> setopExcept,
+    "setop_intersect_all" -> setopIntersectAll,
+    "setop_except_all" -> setopExceptAll,
     "scalar_string" -> scalarString,
     "scalar_date" -> scalarDate,
     "scalar_math" -> scalarMath,
@@ -370,6 +390,18 @@ object Relational {
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "setop_intersect_all" ->
+      """SELECT custkey, count(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY custkey""".stripMargin,
+    "setop_except_all" ->
+      """SELECT custkey, count(*) AS n FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |GROUP BY custkey""".stripMargin,
     "scalar_string" ->
       """SELECT p_partkey, upper(p_name) AS up_name,
         |  substr(p_name, 1, 8) AS pre8,

@@ -34,6 +34,19 @@ class RelationalPlanSpec extends SparkSuite {
       s"no partial aggregation:\n$plan")
   }
 
+  test("join_asof plans exactly one shuffle (union + window, no join op)") {
+    val plan = planOf(graft.queries.Temporal.joinAsof(spark, sfDir))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"as-of must shuffle once on user_id:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join operator:\n$plan")
+  }
+
+  test("dedup_exact aggregates with a partial phase before the shuffle") {
+    val plan = planOf(graft.queries.Dedup.dedupExact(spark, sfDir))
+    val aggs = plan.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final hash aggregate:\n$plan")
+  }
+
   test("semi/anti joins partition the customer set") {
     val semi = Relational.joinSemi(spark, sfDir).count()
     val anti = Relational.joinAnti(spark, sfDir).count()
