@@ -288,7 +288,51 @@ object Advanced {
       ascii(col("p_name")).as("first_code"),
       chr(lit(65) + pmod(col("p_partkey"), lit(26))).as("key_chr"))
 
+  /** Date arithmetic, second wave: day/month offsets (with month-end
+    * clamping), last_day, day-of-week, ISO week. Everything emitted as
+    * strings/ints so date-vs-timestamp physical types can't skew the
+    * compare.
+    */
+  def scalarDate2(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      date_format(date_add(col("o_orderdate"), 10), "yyyy-MM-dd").as("plus10d"),
+      date_format(add_months(col("o_orderdate"), 1), "yyyy-MM-dd").as("plus1mo"),
+      date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+      dayofweek(col("o_orderdate")).as("dow"),
+      weekofyear(col("o_orderdate")).as("iso_week"))
+
+  /** Date spine: continuous daily calendar over the events range,
+    * zero-filling days with no events — the sequence/explode +
+    * left-join pattern every time-series rollup needs (a groupBy alone
+    * silently drops empty days).
+    */
+  def dateSpine(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(to_date(timestamp_micros(expr("ts DIV 1000"))).as("day"))
+    val daily = ev.groupBy("day").agg(count(lit(1)).as("n_events"))
+    val spine = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    spine.join(daily, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Schema-d JSON parsing with from_json (vs json_extract's pathwise
+    * string extraction): malformed docs become NULL structs, counted.
+    */
+  def jsonStruct(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        from_json(col("props"), lit("k BIGINT")).as("p"))
+      .groupBy("event_type")
+      .agg(sum(col("p.k")).as("k_sum"),
+        count(when(col("p").isNotNull, 1)).as("n_parsed"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scalar_date2" -> scalarDate2,
+    "date_spine" -> dateSpine,
+    "json_struct" -> jsonStruct,
     "scalar_array2" -> scalarArray2,
     "window_dist" -> windowDist,
     "encodings" -> encodings,
@@ -310,6 +354,26 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "scalar_date2" ->
+      """SELECT o_orderkey,
+        |  strftime(CAST(o_orderdate AS DATE) + 10, '%Y-%m-%d') AS plus10d,
+        |  strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE), '%Y-%m-%d') AS plus1mo,
+        |  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        |  CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week
+        |FROM orders""".stripMargin,
+    "date_spine" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+        |spine AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b),
+        |daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT strftime(CAST(s.day AS DATE), '%Y-%m-%d') AS day,
+        |  coalesce(d.n_events, 0) AS n_events
+        |FROM spine s LEFT JOIN daily d ON CAST(s.day AS DATE) = d.day""".stripMargin,
+    "json_struct" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+        |  count(*) FILTER (WHERE json_valid(props)) AS n_parsed
+        |FROM events GROUP BY event_type""".stripMargin,
     "scalar_array2" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
         |SELECT vec_id,
