@@ -329,7 +329,19 @@ object Advanced {
       .agg(sum(col("p.k")).as("k_sum"),
         count(when(col("p").isNotNull, 1)).as("n_parsed"))
 
+  /** grouping()/grouping_id() disambiguate aggregate NULLs from data
+    * NULLs in rollups — without them a NULL group key is ambiguous.
+    */
+  def rollupGrouping(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_prio"),
+        grouping_id().as("gid"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rollup_grouping" -> rollupGrouping,
     "scalar_date2" -> scalarDate2,
     "date_spine" -> dateSpine,
     "json_struct" -> jsonStruct,
@@ -354,6 +366,12 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "rollup_grouping" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS TINYINT) AS g_prio,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
     "scalar_date2" ->
       """SELECT o_orderkey,
         |  strftime(CAST(o_orderdate AS DATE) + 10, '%Y-%m-%d') AS plus10d,
