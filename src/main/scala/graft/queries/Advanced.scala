@@ -340,7 +340,20 @@ object Advanced {
         grouping(col("o_orderpriority")).as("g_prio"),
         grouping_id().as("gid"))
 
+  /** Error-safe try_* functions: NULL instead of job-killing exceptions
+    * — on a 100 TB run one malformed row must not fail the stage.
+    * Oracle expresses the same semantics with CASE/TRY_CAST.
+    */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey"),
+      round(try_divide(col("o_totalprice"), pmod(col("o_orderkey"), lit(3))), 4).as("per_bucket"),
+      try_element_at(split(col("o_orderpriority"), "-"), lit(2)).as("prio_word"),
+      expr("try_cast(o_orderpriority AS INT)").as("prio_num"),
+      expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_digit"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "try_funcs" -> tryFuncs,
     "rollup_grouping" -> rollupGrouping,
     "scalar_date2" -> scalarDate2,
     "date_spine" -> dateSpine,
@@ -366,6 +379,14 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "try_funcs" ->
+      """SELECT o_orderkey,
+        |  round(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |             ELSE o_totalprice / (o_orderkey % 3) END, 4) AS per_bucket,
+        |  string_split(o_orderpriority, '-')[2] AS prio_word,
+        |  TRY_CAST(o_orderpriority AS INT) AS prio_num,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_digit
+        |FROM orders""".stripMargin,
     "rollup_grouping" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
