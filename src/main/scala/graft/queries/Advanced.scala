@@ -352,7 +352,17 @@ object Advanced {
       expr("try_cast(o_orderpriority AS INT)").as("prio_num"),
       expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_digit"))
 
+  /** Regex operator family: count, anchored extraction, boolean match. */
+  def regexpOps(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(
+      col("p_partkey"),
+      regexp_count(col("p_type"), lit(" ")).as("n_spaces"),
+      regexp_extract(col("p_type"), "^[A-Z]+", 0).as("first_word"),
+      col("p_type").rlike("BRUSHED").as("is_brushed"),
+      regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_lower"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "regexp_ops" -> regexpOps,
     "try_funcs" -> tryFuncs,
     "rollup_grouping" -> rollupGrouping,
     "scalar_date2" -> scalarDate2,
@@ -379,6 +389,13 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "regexp_ops" ->
+      """SELECT p_partkey,
+        |  CAST(len(regexp_extract_all(p_type, ' ')) AS INTEGER) AS n_spaces,
+        |  regexp_extract(p_type, '^[A-Z]+') AS first_word,
+        |  regexp_matches(p_type, 'BRUSHED') AS is_brushed,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_lower
+        |FROM part""".stripMargin,
     "try_funcs" ->
       """SELECT o_orderkey,
         |  round(CASE WHEN o_orderkey % 3 = 0 THEN NULL

@@ -130,6 +130,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink: per-micro-batch upsert into external state") {
+    val mem = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val df = mem.toDF().toDF("tsm", "user_id", "event_type", "value")
+    // the production sink pattern: each micro-batch merges into a store
+    val store = scala.collection.concurrent.TrieMap.empty[Long, Double]
+    val q = df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.groupBy("user_id").agg(sum("value").as("s")).collect()
+          .foreach(r => store.updateWith(r.getLong(0)) {
+            case Some(v) => Some(v + r.getDouble(1))
+            case None => Some(r.getDouble(1))
+          })
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(Seq((ts(1), 1L, "a", 1.0), (ts(2), 2L, "a", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((ts(3), 1L, "a", 4.0)))
+      q.processAllAvailable()
+      assert(store.toMap === Map(1L -> 5.0, 2L -> 2.0))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     val mem = MemoryStream[(Long, Double)](spark)
     val ds = StreamingOps.runningCounts(mem.toDS())
