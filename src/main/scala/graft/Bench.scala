@@ -22,16 +22,26 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // Warm-up: JIT + codegen + parquet footer caches, not counted.
     names.take(2).foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    // A failed query is recorded as -1 (never a plausible elapsed time)
+    // and listed in "errors"; the process exits non-zero so a crashing
+    // benchmark is never mistaken for a fast one.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name: $e"); errors += name; false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

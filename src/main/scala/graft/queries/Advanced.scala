@@ -172,14 +172,19 @@ object Advanced {
     */
   def nestedStruct(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
-      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_s"),
+      // Sort key = (full-precision ns ts, event_id): a total order, so the
+      // first-3 slice is deterministic and matches the oracle's row_number
+      // ORDER BY ts, event_id even when two events of a user share a second.
+      .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"))
       .groupBy("user_id")
       .agg(slice(sort_array(collect_list(
-        struct(col("ts_s"), col("event_type"), col("value")))), 1, 3).as("hist"))
+        struct(col("ts"), col("event_id"), col("event_type"), col("value")))),
+        1, 3).as("hist"))
       .select(col("user_id"), posexplode(col("hist")))
       .select(col("user_id"), (col("pos") + 1).as("seq"),
-        col("col.ts_s").as("ts_s"), col("col.event_type").as("event_type"),
+        expr("col.ts DIV 1000000000").as("ts_s"),
+        col("col.event_type").as("event_type"),
         round(col("col.value"), 2).as("value"))
 
   /** Map type: per-user event_type→count map built with
@@ -485,7 +490,7 @@ object Advanced {
         |  SELECT user_id,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
         |    event_type, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM events)
         |WHERE rn <= 3""".stripMargin,
     "map_funcs" ->

@@ -344,7 +344,8 @@ object Relational {
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
     "agg_distinct" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  count(DISTINCT o_custkey) AS n_cust,

@@ -127,6 +127,7 @@ object Formats {
         |  round(sum(value), 2) AS sum_val
         |FROM events GROUP BY 1""".stripMargin,
     "partitioned_scan" ->
-      """SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+      """SELECT source, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents WHERE lang = 'en' GROUP BY 1""".stripMargin)
 }

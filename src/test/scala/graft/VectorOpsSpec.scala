@@ -24,14 +24,29 @@ class VectorOpsSpec extends SparkSuite {
       s"native=${r.getDouble(0)} lambda=${r.getDouble(1)}"))
   }
 
-  test("vec_dot handles null input and length mismatch") {
+  test("vec_dot null semantics match the lambda twin on malformed vectors") {
     DotProduct.register(spark)
+    // NULL input, length mismatch, and a null element all yield NULL —
+    // exactly what aggregate(zip_with(...)) produces (zip_with pads the
+    // shorter side with nulls; null * x = null; null + x = null).
     val df = spark.sql(
       """SELECT vec_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS a,
-        |       vec_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 10.0d)) AS b""".stripMargin)
+        |       vec_dot(array(1.0d, 2.0d, 3.0d), array(10.0d, 10.0d)) AS b,
+        |       vec_dot(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d)) AS c,
+        |       vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin)
     val r = df.collect()(0)
     assert(r.isNullAt(0))
-    assert(r.getDouble(1) == 30.0)
+    assert(r.isNullAt(1), "length mismatch must be NULL, not a truncated sum")
+    assert(r.isNullAt(2), "null element must be NULL")
+    assert(r.getDouble(3) == 11.0)
+    // and the lambda twin agrees on every case
+    val twin = spark.sql(
+      """SELECT aggregate(zip_with(array(1.0d, 2.0d, 3.0d), array(10.0d, 10.0d),
+        |         (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS b,
+        |       aggregate(zip_with(array(1.0d, CAST(NULL AS DOUBLE)), array(2.0d, 3.0d),
+        |         (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS c""".stripMargin)
+      .collect()(0)
+    assert(twin.isNullAt(0) && twin.isNullAt(1))
   }
 
   test("vec_dot runs inside WholeStageCodegen (not fallback)") {
