@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{DotProduct, MinHashBuckets, WordShingles}
+
+/** Library entry point for `spark.sql.extensions`: installs graft's
+  * native Catalyst expressions into every session built with
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * so SQL users get `vec_dot`, `word_shingles`, `minhash_buckets`
+  * without calling the per-object `register(spark)` helpers (those
+  * remain for programmatic/Dataset use — both paths build the same
+  * expressions). This is the idiomatic packaging for a Spark-native
+  * library: injection happens at session build, works on a plain
+  * cluster deployment, and needs no code on the user side.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      exprs => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      exprs => WordShingles(exprs.head, 3)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_buckets"),
+      new ExpressionInfo(classOf[MinHashBuckets].getName, "minhash_buckets"),
+      exprs => MinHashBuckets(exprs.head, 48, 8)))
+  }
+}

@@ -69,7 +69,11 @@ object Dedup {
     graft.functions.WordShingles.register(s)
     val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("nsh"))
-    val ex = docs.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // explode_outer: avoids InferFiltersFromGenerate re-evaluating the
+    // shingle chain in a pushed-down filter (see minhashPairs); the
+    // extra null-shingle row for empty docs never survives the
+    // shingle-equality self-join.
+    val ex = docs.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
     val pairs = ex.as("x")
       .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
@@ -137,9 +141,14 @@ object Dedup {
     // group doc_ids per (band, bucket) and expand in-bucket pairs with
     // array lambdas — the shingle+signature chain is evaluated exactly
     // once per document, and only buckets with >1 doc produce work.
+    // posexplode_OUTER: a plain posexplode makes InferFiltersFromGenerate
+    // push `isnotnull(bks) AND size(bks)>0` through the projection into
+    // the scan, re-evaluating the whole signature chain 3× per row; the
+    // outer variant skips those inferred filters and is identical here
+    // (bks is always a non-null 8-element array for non-empty sh).
     val bands = docs
       .select(col("doc_id"), col("sh"), expr("minhash_buckets(sh)").as("bks"))
-      .select(col("doc_id"), posexplode(col("bks")))
+      .select(col("doc_id"), posexplode_outer(col("bks")))
       .toDF("doc_id", "band", "bucket")
     val cand = bands
       .groupBy("band", "bucket")
@@ -151,18 +160,14 @@ object Dedup {
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     // Verify only the candidates: exact Jaccard runs on O(candidates)
-    // pairs, never O(corpus^2). ONE corpus pass fetches both sides'
-    // shingle sets: explode each pair into its two members, join docs
-    // once, regroup — only candidate docs' shingles shuffle (small),
-    // and the corpus shingling is not recomputed per join side.
+    // pairs, never O(corpus^2). Two joins fetch the two sides' shingle
+    // sets; both hash-partition the SAME docs subplan by doc_id, so
+    // Catalyst reuses one exchange — the corpus is shingled and
+    // shuffled exactly once, and no shingle-carrying regroup stage is
+    // needed (the pair itself is the join spine).
     val withSets = cand
-      .select(col("doc_a"), col("doc_b"),
-        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .join(docs, "doc_id")
-      .groupBy("doc_a", "doc_b")
-      .agg(
-        first(when(col("doc_id") === col("doc_a"), col("sh")), ignoreNulls = true).as("sa"),
-        first(when(col("doc_id") === col("doc_b"), col("sh")), ignoreNulls = true).as("sb"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
     withSets
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa"), col("sb"))).as("common"),
@@ -192,8 +197,11 @@ object Dedup {
   def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), expr(simhashSql("text")).as("simhash"))
+    // posexplode_outer: keeps InferFiltersFromGenerate from substituting
+    // the 64-bit simhash aggregate into a pushed-down scan filter (the
+    // chunk array is built from literals and simhash — never null/empty).
     val chunks = docs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(c =>
+      posexplode_outer(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("doc_id", "simhash", "chunk", "ckey")
     val cand = chunks.as("x")

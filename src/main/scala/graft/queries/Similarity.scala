@@ -106,67 +106,99 @@ object Similarity {
   private val NProbe = 2
 
   /** Coarse quantizer: deterministic seeds (vec_id < NCells) refined by
-    * one distributed Lloyd iteration over a BOUNDED deterministic
-    * training set (vec_id < TrainCap — never rand(); retries must see
-    * the same rows). Quantizer training needs only a bounded sample:
-    * at 100 TB the vec_id predicate prunes the scan and training cost
-    * stays O(TrainCap·cells) regardless of corpus size, while at small
-    * SF the cap covers the whole corpus (full-quality centroids).
-    * Returns (cell_id, cv, cnrm); centroid count is O(cells), so it
-    * broadcasts everywhere.
+    * one Lloyd iteration over a BOUNDED deterministic training set
+    * (vec_id < TrainCap — never rand(); retries must see the same
+    * rows). Training runs DRIVER-SIDE on the collected sample: the
+    * sample is O(TrainCap·Dim) ≈ 1 MB regardless of corpus size (the
+    * vec_id predicate is pushed to the parquet scan), and offline
+    * quantizer training is the standard IVF design — it removes four
+    * shuffle stages (expand×cells, max_by regroup, per-dim mean,
+    * re-collect) from every query run. Rows sorted by vec_id so the
+    * summation order, and hence the centroids, are deterministic.
+    * Returns per cell (centroid vector, centroid norm).
     */
   private val TrainCap = 2048
 
-  private def centroids(all: DataFrame): DataFrame = {
+  private def trainCentroids(all: DataFrame): Array[(Array[Double], Double)] = {
     val sample = all.filter(col("vec_id") < TrainCap)
-    val seeds = all.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("nrm").as("cnrm"))
-    // argmax via max_by hash aggregation, not a row_number window: the
-    // agg shuffles one row per vector; the window would sort the whole
-    // (vector × cell) expansion. Ties break to the smallest cell_id.
-    val assigned = sample.join(broadcast(seeds))
-      .withColumn("cos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cell_id"), col("v")),
-        struct(col("cos"), -col("cell_id"))).as("best"))
-      .select(col("best.cell_id").as("cell_id"), col("best.v").as("v"))
-    assigned
-      .select(col("cell_id"), posexplode(col("v")))
-      .groupBy("cell_id", "pos")
-      .agg(avg("col").as("m"))
-      .groupBy("cell_id")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cell_id"), transform(col("pm"), x => x("m")).as("cv"))
-      .withColumn("cnrm", sqrt(dot(col("cv"), col("cv"))))
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    val seeds = sample.filter(_._1 < NCells)
+    def dotArr(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val dim = sample.head._2.length
+    val sums = Array.fill(seeds.length, dim)(0.0)
+    val counts = new Array[Long](seeds.length)
+    sample.foreach { case (_, v, n) =>
+      // argmax cosine; ties break to the smallest cell_id (first seed).
+      var best = 0; var bestCos = Double.NegativeInfinity
+      var c = 0
+      while (c < seeds.length) {
+        val cs = dotArr(v, seeds(c)._2) / (n * seeds(c)._3)
+        if (cs > bestCos) { bestCos = cs; best = c }
+        c += 1
+      }
+      var j = 0
+      while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      counts(best) += 1
+    }
+    Array.tabulate(seeds.length) { c =>
+      // every cell holds at least its own seed, so counts(c) >= 1
+      val cv = sums(c).map(_ / counts(c))
+      (cv, math.sqrt(dotArr(cv, cv)))
+    }
+  }
+
+  /** Nearest-centroid cell id as a PURE MAP expression: the centroid
+    * table is tiny (O(cells)) and fixed at plan build, so it folds into
+    * literal arrays and assignment needs no join and no shuffle —
+    * `greatest` over per-cell (cos, -cell_id) structs, ties to the
+    * smallest cell_id (same order `max_by(struct(cos, -cell_id))` used).
+    */
+  private def bestCellCol(v: Column, nrm: Column,
+      cents: Array[(Array[Double], Double)]): Column = {
+    val scored = cents.zipWithIndex.map { case ((cv, cn), i) =>
+      struct((dot(v, array(cv.map(lit): _*)) / (nrm * lit(cn))).as("ccos"),
+        lit(-i).as("neg_cell"))
+    }
+    -greatest(scored: _*).getField("neg_cell")
+  }
+
+  /** The NProbe nearest cell ids, map-only like [[bestCellCol]]:
+    * array_sort on (-cos, cell_id) structs, slice NProbe.
+    */
+  private def probeCellsCol(v: Column, nrm: Column,
+      cents: Array[(Array[Double], Double)]): Column = {
+    val scored = cents.zipWithIndex.map { case ((cv, cn), i) =>
+      struct((-(dot(v, array(cv.map(lit): _*)) / (nrm * lit(cn)))).as("negcos"),
+        lit(i).as("cell_id"))
+    }
+    transform(slice(array_sort(array(scored: _*)), 1, NProbe), x => x.getField("cell_id"))
   }
 
   /** IVF (inverted-file) ANN — the cluster-then-probe scale path:
     * corpus vectors are bucketed by nearest coarse centroid (the
     * inverted lists); each query scores only the NProbe nearest cells'
     * lists — a (NProbe/NCells) fraction of the corpus instead of all
-    * of it. Centroids are broadcast (O(cells)); the corpus is scanned
-    * once to assign and once per query batch to score. Recall
+    * of it. Plan shape: centroid assignment is map-only (literal
+    * centroids — no join, no shuffle over the corpus), the probe table
+    * is O(queries·NProbe) and broadcast, so the only shuffle is the
+    * per-query top-k window over the scored candidate fraction. Recall
     * spec-checked against [[annCosine]]; rows-only for the driver
-    * (plan-time refined centroids aren't SQL-expressible).
+    * (plan-time trained centroids aren't SQL-expressible).
     */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val all = vecs(s, d)
-    val cents = centroids(all)
-    val assigned = all.join(broadcast(cents))
-      .withColumn("ccos", dot(col("v"), col("cv")) / (col("nrm") * col("cnrm")))
-      .groupBy("vec_id")
-      .agg(max_by(struct(col("cell_id"), col("v"), col("nrm")),
-        struct(col("ccos"), -col("cell_id"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"),
-        col("best.nrm").as("nrm"), col("best.cell_id").as("cell_id"))
-    val probes = assigned.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
-      .join(broadcast(cents))
-      .withColumn("ccos", dot(col("qv"), col("cv")) / (col("qn") * col("cnrm")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("ccos").desc, col("cell_id").asc)))
-      .filter(col("rn") <= NProbe)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"))
+    val cents = trainCentroids(all)
+    val assigned = all.withColumn("cell_id", bestCellCol(col("v"), col("nrm"), cents))
+    val probes = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(probeCellsCol(col("v"), col("nrm"), cents)).as("cell_id"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -122,12 +123,63 @@ object TextOps {
     Tables.documents(s, d).select(col("doc_id"), fp.as("fp"))
   }
 
+  /** TF-IDF top-3 terms per document — the classic relevance/keyword
+    * extraction pass of a corpus pipeline. tf = n_td/n_d (term count
+    * over doc token total, via a window on the tf aggregate — no extra
+    * shuffle for the per-doc total), idf = ln((N+1)/(df+1)); top-3 by
+    * (score desc, term asc) — a total order, deterministic under ties
+    * (the shared-vocabulary corpus has many equal scores).
+    * Scale: two hash aggs (doc×term, term) + one broadcast of the
+    * 1-row corpus count; everything is linear in token count.
+    */
+  def tfidfTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy("doc_id")
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("n_d", sum("n_td").over(byDoc))
+      .withColumn("score", col("n_td").cast("double") / col("n_d") *
+        log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"),
+        round(col("score"), 6).as("tfidf"), col("rk"))
+  }
+
+  /** PII masking: email and long-digit-run redaction via regexp_replace
+    * (patterns chosen to mean the same thing in Java regex and RE2).
+    * The corpus text has no PII, so the contact string under test is
+    * synthesized deterministically from doc_id — same construction in
+    * the oracle — and carries a raw-text tail that must survive
+    * unmasked. Pure per-row map: no shuffle at any scale.
+    */
+  def piiMask(s: SparkSession, d: String): DataFrame = {
+    val contact = concat(
+      lit("user"), col("doc_id").cast("string"), lit("@example.com or call "),
+      (col("doc_id") * 7919 + 1000000000L).cast("string"), lit(" re: "),
+      substring(col("text"), 1, 40))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(contact, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", "<EMAIL>"),
+        "[0-9]{9,}", "<PHONE>").as("masked"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_count" -> tokenCount,
     "quality_score" -> qualityScore,
     "text_stats" -> textStats,
     "lang_id" -> langId,
-    "fingerprint" -> fingerprint)
+    "fingerprint" -> fingerprint,
+    "tfidf_terms" -> tfidfTerms,
+    "pii_mask" -> piiMask)
 
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
@@ -169,5 +221,30 @@ object TextOps {
          |      list_transform($tokSqlDuck,
          |        w -> CAST(31 * ascii(w) + ascii(right(w, 1)) + len(w) AS BIGINT))),
          |    (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+    "tfidf_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS n_td FROM t GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(n_td AS DOUBLE) / (sum(n_td) OVER (PARTITION BY tf.doc_id)) *
+         |      ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+         |SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rk AS INTEGER) AS rk
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |      FROM scored)
+         |WHERE rk <= 3""".stripMargin,
+    "pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      'user' || CAST(doc_id AS VARCHAR) || '@example.com or call ' ||
+        |        CAST(doc_id * 7919 + 1000000000 AS VARCHAR) || ' re: ' ||
+        |        substr(text, 1, 40),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{9,}', '<PHONE>', 'g') AS masked
+        |FROM documents""".stripMargin)
 }

@@ -64,6 +64,28 @@ object StreamingOps {
   def enrichWithDim(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** Stream-stream interval join: clicks attribute to the impression
+    * of the same user at most `windowMin` minutes earlier. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so the state store can evict impressions older than
+    * watermark + windowMin — bounded state at any throughput (the
+    * unbounded-state stream join is the classic 100 TB/day failure
+    * mode). Inputs share the events schema (tsm, user_id, event_type,
+    * value).
+    */
+  def streamStreamJoin(imps: DataFrame, clicks: DataFrame, windowMin: Int = 5): DataFrame = {
+    val i = imps.withWatermark("tsm", "10 minutes").as("i")
+    val c = clicks.withWatermark("tsm", "10 minutes").as("c")
+    i.join(c,
+      expr(s"""i.user_id = c.user_id AND
+              |c.tsm >= i.tsm AND
+              |c.tsm <= i.tsm + interval $windowMin minutes""".stripMargin))
+      .select(col("i.user_id").as("user_id"),
+        col("i.tsm").cast("long").as("imp_s"),
+        col("c.tsm").cast("long").as("click_s"),
+        col("c.value").as("click_val"))
+  }
+
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via mapGroupsWithState: running event count per

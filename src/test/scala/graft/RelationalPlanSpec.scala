@@ -47,6 +47,24 @@ class RelationalPlanSpec extends SparkSuite {
     assert(aggs >= 2, s"expected partial+final hash aggregate:\n$plan")
   }
 
+  test("dedup_minhash computes the minhash signature once per document") {
+    val plan = planOf(graft.queries.Dedup.dedupMinhash(spark, sfDir))
+    // One evaluation in the bucket Generate's input projection — never
+    // re-derived inside pushed-down scan filters (the 3× re-evaluation
+    // trap InferFiltersFromGenerate sets for plain posexplode).
+    val evals = "minhash_buckets".r.findAllIn(plan).size
+    assert(evals <= 1, s"signature chain evaluated $evals times:\n$plan")
+  }
+
+  test("ann_ivf: map-only assignment, broadcast probes, one candidate shuffle") {
+    val df = graft.queries.Similarity.annIvf(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), s"probes not broadcast:\n$plan")
+    val shuffles = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1,
+      s"cell assignment must not shuffle the corpus (got $shuffles):\n$plan")
+  }
+
   test("semi/anti joins partition the customer set") {
     val semi = Relational.joinSemi(spark, sfDir).count()
     val anti = Relational.joinAnti(spark, sfDir).count()

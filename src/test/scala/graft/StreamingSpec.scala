@@ -39,6 +39,37 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks to impressions") {
+    val mi = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val mc = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val joined = StreamingOps.streamStreamJoin(
+      mi.toDF().toDF("tsm", "user_id", "event_type", "value"),
+      mc.toDF().toDF("tsm", "user_id", "event_type", "value"))
+    val name = s"ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mi.addData(Seq((ts(1), 1L, "imp", 0.0), (ts(10), 2L, "imp", 0.0)))
+      // user 1 clicks within 5 min of the impression; user 2 clicks 20
+      // minutes later (outside the interval); user 3 never saw one.
+      mc.addData(Seq((ts(4), 1L, "click", 7.0), (ts(30), 2L, "click", 9.0),
+        (ts(6), 3L, "click", 1.0)))
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(out.toSeq === Seq((1L, ts(1).getTime / 1000, ts(4).getTime / 1000, 7.0)))
+      // and the same transform on the same rows in batch agrees
+      val batch = StreamingOps.streamStreamJoin(
+        Seq((ts(1), 1L, "imp", 0.0), (ts(10), 2L, "imp", 0.0))
+          .toDF("tsm", "user_id", "event_type", "value"),
+        Seq((ts(4), 1L, "click", 7.0), (ts(30), 2L, "click", 9.0),
+          (ts(6), 3L, "click", 1.0))
+          .toDF("tsm", "user_id", "event_type", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(batch.toSeq === out.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal batch on same rows (complete mode)") {
     val streamed = runStream(StreamingOps.tumblingCounts, OutputMode.Complete())
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
