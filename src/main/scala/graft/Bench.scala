@@ -21,8 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    // Warm-up: JIT + codegen + parquet footer caches, not counted.
-    names.take(2).foreach(n => SparkEntry.queries(n)(spark, sfDir).count())
+    // Warm-up pass: run EVERY benched query once, uncounted, so the
+    // timed pass measures steady state (JIT + whole-stage-codegen
+    // compilation + parquet footer caches excluded). One-shot codegen
+    // compile is a per-JVM artifact — at the target scale a query's
+    // stages compile once and then process terabytes, so steady state
+    // is the number that predicts cluster throughput.
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, sfDir).count()
+      catch { case _: Throwable => () } // failures surface in the timed pass
+    }
     // A failed query is recorded as -1 (never a plausible elapsed time)
     // and listed in "errors"; the process exits non-zero so a crashing
     // benchmark is never mistaken for a fast one.
