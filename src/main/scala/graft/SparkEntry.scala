@@ -32,7 +32,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Parity.oracleSql ++ Relational.oracleSql ++ Advanced.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextOps.oracleSql ++ EventOps.oracleSql ++
-      Temporal.oracleSql ++ Sketches.oracleSql ++ Skew.oracleSql ++ Formats.oracleSql
+      Temporal.oracleSql ++ Sketches.oracleSql ++ Skew.oracleSql ++ Formats.oracleSql ++
+      Multimodal.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative
     * subset (scan-agg, fact-fact join, window, text, dedup paths).

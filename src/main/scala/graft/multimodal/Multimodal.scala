@@ -100,6 +100,50 @@ object Multimodal {
         round(avg(element_at(col("embedding"), 1)), 4).as("avg_feat0"))
   }
 
+  /** Frame sampling as a registered query: every 4th 64-byte slice of
+    * each payload (video frame-sample shape: narrow flatMap, bytes
+    * stay in-partition, only per-frame sizes aggregate). Oracle-able
+    * because the stub's frame count/bytes are pure integer functions
+    * of the payload length (documents.text is ASCII: bytes == chars).
+    */
+  def multimodalFrames(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = synthesize(graft.core.Tables.documents(s, d))
+      .flatMap(r => frameSampleStub(r.payload, 4)
+        .map(f => (r.doc_id, r.media_type, f.length)))
+      .toDF("doc_id", "media_type", "frame_bytes")
+    frames.groupBy("media_type").agg(
+      countDistinct("doc_id").as("n_docs"),
+      count(lit(1)).as("n_frames"),
+      round(avg("frame_bytes"), 4).as("avg_frame_bytes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_stats" -> multimodalStats)
+    "multimodal_stats" -> multimodalStats,
+    "multimodal_frames" -> multimodalFrames)
+
+  /** multimodal_stats stays rows-only (decode stub not SQL-portable);
+    * the frame sampler's arithmetic IS expressible — integer slice math
+    * over length(text).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+        |    length(text) AS n,
+        |    CAST(ceil(CAST(length(text) AS DOUBLE) / 64) AS BIGINT) AS slices
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, media_type,
+        |    (slices + 3) // 4 AS sampled,
+        |    CASE WHEN (slices - 1) % 4 = 0
+        |      THEN ((slices + 3) // 4 - 1) * 64 + (n - 64 * (slices - 1))
+        |      ELSE ((slices + 3) // 4) * 64 END AS sampled_bytes
+        |  FROM m)
+        |SELECT media_type,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  CAST(sum(sampled) AS BIGINT) AS n_frames,
+        |  round(CAST(sum(sampled_bytes) AS DOUBLE) / sum(sampled), 4) AS avg_frame_bytes
+        |FROM g GROUP BY 1""".stripMargin)
 }
