@@ -172,7 +172,28 @@ object TextOps {
         "[0-9]{9,}", "<PHONE>").as("masked"))
   }
 
+  /** Deterministic train/validation/test split (90/5/5): bucket =
+    * multiplicative hash of doc_id, mod 100. The inner `% 1000003`
+    * keeps the product far below int64 overflow at ANY corpus size
+    * (Spark would wrap silently, other engines would error — silent
+    * divergence); the split must be a pure function of the key so
+    * re-runs, retries, and incremental appends land every doc in the
+    * same split. Pure map + 3-group agg; no shuffle of document bodies.
+    */
+  def sampleSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 100
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(bucket < 90, "train")
+          .when(bucket < 95, "validation")
+          .otherwise("test").as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_split" -> sampleSplit,
     "token_count" -> tokenCount,
     "quality_score" -> qualityScore,
     "text_stats" -> textStats,
@@ -185,6 +206,14 @@ object TextOps {
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
   def oracleSql: Map[String, String] = Map(
+    "sample_split" ->
+      """SELECT CASE WHEN b < 90 THEN 'train'
+        |            WHEN b < 95 THEN 'validation'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT doc_id, (doc_id % 1000003) * 2654435761 % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,

@@ -96,6 +96,25 @@ object Formats {
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
 
+  /** Parquet → ORC (zlib, Spark-native vectorized reader) → read back →
+    * aggregate. ORC is the other columnar interchange format big lake
+    * deployments standardize on; predicate pushdown and column pruning
+    * work the same as parquet (FormatsSpec asserts the pushed filter).
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(d, "lineitem_orc")
+    if (!done(dir)) {
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").orc(dir)
+    }
+    s.read.orc(dir)
+      .filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
   /** Robust JSONL ingestion: malformed lines land in a corrupt-record
     * column instead of failing the 100 TB job (PERMISSIVE mode). The
     * quarantine split (good vs corrupt) is the standard landing-zone
@@ -111,6 +130,7 @@ object Formats {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_source" -> csvRoundtrip,
     "jsonl_source" -> jsonlRoundtrip,
+    "orc_source" -> orcRoundtrip,
     "partitioned_scan" -> partitionedScan)
 
   /** Oracles read the ORIGINAL parquet — the round-trip through the
@@ -126,6 +146,10 @@ object Formats {
         |  count(DISTINCT user_id) AS n_users,
         |  round(sum(value), 2) AS sum_val
         |FROM events GROUP BY 1""".stripMargin,
+    "orc_source" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem WHERE l_quantity > 10 GROUP BY 1""".stripMargin,
     "partitioned_scan" ->
       """SELECT source, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars

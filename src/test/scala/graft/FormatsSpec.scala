@@ -31,6 +31,22 @@ class FormatsSpec extends SparkSuite {
     assert(viaJson === direct)
   }
 
+  test("orc round-trip pushes the quantity filter and matches parquet") {
+    val df = Formats.orcRoundtrip(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"filter not pushed to ORC scan:\n$plan")
+    val viaOrc = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val direct = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") > 10)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(viaOrc === direct)
+  }
+
   test("partitioned scan prunes by lang before reading files") {
     val df = Formats.partitionedScan(spark, sfDir)
     val scan = df.queryExecution.executedPlan.toString
