@@ -22,6 +22,9 @@ import graft.functions.{DotProduct, MinHashBuckets, WordShingles}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: lambda-form dot products compile to the native
+    // kernel (see graft.plans.DotProductRewrite for the soundness note).
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -21,4 +21,26 @@ class ExtensionsSpec extends SparkSuite {
     assert(r.getInt(1) === 2)
     assert(r.getInt(2) === 8)
   }
+
+  test("optimizer rule rewrites the lambda dot-product to the native kernel") {
+    import org.apache.spark.sql.functions._
+    // non-literal source (literals would constant-fold the whole plan
+    // into a LocalRelation before anything is visible)
+    def arrays = spark.range(1, 4).select(
+      array(col("id").cast("double"), lit(2.0)).as("a"),
+      array(lit(3.0), col("id").cast("double")).as("b"))
+    val df = arrays
+      .select(graft.queries.Similarity.dotLambda(col("a"), col("b")).as("d"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("vec_dot"),
+      s"lambda form not rewritten to the native expression:\n$opt")
+    // id=1: [1,2]·[3,1] = 5; id=2: [2,2]·[3,2] = 10; id=3: [3,2]·[3,3] = 15
+    assert(df.collect().map(_.getDouble(0)).sorted.toSeq === Seq(5.0, 10.0, 15.0))
+    // and a shape the rule must NOT touch (different merge op) survives
+    val keep = arrays
+      .select(aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc - x).as("d"))
+    assert(!keep.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+    assert(keep.collect().map(_.getDouble(0)).sorted.toSeq === Seq(-15.0, -10.0, -5.0))
+  }
 }
