@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** AQE skew-join: the runtime complement to Skew.joinSalted's explicit
+  * salting. With a power-law key, AQE must detect the oversized shuffle
+  * partition after the map stage and split it (SortMergeJoin flagged
+  * skew=true) — no query rewrite, correct results. Thresholds are
+  * lowered so local test volumes trigger the same decision a 100 TB
+  * hot key would.
+  */
+class SkewSpec extends SparkSuite {
+
+  test("AQE splits the hot-key partition at runtime (skew=true SMJ)") {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> util.Try(spark.conf.get(k)).toOption)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8kb")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4kb")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+      // 100k rows on ONE key + 10k uniform rows over 1000 keys; a
+      // 64-byte payload keeps the hot partition's compressed shuffle
+      // size above the (lowered) skew threshold
+      val fact = spark.range(0, 110000).select(
+        when(col("id") < 100000, lit(7L)).otherwise(col("id") % 1000).as("k"),
+        rpad(concat(lit("payload_"), col("id")), 64, "x").as("v"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("name"))
+      // max(v) keeps the payload column alive through the join shuffle
+      // (count alone would let column pruning drop it pre-exchange)
+      val joined = fact.join(dim, "k").groupBy("name")
+        .agg(count(lit(1)).as("n"), max("v").as("mx"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not flag the skewed join:\n$plan")
+      // hot key lands on dim_7: 100k hot + 10 uniform hits
+      // (ids 100000..109999 with id%1000==7)
+      val hot = rows.find(_.getString(0) == "dim_7").map(_.getLong(1))
+      assert(hot.contains(100000L + 10L), s"wrong hot-key count: $hot")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
