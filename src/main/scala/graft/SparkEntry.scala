@@ -42,5 +42,6 @@ object SparkEntry {
     "q1_pricing", "q3_top_revenue", "q5_region_revenue", "agg_distinct",
     "window_rank", "topk_per_group", "wc", "indexer", "json_extract",
     "union_all_agg", "dedup_exact", "dedup_minhash", "ann_cosine",
-    "quality_score", "events_session", "join_asof", "hll_merge", "ann_ivf")
+    "quality_score", "events_session", "join_asof", "hll_merge", "ann_ivf",
+    "tfidf_terms", "events_funnel")
 }

@@ -45,10 +45,38 @@ object EventOps {
       .select(col("user_id"), col("session_window.start").cast("long").as("sstart"),
         col("n"), col("sum_val"))
 
+  /** Ordered funnel: first view → first click at-or-after it → first
+    * purchase at-or-after that, per user; one summary row with stage
+    * reach and the mean view→purchase gap. Each stage is an early
+    * event_type filter + hash agg on user_id + equi-join against the
+    * (already aggregated, one-row-per-user) previous stage — linear,
+    * key-partitioned, no inequality join over raw event pairs.
+    */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val NanosPerSec = 1000000000L
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") >= col("vts"))
+      .groupBy("user_id").agg(min("ts").as("cts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") >= col("cts"))
+      .groupBy("user_id").agg(min("ts").as("pts"))
+    val gaps = p.join(v, "user_id")
+      .agg(count(lit(1)).as("n_purchased"),
+        round(avg(expr(s"(pts - vts) DIV $NanosPerSec")), 2).as("avg_gap_s"))
+    v.agg(count(lit(1)).as("n_viewed"))
+      .crossJoin(c.agg(count(lit(1)).as("n_clicked")))
+      .crossJoin(gaps)
+      .select("n_viewed", "n_clicked", "n_purchased", "avg_gap_s")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling" -> eventsTumbling,
     "events_sliding" -> eventsSliding,
-    "events_session" -> eventsSession)
+    "events_session" -> eventsSession,
+    "events_funnel" -> eventsFunnel)
 
   def oracleSql: Map[String, String] = Map(
     "events_tumbling" ->
@@ -60,6 +88,18 @@ object EventOps {
         |  count(*) AS n, round(sum(value), 2) AS sum_val
         |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offs
         |GROUP BY 1""".stripMargin,
+    "events_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS vts FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS cts FROM events e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts >= vts GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS pts FROM events e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts >= cts GROUP BY 1)
+        |SELECT (SELECT count(*) FROM v) AS n_viewed,
+        |       (SELECT count(*) FROM c) AS n_clicked,
+        |       count(*) AS n_purchased,
+        |       round(avg(CAST(floor(epoch(pts - vts)) AS BIGINT)), 2) AS avg_gap_s
+        |FROM p JOIN v USING (user_id)""".stripMargin,
     "events_session" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,
