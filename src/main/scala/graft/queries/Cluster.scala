@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Duplicate-cluster formation ([EXT] — SURVEY.md §0): candidate-pair
+  * producers (n-gram Jaccard, MinHash, SimHash — queries/Dedup.scala)
+  * find similar PAIRS; a training-data pipeline then needs the
+  * transitive closure — "keep one doc per duplicate CLUSTER". That is
+  * connected components over the similarity graph.
+  *
+  * Scale design: min-label propagation — per round, every node adopts
+  * the smallest label among itself and its neighbors. Each round is one
+  * key-partitioned join + partial-agg'd min (linear in |E|, map-side
+  * combined), and the round count is the graph diameter. Near-dup
+  * graphs are unions of small dense cliques (diameter ≈ 2-4), so at
+  * 100 TB this runs a handful of linear shuffles; the edge list is the
+  * MinHash candidate set (∝ true dups), never n². Lineage is truncated
+  * every round (`localCheckpoint`) so plans stay O(1) deep; on a real
+  * cluster use `sparkContext.setCheckpointDir` + `checkpoint` for
+  * fault-tolerant truncation instead.
+  */
+object Cluster {
+
+  /** Connected components of an undirected graph. Input: first two
+    * columns of `edges` are the (src, dst) endpoint ids (integral).
+    * Output: (node, cluster_id) — one row per node incident to at
+    * least one edge, cluster_id = min node id in the component
+    * (deterministic, partition-layout-independent).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val Seq(sc0, dc0) = edges.columns.take(2).toSeq
+    val e = edges.select(col(sc0).cast("long").as("src"), col(dc0).cast("long").as("dst"))
+    // Symmetrize once; pre-partition on src so every propagation round
+    // reuses this layout and only the (much smaller) label table moves.
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    // Labels only ever decrease, so sum(label) strictly decreases until
+    // the fixpoint — a single cheap agg per round detects convergence
+    // (decimal(38) so the metric can't overflow at any node-id scale).
+    def metric(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var last = metric(labels)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst").agg(min("label").as("nbr"))
+        .withColumnRenamed("dst", "node")
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val cur = metric(next)
+      done = cur.compareTo(last) == 0
+      last = cur
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
+  /** Near-duplicate clusters on `documents`: edges = doc pairs with
+    * exact 3-gram Jaccard >= 0.6 (the oracle-able edge producer; at
+    * scale swap in [[Dedup.minhashPairs]] — the CC stage is identical).
+    * One row per clustered doc: its cluster id and the cluster size.
+    */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val cc = connectedComponents(edges)
+    val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
+    cc.join(sizes, "cluster_id")
+      .select(col("node").as("doc_id"), col("cluster_id"), col("n_docs"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cluster" -> dedupCluster)
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_cluster" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_a, doc_b
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+        |      UNION ALL
+        |      SELECT doc_b AS src, doc_a AS dst FROM scored),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM e
+        |  UNION
+        |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
+        |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)
+        |SELECT node AS doc_id, cluster_id, n_docs
+        |FROM lab JOIN sz USING (cluster_id)""".stripMargin)
+}

@@ -64,7 +64,18 @@ object Dedup {
     ngramPairs(Tables.documents(s, d))
 
   /** Core exact-Jaccard pipeline over any (doc_id, text) DataFrame. */
-  def ngramPairs(documents: DataFrame): DataFrame = {
+  def ngramPairs(documents: DataFrame): DataFrame =
+    ngramScored(documents)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+
+  /** All co-shingled pairs with UNROUNDED Jaccard — the shared edge
+    * producer for [[ngramPairs]] (top-50 report) and
+    * [[Cluster.dedupCluster]] (threshold edges). Thresholding must use
+    * the raw double so both engines compare the same IEEE value.
+    */
+  def ngramScored(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     graft.functions.WordShingles.register(s)
     val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
@@ -82,9 +93,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4).as("jac"))
-      .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)
-      .limit(50)
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
   }
 
   // MinHash parameters: 48 universal hashes h_i(x) = (a_i x + b_i) mod P
