@@ -366,7 +366,44 @@ object Advanced {
       col("p_type").rlike("BRUSHED").as("is_brushed"),
       regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_lower"))
 
+  /** SQL-standard linear-regression aggregates (per return flag):
+    * slope/intercept/r² of extendedprice vs quantity. One hash-agg pass
+    * (all six are algebraic — partial+final power sums).
+    */
+  def aggRegr(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 4).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 4).as("icept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        expr("regr_count(l_extendedprice, l_quantity)").as("n"),
+        round(expr("regr_avgx(l_extendedprice, l_quantity)"), 4).as("avg_qty"),
+        round(expr("regr_avgy(l_extendedprice, l_quantity)"), 4).as("avg_price"))
+
+  /** Fixed-width histogram via width_bucket: 20 buckets over
+    * [0, 500000); bucket 21 = overflow. A single map-side-combined agg
+    * — the scalable shape for distribution profiling (vs sorting).
+    */
+  def histogramBucket(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(width_bucket(col("o_totalprice"), lit(0d), lit(500000d), lit(20)).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+
+  /** Ordered string aggregation (listagg WITHIN GROUP): nation roster
+    * per region — deterministic via the explicit ORDER BY.
+    */
+  def aggListagg(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_regr" -> aggRegr,
+    "histogram_bucket" -> histogramBucket,
+    "agg_listagg" -> aggListagg,
     "regexp_ops" -> regexpOps,
     "try_funcs" -> tryFuncs,
     "rollup_grouping" -> rollupGrouping,
@@ -394,6 +431,26 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "histogram_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 0 THEN 0
+        |            WHEN o_totalprice >= 500000 THEN 21
+        |            ELSE CAST(floor(o_totalprice / 25000) AS BIGINT) + 1 END AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "agg_listagg" ->
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "regexp_ops" ->
       """SELECT p_partkey,
         |  CAST(len(regexp_extract_all(p_type, ' ')) AS INTEGER) AS n_spaces,

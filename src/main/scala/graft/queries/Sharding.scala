@@ -1,0 +1,58 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Training-data shard assignment ([EXT]): writing a 100 TB corpus as
+  * N shard files needs every doc given a shard id such that shard
+  * payload sizes balance — hash(doc_id) % N balances COUNTS but not
+  * BYTES (doc sizes are heavy-tailed). Size-aware round-robin: index
+  * docs in global (n_chars DESC, doc_id) order, shard = index % N —
+  * consecutive big docs land on different shards.
+  *
+  * Scale design: a global row_number() window is a single-partition
+  * sort — wrong at scale. Instead: range-repartition on the sort key
+  * (parallel sort, Spark samples boundaries), sort within partitions,
+  * then `zipWithIndex` (one extra lightweight job computing per-
+  * partition counts → offsets; no second shuffle). The final global
+  * sequence is boundary-placement-independent, so the result is
+  * deterministic even though range sampling isn't.
+  */
+object Sharding {
+
+  val NumShards = 16
+
+  /** (doc_id, n_chars, shard): deterministic size-balanced assignment. */
+  def shardAssignments(s: SparkSession, d: String, parts: Int = 8): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val indexed = docs
+      .repartitionByRange(parts, col("n_chars").desc, col("doc_id").asc)
+      .sortWithinPartitions(col("n_chars").desc, col("doc_id").asc)
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, nc), idx) => (id, nc, idx % NumShards) }
+    indexed.toDF("doc_id", "n_chars", "shard")
+  }
+
+  /** Per-shard packing summary — the balance report a shard writer
+    * would emit (shard file = `.write.partitionBy("shard")`).
+    */
+  def shardPack(s: SparkSession, d: String): DataFrame =
+    shardAssignments(s, d)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_pack" -> shardPack)
+
+  def oracleSql: Map[String, String] = Map(
+    "shard_pack" ->
+      """WITH idx AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rn
+        |  FROM documents)
+        |SELECT rn % 16 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM idx GROUP BY 1""".stripMargin)
+}
