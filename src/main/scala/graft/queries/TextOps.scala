@@ -142,8 +142,15 @@ object TextOps {
     val byDoc = Window.partitionBy("doc_id")
     val rankW = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(tf.groupBy("term").agg(count(lit(1)).as("df")), "term")
-      .crossJoin(broadcast(nDocs))
+    // df as a window count over tf (tf rows are distinct (doc,term)
+    // pairs, so count-over-term IS document frequency): one tokenize
+    // pass and zero joins — a tf-vs-aggregated-tf join would recompute
+    // the whole tokenize chain per branch (exchange reuse does not fire
+    // across the join). Data volume after the first agg is tf-sized
+    // (corpus-sublinear), so the term/doc re-exchanges stay cheap at
+    // any scale.
+    tf.crossJoin(broadcast(nDocs))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("n_d", sum("n_td").over(byDoc))
       .withColumn("score", col("n_td").cast("double") / col("n_d") *
         log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
