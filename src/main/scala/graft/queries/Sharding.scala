@@ -43,8 +43,32 @@ object Sharding {
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
 
+  /** Sequence packing: concatenate docs in deterministic (lang,
+    * doc_id) order and cut a new pack every `CharBudget` chars — the
+    * standard context-window packing pass before LLM training. pack =
+    * floor(start_offset / budget) via a running-sum window. Per-lang
+    * windows keep the sort partition-parallel; production packers run
+    * this per SHARD (see [[shardAssignments]]) for the same reason.
+    */
+  val CharBudget = 4000L
+
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .withColumn("pack",
+        floor((sum("n_chars").over(w) - col("n_chars")) / CharBudget))
+      .groupBy("lang", "pack")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("pack_chars"),
+        min("doc_id").as("first_doc"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "shard_pack" -> shardPack)
+    "shard_pack" -> shardPack,
+    "pack_sequences" -> packSequences)
 
   def oracleSql: Map[String, String] = Map(
     "shard_pack" ->
@@ -54,5 +78,15 @@ object Sharding {
         |  FROM documents)
         |SELECT rn % 16 AS shard, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM idx GROUP BY 1""".stripMargin)
+        |FROM idx GROUP BY 1""".stripMargin,
+    "pack_sequences" ->
+      """WITH c AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS off
+        |  FROM documents)
+        |SELECT lang, CAST(floor(off / 4000) AS BIGINT) AS pack,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS pack_chars,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2""".stripMargin)
 }

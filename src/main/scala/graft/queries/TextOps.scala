@@ -199,7 +199,52 @@ object TextOps {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
   }
 
+  /** Deterministic per-stratum (language) downsampling: keep 50% of en,
+    * 20% of everything else, selected by the same multiplicative-hash
+    * bucket as [[sampleSplit]] — a pure function of doc_id, so retries
+    * and appends keep selections stable and the en/other sets nest.
+    * Pure map + one small agg: no shuffle of document bodies.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 100
+    val rate = when(col("lang") === "en", 50).otherwise(20)
+    Tables.documents(s, d)
+      .select(col("lang"), (bucket < rate).cast("int").as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
+  }
+
+  /** Percentile-gated quality filter: drop each language's bottom
+    * quartile by composite quality. The per-lang threshold is an exact
+    * interpolated percentile computed as a whole-partition window — no
+    * second scan, no join. floor(x*1e4+0.5) (not round) on the
+    * threshold: interpolation at f=.5 between 1e-4-grid values lands
+    * exactly on 4th-decimal halves, where the engines' round() differ.
+    */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws")
+    val nTok = size(ws)
+    val punctRatio = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", ""))
+      .cast("double") / length(col("text"))
+    val stopArr = array(Stopwords.map(lit): _*)
+    val stopRatio = size(filter(ws, w => array_contains(stopArr, w))).cast("double") / nTok
+    val quality = floor((stopRatio * 0.4 + least(nTok / lit(100.0), lit(1.0)) * 0.3
+      + (lit(1.0) - punctRatio) * 0.3) * 10000 + 0.5) / 10000.0
+    val q = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"), quality.as("quality"))
+    q.withColumn("thr", expr("percentile(quality, 0.25)")
+        .over(Window.partitionBy("lang")))
+      .filter(col("quality") >= col("thr"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"),
+        round(min("quality"), 4).as("min_q"),
+        (floor(first("thr") * 10000 + 0.5) / 10000.0).as("p25"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stratified_sample" -> stratifiedSample,
+    "quality_filter" -> qualityFilter,
     "sample_split" -> sampleSplit,
     "token_count" -> tokenCount,
     "quality_score" -> qualityScore,
@@ -213,6 +258,26 @@ object TextOps {
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
   def oracleSql: Map[String, String] = Map(
+    "stratified_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN (doc_id % 1000003) * 2654435761 % 100 <
+        |                     (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY lang""".stripMargin,
+    "quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $tokSqlDuck AS ws FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  floor(((CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(ws)) * 0.4
+         |    + least(len(ws) / 100.0, 1.0) * 0.3
+         |    + (1.0 - CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+         |  FROM t),
+         |thr AS (SELECT lang, quantile_cont(quality, 0.25) AS thr FROM q GROUP BY lang)
+         |SELECT lang, count(*) AS n_kept,
+         |  round(min(quality), 4) AS min_q,
+         |  floor(min(thr) * 10000 + 0.5) / 10000.0 AS p25
+         |FROM q JOIN thr USING (lang)
+         |WHERE quality >= thr
+         |GROUP BY lang""".stripMargin,
     "sample_split" ->
       """SELECT CASE WHEN b < 90 THEN 'train'
         |            WHEN b < 95 THEN 'validation'
