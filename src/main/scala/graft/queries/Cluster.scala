@@ -68,6 +68,67 @@ object Cluster {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction — O(log n) rounds regardless of graph DIAMETER
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * vs [[connectedComponents]]'s O(diameter) rounds. Near-dup graphs
+    * are shallow (label propagation wins on constants); chains —
+    * citation/link graphs, session stitching — are deep: use this one.
+    * Each round is two key-partitioned agg+join passes, linear in |E|.
+    *
+    * large-star (per node u): attach every neighbor v > u to
+    * m = min(neighbors ∪ u). small-star (per node u over min-oriented
+    * edges): attach u and all smaller neighbors to their minimum.
+    * Fixpoint = disjoint stars centered at component minima.
+    */
+  def connectedComponentsLogStar(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val Seq(c0, c1) = edges.columns.take(2).toSeq
+    var e = edges.select(col(c0).cast("long").as("u"), col(c1).cast("long").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .distinct().localCheckpoint(true)
+
+    // fixpoint signature: (|E|, Σu, Σv) — invariant exactly at the
+    // star state (rounds strictly shrink the paper's potential).
+    def sig(df: DataFrame): String = {
+      val r = df.agg(count(lit(1)),
+        sum(col("u").cast("decimal(38,0)")), sum(col("v").cast("decimal(38,0)"))).head()
+      s"${r.getLong(0)}|${r.getDecimal(1)}|${r.getDecimal(2)}"
+    }
+
+    def largeStar(es: DataFrame): DataFrame = {
+      val sym = es.union(es.select(col("v").as("u"), col("u").as("v")))
+      val m = sym.groupBy("u").agg(min("v").as("minv"))
+        .select(col("u"), least(col("minv"), col("u")).as("m"))
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+
+    def smallStar(es: DataFrame): DataFrame = {
+      val o = es.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val m = o.groupBy("u").agg(min("v").as("m"))
+      val rest = o.join(m, "u").where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      rest.union(m.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    var s = sig(e)
+    var it = 0
+    var done = e.isEmpty
+    while (!done && it < maxIter) {
+      val e2 = smallStar(largeStar(e)).localCheckpoint(true)
+      val s2 = sig(e2)
+      done = s2 == s
+      s = s2
+      e = e2
+      it += 1
+    }
+    nodes.join(
+        e.groupBy("u").agg(min("v").as("cluster_id")).withColumnRenamed("u", "node"),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
+  }
+
   /** Near-duplicate clusters on `documents`: edges = doc pairs with
     * exact 3-gram Jaccard >= 0.6 (the oracle-able edge producer; at
     * scale swap in [[Dedup.minhashPairs]] — the CC stage is identical).

@@ -29,6 +29,10 @@ class ClusterSpec extends SparkSuite {
     Cluster.connectedComponents(edges.toDF("src", "dst"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  private def ccStarOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Cluster.connectedComponentsLogStar(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("cliques, cycles, and isolated pairs get min-id cluster labels") {
     val edges = Seq[(Long, Long)](
       (1, 2), (2, 3), (3, 1),      // triangle  -> 1
@@ -52,6 +56,36 @@ class ClusterSpec extends SparkSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(8),
       Prop.forAll(genEdges) { edges =>
         edges.isEmpty || ccOf(edges) == unionFind(edges)
+      })
+    assert(res.passed, res.status.toString)
+  }
+
+  test("logStar variant: cliques, cycles, pairs, self-loop-only input") {
+    val edges = Seq[(Long, Long)](
+      (1, 2), (2, 3), (3, 1), (10, 11),
+      (20, 21), (21, 22), (22, 20), (20, 22),
+      (30, 31), (31, 32), (30, 32))
+    assert(ccStarOf(edges) === unionFind(edges))
+  }
+
+  test("logStar converges on a deep path in O(log n) rounds") {
+    // Path 0-..-60: diameter 60 >> maxIter 25 — only the star-contract
+    // algorithm can finish inside the round budget.
+    val edges = (0L until 60L).map(i => (i, i + 1))
+    val got = ccStarOf(edges)
+    assert(got.size === 61 && got.values.forall(_ === 0L))
+  }
+
+  test("logStar random graphs match union-find and label propagation (ScalaCheck)") {
+    val genEdges = Gen.listOfN(50,
+      Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)).suchThat(e => e._1 != e._2))
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8),
+      Prop.forAll(genEdges) { edges =>
+        edges.isEmpty || {
+          val uf = unionFind(edges)
+          ccStarOf(edges) == uf && ccOf(edges) == uf
+        }
       })
     assert(res.passed, res.status.toString)
   }
