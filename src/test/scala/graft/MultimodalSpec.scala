@@ -42,4 +42,33 @@ class MultimodalSpec extends SparkSuite {
     assert(rows.map(_.getString(0)).toSet === Set("image", "audio", "video"))
     assert(rows.map(_.getLong(1)).sum === 500)
   }
+
+  test("binaryFile source ingests raw media files into the feature pipeline") {
+    // the canonical cluster ingest for media blobs: one row per file,
+    // bytes never parsed by the reader — filters on path/length prune
+    // before any payload is touched
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File("/tmp/graft_media")
+    dir.mkdirs()
+    val payloads = Map("a.img" -> "imagebytes-0123456789" * 4,
+      "b.aud" -> "audiobytes" * 10, "c.vid" -> "v" * 300)
+    payloads.foreach { case (name, body) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/$name"), body.getBytes("UTF-8"))
+    }
+    val files = spark.read.format("binaryFile").load(dir.toString)
+    assert(files.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val recs = files.select(
+        monotonically_increasing_id().as("doc_id"),
+        element_at(split(col("path"), "\\."), -1).as("media_type"),
+        col("content").as("payload"))
+      .as[graft.multimodal.MediaRecord]
+    val feats = Multimodal.extractFeatures(recs).collect()
+    assert(feats.length === 3)
+    assert(feats.map(f => f.media_type -> f.byte_len).toMap ===
+      Map("img" -> 84, "aud" -> 100, "vid" -> 300))
+    assert(feats.forall(_.embedding.length === 8))
+  }
 }
