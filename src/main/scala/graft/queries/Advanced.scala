@@ -400,8 +400,25 @@ object Advanced {
       .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
         count(lit(1)).as("n_nations"))
 
+  /** LATERAL correlated subquery with LIMIT (top-2 customers by
+    * balance per nation): Catalyst decorrelates it into a
+    * window/limit-per-key plan — no per-row re-execution — while the
+    * SQL surface stays the standard LATERAL form.
+    */
+  def joinLateral(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT n_name, c.c_name, c.c_acctbal
+      FROM nation_v, LATERAL (
+        SELECT c_name, c_acctbal FROM customer_v
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) c""")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_regr" -> aggRegr,
+    "join_lateral" -> joinLateral,
     "histogram_bucket" -> histogramBucket,
     "agg_listagg" -> aggListagg,
     "regexp_ops" -> regexpOps,
@@ -431,6 +448,12 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "join_lateral" ->
+      """SELECT n_name, c.c_name, c.c_acctbal
+        |FROM nation, LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c""".stripMargin,
     "agg_regr" ->
       """SELECT l_returnflag,
         |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
