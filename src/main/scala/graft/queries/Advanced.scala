@@ -416,9 +416,26 @@ object Advanced {
         ORDER BY c_acctbal DESC, c_name LIMIT 2) c""")
   }
 
+  /** Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): NULL keys
+    * match each other — the semantics a plain equi-join silently drops.
+    * Keys are synthesized NULLs (nullif) since the base tables are
+    * fully populated; the 'P' status rows survive only via NULL<=>NULL.
+    */
+  def joinNullsafe(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.orders(s, d)
+      .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'P')").as("k")).as("l")
+    val r = Tables.orders(s, d)
+      .select(expr("nullif(o_orderstatus, 'P')").as("k")).distinct()
+      .select(col("k"), coalesce(col("k"), lit("PENDING")).as("tag")).as("r")
+    l.join(r, col("l.k") <=> col("r.k"))
+      .groupBy("tag")
+      .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_regr" -> aggRegr,
     "join_lateral" -> joinLateral,
+    "join_nullsafe" -> joinNullsafe,
     "histogram_bucket" -> histogramBucket,
     "agg_listagg" -> aggListagg,
     "regexp_ops" -> regexpOps,
@@ -448,6 +465,13 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "join_nullsafe" ->
+      """WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
+        |r AS (SELECT k, coalesce(k, 'PENDING') AS tag
+        |      FROM (SELECT DISTINCT nullif(o_orderstatus, 'P') AS k FROM orders))
+        |SELECT tag, count(*) AS n, min(o_orderkey) AS min_key
+        |FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        |GROUP BY tag""".stripMargin,
     "join_lateral" ->
       """SELECT n_name, c.c_name, c.c_acctbal
         |FROM nation, LATERAL (
