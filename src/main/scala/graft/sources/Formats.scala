@@ -127,7 +127,39 @@ object Formats {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir)
 
+  /** PERMISSIVE ingest of a feed containing malformed rows: one bad
+    * row must never kill a 100 TB load. A deliberately corrupt shard
+    * (unparseable numerics) is staged next to the good CSV; corrupt
+    * rows surface in `columnNameOfCorruptRecord` for quarantine, good
+    * rows (including an all-NULL but well-formed one) load normally.
+    * FAILFAST/DROPMALFORMED are the same reader's other modes.
+    */
+  def csvPermissive(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(d, "orders_csv_bad")
+    if (!done(dir)) {
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      Files.writeString(Paths.get(dir, "part-corrupt.csv"),
+        "o_orderkey,o_custkey,o_orderstatus,o_totalprice,o_orderpriority\n" +
+          "not_a_number,9,O,abc,1-URGENT\n" + // numeric fields unparseable → corrupt
+          ",,,,\n") // empty but well-formed → a valid all-NULL row
+    }
+    val schema = ordersCsvSchema.add(StructField("_bad", StringType))
+    s.read.schema(schema)
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .csv(dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("_bad")).as("n_corrupt"),
+        count(when(col("_bad").isNull, 1)).as("n_good"),
+        round(sum(when(col("_bad").isNull, col("o_totalprice"))), 2).as("sum_good"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_permissive" -> csvPermissive,
     "csv_source" -> csvRoundtrip,
     "jsonl_source" -> jsonlRoundtrip,
     "orc_source" -> orcRoundtrip,
@@ -137,6 +169,13 @@ object Formats {
     * text format must be lossless for these columns.
     */
   def oracleSql: Map[String, String] = Map(
+    // +2 staged rows: 1 corrupt (quarantined), 1 well-formed all-NULL.
+    "csv_permissive" ->
+      """SELECT CAST(count(*) + 2 AS BIGINT) AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_corrupt,
+        |  CAST(count(*) + 1 AS BIGINT) AS n_good,
+        |  round(sum(o_totalprice), 2) AS sum_good
+        |FROM orders""".stripMargin,
     "csv_source" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price
