@@ -38,6 +38,22 @@ class PlanControlSpec extends SparkSuite {
     }
   }
 
+  test("AQE coalesces undersized shuffle partitions at runtime") {
+    // 64 configured shuffle partitions on KB of data → AQE merges the
+    // post-shuffle reads; at scale this removes task-launch overhead
+    // for filters that shrink a stage's output unpredictably.
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      val df = orders.groupBy("o_orderstatus")
+        .agg(org.apache.spark.sql.functions.sum("o_totalprice"))
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("AQEShuffleRead") && plan.contains("coalesced"),
+        s"expected runtime-coalesced shuffle read:\n$plan")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   test("REBALANCE hint inserts a rebalance exchange for write sizing") {
     val df = orders.select("o_orderkey", "o_totalprice")
       .hint("rebalance")
