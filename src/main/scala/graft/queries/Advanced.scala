@@ -432,10 +432,29 @@ object Advanced {
       .agg(count(lit(1)).as("n"), min("o_orderkey").as("min_key"))
   }
 
+  /** Recursive CTE (Spark 4 UnionLoop): ancestor chains over a
+    * synthetic parent edge (key → key-5), rolled up per root. The
+    * anchor/recursive-step SQL is engine-portable; Spark executes the
+    * loop as iterated distributed joins (same shape as
+    * [[Cluster.connectedComponents]], driven by the engine itself).
+    */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation_r")
+    s.sql("""
+      WITH RECURSIVE anc(key, root, depth) AS (
+        SELECT n_nationkey, n_nationkey, 0 FROM nation_r WHERE n_nationkey < 5
+        UNION ALL
+        SELECT n.n_nationkey, a.root, a.depth + 1
+        FROM nation_r n JOIN anc a ON a.key = n.n_nationkey - 5)
+      SELECT root, count(*) AS n_members, max(depth) AS max_depth
+      FROM anc GROUP BY root""")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_regr" -> aggRegr,
     "join_lateral" -> joinLateral,
     "join_nullsafe" -> joinNullsafe,
+    "recursive_cte" -> recursiveCte,
     "histogram_bucket" -> histogramBucket,
     "agg_listagg" -> aggListagg,
     "regexp_ops" -> regexpOps,
@@ -465,6 +484,15 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "recursive_cte" ->
+      """WITH RECURSIVE anc(key, root, depth) AS (
+        |  SELECT n_nationkey, n_nationkey, 0 FROM nation WHERE n_nationkey < 5
+        |  UNION ALL
+        |  SELECT n.n_nationkey, a.root, a.depth + 1
+        |  FROM nation n JOIN anc a ON a.key = n.n_nationkey - 5)
+        |SELECT root, count(*) AS n_members,
+        |  CAST(max(depth) AS INTEGER) AS max_depth
+        |FROM anc GROUP BY root""".stripMargin,
     "join_nullsafe" ->
       """WITH l AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
         |r AS (SELECT k, coalesce(k, 'PENDING') AS tag
