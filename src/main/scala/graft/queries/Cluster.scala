@@ -20,6 +20,11 @@ import graft.core.Tables
   * every round (`localCheckpoint`) so plans stay O(1) deep; on a real
   * cluster use `sparkContext.setCheckpointDir` + `checkpoint` for
   * fault-tolerant truncation instead.
+  *
+  * Spark 4's recursive CTE (see Advanced.recursiveCte) could express
+  * the closure too, but it materializes reachable-PAIR state — O(k²)
+  * per k-node cluster — where both algorithms here carry one label per
+  * node; keep CTE recursion for hierarchies, not components.
   */
 object Cluster {
 

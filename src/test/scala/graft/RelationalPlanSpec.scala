@@ -65,6 +65,15 @@ class RelationalPlanSpec extends SparkSuite {
       s"cell assignment must not shuffle the corpus (got $shuffles):\n$plan")
   }
 
+  test("tfidf scans/tokenizes the corpus exactly once (df via window, not self-join)") {
+    // regression guard: a tf-vs-aggregated-tf join recomputes the whole
+    // tokenize chain per branch; the window form keeps one corpus scan
+    // (the second scan below is the 1-row corpus count)
+    val plan = planOf(graft.queries.TextOps.tfidfTerms(spark, sfDir))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 2, s"expected 2 parquet scans (terms + count), got $scans:\n$plan")
+  }
+
   test("semi/anti joins partition the customer set") {
     val semi = Relational.joinSemi(spark, sfDir).count()
     val anti = Relational.joinAnti(spark, sfDir).count()
