@@ -25,6 +25,29 @@ class KvTextSinkSpec extends SparkSuite {
     assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_tmp")))
   }
 
+  test("full reference pipeline through DSv2: WholeFileSource → map/reduce → KvTextSink") {
+    // F1→F9 end-to-end on the connector API: whole-file scan, wc
+    // closures, partitioned text commit — then the test-mr.sh check
+    // (sort cat mr-out* against the expected corpus counts).
+    val in = new java.io.File("/tmp/graft_e2e_in"); in.mkdirs()
+    Map("d1.txt" -> "to be or not to be", "d2.txt" -> "be quick").foreach {
+      case (n, s) => java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$in/$n"), s.getBytes("UTF-8"))
+    }
+    val out = s"/tmp/graft_e2e_out_${System.nanoTime()}"
+    val records = spark.read.format("graft.sources.WholeFileSource").load(in.toString)
+      .select(col("path").as("key"), col("content").as("value"))
+      .as[graft.core.KV]
+    graft.core.MapReduceJob.run(records,
+        (_, text) => text.split("[^\\p{L}]+").toSeq.filter(_.nonEmpty).map(w => graft.core.KV(w, "1")),
+        (_, vs) => vs.length.toString, nReduce = 2)
+      .toDF("key", "value")
+      .write.format("graft.sources.KvTextSink").mode("append").save(out)
+    val lines = new java.io.File(out).listFiles().filter(_.getName.startsWith("mr-out"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines()).sorted
+    assert(lines.toSeq === Seq("be 3", "not 1", "or 1", "quick 1", "to 2"))
+  }
+
   test("rejects non-(key,value) schemas at write planning") {
     // Spark's analyzer enforces the declared 2-column table schema
     // before the sink's own require() is even reached
