@@ -35,15 +35,18 @@ object Bench {
     // and listed in "errors"; the process exits non-zero so a crashing
     // benchmark is never mistaken for a fast one.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // min of 2 timed reps: one-off scheduler/GC hiccups don't pollute
+    // the reported steady-state number
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      val times = (1 to 2).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name: $e"); errors += name; false
+            System.err.println(s"[bench] $name: $e"); errors += name; None
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
