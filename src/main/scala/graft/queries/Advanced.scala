@@ -203,6 +203,23 @@ object Advanced {
         coalesce(element_at(col("mp"), "click"), lit(0L)).as("n_click"),
         coalesce(element_at(col("mp"), "purchase"), lit(0L)).as("n_purchase"))
 
+  /** Map higher-order functions (map_filter / transform_values /
+    * map_zip_with) over the per-user event-count map; the oracle
+    * computes the same scalars straight from the grouped counts.
+    */
+  def mapHof(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("user_id")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("event_type"), col("cnt"))))).as("mp"))
+      .select(col("user_id"),
+        size(map_filter(col("mp"), (_, v) => v > 1)).as("n_repeat"),
+        aggregate(map_values(transform_values(col("mp"), (_, v) => v * 2)),
+          lit(0L), (a, x) => a + x).as("dbl_total"),
+        size(map_keys(map_zip_with(col("mp"), col("mp"), (_, a, b) => a + b))).as("n_types"))
+
   /** Unpivot (melt): wide measure columns → long (measure, val) rows,
     * then aggregate per measure — the inverse of [[pivotCounts]].
     */
@@ -471,6 +488,7 @@ object Advanced {
     "unpivot_measures" -> unpivotMeasures,
     "nested_struct" -> nestedStruct,
     "map_funcs" -> mapFuncs,
+    "map_hof" -> mapHof,
     "join_full" -> joinFull,
     "join_cross" -> joinCross,
     "scalar_string2" -> scalarString2,
@@ -484,6 +502,14 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "map_hof" ->
+      """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
+        |           FROM events GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_repeat,
+        |  CAST(2 * sum(cnt) AS BIGINT) AS dbl_total,
+        |  CAST(count(*) AS INTEGER) AS n_types
+        |FROM c GROUP BY user_id""".stripMargin,
     "recursive_cte" ->
       """WITH RECURSIVE anc(key, root, depth) AS (
         |  SELECT n_nationkey, n_nationkey, 0 FROM nation WHERE n_nationkey < 5
