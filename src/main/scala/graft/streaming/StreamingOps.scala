@@ -155,4 +155,45 @@ object StreamingOps {
           }
       }
   }
+
+  final case class FunnelState(vts: Long, cts: Long, pts: Long) // -1 = not reached
+  final case class StageOut(user_id: Long, stage: Int, ts_s: Long)
+
+  /** Streaming funnel — the stateful twin of the batch
+    * `events_funnel` query: a per-user stage machine (first view →
+    * first click at-or-after it → first purchase at-or-after that)
+    * that emits each stage transition exactly once, across batches.
+    * State is three longs per user — constant size regardless of
+    * event volume, the invariant that keeps 100 TB of events
+    * streamable. Input: (tsm timestamp, user_id, event_type).
+    */
+  def funnelStages(events: DataFrame): Dataset[StageOut] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("tsm"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, StageOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user, rows, state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ListBuffer.empty[StageOut]
+          // sort within the batch: micro-batch arrival order is not
+          // event-time order
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, typ) =>
+            val ts = t.getTime / 1000
+            typ match {
+              case "view" if s.vts < 0 =>
+                s = s.copy(vts = ts); out += StageOut(user, 1, ts)
+              case "click" if s.vts >= 0 && s.cts < 0 && ts >= s.vts =>
+                s = s.copy(cts = ts); out += StageOut(user, 2, ts)
+              case "purchase" if s.cts >= 0 && s.pts < 0 && ts >= s.cts =>
+                s = s.copy(pts = ts); out += StageOut(user, 3, ts)
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
 }

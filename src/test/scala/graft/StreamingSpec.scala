@@ -201,6 +201,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel emits each stage once, across batches, in order") {
+    val mem = MemoryStream[(Timestamp, Long, String)](spark)
+    val ds = StreamingOps.funnelStages(
+      mem.toDF().toDF("tsm", "user_id", "event_type"))
+    val name = s"funnel_${System.nanoTime()}"
+    val q = ds.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: u1 views then clicks; u2 clicks BEFORE viewing (no-op)
+      mem.addData(Seq((ts(1), 1L, "view"), (ts(2), 1L, "click"),
+        (ts(1), 2L, "click"), (ts(3), 2L, "view")))
+      q.processAllAvailable()
+      // batch 2: u1 purchases (stage 3 across batches); u2 clicks after
+      // its view (stage 2); duplicate u1 view must not re-emit stage 1
+      mem.addData(Seq((ts(10), 1L, "purchase"), (ts(11), 2L, "click"),
+        (ts(12), 1L, "view")))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val base = ts(0).getTime / 1000
+      assert(got === Set(
+        (1L, 1, base + 60), (1L, 2, base + 120), (1L, 3, base + 600),
+        (2L, 1, base + 180), (2L, 2, base + 660)))
+    } finally q.stop()
+  }
+
   test("checkpointed file-source → file-sink restart is exactly-once") {
     // The production durability contract: a replayable source + WAL
     // checkpoint + idempotent sink. Kill the query, add data, restart
