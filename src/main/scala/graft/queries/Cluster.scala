@@ -134,23 +134,44 @@ object Cluster {
       .select(col("node"), coalesce(col("cluster_id"), col("node")).as("cluster_id"))
   }
 
-  /** Near-duplicate clusters on `documents`: edges = doc pairs with
-    * exact 3-gram Jaccard >= 0.6 (the oracle-able edge producer; at
-    * scale swap in [[Dedup.minhashPairs]] — the CC stage is identical).
-    * One row per clustered doc: its cluster id and the cluster size.
+  /** (doc_id, cluster_id, n_docs) from a (doc_a, doc_b) edge list —
+    * the shared CC + cluster-size tail of both dedup-cluster variants.
     */
-  def dedupCluster(s: SparkSession, d: String): DataFrame = {
-    val edges = Dedup.ngramScored(Tables.documents(s, d))
-      .filter(col("jac") >= 0.6)
-      .select(col("doc_a"), col("doc_b"))
+  def clustersOf(edges: DataFrame): DataFrame = {
     val cc = connectedComponents(edges)
     val sizes = cc.groupBy("cluster_id").agg(count(lit(1)).as("n_docs"))
     cc.join(sizes, "cluster_id")
       .select(col("node").as("doc_id"), col("cluster_id"), col("n_docs"))
   }
 
+  /** Near-duplicate clusters on `documents`: edges = doc pairs with
+    * exact 3-gram Jaccard >= 0.6 (the oracle-able edge producer — the
+    * quadratic baseline; [[dedupClusterMinhash]] is the scale form).
+    * One row per clustered doc: its cluster id and the cluster size.
+    */
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    clustersOf(Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
+  /** The SCALE form of [[dedupCluster]]: identical CC stage, but edges
+    * come from [[Dedup.minhashScored]] — MinHash+LSH candidates verified
+    * with exact Jaccard and thresholded at the same 0.6, so cost is
+    * linear in corpus + true near-dup pairs instead of quadratic in
+    * co-shingled docs. Exact-duplicate groups are always recovered
+    * (identical docs ⇒ identical signatures ⇒ same band buckets);
+    * borderline pairs follow the LSH S-curve, so the cluster set is
+    * spec-checked against the ngram-edged ground truth (ClusterSpec)
+    * rather than SQL-oracled. Rows-only for the driver.
+    */
+  def dedupClusterMinhash(s: SparkSession, d: String): DataFrame =
+    clustersOf(Dedup.minhashScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_cluster" -> dedupCluster)
+    "dedup_cluster" -> dedupCluster,
+    "dedup_cluster_minhash" -> dedupClusterMinhash)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_cluster" ->

@@ -137,9 +137,22 @@ object Dedup {
   }
 
   /** Core MinHash pipeline over any (doc_id, text) DataFrame (spec
-    * tests feed synthetic corpora here).
+    * tests feed synthetic corpora here): top-50 report shape.
     */
-  def minhashPairs(documents: DataFrame): DataFrame = {
+  def minhashPairs(documents: DataFrame): DataFrame =
+    minhashScored(documents)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+
+  /** All MinHash candidate pairs with UNROUNDED exact-verified Jaccard —
+    * the scale-path edge producer (candidates ∝ true near-dups, never
+    * n²), mirroring [[ngramScored]]'s contract so
+    * [[Cluster.dedupClusterMinhash]] can threshold on the same IEEE
+    * double. No orderBy/limit: downstream consumers (clustering) need
+    * every edge, and the sort would be a pointless global stage.
+    */
+  def minhashScored(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     graft.functions.WordShingles.register(s)
     graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
@@ -182,9 +195,7 @@ object Dedup {
         size(array_intersect(col("sa"), col("sb"))).as("common"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") / (col("na") + col("nb") - col("common")), 4).as("jac"))
-      .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)
-      .limit(50)
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
   }
 
   /** 64-bit SimHash per document: per word, xxhash64; per bit, sum ±1

@@ -90,6 +90,43 @@ class ClusterSpec extends SparkSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("minhash-edged clusters equal ngram-edged clusters on synthetic near-dup corpora") {
+    // Three duplicate groups well above the 0.6 threshold (long docs,
+    // one-word edits → jac ≥ 0.8) plus unrelated docs and an empty doc.
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    val b = "one two three four five six seven eight nine ten eleven twelve thirteen " +
+      "fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo twentythree"
+    val corpus = Seq(
+      (0L, a), (1L, a.replace("zulu", "zed")), (2L, a), // group -> {0,1,2}
+      (10L, b), (11L, b.replace("twenty", "score")),    // group -> {10,11}
+      (20L, "spark catalyst optimizer rules rewrite logical plans into physical plans " +
+        "with exchange reuse and whole stage code generation for compiled pipelines"),
+      (21L, "spark catalyst optimizer rules rewrite logical plans into physical plans " +
+        "with exchange reuse and whole stage code generation for compiled loops"), // -> {20,21}
+      (30L, "completely unrelated text about databases"), (31L, ""))
+      .toDF("doc_id", "text")
+    def clusters(edges: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      Cluster.clustersOf(edges).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ngram = clusters(Dedup.ngramScored(corpus)
+      .filter(col("jac") >= 0.6).select("doc_a", "doc_b"))
+    val minhash = clusters(Dedup.minhashScored(corpus)
+      .filter(col("jac") >= 0.6).select("doc_a", "doc_b"))
+    assert(minhash === ngram)
+    assert(ngram.keySet === Set(0L, 1L, 2L, 10L, 11L, 20L, 21L))
+    assert(ngram(0L) === ((0L, 3L)) && ngram(10L) === ((10L, 2L)) && ngram(21L) === ((20L, 2L)))
+  }
+
+  test("dedup_cluster_minhash equals dedup_cluster on the sf0.001 corpus") {
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long)] =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ngram = asMap(Cluster.dedupCluster(spark, sfDir))
+    val minhash = asMap(Cluster.dedupClusterMinhash(spark, sfDir))
+    assert(ngram.nonEmpty)
+    assert(minhash === ngram)
+  }
+
   test("dedup_cluster groups the sf0.001 corpus consistently with edges") {
     val out = Cluster.dedupCluster(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
