@@ -91,9 +91,67 @@ object Parity {
       .agg(array_join(sort_array(collect_list(col("value"))), " ").as("agg"))
   }
 
+  /** The reference's FULL pipeline under the driver's hash gate — F1
+    * scan → F2..F8 map/shuffle/reduce → F9 sink, byte-for-byte
+    * (reference: main/test-mr.sh:59-60 checks `sort mr-out-* | grep .`
+    * against the sequential run; worker.go:92-97 writes "key value"
+    * lines):
+    *
+    *  1. stage one input FILE per document (executor-side writes — the
+    *     driver never holds contents), bounded to doc_id < 500 so the
+    *     file count — and hence the one-task-per-file F1 contract
+    *     (master.go:129-144) — is constant at any SF (the unbounded
+    *     row-shaped form is [[wc]]);
+    *  2. read them through the DSv2 [[graft.sources.WholeFileSource]]
+    *     (one InputPartition per file, column pruning);
+    *  3. run wc through the closure ABI with the combiner path;
+    *  4. write through the DSv2 [[graft.sources.KvTextSink]] — real
+    *     `mr-out-<r>` files, temp-file + atomic-rename commit —
+    *     hash-placed by key (worker.go:113-117 ihash%R parity);
+    *  5. read the committed bytes back and split "key value" lines.
+    *
+    * The returned rows therefore certify the sink's on-disk byte
+    * format, not just the in-memory result; oracle = the wc SQL on the
+    * same slice.
+    */
+  def mrPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_mr_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mr_out").toString
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 500)
+      .select(format_string("d%06d", col("doc_id")).as("key"), col("text").as("value"))
+      .as[KV]
+      .foreachPartition { (it: Iterator[KV]) =>
+        it.foreach { kv =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(stage, kv.key + ".txt"),
+            kv.value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    val records = spark.read.format("graft.sources.WholeFileSource").load(stage)
+      .select(col("path").as("key"), col("content").as("value"))
+      .as[KV]
+    val re = TokenRe.r
+    val counted = MapReduceJob.runAssociative(
+      records,
+      mapf = (_, contents) =>
+        re.split(contents).iterator.filter(_.nonEmpty).map(w => KV(w, "1")),
+      merge = (a, b) => (a.toLong + b.toLong).toString,
+      nReduce = 5)
+    counted.toDF()
+      .repartition(5, col("key"))
+      .write.format("graft.sources.KvTextSink").mode("append").save(outDir)
+    spark.read.text(outDir)
+      .select(
+        substring_index(col("value"), " ", 1).as("key"),
+        expr("substring(value, instr(value, ' ') + 1)").as("value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wc" -> wc,
     "wc_mr" -> wcMapReduce,
+    "mr_pipeline" -> mrPipeline,
     "indexer" -> indexer,
     "crash_agg" -> crashAgg)
 
@@ -112,6 +170,11 @@ object Parity {
         s"SELECT word, count(*) AS cnt FROM ($tok) GROUP BY word",
       "wc_mr" ->
         s"SELECT word AS key, CAST(count(*) AS VARCHAR) AS value FROM ($tok) GROUP BY word",
+      "mr_pipeline" ->
+        s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value
+           |FROM (SELECT unnest(string_split_regex(text, '[^\\p{L}]+')) AS word
+           |      FROM documents WHERE doc_id < 500)
+           |WHERE length(word) > 0 GROUP BY word""".stripMargin,
       "indexer" ->
         s"""SELECT word, count(*) AS n_docs,
            |       string_agg(doc, ',' ORDER BY doc) AS docs
