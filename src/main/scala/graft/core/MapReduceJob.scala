@@ -47,8 +47,10 @@ object MapReduceJob {
       records: Dataset[KV],
       mapf: (String, String) => IterableOnce[KV],
       reducef: (String, Seq[String]) => String,
-      nReduce: Int = 10): Dataset[KV] = {
+      nReduce: Int = 10,
+      speculation: Boolean = false): Dataset[KV] = {
     val spark = records.sparkSession
+    if (speculation) requireSpeculation(spark)
     import spark.implicits._
     records
       .flatMap(r => mapf(r.key, r.value))
@@ -65,8 +67,10 @@ object MapReduceJob {
       records: Dataset[KV],
       mapf: (String, String) => IterableOnce[KV],
       merge: (String, String) => String,
-      nReduce: Int = 10): Dataset[KV] = {
+      nReduce: Int = 10,
+      speculation: Boolean = false): Dataset[KV] = {
     val spark = records.sparkSession
+    if (speculation) requireSpeculation(spark)
     import spark.implicits._
     records
       .flatMap(r => mapf(r.key, r.value))
@@ -93,9 +97,33 @@ object MapReduceJob {
   /** Text sink parity: lines "key value", `nReduce` output files
     * (reference: worker.go:92-97). Atomic commit is Spark's
     * FileOutputCommitter (≡ the reference's temp-file + os.Rename).
+    * `byKey = true` hash-places rows by key like the reference's
+    * ihash%R (worker.go:113-117); the round-robin default differs
+    * only in file placement — unobservable under the sorted-cat
+    * comparison (test-mr.sh:59-60) and better balanced under skew,
+    * so the deviation is a documented choice, not an accident.
     */
-  def writeTextOutput(ds: Dataset[KV], dir: String, nReduce: Int = 10): Unit =
-    ds.repartition(nReduce)
+  def writeTextOutput(ds: Dataset[KV], dir: String, nReduce: Int = 10,
+      byKey: Boolean = false): Unit = {
+    val parted = if (byKey) ds.repartition(nReduce, col("key")) else ds.repartition(nReduce)
+    parted
       .select(concat_ws(" ", col("key"), col("value")))
       .write.mode("overwrite").text(dir)
+  }
+
+  /** F11 backup-task parity (reference: master.go:111-127 re-queues
+    * in-progress tasks after a 10 s timeout): Spark's speculative
+    * execution re-launches straggler task attempts; the commit
+    * coordinator accepts exactly one attempt's output, like the
+    * reference's atomic rename. `spark.speculation` is a SCHEDULER
+    * conf, read once at context start and ignored in local mode, so
+    * there is no true per-job toggle — the façade knob instead
+    * asserts the caller's context was built with it on (Bench/Verify
+    * and the test harness set it; local mode accepts-and-ignores it).
+    */
+  private def requireSpeculation(spark: SparkSession): Unit =
+    require(
+      spark.sparkContext.getConf.getBoolean("spark.speculation", defaultValue = false),
+      "speculation=true needs a context built with spark.speculation=true " +
+        "(scheduler conf, fixed at context start — Spark has no per-job toggle)")
 }

@@ -88,6 +88,44 @@ class MapReduceJobSpec extends SparkSuite {
     assert(got === noFault)
   }
 
+  test("reduce-side failure is retried and output matches no-fault run (crash.go:45-55 analog)") {
+    // The reference injects crashes in BOTH phases; a reducef throw
+    // exercises the post-shuffle retry (shuffle-fetch replay) path.
+    val clean = MapReduceJob.run(spark.createDataset(docs), wcMap, wcReduce)
+      .collect().map(kv => kv.key -> kv.value).toSet
+    val base = wcReduce
+    val faultyReduce: (String, Seq[String]) => String = (k, vs) => {
+      if (k == "the" && TaskContext.get() != null && TaskContext.get().attemptNumber() == 0)
+        throw new RuntimeException("injected reduce crash (first attempt)")
+      base(k, vs)
+    }
+    val got = MapReduceJob.run(spark.createDataset(docs), wcMap, faultyReduce)
+      .collect().map(kv => kv.key -> kv.value).toSet
+    assert(got === clean)
+  }
+
+  test("speculation knob (F11 backup tasks, master.go:111-127) runs green") {
+    // The suite context is built with spark.speculation=true (the only
+    // scope Spark offers — scheduler conf, fixed at context start); the
+    // façade knob asserts that and the job result is unchanged.
+    val got = MapReduceJob.run(spark.createDataset(docs), wcMap, wcReduce,
+      speculation = true)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(got === naiveWc(docs))
+    val gotAssoc = MapReduceJob.runAssociative(spark.createDataset(docs), wcMap,
+      (x, y) => (x.toLong + y.toLong).toString, speculation = true)
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(gotAssoc === naiveWc(docs))
+  }
+
+  test("writeTextOutput byKey hash-places lines by key (worker.go:113-117 parity)") {
+    val out = Files.createTempDirectory("mrout").toString + "/wc_bykey"
+    val res = MapReduceJob.run(spark.createDataset(docs), wcMap, wcReduce)
+    MapReduceJob.writeTextOutput(res, out, nReduce = 3, byKey = true)
+    val lines = spark.read.text(out).as[String].collect().toSet
+    assert(lines === naiveWc(docs).map { case (k, v) => s"$k $v" }.toSet)
+  }
+
   test("map tasks run in parallel (mtiming analog)") {
     val probe = spark.sparkContext.collectionAccumulator[(Long, Long)]("spans")
     spark.sparkContext.parallelize(1 to 4, 4).foreachPartition { _ =>

@@ -14,6 +14,9 @@ object SparkSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // F11: backup tasks on a cluster; local mode accepts-and-ignores it
+    // (TaskSchedulerImpl only starts the speculation thread when !isLocal)
+    .config("spark.speculation", "true")
     // static conf — must be on the context that backs every session
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
