@@ -62,8 +62,10 @@ object Similarity {
   private val NumTables = 4
   private val PlanesPerTable = 8
   private val Dim = 64
+  private def planeSeed(k: Int): Array[Double] =
+    Array.tabulate(Dim)(j => math.sin(k * Dim + j + 1.0))
   private def plane(t: Int, p: Int): Array[Double] =
-    Array.tabulate(Dim)(j => math.sin((t * PlanesPerTable + p) * Dim + j + 1.0))
+    planeSeed(t * PlanesPerTable + p)
   private def planeLit(t: Int, p: Int): Column =
     array(plane(t, p).map(lit): _*)
 
@@ -209,9 +211,73 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  // Dedup-LSH parameters: recall is tuned for NEAR-DUP pairs (cos ≳
+  // 0.95 — what embedding dedup hunts), not arbitrary similarity:
+  // 12 bits/table keeps random-pair collisions ≈ (1-θ/π)^12 ≈ 0.5% at
+  // cos 0.45 while 6 tables push near-dup recall > 0.999. At a bigger
+  // corpus, raise bits ≈ log2(n / wanted-bucket-size): bucket count
+  // scales with the corpus, candidate count stays ∝ true near-dups.
+  private val DedupTables = 6
+  private val DedupBits = 12
+  // plane seeds offset past the ANN tables' 0..31 so the families are
+  // independent
+  private def dedupSigCol(v: Column, t: Int): Column =
+    (0 until DedupBits).map { p =>
+      when(dot(v, array(planeSeed(1000 + t * DedupBits + p).map(lit): _*)) > 0,
+        lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Scale form of [[dedupEmbedding]]: hyperplane-LSH bucket candidates
+    * + exact cosine verify — the minhashPairs shape for vectors. Corpus
+    * hashes into (table, signature) buckets; in-bucket pairs expand via
+    * array lambdas (no self-join on the signature subtree), then the
+    * two vec-fetch joins hash-partition the same subplan by vec_id so
+    * Catalyst reuses one exchange. No BroadcastNestedLoopJoin anywhere
+    * (plan guard-tested); cost ∝ corpus + near-dup candidates, never
+    * n². Near-dup recall spec-checked on planted corpora against the
+    * exact form; rows-only for the driver (plan-time hyperplanes).
+    */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    embeddingLshPairs(Tables.embeddings(s, d))
+
+  /** Core pipeline over any (vec_id, embedding) DataFrame (spec tests
+    * feed planted near-dup corpora here). Top-50 verified pairs.
+    */
+  def embeddingLshPairs(embeddings: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(embeddings.sparkSession)
+    val all = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    // posexplode_outer: keeps InferFiltersFromGenerate from pushing a
+    // filter that re-evaluates the 72-dot-product signature chain (the
+    // sig array is never null/empty).
+    val buckets = all
+      .select(col("vec_id"),
+        posexplode_outer(array((0 until DedupTables).map(t => dedupSigCol(col("v"), t)): _*)))
+      .toDF("vec_id", "table_id", "sig")
+    val cand = buckets
+      .groupBy("table_id", "sig")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(least(a, b).as("vec_a"), greatest(a, b).as("vec_b")))))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+      .distinct()
+    cand
+      .join(all.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_a").asc, col("vec_b").asc)
+      .limit(50)
+  }
+
   /** Embedding near-dup pairs: top-50 cosine pairs over a bounded slice
     * (vec_id < 2000 — keeps the exact pairwise form bounded at any SF;
-    * the unbounded path is [[annLsh]]'s bucketing).
+    * it is the ORACLE BASELINE for [[dedupEmbeddingLsh]], the unbounded
+    * scale path).
     */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).filter(col("vec_id") < 2000)
@@ -228,7 +294,8 @@ object Similarity {
     "ann_cosine" -> annCosine,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
 
   def oracleSql: Map[String, String] = Map(
     "ann_cosine" ->

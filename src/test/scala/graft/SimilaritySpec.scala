@@ -40,6 +40,58 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.6, s"IVF recall $recall (probing $hits)")
   }
 
+  test("embeddingLshPairs: planted near-dups ≡ exact top pairs, plan free of BNLJ") {
+    import spark.implicits._
+    val dim = 64
+    // java.util.Random is algorithm-specified → corpus is deterministic
+    def gauss(seed: Long): Array[Double] = {
+      val r = new java.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian())
+    }
+    // 20 planted near-dup pairs (cos ≈ 0.999) + 40 unrelated vectors
+    val rows: Seq[(Long, Seq[Float])] =
+      (0 until 20).flatMap { g =>
+        val b = gauss(g)
+        val t = gauss(g + 5000)
+        val tilt = Array.tabulate(dim)(j => b(j) + 0.05 * t(j))
+        Seq((2L * g, b.map(_.toFloat).toSeq), (2L * g + 1, tilt.map(_.toFloat).toSeq))
+      } ++ (100 until 140).map(i => (i.toLong, gauss(i + 1000L).map(_.toFloat).toSeq))
+    val corpus = rows.toDF("vec_id", "embedding")
+
+    val q = Similarity.embeddingLshPairs(corpus)
+    assert(!q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must be bucketed, not a nested-loop join")
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // exact ground truth, driver-side (same double math: float→double)
+    val vs = rows.map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = rows.map(_._1)
+    val exactTop = (for { a <- ids; b <- ids if a < b } yield (a, b, cos(vs(a), vs(b))))
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    val planted = (0 until 20).map(g => (2L * g, 2L * g + 1)).toSet
+    assert(exactTop.map(t => (t._1, t._2)).toSet === planted,
+      "sanity: the 20 planted pairs must be the exact top-20")
+    // LSH recovers exactly those pairs, with the true verified cosine
+    assert(got.take(20).map(t => (t._1, t._2)).toSet === planted)
+    got.take(20).foreach { case (a, b, c) =>
+      assert(math.abs(c - cos(vs(a), vs(b))) < 1e-6, s"($a,$b): $c")
+    }
+  }
+
+  test("dedup_embedding_lsh registered query: top pairs on real data, bucketed plan") {
+    val q = Similarity.dedupEmbeddingLsh(spark, sfDir)
+    assert(!q.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    val sims = rows.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
   test("dedupEmbedding: top-50 pairs, ordered by cosine desc, no self-pairs") {
     val rows = Similarity.dedupEmbedding(spark, sfDir).collect()
     assert(rows.length === 50)
