@@ -22,12 +22,15 @@ final case class MediaFeatures(
     channels: Int,
     embedding: Array[Float])
 
-/** Multimodal plumbing with a STUBBED codec: the real decoders
-  * (libjpeg/ffmpeg-style libs) are not in this container, so
-  * [[decodeStub]] derives deterministic fake dimensions from the
-  * bytes. Everything around the stub — schema, Dataset encoders,
-  * partition-batched iteration (the mapInPandas batch shape),
-  * frame sampling, the aggregation query — is real and tested.
+/** Multimodal plumbing. IMAGE decode is REAL — [[decodeImage]] uses
+  * `javax.imageio` (JVM built-in: PNG/JPEG/GIF/BMP), no external
+  * dependency. Audio/video decoders (ffmpeg-style libs) are not in
+  * this container, so non-image payloads — and bytes ImageIO cannot
+  * parse, like the synthetic text corpus — fall back to
+  * [[decodeStub]]'s deterministic fake dimensions. Everything around
+  * the codec — schema, Dataset encoders, partition-batched iteration
+  * (the mapInPandas batch shape), frame sampling, the aggregation
+  * query — is real and tested.
   *
   * Scale notes: payloads never pass through a shuffle here — decode is
   * a narrow mapPartitions stage; only the small typed features flow to
@@ -50,7 +53,26 @@ object Multimodal {
       .as[MediaRecord]
   }
 
-  /** STUB — stands in for a real image/audio decoder. Deterministic
+  /** Real image decode via `javax.imageio`: (width, height, channels),
+    * or None when the payload is not a decodable image. ImageIO.read
+    * returns null (rather than throwing) for unrecognizable bytes;
+    * both outcomes map to None so the caller can fall back.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      Option(img).map(i => (i.getWidth, i.getHeight, i.getColorModel.getNumComponents))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Codec dispatch: real ImageIO for decodable image payloads; the
+    * deterministic stub for audio/video (no codec libs in this
+    * container) and for image-typed bytes no reader accepts.
+    */
+  def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) =
+    (if (mediaType == "image") decodeImage(payload) else None)
+      .getOrElse(decodeStub(payload))
+
+  /** STUB — stands in for the audio/video decoders. Deterministic
     * fake: dimensions derived from payload bytes. Replace with a real
     * codec call when the libraries exist on the cluster.
     */
@@ -76,7 +98,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // per-batch "model load" would go here (amortized setup)
         batch.iterator.map { r =>
-          val (w, h, c) = decodeStub(r.payload)
+          val (w, h, c) = decode(r.media_type, r.payload)
           val emb = Array.tabulate(8) { i =>
             val slice = r.payload.drop(i * 8).take(8)
             slice.foldLeft(0.0f)((a, b) => a + (b & 0xFF) / 255.0f)

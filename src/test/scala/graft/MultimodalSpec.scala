@@ -25,6 +25,35 @@ class MultimodalSpec extends SparkSuite {
     }
   }
 
+  test("real PNG payloads decode to true dimensions via javax.imageio") {
+    import spark.implicits._
+    def png(w: Int, h: Int, typ: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, typ)
+      (0 until w).foreach(x => (0 until h).foreach(y =>
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xFFFFFF)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val recs = Seq(
+      graft.multimodal.MediaRecord(1L, "image", png(320, 200, java.awt.image.BufferedImage.TYPE_INT_RGB)),
+      graft.multimodal.MediaRecord(2L, "image", png(17, 93, java.awt.image.BufferedImage.TYPE_INT_ARGB)),
+      graft.multimodal.MediaRecord(3L, "image", png(1, 1, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)),
+      // image-typed but undecodable bytes → stub fallback, not a crash
+      graft.multimodal.MediaRecord(4L, "image", "not an image".getBytes("UTF-8")),
+      // audio stays on the stub even if the bytes happen to be a PNG
+      graft.multimodal.MediaRecord(5L, "audio", png(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)))
+    val feats = Multimodal.extractFeatures(spark.createDataset(recs), batchSize = 2)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height, feats(1L).channels) === ((320, 200, 3)))
+    assert((feats(2L).width, feats(2L).height, feats(2L).channels) === ((17, 93, 4)))
+    assert((feats(3L).width, feats(3L).height, feats(3L).channels) === ((1, 1, 1)))
+    val stub4 = Multimodal.decodeStub(recs(3).payload)
+    assert((feats(4L).width, feats(4L).height, feats(4L).channels) === stub4)
+    val stub5 = Multimodal.decodeStub(recs(4).payload)
+    assert((feats(5L).width, feats(5L).height, feats(5L).channels) === stub5)
+  }
+
   test("decode stub is deterministic (same bytes → same dims)") {
     val b = "hello world".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b) === Multimodal.decodeStub(b.clone()))
