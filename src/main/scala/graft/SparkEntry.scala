@@ -44,5 +44,6 @@ object SparkEntry {
     "window_rank", "topk_per_group", "wc", "indexer", "json_extract",
     "union_all_agg", "dedup_exact", "dedup_minhash", "ann_cosine",
     "quality_score", "events_session", "join_asof", "hll_merge", "ann_ivf",
-    "tfidf_terms", "events_funnel", "shard_pack")
+    "tfidf_terms", "events_funnel", "shard_pack",
+    "dedup_cluster", "dedup_cluster_minhash", "recursive_cte", "pack_sequences")
 }

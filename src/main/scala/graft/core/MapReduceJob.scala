@@ -80,6 +80,20 @@ object MapReduceJob {
       .repartition(nReduce)
   }
 
+  /** Run a ServiceLoader-discovered plugin by name — the reference's
+    * `mrworker wc.so pg-*.txt` entry point (mrworker.go:22-51): app
+    * resolved at run time, no compile-time linkage. See
+    * [[MapReducePlugin]] for the `--jars` registration contract.
+    */
+  def runPlugin(
+      records: Dataset[KV],
+      pluginName: String,
+      nReduce: Int = 10,
+      speculation: Boolean = false): Dataset[KV] = {
+    val p = MapReducePlugin.load(pluginName)
+    run(records, p.mapf, p.reducef, nReduce, speculation)
+  }
+
   /** Whole-file input records, as the reference reads them
     * (worker.go:102-109: one record per file, key = path, value = full
     * contents). At 100 TB one-record-per-file only scales if files are

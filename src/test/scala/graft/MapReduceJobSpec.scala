@@ -126,6 +126,19 @@ class MapReduceJobSpec extends SparkSuite {
     assert(lines === naiveWc(docs).map { case (k, v) => s"$k $v" }.toSet)
   }
 
+  test("ServiceLoader plugin ABI: name-resolved apps match closure runs (mrworker.go:34-51 parity)") {
+    val viaPlugin = MapReduceJob.runPlugin(spark.createDataset(docs), "wc")
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(viaPlugin === naiveWc(docs))
+    // second registry entry resolves independently
+    val idx = MapReduceJob.runPlugin(spark.createDataset(docs), "indexer")
+      .collect().map(kv => kv.key -> kv.value).toMap
+    assert(idx("the") === "1 d1") // one doc contains "the"
+    assert(idx("a") === "1 d4")
+    val e = intercept[IllegalArgumentException](graft.core.MapReducePlugin.load("nope"))
+    assert(e.getMessage.contains("wc") && e.getMessage.contains("indexer"))
+  }
+
   test("map tasks run in parallel (mtiming analog)") {
     val probe = spark.sparkContext.collectionAccumulator[(Long, Long)]("spans")
     spark.sparkContext.parallelize(1 to 4, 4).foreachPartition { _ =>
