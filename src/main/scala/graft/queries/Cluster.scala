@@ -169,9 +169,30 @@ object Cluster {
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
+  /** The terminal operator of the dedup pipeline (pairs → clusters →
+    * CANONICAL CORPUS): every document survives unless it belongs to a
+    * near-dup cluster and is not that cluster's minimum doc_id. Output
+    * one row per surviving doc with its original cluster size (1 =
+    * was unique). Edges = the oracle-able ngram producer so the whole
+    * pipeline end-to-end sits under the DuckDB hash gate; at scale
+    * swap the edge producer exactly as in [[dedupClusterMinhash]] —
+    * the keep stage (one left join + filter on the tiny cluster
+    * table) is identical.
+    */
+  def dedupKeep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val cl = clustersOf(Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+    docs.join(cl, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), coalesce(col("n_docs"), lit(1L)).as("cluster_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> dedupCluster,
-    "dedup_cluster_minhash" -> dedupClusterMinhash)
+    "dedup_cluster_minhash" -> dedupClusterMinhash,
+    "dedup_keep" -> dedupKeep)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_cluster" ->
@@ -206,5 +227,41 @@ object Cluster {
         |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
         |sz AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)
         |SELECT node AS doc_id, cluster_id, n_docs
-        |FROM lab JOIN sz USING (cluster_id)""".stripMargin)
+        |FROM lab JOIN sz USING (cluster_id)""".stripMargin,
+    "dedup_keep" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_a, doc_b
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+        |      UNION ALL
+        |      SELECT doc_b AS src, doc_a AS dst FROM scored),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM e
+        |  UNION
+        |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
+        |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)
+        |SELECT d.doc_id, coalesce(sz.n_docs, 1) AS cluster_size
+        |FROM documents d
+        |LEFT JOIN lab ON lab.node = d.doc_id
+        |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+        |WHERE lab.node IS NULL OR lab.node = lab.cluster_id""".stripMargin)
 }

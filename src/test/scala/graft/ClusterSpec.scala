@@ -127,6 +127,24 @@ class ClusterSpec extends SparkSuite {
     assert(minhash === ngram)
   }
 
+  test("dedup_keep retains exactly one doc per cluster plus every unclustered doc") {
+    val clusters = Cluster.dedupCluster(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val kept = Cluster.dedupKeep(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = graft.core.Tables.documents(spark, sfDir).count()
+    clusters.groupBy(_._2).foreach { case (cid, ms) =>
+      assert(kept.get(cid) === Some(ms.length.toLong), s"cluster $cid keeper")
+      ms.filter(_._1 != cid).foreach(m => assert(!kept.contains(m._1), s"dropped ${m._1}"))
+    }
+    val nClusters = clusters.map(_._2).distinct.length
+    assert(kept.size.toLong === total - clusters.length + nClusters)
+    val clusteredIds = clusters.map(_._1).toSet
+    kept.foreach { case (id, sz) =>
+      if (!clusteredIds.contains(id)) assert(sz === 1L)
+    }
+  }
+
   test("dedup_cluster groups the sf0.001 corpus consistently with edges") {
     val out = Cluster.dedupCluster(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
