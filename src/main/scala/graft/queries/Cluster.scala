@@ -43,8 +43,14 @@ object Cluster {
       .distinct()
       .repartition(col("src"))
       .persist()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // Seed labels with min(self, neighbors) — the result round 1 would
+    // produce from identity labels, for the price of the node-distinct
+    // aggregation we'd run anyway. Every label-prop round after this is
+    // a full |E| join pass, so starting one round ahead saves a whole
+    // shuffle of the edge list at scale (diameter-2 near-dup graphs
+    // then typically converge in a single confirming round).
+    var labels = sym.groupBy("src").agg(min("dst").as("nbr"))
+      .select(col("src").as("node"), least(col("src"), col("nbr")).as("label"))
       .localCheckpoint(true)
     // Labels only ever decrease, so sum(label) strictly decreases until
     // the fixpoint — a single cheap agg per round detects convergence

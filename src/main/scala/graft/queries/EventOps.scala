@@ -72,13 +72,41 @@ object EventOps {
       .select("n_viewed", "n_clicked", "n_purchased", "avg_gap_s")
   }
 
+  /** Cohort retention: users grouped by first-active day; for each
+    * (cohort_day, day_offset) the count of cohort users active that
+    * day. Plan shape for scale: the per-user-day `distinct` runs
+    * FIRST, collapsing raw event volume to |users|×|days| before any
+    * join; the cohort table derives from the same deduped subplan
+    * hash-partitioned on user_id, so the join reuses one exchange and
+    * the final agg is the only new shuffle.
+    */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), expr("ts DIV 1000000000 DIV 86400").as("day"))
+      .distinct()
+    val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ud.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_retention" -> eventsRetention,
     "events_tumbling" -> eventsTumbling,
     "events_sliding" -> eventsSliding,
     "events_session" -> eventsSession,
     "events_funnel" -> eventsFunnel)
 
   def oracleSql: Map[String, String] = Map(
+    "events_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  count(DISTINCT ud.user_id) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_tumbling" ->
       """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS wstart,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_val
