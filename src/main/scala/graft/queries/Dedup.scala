@@ -198,6 +198,31 @@ object Dedup {
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
   }
 
+  /** Test-set DECONTAMINATION: flag corpus documents that share any
+    * word 3-gram with a benchmark/eval set — the n-gram-collision
+    * filter a training pipeline runs before training so held-out
+    * benchmarks don't leak into the corpus. Benchmark here = the
+    * doc_id < 20 slice standing in for an eval set.
+    *
+    * Scale design: real benchmark sets are MBs against a 100 TB
+    * corpus — the distinct benchmark-shingle set BROADCASTS, the
+    * corpus is scanned once (shingled per row, never shuffled), and
+    * the only shuffle is the final per-doc overlap count, which
+    * partially aggregates map-side. Output: contaminated docs with
+    * their distinct overlapping-shingle counts (shingle sets are
+    * per-doc distinct, so count(*) counts distinct overlaps).
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleDocs(s, d)
+    val bench = sh.filter(col("doc_id") < 20)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val corpus = sh.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+    corpus.join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** 64-bit SimHash per document: per word, xxhash64; per bit, sum ±1
     * weighted by occurrences; simhash bit i = sign of sum. Emitted as
     * the signed long plus candidate pairs within Hamming ≤ 12, found by
@@ -243,7 +268,8 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash" -> dedupMinhash,
-    "dedup_simhash" -> dedupSimhash)
+    "dedup_simhash" -> dedupSimhash,
+    "decontaminate" -> decontaminate)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -271,5 +297,20 @@ object Dedup {
         |FROM pairs
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
-        |ORDER BY jac DESC, doc_a, doc_b LIMIT 50""".stripMargin)
+        |ORDER BY jac DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id >= 20)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM corpus JOIN bench USING (shingle)
+        |GROUP BY doc_id""".stripMargin)
 }
