@@ -75,17 +75,18 @@ object EventOps {
   /** Cohort retention: users grouped by first-active day; for each
     * (cohort_day, day_offset) the count of cohort users active that
     * day. Plan shape for scale: the per-user-day `distinct` runs
-    * FIRST, collapsing raw event volume to |users|×|days| before any
-    * join; the cohort table derives from the same deduped subplan
-    * hash-partitioned on user_id, so the join reuses one exchange and
-    * the final agg is the only new shuffle.
+    * FIRST, collapsing raw event volume to |users|×|days| in the one
+    * and only pass over the raw table; the cohort day then comes from
+    * a min() window over that collapsed table rather than a self-join
+    * (a join-shaped cohort re-scans the raw events for the build side
+    * — twice the scan cost for the same answer).
     */
   def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ud = Tables.events(s, d)
       .select(col("user_id"), expr("ts DIV 1000000000 DIV 86400").as("day"))
       .distinct()
-    val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
-    ud.join(cohort, "user_id")
+    ud.withColumn("cohort_day", min("day").over(Window.partitionBy("user_id")))
       .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
       .agg(countDistinct("user_id").as("n_users"))
   }
