@@ -36,13 +36,43 @@ object Skew {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("sum_price"))
   }
 
+  /** Two-phase salted AGGREGATION — the skewed-groupBy twin of
+    * [[joinSalted]]: when one group key holds a disproportionate share
+    * of rows AND the aggregate can't partially combine enough (e.g.
+    * exact distinct-count state concentrates on the hot reducer),
+    * aggregate first on (key, salt) — the hot key's state builds on
+    * NSalt reducers — then combine the per-salt partials on the now
+    * tiny (|keys|×NSalt) table. Distinct users survives two-phasing
+    * because the salt derives from user_id itself, so equal users
+    * never split across salts. Results provably ≡ the direct groupBy;
+    * DuckDB runs the plain form.
+    */
+  def aggSalted(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .withColumn("salt", pmod(hash(col("user_id")), lit(NSalt)))
+    e.groupBy("event_type", "salt")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("du"),
+        sum("value").as("sv"))
+      .groupBy("event_type")
+      .agg(sum("n").as("n_events"),
+        sum("du").as("n_users"),
+        round(sum("sv"), 2).as("sum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "join_salted" -> joinSalted)
+    "join_salted" -> joinSalted,
+    "agg_salted" -> aggSalted)
 
   def oracleSql: Map[String, String] = Map(
     "join_salted" ->
       """SELECT c_nationkey, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_nationkey""".stripMargin)
+        |GROUP BY c_nationkey""".stripMargin,
+    "agg_salted" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin)
 }

@@ -74,6 +74,20 @@ class RelationalPlanSpec extends SparkSuite {
     assert(scans === 2, s"expected 2 parquet scans (terms + count), got $scans:\n$plan")
   }
 
+  test("decontaminate broadcasts the benchmark shingle set (no shuffle-join of the corpus)") {
+    val plan = planOf(graft.queries.Dedup.decontaminate(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark side not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must not be sorted/shuffled for the overlap join:\n$plan")
+  }
+
+  test("events_retention scans raw events exactly once (window cohort, no self-join)") {
+    val plan = planOf(graft.queries.EventOps.eventsRetention(spark, sfDir))
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 1, s"expected a single raw-events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"cohort must come from a window, not a join:\n$plan")
+  }
+
   test("semi/anti joins partition the customer set") {
     val semi = Relational.joinSemi(spark, sfDir).count()
     val anti = Relational.joinAnti(spark, sfDir).count()

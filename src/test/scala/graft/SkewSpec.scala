@@ -52,4 +52,21 @@ class SkewSpec extends SparkSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("agg_salted: two-phase salted aggregation ≡ direct groupBy") {
+    val salted = graft.queries.Skew.aggSalted(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val direct = graft.core.Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 2).as("sum_value"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(salted.keySet === direct.keySet)
+    salted.foreach { case (k, (n, du, sv)) =>
+      assert((n, du) === ((direct(k)._1, direct(k)._2)), s"counts differ for $k")
+      assert(math.abs(sv - direct(k)._3) < 1e-6, s"sum differs for $k")
+    }
+  }
 }
