@@ -51,31 +51,46 @@ object Cluster {
     // then typically converge in a single confirming round).
     var labels = sym.groupBy("src").agg(min("dst").as("nbr"))
       .select(col("src").as("node"), least(col("src"), col("nbr")).as("label"))
-      .localCheckpoint(true)
+      .persist()
     // Labels only ever decrease, so sum(label) strictly decreases until
     // the fixpoint — a single cheap agg per round detects convergence
     // (decimal(38) so the metric can't overflow at any node-id scale).
+    // Because the metric scans the freshly-persisted frame, ONE action
+    // per round both materializes the new labels and checks convergence
+    // (the old two-actions-per-round shape — eager checkpoint, then
+    // metric — doubled the driver-side job count for nothing).
     def metric(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var last = metric(labels)
     var it = 0
     var done = false
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!done && it < maxIter) {
       val nbrMin = sym
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy("dst").agg(min("label").as("nbr"))
         .withColumnRenamed("dst", "node")
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      var next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
+      // Lineage truncation only every 4th round: persist() bounds the
+      // per-round WORK to one |E| pass, and the periodic checkpoint
+      // bounds the PLAN depth for deep (high-diameter) graphs without
+      // paying an extra materialization job in the common 1-2 round
+      // near-dup case.
+      next = if (it % 4 == 3) next.localCheckpoint(true) else next.persist()
       val cur = metric(next)
       done = cur.compareTo(last) == 0
       last = cur
+      retired += labels
       labels = next
       it += 1
     }
-    sym.unpersist()
+    // Old label generations are only safe to free once the loop is done:
+    // `labels` may still recompute through a persisted parent's lineage.
+    retired.foreach(_.unpersist(false))
+    sym.unpersist(false)
     labels.withColumnRenamed("label", "cluster_id")
   }
 

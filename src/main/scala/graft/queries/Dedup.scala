@@ -79,19 +79,38 @@ object Dedup {
     val s = documents.sparkSession
     graft.functions.WordShingles.register(s)
     val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("nsh"))
     // explode_outer: avoids InferFiltersFromGenerate re-evaluating the
     // shingle chain in a pushed-down filter (see minhashPairs); the
-    // extra null-shingle row for empty docs never survives the
-    // shingle-equality self-join.
-    val ex = docs.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
-    val pairs = ex.as("x")
-      .join(ex.as("y"), col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    // isNotNull filter drops the empty-doc placeholder row (it sits
+    // above the generate — nothing gets pushed into the scan). The
+    // doc's shingle-set size rides along as a plain long so the Jaccard
+    // denominator needs NO join back to a sizes table.
+    val ex = docs
+      .select(col("doc_id"), size(col("sh")).as("nsh"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    // Group docs per shingle and expand in-bucket pairs with array
+    // lambdas (the minhashScored trick): the corpus is shingled and
+    // shuffled exactly ONCE (vs the self-join's two exploded-corpus
+    // shuffles plus two pair-stream shuffles for the sizes joins), and
+    // 1-doc shingles are dropped before producing any pair rows.
+    // Shingle sets are per-doc distinct, so count(*) per pair =
+    // |common shingles| exactly as the self-join computed it. na/nb are
+    // functionally dependent on doc_a/doc_b, so grouping by all four
+    // yields the same pair rows.
+    ex.groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => when(a("doc_id") < b("doc_id"),
+            struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+              a("nsh").as("na"), b("nsh").as("nb")))
+            .otherwise(
+              struct(b("doc_id").as("doc_a"), a("doc_id").as("doc_b"),
+                b("nsh").as("na"), a("nsh").as("nb"))))))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nsh", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nsh", "nb"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
   }
