@@ -32,8 +32,21 @@ object ProfileScratch {
 
     (1 to 3).foreach { rep =>
       println(s"--- rep $rep ---")
+      val docs = Tables.documents(spark, d)
+      time("stage: shingle only")(
+        Dedup.shingleDocs(spark, d).select(sum(size(col("sh")))).head().getLong(0))
+      time("stage: explode+count")(
+        Dedup.shingleDocs(spark, d)
+          .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+          .filter(col("shingle").isNotNull).count())
+      time("stage: groupBy shingle")(
+        Dedup.shingleDocs(spark, d)
+          .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+          .filter(col("shingle").isNotNull)
+          .groupBy("shingle").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1).count())
       time("ngramScored edges")(
-        Dedup.ngramScored(Tables.documents(spark, d)).filter(col("jac") >= 0.6).count())
+        Dedup.ngramScored(docs).filter(col("jac") >= 0.6).count())
       time("dedup_ngram")(Dedup.dedupNgram(spark, d).count())
       time("dedup_cluster full")(Cluster.dedupCluster(spark, d).count())
       time("dedup_cluster_minhash full")(Cluster.dedupClusterMinhash(spark, d).count())
