@@ -78,17 +78,25 @@ object Cluster {
       // per-round WORK to one |E| pass, and the periodic checkpoint
       // bounds the PLAN depth for deep (high-diameter) graphs without
       // paying an extra materialization job in the common 1-2 round
-      // near-dup case.
-      next = if (it % 4 == 3) next.localCheckpoint(true) else next.persist()
+      // near-dup case. Tradeoff: if a persisted intermediate generation
+      // is EVICTED, its recompute chains back through up to 4 |E| joins
+      // to the last checkpoint — bounded by the stride, never unbounded.
+      val isCkpt = it % 4 == 3
+      next = if (isCkpt) next.localCheckpoint(true) else next.persist()
       val cur = metric(next)
       done = cur.compareTo(last) == 0
       last = cur
       retired += labels
+      // A checkpointed `next` has a truncated plan that references no
+      // earlier generation, so every retired generation is safe to free
+      // right here rather than holding up to maxIter cached label
+      // tables until loop exit. (Between checkpoints they must stay:
+      // `next` may still recompute through a persisted parent.)
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       labels = next
       it += 1
     }
-    // Old label generations are only safe to free once the loop is done:
-    // `labels` may still recompute through a persisted parent's lineage.
+    // Free the post-checkpoint tail (and, for short runs, everything).
     retired.foreach(_.unpersist(false))
     sym.unpersist(false)
     labels.withColumnRenamed("label", "cluster_id")

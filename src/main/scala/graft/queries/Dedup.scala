@@ -97,17 +97,26 @@ object Dedup {
     // |common shingles| exactly as the self-join computed it. na/nb are
     // functionally dependent on doc_a/doc_b, so grouping by all four
     // yields the same pair rows.
+    //
+    // TWO-STAGE expansion (posexplode of the bucket, then explode of
+    // each element's tail slice): both Generates stream row-at-a-time,
+    // so per-row memory for a k-doc hot shingle is O(k) — never the
+    // O(k^2) struct array a single flatten-explode would materialize.
+    // The k^2/2 pair STREAM through one task remains — that time skew
+    // is inherent to exact pairwise Jaccard, which is exactly why this
+    // operator is the documented quadratic oracle baseline and
+    // minhashScored is the 100 TB path.
     ex.groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => when(a("doc_id") < b("doc_id"),
-            struct(a("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
-              a("nsh").as("na"), b("nsh").as("nb")))
-            .otherwise(
-              struct(b("doc_id").as("doc_a"), a("doc_id").as("doc_b"),
-                b("nsh").as("na"), a("nsh").as("nb"))))))).as("p"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+        b => when(col("a")("doc_id") < b("doc_id"),
+          struct(col("a")("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            col("a")("nsh").as("na"), b("nsh").as("nb")))
+          .otherwise(
+            struct(b("doc_id").as("doc_a"), col("a")("doc_id").as("doc_b"),
+              b("nsh").as("na"), col("a")("nsh").as("nb"))))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("common"))
@@ -191,13 +200,19 @@ object Dedup {
       .select(col("doc_id"), col("sh"), expr("minhash_buckets(sh)").as("bks"))
       .select(col("doc_id"), posexplode_outer(col("bks")))
       .toDF("doc_id", "band", "bucket")
+    // Two-stage expansion (posexplode bucket, explode tail slice), same
+    // as ngramScored: per-row memory stays O(k) for a k-doc bucket
+    // instead of the O(k^2) array a single flatten-explode builds. Hot
+    // buckets here = exact-duplicate mega-groups (identical docs share
+    // all bands) — a real hazard at 100 TB, which is why pipelines run
+    // dedup_exact first; this keeps the operator memory-safe either way.
     val cand = bands
       .groupBy("band", "bucket")
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(least(a, b).as("doc_a"), greatest(a, b).as("doc_b")))))).as("p"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+        b => struct(least(col("a"), b).as("doc_a"), greatest(col("a"), b).as("doc_b")))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     // Verify only the candidates: exact Jaccard runs on O(candidates)

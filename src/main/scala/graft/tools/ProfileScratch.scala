@@ -34,7 +34,8 @@ object ProfileScratch {
       println(s"--- rep $rep ---")
       val docs = Tables.documents(spark, d)
       time("stage: shingle only")(
-        Dedup.shingleDocs(spark, d).select(sum(size(col("sh")))).head().getLong(0))
+        Dedup.shingleDocs(spark, d)
+          .select(coalesce(sum(size(col("sh"))), lit(0L))).head().getLong(0))
       time("stage: explode+count")(
         Dedup.shingleDocs(spark, d)
           .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
