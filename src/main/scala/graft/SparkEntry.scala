@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, Cluster, Dedup, EventOps, Parity, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps}
+import graft.queries.{Advanced, Cluster, Corpus, Dedup, EventOps, Parity, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -24,7 +24,7 @@ object SparkEntry {
     Parity.queries ++ Relational.queries ++ Advanced.queries ++ Dedup.queries ++
       Similarity.queries ++ TextOps.queries ++ EventOps.queries ++ Temporal.queries ++
       Sketches.queries ++ Skew.queries ++ Formats.queries ++ Multimodal.queries ++
-      Cluster.queries ++ Sharding.queries
+      Cluster.queries ++ Sharding.queries ++ Corpus.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -34,7 +34,7 @@ object SparkEntry {
     Parity.oracleSql ++ Relational.oracleSql ++ Advanced.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ TextOps.oracleSql ++ EventOps.oracleSql ++
       Temporal.oracleSql ++ Sketches.oracleSql ++ Skew.oracleSql ++ Formats.oracleSql ++
-      Multimodal.oracleSql ++ Cluster.oracleSql ++ Sharding.oracleSql
+      Multimodal.oracleSql ++ Cluster.oracleSql ++ Sharding.oracleSql ++ Corpus.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative
     * subset (scan-agg, fact-fact join, window, text, dedup paths).
@@ -45,5 +45,6 @@ object SparkEntry {
     "union_all_agg", "dedup_exact", "dedup_minhash", "ann_cosine",
     "quality_score", "events_session", "join_asof", "hll_merge", "ann_ivf",
     "tfidf_terms", "events_funnel", "shard_pack",
-    "dedup_cluster", "dedup_cluster_minhash", "recursive_cte", "pack_sequences")
+    "dedup_cluster", "dedup_cluster_minhash", "recursive_cte", "pack_sequences",
+    "lm_score", "dedup_spans", "semdedup", "quality_repetition")
 }

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Corpus-curation operators for training-data pipelines ([EXT], no
+  * reference citation by definition — SURVEY.md §0): Gopher-style
+  * repetition filtering, unigram-LM perplexity-proxy scoring (the CCNet
+  * idea with the corpus itself as the LM), verbatim-span duplication
+  * signals (the exact-substring-dedup signal of Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"), and
+  * source-mixture weighting (token-budget allocation across sources).
+  *
+  * Scale design, per operator:
+  *  - quality_repetition: PURE MAP — every signal is an array lambda
+  *    over the per-doc token array; zero shuffles at any corpus size.
+  *  - lm_score: vocab build is one partial-agg'd shuffle of the token
+  *    stream collapsed to vocab size; scoring joins the BROADCAST vocab
+  *    (unigram vocabularies are corpus-sublinear) so the token stream
+  *    itself never shuffles — only the final per-doc agg does, and it
+  *    partial-aggregates map-side.
+  *  - dedup_spans: the span stream shuffles exactly once (groupBy span);
+  *    duplicated-span lists re-group by doc at candidate volume
+  *    (∝ true duplication, not corpus size).
+  *  - source_mix: per-doc token counts come from array size (no
+  *    explode); one tiny per-source agg + a 1-row broadcast.
+  */
+object Corpus {
+
+  private def toks(text: Column): Column = Dedup.tokensCol(text)
+
+  /** floor(x·1e4+0.5)/1e4 — HALF-UP rounding computed on the shared
+    * IEEE double, bit-deterministic across Spark and DuckDB (their
+    * round() implementations disagree on exact 4th-decimal halves;
+    * see TextOps.qualityScore).
+    */
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+
+  // Gopher-style repetition gates (Rae et al. 2021 §A1.1 use 0.2 for
+  // the top-1-gram fraction on web text; this corpus is denser, so the
+  // gates sit just above its p75/p90 — a filter that fires on a real
+  // tail, not a constant).
+  private val TopTokMax = 0.125
+  private val Dup2Max = 0.06
+  private val Dup3Max = 0.02
+
+  /** Per-doc repetition signals + keep gate: fraction of tokens that
+    * are the single most frequent token, fraction of duplicate word
+    * 2-grams / 3-grams. Pure per-row map (array lambdas, no shuffle).
+    * Per-row cost is O(distinct·n) for the top-token scan — fine for
+    * bounded documents; for mega-docs prefer the explode + groupBy
+    * (doc, token) twin, which is strictly linear.
+    */
+  def qualityRepetition(s: SparkSession, d: String): DataFrame = {
+    val ws = col("ws")
+    val n = size(ws)
+    val topTf = array_max(transform(array_distinct(ws),
+      x => size(filter(ws, y => y === x))))
+    val dupFrac = (grams: Column, cnt: Column) =>
+      lit(1.0) - size(array_distinct(grams)).cast("double") / cnt
+    val g2 = transform(sequence(lit(1), n - 1),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
+    val g3 = transform(sequence(lit(1), n - 2),
+      i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
+    val topFrac = topTf.cast("double") / n
+    val d2 = when(n >= 2, dupFrac(g2, (n - 1).cast("double"))).otherwise(lit(0.0))
+    val d3 = when(n >= 3, dupFrac(g3, (n - 2).cast("double"))).otherwise(lit(0.0))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), n.as("n_tokens"),
+        r4(topFrac).as("top_tok_frac"),
+        r4(d2).as("dup_2gram_frac"),
+        r4(d3).as("dup_3gram_frac"),
+        // gate on the UNROUNDED doubles: both engines threshold the same
+        // IEEE values, so a doc sitting exactly on a gate can't diverge
+        (topFrac <= TopTokMax && d2 <= Dup2Max && d3 <= Dup3Max)
+          .cast("int").as("keep"))
+  }
+
+  /** Unigram-LM negative-log-likelihood score per document — the
+    * perplexity-proxy quality filter (CCNet shape) with the corpus's
+    * own unigram distribution as the model: p(w) = count(w)/total,
+    * score = mean over doc tokens of -ln p(w). High = surprising
+    * (rare-token) docs, low = stereotypical ones. At 100 TB the vocab
+    * is built once (or offline) and broadcast; the token stream is
+    * scored map-side and only per-doc partials shuffle.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val terms = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val vocab = terms.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    terms
+      .join(broadcast(vocab), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        r4(avg(-log(col("cnt").cast("double") / col("total")))).as("avg_nll"))
+  }
+
+  // 20-token windows — the span length of Lee et al.'s exact-substring
+  // dedup (50 BPE tokens ≈ 20-25 words; 20 keeps short docs in play).
+  private val SpanLen = 20
+
+  /** Distinct SpanLen-token windows of a token-array attribute (same
+    * materialized-attribute contract as Dedup.shinglesFromTokens).
+    */
+  def spansFromTokens(ws: Column): Column =
+    when(size(ws) >= SpanLen,
+      array_distinct(transform(sequence(lit(1), size(ws) - (SpanLen - 1)),
+        i => concat_ws(" ", slice(ws, i, lit(SpanLen))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-doc verbatim-duplication signal: the fraction of a document's
+    * distinct 20-token windows that also appear in ANOTHER document.
+    * This is the detection signal of exact-substring dedup without the
+    * pair blowup: spans group corpus-wide (one shuffle), only spans
+    * seen in >1 doc re-expand (∝ true duplication), and no doc-pair is
+    * ever materialized — the operator stays linear where a pairwise
+    * formulation is quadratic.
+    */
+  def dedupSpans(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), spansFromTokens(col("ws")).as("spans"))
+      .select(col("doc_id"), col("spans"), size(col("spans")).as("n_spans"))
+    val ex = base
+      .select(col("doc_id"), explode_outer(col("spans")).as("span"))
+      .filter(col("span").isNotNull)
+    // collect doc lists per span; only >1-doc spans expand. ids are
+    // per-span distinct (spans are per-doc distinct), so each (doc,
+    // dup-span) contributes exactly once to the count.
+    val dupPerDoc = ex.groupBy("span")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup"))
+    base.select(col("doc_id"), col("n_spans"))
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        when(col("n_spans") > 0,
+          floor(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_spans") * 10000 + 0.5) / 10000.0)
+          .otherwise(lit(0.0)).as("dup_span_frac"))
+  }
+
+  /** Source-mixture weighting: per-source token counts and the
+    * sampling weight that equalizes each source's share of the token
+    * budget (uniform target mix — the standard "don't let one crawl
+    * dominate" re-weighting). mix_weight > 1 means the source is
+    * under-represented (up-sample / repeat epochs); sample_rate caps
+    * at 1 for the down-sampling-only regime.
+    */
+  def sourceMix(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), size(toks(col("text"))).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+    val totals = perSource.agg(
+      sum("n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val share = col("n_tokens").cast("double") / col("total_tokens")
+    val weight = (col("total_tokens").cast("double") / col("n_sources")) / col("n_tokens")
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r4(share).as("token_share"),
+        r4(weight).as("mix_weight"),
+        r4(least(weight, lit(1.0))).as("sample_rate"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quality_repetition" -> qualityRepetition,
+    "lm_score" -> lmScore,
+    "dedup_spans" -> dedupSpans,
+    "source_mix" -> sourceMix)
+
+  private val tokSqlDuck =
+    "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "quality_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS w FROM documents),
+         |m AS (SELECT doc_id, len(w) AS n,
+         |  CAST(list_max(list_transform(list_distinct(w),
+         |    x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / len(w) AS topfrac,
+         |  CASE WHEN len(w) >= 2 THEN 1.0 -
+         |    CAST(len(list_distinct(list_transform(generate_series(1, len(w)-1),
+         |      i -> w[i] || ' ' || w[i+1]))) AS DOUBLE) / (len(w)-1)
+         |  ELSE 0.0 END AS d2,
+         |  CASE WHEN len(w) >= 3 THEN 1.0 -
+         |    CAST(len(list_distinct(list_transform(generate_series(1, len(w)-2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE) / (len(w)-2)
+         |  ELSE 0.0 END AS d3
+         |  FROM t)
+         |SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+         |  floor(topfrac * 10000 + 0.5) / 10000.0 AS top_tok_frac,
+         |  floor(d2 * 10000 + 0.5) / 10000.0 AS dup_2gram_frac,
+         |  floor(d3 * 10000 + 0.5) / 10000.0 AS dup_3gram_frac,
+         |  CAST(topfrac <= 0.125 AND d2 <= 0.06 AND d3 <= 0.02 AS INTEGER) AS keep
+         |FROM m""".stripMargin,
+    "lm_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS tok FROM documents),
+         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  floor(avg(-ln(CAST(cnt AS DOUBLE) / total)) * 10000 + 0.5) / 10000.0 AS avg_nll
+         |FROM t JOIN v USING (tok) CROSS JOIN n
+         |GROUP BY doc_id""".stripMargin,
+    "dedup_spans" ->
+      s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS w FROM documents),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN len(w) >= 20 THEN list_distinct(list_transform(
+         |    generate_series(1, len(w) - 19),
+         |    i -> array_to_string(w[i:i+19], ' ')))
+         |  ELSE [] END AS spans FROM t),
+         |ex AS (SELECT doc_id, unnest(spans) AS span FROM sp),
+         |dup AS (SELECT span FROM ex GROUP BY span HAVING count(*) > 1),
+         |dd AS (SELECT doc_id, count(*) AS n_dup FROM ex
+         |       JOIN dup USING (span) GROUP BY doc_id)
+         |SELECT sp.doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
+         |  coalesce(n_dup, 0) AS n_dup_spans,
+         |  CASE WHEN len(spans) > 0 THEN
+         |    floor(CAST(coalesce(n_dup, 0) AS DOUBLE) / len(spans) * 10000 + 0.5) / 10000.0
+         |  ELSE 0.0 END AS dup_span_frac
+         |FROM sp LEFT JOIN dd ON sp.doc_id = dd.doc_id""".stripMargin,
+    "source_mix" ->
+      s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+         |              CAST(sum(len($tokSqlDuck)) AS BIGINT) AS n_tokens
+         |            FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               count(*) AS n_sources FROM ps)
+         |SELECT source, n_docs, n_tokens,
+         |  floor(CAST(n_tokens AS DOUBLE) / total_tokens * 10000 + 0.5) / 10000.0 AS token_share,
+         |  floor((CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens * 10000 + 0.5) / 10000.0 AS mix_weight,
+         |  floor(least((CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens, 1.0) * 10000 + 0.5) / 10000.0 AS sample_rate
+         |FROM ps CROSS JOIN tot""".stripMargin)
+}

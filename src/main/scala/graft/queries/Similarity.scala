@@ -290,12 +290,70 @@ object Similarity {
       .limit(50)
   }
 
+  // SemDeDup cosine gate: the corpus has no true duplicate vectors
+  // (max pairwise cos ≈ 0.51), so the gate sits in the
+  // diversity-pruning regime — the paper (Abbas et al. 2023) likewise
+  // tunes ε to a kept-data budget, not to exact-dup similarity.
+  private val SemTau = 0.4
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via k-means — assign
+    * every vector to its nearest coarse centroid, compare pairs ONLY
+    * within a cluster, and drop any vector with a higher-similarity
+    * (cos ≥ τ) neighbor of smaller vec_id; the minimum of each
+    * within-cluster dup group survives. One row per vector:
+    * (vec_id, cell_id, kept).
+    *
+    * Scale shape: centroid assignment is the IVF map-only expression
+    * (literal centroids — no join, no corpus shuffle); within-cell
+    * pairs expand via the two-stage posexplode (per-row memory O(k));
+    * the verify joins hash-partition one subplan by vec_id (exchange
+    * reuse). Cluster count is the knob: NCells grows with the corpus
+    * (the paper uses ~10k-100k clusters) so cell population — and the
+    * Σk² pair cost — stays bounded. Centroids are plan-time trained
+    * (not SQL-expressible) → rows-only for the driver; semantics
+    * spec-checked on planted corpora in SimilaritySpec.
+    */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    semDedupOn(Tables.embeddings(s, d), SemTau)
+
+  /** Core pipeline over any (vec_id, embedding) DataFrame. */
+  def semDedupOn(embeddings: DataFrame, tau: Double): DataFrame = {
+    graft.functions.DotProduct.register(embeddings.sparkSession)
+    val all = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(col("nrm") > 0)
+    val cents = trainCentroids(all)
+    val assigned = all.withColumn("cell_id", bestCellCol(col("v"), col("nrm"), cents))
+    // Each vector sits in exactly one cell, so in-cell pairs are unique
+    // (no distinct needed, unlike multi-table LSH bucketing).
+    val cand = assigned
+      .groupBy("cell_id")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+        b => struct(least(col("a"), b).as("vec_a"), greatest(col("a"), b).as("vec_b")))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"))
+    val dropped = cand
+      .join(all.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na")), "vec_a")
+      .join(all.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb")), "vec_b")
+      .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
+      .select(col("vec_b").as("vec_id"))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        col("is_dup").isNull.cast("int").as("kept"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine" -> annCosine,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
-    "dedup_embedding_lsh" -> dedupEmbeddingLsh)
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "semdedup" -> semDedup)
 
   def oracleSql: Map[String, String] = Map(
     "ann_cosine" ->
