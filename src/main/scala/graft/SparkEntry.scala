@@ -46,5 +46,6 @@ object SparkEntry {
     "quality_score", "events_session", "join_asof", "hll_merge", "ann_ivf",
     "tfidf_terms", "events_funnel", "shard_pack",
     "dedup_cluster", "dedup_cluster_minhash", "recursive_cte", "pack_sequences",
-    "lm_score", "dedup_spans", "semdedup", "quality_repetition")
+    "lm_score", "dedup_spans", "semdedup", "quality_repetition",
+    "dedup_keep_minhash")
 }

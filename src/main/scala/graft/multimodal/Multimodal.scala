@@ -23,11 +23,13 @@ final case class MediaFeatures(
     embedding: Array[Float])
 
 /** Multimodal plumbing. IMAGE decode is REAL — [[decodeImage]] uses
-  * `javax.imageio` (JVM built-in: PNG/JPEG/GIF/BMP), no external
-  * dependency. Audio/video decoders (ffmpeg-style libs) are not in
-  * this container, so non-image payloads — and bytes ImageIO cannot
-  * parse, like the synthetic text corpus — fall back to
-  * [[decodeStub]]'s deterministic fake dimensions. Everything around
+  * `javax.imageio` (JVM built-in: PNG/JPEG/GIF/BMP) — and so is AUDIO
+  * decode — [[decodeAudio]] uses `javax.sound.sampled` (JVM built-in:
+  * WAV/AIFF/AU header + PCM) — no external dependency. Video decoders
+  * (ffmpeg-style libs) are not in this container, so video payloads —
+  * and bytes no reader can parse, like the synthetic text corpus —
+  * fall back to [[decodeStub]]'s deterministic fake dimensions.
+  * Everything around
   * the codec — schema, Dataset encoders, partition-batched iteration
   * (the mapInPandas batch shape), frame sampling, the aggregation
   * query — is real and tested.
@@ -64,17 +66,43 @@ object Multimodal {
       Option(img).map(i => (i.getWidth, i.getHeight, i.getColorModel.getNumComponents))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Codec dispatch: real ImageIO for decodable image payloads; the
-    * deterministic stub for audio/video (no codec libs in this
-    * container) and for image-typed bytes no reader accepts.
+  /** Real audio decode via `javax.sound.sampled` (JVM built-in:
+    * WAV/AIFF/AU header + PCM — no external codec needed). Returns
+    * (sample_rate_hz, duration_ms, channels) mapped onto the
+    * (width, height, channels) feature slots, or None when the payload
+    * is not a parseable audio container (the synthetic text corpus,
+    * compressed formats like MP3) so the caller can fall back.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val durMs =
+          if (fmt.getFrameRate > 0 && in.getFrameLength >= 0)
+            math.round(in.getFrameLength * 1000.0 / fmt.getFrameRate).toInt
+          else 0
+        Some((fmt.getSampleRate.toInt, durMs, fmt.getChannels))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Codec dispatch: real ImageIO for decodable image payloads, real
+    * javax.sound.sampled for parseable audio containers; the
+    * deterministic stub for video (no codec libs in this container)
+    * and for bytes no reader accepts.
     */
   def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) =
-    (if (mediaType == "image") decodeImage(payload) else None)
-      .getOrElse(decodeStub(payload))
+    (mediaType match {
+      case "image" => decodeImage(payload)
+      case "audio" => decodeAudio(payload)
+      case _ => None
+    }).getOrElse(decodeStub(payload))
 
-  /** STUB — stands in for the audio/video decoders. Deterministic
-    * fake: dimensions derived from payload bytes. Replace with a real
-    * codec call when the libraries exist on the cluster.
+  /** STUB — stands in for the video decoder (and undecodable bytes).
+    * Deterministic fake: dimensions derived from payload bytes.
+    * Replace with a real codec call when the libraries exist on the
+    * cluster.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
     val h = payload.foldLeft(17L)((acc, b) => acc * 31 + (b & 0xFF))

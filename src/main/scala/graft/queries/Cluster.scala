@@ -198,30 +198,51 @@ object Cluster {
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
-  /** The terminal operator of the dedup pipeline (pairs → clusters →
-    * CANONICAL CORPUS): every document survives unless it belongs to a
-    * near-dup cluster and is not that cluster's minimum doc_id. Output
-    * one row per surviving doc with its original cluster size (1 =
-    * was unique). Edges = the oracle-able ngram producer so the whole
-    * pipeline end-to-end sits under the DuckDB hash gate; at scale
-    * swap the edge producer exactly as in [[dedupClusterMinhash]] —
-    * the keep stage (one left join + filter on the tiny cluster
-    * table) is identical.
+  /** The keep stage shared by both [[dedupKeep]] variants: every
+    * document survives unless it belongs to a near-dup cluster and is
+    * not that cluster's minimum doc_id. One left join + filter against
+    * the (tiny — one row per CLUSTERED doc) cluster table; edge
+    * producer is the caller's choice.
     */
-  def dedupKeep(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"))
-    val cl = clustersOf(Dedup.ngramScored(Tables.documents(s, d))
-      .filter(col("jac") >= 0.6)
-      .select(col("doc_a"), col("doc_b")))
-    docs.join(cl, Seq("doc_id"), "left")
+  def dedupKeepFrom(documents: DataFrame, edges: DataFrame): DataFrame =
+    documents.select(col("doc_id"))
+      .join(clustersOf(edges), Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), coalesce(col("n_docs"), lit(1L)).as("cluster_size"))
+
+  /** The terminal operator of the dedup pipeline (pairs → clusters →
+    * CANONICAL CORPUS), oracle-able form: edges = the ngram producer so
+    * the whole pipeline end-to-end sits under the DuckDB hash gate.
+    * Output one row per surviving doc with its original cluster size
+    * (1 = was unique). [[dedupKeepMinhash]] is the scale form.
+    */
+  def dedupKeep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupKeepFrom(docs, Dedup.ngramScored(docs)
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+  }
+
+  /** The SCALE form of [[dedupKeep]] — the linear end-to-end
+    * canonical-corpus pipeline a 100 TB run actually executes:
+    * MinHash+LSH candidate edges (cost ∝ corpus + true near-dups,
+    * never n²) → linear-round connected components → one-join keep.
+    * Keep-set equality with the ngram-edged form is spec-checked
+    * (ClusterSpec) on sf0.001 and planted corpora; rows-only for the
+    * driver (murmur3-specific signatures aren't SQL-expressible).
+    */
+  def dedupKeepMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupKeepFrom(docs, Dedup.minhashScored(docs)
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_minhash" -> dedupClusterMinhash,
-    "dedup_keep" -> dedupKeep)
+    "dedup_keep" -> dedupKeep,
+    "dedup_keep_minhash" -> dedupKeepMinhash)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_cluster" ->
@@ -235,10 +256,12 @@ object Cluster {
         |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
         |        FROM documents)),
         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+        |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
         |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
         |pairs AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
-        |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2),
         |scored AS (
         |  SELECT doc_a, doc_b
@@ -268,10 +291,12 @@ object Cluster {
         |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
         |        FROM documents)),
         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+        |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
         |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
         |pairs AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
-        |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2),
         |scored AS (
         |  SELECT doc_a, doc_b

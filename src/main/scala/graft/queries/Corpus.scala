@@ -16,10 +16,9 @@ import graft.core.Tables
   *  - quality_repetition: PURE MAP — every signal is an array lambda
   *    over the per-doc token array; zero shuffles at any corpus size.
   *  - lm_score: vocab build is one partial-agg'd shuffle of the token
-  *    stream collapsed to vocab size; scoring joins the BROADCAST vocab
-  *    (unigram vocabularies are corpus-sublinear) so the token stream
-  *    itself never shuffles — only the final per-doc agg does, and it
-  *    partial-aggregates map-side.
+  *    stream collapsed to vocab size; the scoring join shuffle-joins
+  *    on the same `tok` key (no forced broadcast — a web-scale vocab
+  *    is unbounded; AQE broadcasts only when the measured size fits).
   *  - dedup_spans: the span stream shuffles exactly once (groupBy span);
   *    duplicated-span lists re-group by doc at candidate volume
   *    (∝ true duplication, not corpus size).
@@ -52,39 +51,79 @@ object Corpus {
     * bounded documents; for mega-docs prefer the explode + groupBy
     * (doc, token) twin, which is strictly linear.
     */
-  def qualityRepetition(s: SparkSession, d: String): DataFrame = {
+  def qualityRepetition(s: SparkSession, d: String): DataFrame =
+    qualityRepetitionOn(Tables.documents(s, d))
+
+  def qualityRepetitionOn(documents: DataFrame): DataFrame = {
     val ws = col("ws")
-    val n = size(ws)
     val topTf = array_max(transform(array_distinct(ws),
       x => size(filter(ws, y => y === x))))
+    repetitionFromTopTf(documents
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), ws, topTf.as("top_tf")))
+  }
+
+  /** LINEAR twin of [[qualityRepetitionOn]] for mega-documents: the
+    * top-token frequency comes from explode + groupBy(doc_id, tok) +
+    * per-doc max — strictly O(n) rows through two partial-agg'd
+    * shuffles — instead of the per-row O(distinct·n) array scan. The
+    * 2/3-gram signals stay per-row (array_distinct is O(n) already).
+    * Spec-checked identical to the quadratic form, including on a
+    * planted 100k-token document (CorpusSpec).
+    */
+  def qualityRepetitionLinearOn(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), toks(col("text")).as("ws"))
+    val topTf = base
+      .select(col("doc_id"), explode_outer(col("ws")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").cast("int").as("top_tf"))
+    repetitionFromTopTf(
+      base.join(topTf, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("ws"), col("top_tf")))
+  }
+
+  /** Shared tail over (doc_id, ws, top_tf): the 2/3-gram duplicate
+    * fractions and the keep gate.
+    */
+  private def repetitionFromTopTf(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val n = size(ws)
     val dupFrac = (grams: Column, cnt: Column) =>
       lit(1.0) - size(array_distinct(grams)).cast("double") / cnt
     val g2 = transform(sequence(lit(1), n - 1),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
     val g3 = transform(sequence(lit(1), n - 2),
       i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2)))
-    val topFrac = topTf.cast("double") / n
+    val topFrac = col("top_tf").cast("double") / n
     val d2 = when(n >= 2, dupFrac(g2, (n - 1).cast("double"))).otherwise(lit(0.0))
     val d3 = when(n >= 3, dupFrac(g3, (n - 2).cast("double"))).otherwise(lit(0.0))
-    Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("ws"))
-      .select(col("doc_id"), n.as("n_tokens"),
-        r4(topFrac).as("top_tok_frac"),
-        r4(d2).as("dup_2gram_frac"),
-        r4(d3).as("dup_3gram_frac"),
-        // gate on the UNROUNDED doubles: both engines threshold the same
-        // IEEE values, so a doc sitting exactly on a gate can't diverge
-        (topFrac <= TopTokMax && d2 <= Dup2Max && d3 <= Dup3Max)
-          .cast("int").as("keep"))
+    docs.select(col("doc_id"), n.as("n_tokens"),
+      r4(topFrac).as("top_tok_frac"),
+      r4(d2).as("dup_2gram_frac"),
+      r4(d3).as("dup_3gram_frac"),
+      // gate on the UNROUNDED doubles: both engines threshold the same
+      // IEEE values, so a doc sitting exactly on a gate can't diverge
+      (topFrac <= TopTokMax && d2 <= Dup2Max && d3 <= Dup3Max)
+        .cast("int").as("keep"))
   }
 
   /** Unigram-LM negative-log-likelihood score per document — the
     * perplexity-proxy quality filter (CCNet shape) with the corpus's
     * own unigram distribution as the model: p(w) = count(w)/total,
     * score = mean over doc tokens of -ln p(w). High = surprising
-    * (rare-token) docs, low = stereotypical ones. At 100 TB the vocab
-    * is built once (or offline) and broadcast; the token stream is
-    * scored map-side and only per-doc partials shuffle.
+    * (rare-token) docs, low = stereotypical ones.
+    *
+    * The vocab join deliberately carries NO broadcast hint: a web-scale
+    * unigram vocabulary (typos, URLs, hashes) is 10⁸–10⁹ distinct
+    * tokens — an unconditional broadcast is a driver/executor OOM. The
+    * token stream is already exploded and hash-partitions on `tok` for
+    * the vocab build, so the scoring join shuffle-joins on the same
+    * key; AQE still downgrades it to a broadcast join whenever the
+    * MEASURED vocab fits under autoBroadcastJoinThreshold — the safe,
+    * size-based version of the old hint. Only the 1-row totals frame
+    * is force-broadcast. Plan-guarded in CorpusSpec (no broadcast hint
+    * on the vocab join).
     */
   def lmScore(s: SparkSession, d: String): DataFrame = {
     val terms = Tables.documents(s, d)
@@ -93,7 +132,7 @@ object Corpus {
     val vocab = terms.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum("cnt").as("total"))
     terms
-      .join(broadcast(vocab), "tok")
+      .join(vocab, "tok")
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

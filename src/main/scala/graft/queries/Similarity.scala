@@ -121,13 +121,14 @@ object Similarity {
     */
   private val TrainCap = 2048
 
-  private def trainCentroids(all: DataFrame): Array[(Array[Double], Double)] = {
+  private def trainCentroids(all: DataFrame,
+      nCells: Int = NCells): Array[(Array[Double], Double)] = {
     val sample = all.filter(col("vec_id") < TrainCap)
       .select(col("vec_id"), col("v"), col("nrm"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
       .sortBy(_._1)
-    val seeds = sample.filter(_._1 < NCells)
+    val seeds = sample.filter(_._1 < nCells)
     def dotArr(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { s += a(i) * b(i); i += 1 }
@@ -307,23 +308,35 @@ object Similarity {
     * (literal centroids — no join, no corpus shuffle); within-cell
     * pairs expand via the two-stage posexplode (per-row memory O(k));
     * the verify joins hash-partition one subplan by vec_id (exchange
-    * reuse). Cluster count is the knob: NCells grows with the corpus
-    * (the paper uses ~10k-100k clusters) so cell population — and the
-    * Σk² pair cost — stays bounded. Centroids are plan-time trained
-    * (not SQL-expressible) → rows-only for the driver; semantics
-    * spec-checked on planted corpora in SimilaritySpec.
+    * reuse). Cluster count is the knob (the paper uses ~10k-100k
+    * clusters): `nCells` is a parameter of [[semDedupOn]], and the
+    * default derives from the corpus size (n / 64-vector target cells,
+    * clamped to [16, TrainCap/4]) so cell population — and the Σk²
+    * pair cost — stays bounded as the corpus grows. Zero-norm vectors
+    * (cosine undefined) are emitted with a NULL cell_id and kept=1.
+    * Centroids are plan-time trained (not SQL-expressible) → rows-only
+    * for the driver; semantics spec-checked on planted corpora in
+    * SimilaritySpec.
     */
   def semDedup(s: SparkSession, d: String): DataFrame =
     semDedupOn(Tables.embeddings(s, d), SemTau)
 
-  /** Core pipeline over any (vec_id, embedding) DataFrame. */
-  def semDedupOn(embeddings: DataFrame, tau: Double): DataFrame = {
+  /** Core pipeline over any (vec_id, embedding) DataFrame. One row per
+    * input vector: (vec_id, cell_id, kept) — zero-norm vectors get
+    * (vec_id, NULL, 1). `nCells` <= 0 derives the cell count from the
+    * corpus size (one cheap count job — at 100 TB pass it explicitly).
+    */
+  def semDedupOn(embeddings: DataFrame, tau: Double, nCells: Int = 0): DataFrame = {
     graft.functions.DotProduct.register(embeddings.sparkSession)
     val all = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
-    val cents = trainCentroids(all)
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(NCells, math.min(TrainCap / 4,
+        math.ceil(embeddings.count() / 64.0).toInt))
+    val cents = trainCentroids(all, cells)
     val assigned = all.withColumn("cell_id", bestCellCol(col("v"), col("nrm"), cents))
     // Each vector sits in exactly one cell, so in-cell pairs are unique
     // (no distinct needed, unlike multi-table LSH bucketing).
@@ -341,10 +354,19 @@ object Similarity {
       .filter(dot(col("va"), col("vb")) / (col("na") * col("nb")) >= tau)
       .select(col("vec_b").as("vec_id"))
       .distinct()
+    // Zero-norm vectors (cosine undefined — excluded from clustering)
+    // still get a verdict row: NULL cell, kept=1, preserving the
+    // one-row-per-input-vector contract.
+    val zeros = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .filter(not(coalesce(col("nrm") > 0, lit(false))))
+      .select(col("vec_id"), lit(null).cast("int").as("cell_id"), lit(1).as("kept"))
     assigned
       .join(dropped.withColumn("is_dup", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell_id"),
         col("is_dup").isNull.cast("int").as("kept"))
+      .unionByName(zeros)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

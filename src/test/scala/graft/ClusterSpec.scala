@@ -145,6 +145,31 @@ class ClusterSpec extends SparkSuite {
     }
   }
 
+  test("dedup_keep_minhash keep-set equals the ngram-edged dedup_keep on sf0.001") {
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ngram = asMap(Cluster.dedupKeep(spark, sfDir))
+    val minhash = asMap(Cluster.dedupKeepMinhash(spark, sfDir))
+    assert(ngram.nonEmpty)
+    assert(minhash === ngram)
+  }
+
+  test("dedupKeepFrom with minhash edges keeps min-id per planted group") {
+    val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
+      "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
+    val b = "one two three four five six seven eight nine ten eleven twelve thirteen " +
+      "fourteen fifteen sixteen seventeen eighteen nineteen twenty twentyone twentytwo twentythree"
+    val corpus = Seq(
+      (0L, a), (1L, a.replace("zulu", "zed")), (2L, a), // group -> keep 0
+      (10L, b), (11L, b.replace("twenty", "score")),    // group -> keep 10
+      (30L, "completely unrelated text about databases"), (31L, ""))
+      .toDF("doc_id", "text")
+    val kept = Cluster.dedupKeepFrom(corpus,
+      Dedup.minhashScored(corpus).filter(col("jac") >= 0.6).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Map(0L -> 3L, 10L -> 2L, 30L -> 1L, 31L -> 1L))
+  }
+
   test("dedup_cluster groups the sf0.001 corpus consistently with edges") {
     val out = Cluster.dedupCluster(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint}
+import graft.queries.Corpus
+
+/** Corpus-curation operators: the lm_score plan guard (no unbounded
+  * broadcast — the one scale-killer class this codebase avoids) and
+  * the linear/quadratic quality_repetition twin equality.
+  */
+class CorpusSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("lm_score: the vocab join carries no broadcast hint (unbounded aggregate)") {
+    val df = Corpus.lmScore(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    val tokJoins = joins.filter(_.condition.exists(_.references.exists(_.name == "tok")))
+    assert(tokJoins.nonEmpty, "expected the vocab equi-join on tok")
+    tokJoins.foreach { j =>
+      assert(j.hint === JoinHint.NONE,
+        s"vocab side is an unbounded aggregate — AQE must size-pick the strategy, got ${j.hint}")
+    }
+    // sanity: the query still runs and scores every doc
+    assert(df.count() === 500)
+  }
+
+  test("qualityRepetition linear twin equals the per-row form, incl. a 100k-token doc") {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango")
+    val r = new scala.util.Random(7) // seeded — deterministic corpus
+    val mega = Seq.fill(100000)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    val docs = Seq(
+      (1L, "a a a a a b"),                       // top-token-heavy → gated
+      (2L, ""),                                  // token-less: null metrics
+      (3L, "one two three four five six seven eight nine ten"), // clean: top frac 0.1 ≤ gate
+      (4L, "x y x y x y x y"),                   // duplicate-2-gram-heavy
+      (5L, mega))                                // the per-row-scan stress doc
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Any])] =
+      df.collect().map(r => r.getLong(0) -> r.toSeq.tail).toSeq.sortBy(_._1)
+    val quadratic = rows(Corpus.qualityRepetitionOn(docs))
+    val linear = rows(Corpus.qualityRepetitionLinearOn(docs))
+    assert(linear === quadratic)
+    // the planted repetition patterns actually fire the gates
+    val byId = quadratic.toMap
+    assert(byId(1L).last === 0 && byId(4L).last === 0 && byId(3L).last === 1)
+  }
+
+  test("registered quality_repetition matches the On-form (refactor guard)") {
+    val viaRegistry = Corpus.qualityRepetition(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val viaOn = Corpus.qualityRepetitionOn(graft.core.Tables.documents(spark, sfDir))
+      .collect().map(_.toSeq).toSet
+    assert(viaRegistry === viaOn)
+  }
+}

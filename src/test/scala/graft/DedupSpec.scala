@@ -73,6 +73,63 @@ class DedupSpec extends SparkSuite {
     assert(hamming(sims(0L), sims(1L)) < hamming(sims(0L), sims(2L)))
   }
 
+  test("dedupSimhash: group+expand candidate gen — no join anywhere in the plan") {
+    val q = Dedup.dedupSimhash(spark, sfDir)
+    val joins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty,
+      "simhash candidates must come from one group-by-(chunk,ckey) expansion; " +
+        "the simhash rides in the bucket structs so no verify join is needed")
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getInt(2) <= 12))
+  }
+
+  test("dedupSimhash equals the self-join formulation it replaced") {
+    // reference: the old chunk self-join, same threshold/order/limit
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(Dedup.simhashSql("text")).as("simhash"))
+    val chunks = docs.select(col("doc_id"), col("simhash"),
+      posexplode_outer(array((0 until 4).map(c =>
+        shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("doc_id", "simhash", "chunk", "ckey")
+    val ref = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ckey") === col("y.ckey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.simhash").as("ha"), col("y.simhash").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .filter(col("hamming") <= 12)
+      .orderBy(col("hamming").asc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val got = Dedup.dedupSimhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got === ref)
+  }
+
+  test("hot-shingle cap: a planted 1000-copy doc cannot flood one task with k²/2 pairs") {
+    // 1000 identical docs share every shingle → df 1000 > HotShingleCap
+    // → the capped baseline emits NO pairs for them (identical docs are
+    // dedup_exact's job); a genuine near-dup pair below the cap keeps
+    // its edge with its Jaccard intact.
+    val flood = (0 until 1000).map(i => (1000L + i,
+      "mass duplicated boilerplate text repeated verbatim across the corpus many many times over"))
+    val planted = Seq((1L, base), (2L, nearDup))
+    val df = (planted ++ flood).toDF("doc_id", "text")
+    val scored = Dedup.ngramScored(df)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(scored.forall(p => p._1 < 1000L && p._2 < 1000L),
+      s"flooded docs must produce no pairs, got ${scored.length} rows")
+    assert(scored.exists(p => p._1 == 1L && p._2 == 2L && p._3 > 0.5),
+      "the sub-cap near-dup pair survives")
+  }
+
   test("dedupExact groups by content hash (registered query, sf0.001)") {
     val df = Dedup.dedupExact(spark, sfDir)
     val n = df.count()

@@ -83,6 +83,34 @@ class MultimodalSpec extends SparkSuite {
       "undecodable image bytes pass through untouched")
   }
 
+  test("real WAV payloads decode to sample-rate/duration/channels via javax.sound.sampled") {
+    import spark.implicits._
+    def wav(rate: Float, channels: Int, seconds: Double): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val nFrames = (rate * seconds).toInt
+      val data = Array.tabulate[Byte](nFrames * 2 * channels)(i => ((i * 7) & 0x7F).toByte)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // (sample_rate_hz, duration_ms, channels) onto the feature slots
+    assert(Multimodal.decodeAudio(wav(8000f, 1, 1.0)) === Some((8000, 1000, 1)))
+    assert(Multimodal.decodeAudio(wav(44100f, 2, 0.5)) === Some((44100, 500, 2)))
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")) === None)
+    // end-to-end through the batched feature pipeline, stub fallback intact
+    val recs = Seq(
+      graft.multimodal.MediaRecord(1L, "audio", wav(16000f, 2, 0.25)),
+      graft.multimodal.MediaRecord(2L, "audio", "stub fallback bytes".getBytes("UTF-8")))
+    val feats = Multimodal.extractFeatures(spark.createDataset(recs))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert((feats(1L).width, feats(1L).height, feats(1L).channels) === ((16000, 250, 2)))
+    assert((feats(2L).width, feats(2L).height, feats(2L).channels) ===
+      Multimodal.decodeStub(recs(1).payload))
+  }
+
   test("decode stub is deterministic (same bytes → same dims)") {
     val b = "hello world".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b) === Multimodal.decodeStub(b.clone()))

@@ -92,6 +92,42 @@ class SimilaritySpec extends SparkSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("semDedup: planted dup groups keep the min vec_id; zero-norm rows kept with null cell") {
+    import spark.implicits._
+    val dim = 8
+    def unit(i: Int): Seq[Double] = Seq.tabulate(dim)(j => if (j == i) 1.0 else 0.0)
+    // e_i + 0.5·e_j: cos with seed e_i is 0.894 < τ, within-group cos is 1.0
+    def mix(i: Int, j: Int): Seq[Double] =
+      Seq.tabulate(dim)(k => (if (k == i) 1.0 else 0.0) + (if (k == j) 0.5 else 0.0))
+    val rows: Seq[(Long, Seq[Double])] = Seq(
+      0L -> unit(0), 1L -> unit(1), 2L -> unit(2), 3L -> unit(3), // distinct seed vectors
+      10L -> mix(0, 4), 11L -> mix(0, 4), 12L -> mix(0, 4),       // dup group -> keep 10
+      20L -> mix(1, 5), 21L -> mix(1, 5),                         // dup group -> keep 20
+      30L -> mix(2, 6), 31L -> mix(3, 7),                         // isolated
+      40L -> Seq.fill(dim)(0.0))                                  // zero-norm
+    val out = Similarity.semDedupOn(rows.toDF("vec_id", "embedding"), tau = 0.95, nCells = 4)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getInt(1))), r.getInt(2))).toMap
+    assert(out.keySet === rows.map(_._1).toSet, "one verdict row per input vector")
+    assert(out(40L) === ((None, 1)), "zero-norm: null cell, kept")
+    assert(out.filter(_._2._2 == 0).keySet === Set(11L, 12L, 21L),
+      "exactly the non-min members of ≥τ groups are dropped")
+    // identical vectors must land in the same cell
+    assert(out(10L)._1 === out(11L)._1 && out(11L)._1 === out(12L)._1)
+    assert(out(20L)._1 === out(21L)._1)
+  }
+
+  test("semdedup registered query: one row per vector, kept majority, derived cells") {
+    val df = Similarity.semDedup(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length === 500)
+    val kept = rows.count(_.getInt(2) == 1)
+    assert(kept >= 1 && kept <= 500)
+    // max pairwise cos in this corpus ≈ 0.51 > τ=0.4 ⇒ some drops expected
+    assert(rows.exists(_.getInt(2) == 0), "the diversity-pruning regime drops something")
+  }
+
   test("dedupEmbedding: top-50 pairs, ordered by cosine desc, no self-pairs") {
     val rows = Similarity.dedupEmbedding(spark, sfDir).collect()
     assert(rows.length === 50)
