@@ -269,6 +269,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** INCREMENTAL ingest dedup: a new crawl batch (here the doc_id % 5
+    * == 0 slice) arrives against an existing corpus (the rest); emit
+    * only the batch docs whose exact text is NOT already in the corpus.
+    * The standing operator of a continuously-fed pipeline — every
+    * ingest round runs this before any near-dup pass.
+    *
+    * Scale design: both sides reduce to 32-byte sha256 digests before
+    * any join (the text never shuffles). The corpus side additionally
+    * collapses to DISTINCT digests — the anti-join's build input is
+    * |unique corpus docs| hashes, not raw rows. At 100 TB the corpus
+    * hash set is still far too big to broadcast, so this is a shuffle
+    * anti-join on the digest — ~32 B/row network, the same cost class
+    * as [[dedupExact]]'s one shuffle. The standard production upgrade
+    * (a persisted bloom filter over corpus digests that prefilters the
+    * batch map-side, so only bloom-positive rows reach the anti-join)
+    * is exactly what [[graft.plans.InjectRuntimeFilter]] injects at
+    * plan time for shuffle joins — asserted in RuntimeFilterSpec; the
+    * semantics here stay the exact anti-join either way.
+    */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalNew(batch = docs.filter(col("doc_id") % 5 === 0),
+      corpus = docs.filter(col("doc_id") % 5 =!= 0))
+  }
+
+  /** Core of [[dedupIncremental]] over any (doc_id, text) sides: batch
+    * docs whose exact text is not in `corpus`, as (doc_id, text_hash).
+    */
+  def incrementalNew(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(sha2(col("text"), 256).as("text_hash")).distinct()
+    batch.select(col("doc_id"), sha2(col("text"), 256).as("text_hash"))
+      .join(corpusHashes, Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"))
+  }
+
   /** 64-bit SimHash per document: per word, xxhash64; per bit, sum ±1
     * weighted by occurrences; simhash bit i = sign of sum. Emitted as
     * the signed long plus candidate pairs within Hamming ≤ 12, found by
@@ -330,6 +365,7 @@ object Dedup {
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_incremental" -> dedupIncremental,
     "decontaminate" -> decontaminate)
 
   def oracleSql: Map[String, String] = Map(
@@ -361,6 +397,13 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |ORDER BY jac DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "dedup_incremental" ->
+      """SELECT b.doc_id, sha256(b.text) AS text_hash
+        |FROM documents b
+        |WHERE b.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 5 <> 0
+        |                    AND sha256(c.text) = sha256(b.text))""".stripMargin,
     "decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

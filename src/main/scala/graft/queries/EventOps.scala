@@ -37,6 +37,18 @@ object EventOps {
   def eventsTumblingStream(s: SparkSession, d: String): DataFrame =
     graft.streaming.StreamingOps.tumblingCounts(withTsm(Tables.events(s, d)))
 
+  /** StreamingOps.slidingCounts on batch rows — same oracle contract
+    * as [[eventsTumblingStream]], for the sliding-window operator.
+    */
+  def eventsSlidingStream(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.slidingCounts(withTsm(Tables.events(s, d)))
+
+  /** StreamingOps.sessionCounts on batch rows — the session_window
+    * merge logic under the DuckDB gaps-and-islands oracle.
+    */
+  def eventsSessionStream(s: SparkSession, d: String): DataFrame =
+    graft.streaming.StreamingOps.sessionCounts(withTsm(Tables.events(s, d)))
+
   /** Sliding 1-hour windows every 15 minutes (each event in 4 windows). */
   def eventsSliding(s: SparkSession, d: String): DataFrame =
     withTsm(Tables.events(s, d))
@@ -105,6 +117,8 @@ object EventOps {
     "events_retention" -> eventsRetention,
     "events_tumbling" -> eventsTumbling,
     "events_tumbling_stream" -> eventsTumblingStream,
+    "events_sliding_stream" -> eventsSlidingStream,
+    "events_session_stream" -> eventsSessionStream,
     "events_sliding" -> eventsSliding,
     "events_session" -> eventsSession,
     "events_funnel" -> eventsFunnel)
@@ -129,6 +143,24 @@ object EventOps {
       """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) AS wstart,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_val
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sliding_stream" ->
+      """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - k * 900 AS BIGINT) AS wstart,
+        |  count(*) AS n
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) offs
+        |GROUP BY 1""".stripMargin,
+    "events_session_stream" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id,
+        |  CAST(floor(epoch(CAST(min(ts) AS TIMESTAMP))) AS BIGINT) AS sstart,
+        |  count(*) AS n
+        |FROM y GROUP BY user_id, sid""".stripMargin,
     "events_sliding" ->
       """SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) * 900 - k * 900 AS BIGINT) AS wstart,
         |  count(*) AS n, round(sum(value), 2) AS sum_val

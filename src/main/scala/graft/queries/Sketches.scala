@@ -51,12 +51,77 @@ object Sketches {
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
   }
 
+  /** Global-count threshold for [[heavyHitters]]; mirrored in the
+    * oracle's HAVING clause.
+    */
+  val HeavyHitterThreshold = 500L
+
+  /** EXACT heavy hitters (tokens with global count >= T) via the
+    * classic two-pass candidate/verify plan — the shape that survives
+    * a vocabulary too large to shuffle:
+    *
+    * Pass 1 candidates: each input partition counts its own tokens
+    * and emits only those with local count >= floor(T/P) (P = input
+    * partition count). Pigeonhole: a token with global count >= T
+    * must reach that local count in at least one of P partitions, so
+    * the filter cannot lose a true heavy hitter — the candidate set
+    * is a guaranteed superset. This stage runs INSIDE mapPartitions
+    * because it is the one plan shape Catalyst cannot express: a
+    * count-based filter applied BEFORE any shuffle (a groupBy's
+    * map-side partial agg still ships every distinct key). Candidate
+    * volume is bounded by n·P/T rows total (each partition emits at
+    * most n_p/(T/P) tokens) — with a production-scale T this is tiny
+    * and broadcastable even when the full vocabulary (10⁸–10⁹ tokens
+    * of web-scale typo/URL noise) is not. Per-partition memory is the
+    * local distinct-token map — the same class as Spark's own hash-agg
+    * partial map, sized by `files.maxPartitionBytes`; a Misra-Gries
+    * summary (k counters, guarantees survivors above n_p/k) is the
+    * bounded-memory refinement when even that map is too big.
+    *
+    * Pass 2 verify: re-scan, semi-join tokens against the broadcast
+    * candidate set (map-side, no shuffle of the token stream beyond
+    * the surviving candidates), exact groupBy count, HAVING >= T.
+    * Result is EXACTLY `GROUP BY tok HAVING count(*) >= T` — DuckDB
+    * hash-gate applies despite the sketch-flavored plan.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    heavyHittersOn(Tables.documents(s, d))
+
+  /** Core of [[heavyHitters]] over any (doc_id, text) DataFrame. */
+  def heavyHittersOn(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val toks = documents
+      .select(explode(Dedup.tokensCol(col("text"))).as("tok"))
+    val p = math.max(1, toks.rdd.getNumPartitions)
+    val minLocal = math.max(1L, HeavyHitterThreshold / p)
+    val candidates = toks.as[String].mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+      m.iterator.collect { case (t, n) if n >= minLocal => t }
+    }.toDF("tok").distinct()
+    toks.join(broadcast(candidates), "tok")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= HeavyHitterThreshold)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct" -> approxDistinct,
+    "heavy_hitters" -> heavyHitters,
     "hll_merge" -> hllMerge)
 
-  /** Approximate results — no SQL oracle by design (rows-only check);
-    * accuracy is spec-asserted in SketchesSpec.
+  /** approx_distinct / hll_merge are approximate — no SQL oracle by
+    * design (rows-only check); accuracy is spec-asserted in
+    * SketchesSpec. heavy_hitters is exact despite its sketch-shaped
+    * plan, so it takes the full hash gate.
     */
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    "heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+        |                            x -> len(x) > 0)) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS n FROM toks
+        |GROUP BY tok HAVING count(*) >= 500""".stripMargin)
 }

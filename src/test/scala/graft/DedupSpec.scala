@@ -130,6 +130,30 @@ class DedupSpec extends SparkSuite {
       "the sub-cap near-dup pair survives")
   }
 
+  test("incrementalNew keeps exactly the batch docs absent from the corpus") {
+    val batch = Seq((0L, "alpha doc text"), (5L, "beta doc text"), (10L, "gamma doc text"))
+      .toDF("doc_id", "text")
+    val corp = Seq((1L, "alpha doc text"), (2L, "zeta doc text"), (3L, "alpha doc text"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalNew(batch, corp)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(5L, 10L)) // "alpha doc text" already in corpus
+  }
+
+  test("dedup_incremental ≡ naive NOT-IN on sf0.001") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val corpusTexts = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("text")).distinct()
+    val naive = docs.filter(col("doc_id") % 5 === 0)
+      .join(corpusTexts, Seq("text"), "left_anti")
+      .select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Dedup.dedupIncremental(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === naive && got.nonEmpty)
+  }
+
   test("dedupExact groups by content hash (registered query, sf0.001)") {
     val df = Dedup.dedupExact(spark, sfDir)
     val n = df.count()

@@ -59,4 +59,29 @@ class SketchesSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(merged === single)
   }
+
+  test("heavy_hitters two-pass ≡ naive groupBy-HAVING (exactness despite local prefilter)") {
+    val naive = Tables.documents(spark, sfDir)
+      .select(explode(graft.queries.Dedup.tokensCol(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= Sketches.HeavyHitterThreshold)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = Sketches.heavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === naive && got.nonEmpty)
+  }
+
+  test("heavy_hitters pigeonhole prefilter is superset-safe on a skewed planted corpus") {
+    import spark.implicits._
+    // one token exactly at the threshold, spread across many partitions
+    // so every local count is far below T — the prefilter must still
+    // keep it (local bound is T/P, not T)
+    val t = Sketches.HeavyHitterThreshold.toInt
+    val rows = (0 until t).map(i => (i.toLong, "needle")) ++
+      (0 until 100).map(i => ((t + i).toLong, "hay unique" + i))
+    val df = rows.toDF("doc_id", "text").repartition(16)
+    val out = Sketches.heavyHittersOn(df).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out === Map("needle" -> t.toLong))
+  }
 }
