@@ -304,6 +304,77 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"))
   }
 
+  /** NEAR-DUP incremental ingest: the MinHash+LSH face of
+    * [[dedupIncremental]] — batch docs that are near-duplicates
+    * (verified Jaccard >= tau) of any corpus doc are dropped too, not
+    * just byte-identical ones. Pipeline order mirrors production:
+    * exact digest anti-join first (also catches <3-word docs that have
+    * no shingles), then the MinHash candidate pass over the exact
+    * survivors only. Emits the surviving genuinely-new batch docs as
+    * (doc_id, text_hash) — the same contract as dedup_incremental.
+    *
+    * Scale design: candidates come from an equi-join of the two sides'
+    * (band, bucket) tables — co-partitioned shuffle, linear in rows.
+    * Unlike the intra-corpus case (where a hot bucket explodes k²/2
+    * pairs and forced the group+expand rewrite), cross-side bucket
+    * fan-out is |batch∩bucket| × |corpus∩bucket| and the batch factor
+    * is tiny by construction in incremental ingest; a deduped corpus
+    * (dedup_keep output) keeps the corpus factor near 1. Verification
+    * joins fetch shingle sets by doc id — both sides hash-partition
+    * the same prepared subplan, so each side is shingled once.
+    * Intra-batch duplicates are deliberately NOT collapsed here — that
+    * is [[dedupMinhash]]/[[Cluster.dedupKeepMinhash]]'s job on the
+    * batch itself; this operator answers only "new vs corpus".
+    */
+  def dedupIncrementalMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    incrementalNearNew(batch = docs.filter(col("doc_id") % 5 === 0),
+      corpus = docs.filter(col("doc_id") % 5 =!= 0), tau = 0.6)
+  }
+
+  /** Core of [[dedupIncrementalMinhash]]: batch docs that are neither
+    * exact nor near (verified Jaccard >= tau) duplicates of any corpus
+    * doc.
+    */
+  def incrementalNearNew(batch: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
+    val exactNew = incrementalNew(batch, corpus) // (doc_id, text_hash)
+    val survivors = batch.join(exactNew.select("doc_id"), Seq("doc_id"), "left_semi")
+    val nearDupIds = minhashCrossScored(survivors, corpus)
+      .filter(col("jac") >= tau)
+      .select("doc_id").distinct()
+    exactNew.join(nearDupIds, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text_hash"))
+  }
+
+  /** Cross-side MinHash candidates with exact-verified Jaccard: for
+    * each batch doc, the corpus docs sharing at least one LSH band
+    * bucket, scored. (doc_id = batch side, dup_of = corpus side.)
+    */
+  def minhashCrossScored(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val s = batch.sparkSession
+    graft.functions.WordShingles.register(s)
+    graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
+    def prep(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("doc_id").as(idAs), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
+    def bandsOf(df: DataFrame, idc: String): DataFrame = df
+      .select(col(idc), expr("minhash_buckets(sh)").as("bks"))
+      .select(col(idc), posexplode_outer(col("bks")))
+      .toDF(idc, "band", "bucket")
+    val b = prep(batch, "doc_id")
+    val c = prep(corpus, "dup_of")
+    val cand = bandsOf(b, "doc_id").join(bandsOf(c, "dup_of"), Seq("band", "bucket"))
+      .select("doc_id", "dup_of").distinct()
+    cand
+      .join(b.select(col("doc_id"), col("sh").as("sa")), "doc_id")
+      .join(c.select(col("dup_of"), col("sh").as("sb")), "dup_of")
+      .select(col("doc_id"), col("dup_of"),
+        size(array_intersect(col("sa"), col("sb"))).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_id"), col("dup_of"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+  }
+
   /** 64-bit SimHash per document: per word, xxhash64; per bit, sum ±1
     * weighted by occurrences; simhash bit i = sign of sum. Emitted as
     * the signed long plus candidate pairs within Hamming ≤ 12, found by
@@ -366,6 +437,7 @@ object Dedup {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_minhash" -> dedupIncrementalMinhash,
     "decontaminate" -> decontaminate)
 
   def oracleSql: Map[String, String] = Map(

@@ -154,6 +154,48 @@ class DedupSpec extends SparkSuite {
     assert(got === naive && got.nonEmpty)
   }
 
+  test("incrementalNearNew drops exact AND near corpus dups, keeps intra-batch dups") {
+    // batch: 0 = exact dup of corpus, 5 = near-dup of corpus, 10 = fresh,
+    // 15/20 = near-dups of EACH OTHER but not of any corpus doc (must
+    // both survive — this operator only answers "new vs corpus")
+    val freshA = "completely novel content about adaptive query execution and shuffle partition coalescing strategies"
+    val freshB = "another unrelated passage on columnar encodings dictionary compression and run length schemes here"
+    val batch = Seq(
+      (0L, base), (5L, base.replace("today", "tomorrow")), (10L, freshA),
+      (15L, freshB), (20L, freshB.replace("here", "now"))
+    ).toDF("doc_id", "text")
+    val corp = Seq((1L, base), (2L, distinct1)).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearNew(batch, corp, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L, 15L, 20L))
+  }
+
+  test("dedup_incremental_minhash ⊆ dedup_incremental and agrees with exact cross-Jaccard on sf0.001") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corp = docs.filter(col("doc_id") % 5 =!= 0)
+    val exactNew = Dedup.incrementalNew(batch, corp)
+      .collect().map(_.getLong(0)).toSet
+    // ground truth: exact Jaccard over ALL cross pairs (cross join is
+    // fine at sf0.001), near-dup iff jac >= 0.6
+    graft.functions.WordShingles.register(spark)
+    val bs = batch.select(col("doc_id"), expr("word_shingles(text)").as("sa"))
+      .filter(size(col("sa")) > 0)
+    val cs = corp.select(col("doc_id").as("cid"), expr("word_shingles(text)").as("sb"))
+      .filter(size(col("sb")) > 0)
+    val nearIds = bs.crossJoin(cs)
+      .select(col("doc_id"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb"))))).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = exactNew -- nearIds
+    val got = Dedup.dedupIncrementalMinhash(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("dedupExact groups by content hash (registered query, sf0.001)") {
     val df = Dedup.dedupExact(spark, sfDir)
     val n = df.count()
