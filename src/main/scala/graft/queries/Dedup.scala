@@ -304,6 +304,87 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"))
   }
 
+  /** Jaccard threshold for [[similarityJoin]] (mirrored in the oracle
+    * SQL's HAVING).
+    */
+  val SimJoinTau = 0.5
+
+  /** EXACT set-similarity self-join (AllPairs/PPJoin-family prefix
+    * filtering, Bayardo et al. WWW'07): ALL document pairs with shingle
+    * Jaccard >= tau — no sampling, no hashing approximation, no df cap.
+    * This is the exact scale path between the two existing extremes:
+    * [[ngramPairs]] (quadratic baseline, df-capped) and
+    * [[minhashPairs]] (linear but probabilistic).
+    *
+    * Prefix filter: order every doc's shingles by a GLOBAL rarity order
+    * (document frequency asc, shingle asc) and keep only the first
+    * n - ceil(tau·n) + 1 as its "prefix". Lemma: J(A,B) >= tau implies
+    * |A∩B| >= ceil(tau·|A|) (from J >= tau and |B| >= |A∩B|), and two
+    * sets whose sorted prefixes are disjoint can share at most
+    * (|A| - prefix_A) < ceil(tau·|A|) elements — so every qualifying
+    * pair shares at least one PREFIX shingle, and joining on prefix
+    * shingles alone loses nothing. Exactness is why no HotShingleCap
+    * applies here; the rarity-first order is the load-bounding lever
+    * instead — candidate buckets group by the RAREST shingles, so hot
+    * boilerplate n-grams (the k²/2 hazard) never become join keys
+    * unless they sit inside some doc's prefix, which rarity ordering
+    * makes vanishingly unlikely. The in-bucket size-ratio filter
+    * (nb >= ceil(tau·na) — necessary for J >= tau) prunes hopeless
+    * pairs before they are ever materialized.
+    *
+    * Plan: explode once; df via one shingle-keyed agg; per-doc rank via
+    * a doc_id-partitioned window; candidates via the group-per-shingle
+    * two-stage O(k) expansion (ngramScored's shape); verify via two
+    * doc_id joins against the same shingled subplan (exchange-reused).
+    * Every stage is linear in corpus + candidate volume.
+    */
+  def dedupSimilarityJoin(s: SparkSession, d: String): DataFrame =
+    similarityJoin(Tables.documents(s, d), SimJoinTau)
+
+  /** Core of [[dedupSimilarityJoin]] over any (doc_id, text) DataFrame:
+    * (doc_a, doc_b, jac rounded to 4) for every pair with exact
+    * Jaccard >= tau.
+    */
+  def similarityJoin(documents: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = documents.sparkSession
+    graft.functions.WordShingles.register(s)
+    val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val ex = docs.select(col("doc_id"), size(col("sh")).as("nsh"),
+      explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
+    val prefix = ex.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(byRarity))
+      .filter(col("rk") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
+    val cand = prefix.groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(explode(filter(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+        b => when(col("a")("doc_id") < b("doc_id"),
+          struct(col("a")("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            col("a")("nsh").as("na"), b("nsh").as("nb")))
+          .otherwise(
+            struct(b("doc_id").as("doc_a"), col("a")("doc_id").as("doc_b"),
+              b("nsh").as("na"), col("a")("nsh").as("nb")))),
+        // size-ratio filter: J >= tau forces min(na,nb) >= ceil(tau*max)
+        p => least(p("na"), p("nb")) >= ceil(lit(tau) * greatest(p("na"), p("nb"))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
   /** NEAR-DUP incremental ingest: the MinHash+LSH face of
     * [[dedupIncremental]] — batch docs that are near-duplicates
     * (verified Jaccard >= tau) of any corpus doc are dropped too, not
@@ -438,6 +519,7 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_incremental" -> dedupIncremental,
     "dedup_incremental_minhash" -> dedupIncrementalMinhash,
+    "join_similarity" -> dedupSimilarityJoin,
     "decontaminate" -> decontaminate)
 
   def oracleSql: Map[String, String] = Map(
@@ -469,6 +551,28 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |ORDER BY jac DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "join_similarity" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM ex x JOIN ex y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common), 4) AS jac
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5""".stripMargin,
     "dedup_incremental" ->
       """SELECT b.doc_id, sha256(b.text) AS text_hash
         |FROM documents b

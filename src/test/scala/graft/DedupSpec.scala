@@ -196,6 +196,39 @@ class DedupSpec extends SparkSuite {
     assert(got === expected && got.nonEmpty)
   }
 
+  test("similarityJoin = exhaustive cross-Jaccard at tau (exact, planted + sf0.001)") {
+    graft.functions.WordShingles.register(spark)
+    def groundTruth(docs: org.apache.spark.sql.DataFrame, tau: Double): Set[(Long, Long)] = {
+      val sh = docs.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+        .filter(size(col("sh")) > 0)
+      sh.as("x").crossJoin(sh.as("y"))
+        .filter(col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          (size(array_intersect(col("x.sh"), col("y.sh"))).cast("double") /
+            (size(col("x.sh")) + size(col("y.sh")) -
+              size(array_intersect(col("x.sh"), col("y.sh"))))).as("jac"))
+        .filter(col("jac") >= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // planted: exact dup, near dup straddling the threshold, shared
+    // boilerplate shingle across unrelated docs (hot-token stress)
+    val boiler = "all rights reserved copyright notice applies"
+    val planted = Seq(
+      (1L, base), (2L, base), (3L, nearDup), (4L, distinct1),
+      (5L, s"$base $boiler"), (6L, s"$distinct1 $boiler"),
+      (7L, "one two three four five six seven eight nine ten"),
+      (8L, "one two three four five six seven eight nine eleven"))
+      .toDF("doc_id", "text")
+    val gotPlanted = Dedup.similarityJoin(planted, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotPlanted === groundTruth(planted, 0.5))
+    val sf = graft.core.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val gotSf = Dedup.dedupSimilarityJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = groundTruth(sf, Dedup.SimJoinTau)
+    assert(gotSf === truth && gotSf.nonEmpty)
+  }
+
   test("dedupExact groups by content hash (registered query, sf0.001)") {
     val df = Dedup.dedupExact(spark, sfDir)
     val n = df.count()
