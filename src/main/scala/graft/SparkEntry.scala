@@ -47,5 +47,6 @@ object SparkEntry {
     "tfidf_terms", "events_funnel", "shard_pack",
     "dedup_cluster", "dedup_cluster_minhash", "recursive_cte", "pack_sequences",
     "lm_score", "dedup_spans", "semdedup", "quality_repetition",
-    "dedup_keep_minhash")
+    "dedup_keep_minhash", "heavy_hitters", "dedup_incremental",
+    "dedup_incremental_minhash", "join_similarity")
 }

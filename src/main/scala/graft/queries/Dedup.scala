@@ -353,24 +353,41 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val ex = docs.select(col("doc_id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("shingle"))
+    // df via agg + join-back, NOT a shingle-partitioned window count:
+    // the agg partial-aggregates map-side so only |distinct shingles|
+    // rows shuffle, and AQE size-picks the join-back (broadcast while
+    // the df table fits, shuffle join at web scale) — a window count
+    // would force the full exploded stream through a by-shingle
+    // exchange unconditionally.
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
     val prefix = ex.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
+    // Two in-bucket prunes (both necessary conditions for J >= tau, so
+    // exactness holds): the size-ratio filter min >= ceil(tau*max), and
+    // PPJoin's positional filter — a match via the token at rarity
+    // position ra in A and rb in B caps the total overlap at
+    // 1 + min(na-ra, nb-rb), which must reach the overlap lower bound
+    // alpha = ceil(tau/(1+tau)*(na+nb)). For a qualifying pair the
+    // FIRST common prefix token's occurrence always passes, so keeping
+    // pairs where ANY occurrence passes loses nothing.
     val cand = prefix.groupBy("shingle")
-      .agg(collect_list(struct(col("doc_id"), col("nsh"))).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("nsh"), col("rk"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(explode(filter(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
         b => when(col("a")("doc_id") < b("doc_id"),
           struct(col("a")("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
-            col("a")("nsh").as("na"), b("nsh").as("nb")))
+            col("a")("nsh").as("na"), b("nsh").as("nb"),
+            col("a")("rk").as("ra"), b("rk").as("rb")))
           .otherwise(
             struct(b("doc_id").as("doc_a"), col("a")("doc_id").as("doc_b"),
-              b("nsh").as("na"), col("a")("nsh").as("nb")))),
-        // size-ratio filter: J >= tau forces min(na,nb) >= ceil(tau*max)
-        p => least(p("na"), p("nb")) >= ceil(lit(tau) * greatest(p("na"), p("nb"))))).as("p"))
+              b("nsh").as("na"), col("a")("nsh").as("nb"),
+              b("rk").as("ra"), col("a")("rk").as("rb")))),
+        p => least(p("na"), p("nb")) >= ceil(lit(tau) * greatest(p("na"), p("nb"))) &&
+          lit(1) + least(p("na") - p("ra"), p("nb") - p("rb")) >=
+            ceil(lit(tau / (1 + tau)) * (p("na") + p("nb"))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
     cand
