@@ -238,11 +238,58 @@ object Cluster {
       .select(col("doc_a"), col("doc_b")))
   }
 
+  /** Quality-aware survivor selection: keep each cluster's MEDOID —
+    * the doc with the highest summed similarity (Jaccard) to its
+    * cluster peers — instead of the arbitrary min doc_id. In a real
+    * pipeline the min-id survivor can be the one truncated or
+    * boilerplate-padded variant; the medoid is the most representative
+    * copy by construction. Ties (and exact-duplicate clusters, where
+    * all strengths are equal) break to min doc_id. Strength ranks on
+    * round(strength, 6): the per-doc edge multiset is deterministic,
+    * but float addition order is not associative, so ranking on the
+    * raw double would let a 1-ulp reassociation flip survivors
+    * between runs (and vs the SQL oracle).
+    *
+    * Scale design: strength is one groupBy over the thresholded edge
+    * list (|E| rows, partial-agg'd); the per-cluster argmax is a
+    * window over one row per CLUSTERED doc — both ∝ true near-dup
+    * volume, never corpus². Edge producer is the caller's choice,
+    * same contract as [[dedupKeepFrom]].
+    */
+  def dedupKeepCentralFrom(documents: DataFrame, scoredEdges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = clustersOf(scoredEdges.select("doc_a", "doc_b"))
+    val strength = scoredEdges.select(col("doc_a").as("doc_id"), col("jac"))
+      .unionAll(scoredEdges.select(col("doc_b").as("doc_id"), col("jac")))
+      .groupBy("doc_id").agg(sum("jac").as("strength"))
+    val surv = clusters.join(strength, "doc_id")
+      .withColumn("rk", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(round(col("strength"), 6).desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor"))
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(surv, Seq("cluster_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("survivor"))
+      .select(col("doc_id"), coalesce(col("n_docs"), lit(1L)).as("cluster_size"))
+  }
+
+  /** Oracle-able registration of [[dedupKeepCentralFrom]] over the
+    * ngram edge producer (thresholded scored pairs); swap in
+    * Dedup.minhashScored for the linear scale form exactly as
+    * [[dedupKeepMinhash]] does for [[dedupKeep]].
+    */
+  def dedupKeepCentral(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupKeepCentralFrom(docs, Dedup.ngramScored(docs).filter(col("jac") >= 0.6))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_minhash" -> dedupClusterMinhash,
     "dedup_keep" -> dedupKeep,
-    "dedup_keep_minhash" -> dedupKeepMinhash)
+    "dedup_keep_minhash" -> dedupKeepMinhash,
+    "dedup_keep_central" -> dedupKeepCentral)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_cluster" ->
@@ -317,5 +364,57 @@ object Cluster {
         |FROM documents d
         |LEFT JOIN lab ON lab.node = d.doc_id
         |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
-        |WHERE lab.node IS NULL OR lab.node = lab.cluster_id""".stripMargin)
+        |WHERE lab.node IS NULL OR lab.node = lab.cluster_id""".stripMargin,
+    "dedup_keep_central" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+        |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) AS jac
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+        |      UNION ALL
+        |      SELECT doc_b AS src, doc_a AS dst FROM scored),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM e
+        |  UNION
+        |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
+        |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+        |sz AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1),
+        |str AS (
+        |  SELECT node, sum(jac) AS strength FROM (
+        |    SELECT doc_a AS node, jac FROM scored
+        |    UNION ALL
+        |    SELECT doc_b AS node, jac FROM scored)
+        |  GROUP BY node),
+        |rk AS (
+        |  SELECT lab.node, lab.cluster_id,
+        |    row_number() OVER (PARTITION BY lab.cluster_id
+        |      ORDER BY round(str.strength, 6) DESC, lab.node ASC) AS r
+        |  FROM lab JOIN str ON str.node = lab.node),
+        |surv AS (SELECT cluster_id, node AS survivor FROM rk WHERE r = 1)
+        |SELECT d.doc_id, coalesce(sz.n_docs, 1) AS cluster_size
+        |FROM documents d
+        |LEFT JOIN lab ON lab.node = d.doc_id
+        |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+        |LEFT JOIN surv ON surv.cluster_id = lab.cluster_id
+        |WHERE lab.node IS NULL OR d.doc_id = surv.survivor""".stripMargin)
 }

@@ -170,6 +170,49 @@ class ClusterSpec extends SparkSuite {
     assert(kept === Map(0L -> 3L, 10L -> 2L, 30L -> 1L, 31L -> 1L))
   }
 
+  test("dedupKeepCentralFrom keeps the medoid, not the min id") {
+    // star: hub 5 is a near-dup of 1, 2, 3 (high jac each); the spokes
+    // are only weakly similar to each other, so the hub's summed
+    // strength dominates — the medoid rule must keep 5 even though the
+    // min-id rule would keep 1. Planted as explicit scored edges so the
+    // geometry is exact.
+    val docs = Seq(1L, 2L, 3L, 5L, 9L).toDF("doc_id")
+    val edges = Seq(
+      (1L, 5L, 0.9), (2L, 5L, 0.9), (3L, 5L, 0.9),
+      (1L, 2L, 0.6), (1L, 3L, 0.6), (2L, 3L, 0.6))
+      .toDF("doc_a", "doc_b", "jac")
+    val kept = Cluster.dedupKeepCentralFrom(docs, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hub strength 2.7 > spoke strength 0.9+0.6+0.6=2.1; doc 9 unclustered
+    assert(kept === Map(5L -> 4L, 9L -> 1L))
+  }
+
+  test("dedup_keep_central keeps one doc per cluster and ranks by strength on sf0.001") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val scored = Dedup.ngramScored(docs).filter(col("jac") >= 0.6)
+    val minId = Cluster.dedupKeepFrom(docs, scored.select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val central = Cluster.dedupKeepCentral(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same clusters → same survivor COUNT and same cluster-size
+    // multiset; only the identity of clustered survivors may differ
+    assert(central.size === minId.size)
+    assert(central.values.toSeq.sorted === minId.values.toSeq.sorted)
+    // every kept clustered doc is its cluster's argmax strength
+    val clusters = Cluster.clustersOf(scored.select("doc_a", "doc_b"))
+    val strength = scored.select(col("doc_a").as("doc_id"), col("jac"))
+      .unionAll(scored.select(col("doc_b").as("doc_id"), col("jac")))
+      .groupBy("doc_id").agg(sum("jac").as("strength"))
+    val best = clusters.join(strength, "doc_id")
+      .withColumn("rk", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(round(col("strength"), 6).desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptClustered = central.keySet.filter(d => central(d) > 1L)
+    assert(keptClustered === best)
+  }
+
   test("dedup_cluster groups the sf0.001 corpus consistently with edges") {
     val out = Cluster.dedupCluster(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
