@@ -258,9 +258,16 @@ object Cluster {
     */
   def dedupKeepCentralFrom(documents: DataFrame, scoredEdges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = clustersOf(scoredEdges.select("doc_a", "doc_b"))
-    val strength = scoredEdges.select(col("doc_a").as("doc_id"), col("jac"))
-      .unionAll(scoredEdges.select(col("doc_b").as("doc_id"), col("jac")))
+    // The edge producer feeds BOTH the CC stage and the strength agg
+    // (twice more for the two union legs); materialize it once —
+    // |E| ∝ true near-dup volume, the same budget the CC stage already
+    // persists for its symmetrized copy. Without this the (expensive)
+    // candidate pipeline behind scoredEdges re-runs three times.
+    val edges = scoredEdges.select(col("doc_a"), col("doc_b"), col("jac"))
+      .localCheckpoint(true)
+    val clusters = clustersOf(edges.select("doc_a", "doc_b"))
+    val strength = edges.select(col("doc_a").as("doc_id"), col("jac"))
+      .unionAll(edges.select(col("doc_b").as("doc_id"), col("jac")))
       .groupBy("doc_id").agg(sum("jac").as("strength"))
     val surv = clusters.join(strength, "doc_id")
       .withColumn("rk", row_number().over(Window.partitionBy("cluster_id")
@@ -284,12 +291,39 @@ object Cluster {
     dedupKeepCentralFrom(docs, Dedup.ngramScored(docs).filter(col("jac") >= 0.6))
   }
 
+  /** Leak-free train/validation/test split: a near-dup CLUSTER is the
+    * atomic unit of assignment, so two near-identical documents can
+    * never land on opposite sides of the split (the classic eval-
+    * leakage failure a plain per-doc split invites). The split key is
+    * the cluster representative (min doc_id) for clustered docs and
+    * the doc's own id otherwise, pushed through the same
+    * multiplicative-hash bucketing as TextOps.sampleSplit — a pure
+    * function of the key, so assignments are deterministic, append-
+    * stable, and reproducible across engines. Cost on top of the
+    * cluster table: one left join + a map.
+    */
+  def splitLeakfree(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val clusters = clustersOf(Dedup.ngramScored(docs)
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("k"))
+    val bucket = (col("k") % 1000003L) * 2654435761L % 100
+    keyed.select(col("doc_id"),
+      when(bucket < 90, "train")
+        .when(bucket < 95, "validation")
+        .otherwise("test").as("split"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_minhash" -> dedupClusterMinhash,
     "dedup_keep" -> dedupKeep,
     "dedup_keep_minhash" -> dedupKeepMinhash,
-    "dedup_keep_central" -> dedupKeepCentral)
+    "dedup_keep_central" -> dedupKeepCentral,
+    "split_leakfree" -> splitLeakfree)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_cluster" ->
@@ -416,5 +450,45 @@ object Cluster {
         |LEFT JOIN lab ON lab.node = d.doc_id
         |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
         |LEFT JOIN surv ON surv.cluster_id = lab.cluster_id
-        |WHERE lab.node IS NULL OR d.doc_id = surv.survivor""".stripMargin)
+        |WHERE lab.node IS NULL OR d.doc_id = surv.survivor""".stripMargin,
+    "split_leakfree" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+        |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_a, doc_b
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+        |      UNION ALL
+        |      SELECT doc_b AS src, doc_a AS dst FROM scored),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM e
+        |  UNION
+        |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
+        |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+        |keyed AS (
+        |  SELECT d.doc_id, coalesce(lab.cluster_id, d.doc_id) AS k
+        |  FROM documents d LEFT JOIN lab ON lab.node = d.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN (k % 1000003) * 2654435761 % 100 < 90 THEN 'train'
+        |       WHEN (k % 1000003) * 2654435761 % 100 < 95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM keyed""".stripMargin)
 }

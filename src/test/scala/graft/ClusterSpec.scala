@@ -213,6 +213,23 @@ class ClusterSpec extends SparkSuite {
     assert(keptClustered === best)
   }
 
+  test("split_leakfree: no near-dup cluster straddles a split boundary (sf0.001)") {
+    val split = Cluster.splitLeakfree(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    assert(split.size === docs.count())
+    assert(split.values.toSet.subsetOf(Set("train", "validation", "test")))
+    // every cluster lands wholly on one side
+    val clusters = Cluster.clustersOf(
+      Dedup.ngramScored(docs).filter(col("jac") >= 0.6).select("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.nonEmpty)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      val splits = members.map(m => split(m._1)).toSet
+      assert(splits.size === 1, s"cluster $cid straddles splits: $splits")
+    }
+  }
+
   test("dedup_cluster groups the sf0.001 corpus consistently with edges") {
     val out = Cluster.dedupCluster(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
