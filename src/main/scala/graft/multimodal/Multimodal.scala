@@ -23,13 +23,14 @@ final case class MediaFeatures(
     embedding: Array[Float])
 
 /** Multimodal plumbing. IMAGE decode is REAL — [[decodeImage]] uses
-  * `javax.imageio` (JVM built-in: PNG/JPEG/GIF/BMP) — and so is AUDIO
-  * decode — [[decodeAudio]] uses `javax.sound.sampled` (JVM built-in:
-  * WAV/AIFF/AU header + PCM) — no external dependency. Video decoders
-  * (ffmpeg-style libs) are not in this container, so video payloads —
-  * and bytes no reader can parse, like the synthetic text corpus —
-  * fall back to [[decodeStub]]'s deterministic fake dimensions.
-  * Everything around
+  * `javax.imageio` (JVM built-in: PNG/JPEG/GIF/BMP) — AUDIO decode is
+  * REAL — [[decodeAudio]] uses `javax.sound.sampled` (JVM built-in:
+  * WAV/AIFF/AU header + PCM) — and VIDEO METADATA is REAL —
+  * [[decodeVideoMeta]] walks ISO-BMFF (MP4/MOV) container boxes for
+  * track dimensions, no codec needed. Only video FRAME decode
+  * (ffmpeg-class libs, not in this container) and bytes no parser can
+  * read — like the synthetic text corpus — fall back to
+  * [[decodeStub]]'s deterministic fake dimensions. Everything around
   * the codec — schema, Dataset encoders, partition-batched iteration
   * (the mapInPandas batch shape), frame sampling, the aggregation
   * query — is real and tested.
@@ -87,15 +88,62 @@ object Multimodal {
       } finally in.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Big-endian 32-bit read. */
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  /** Scan a run of ISO-BMFF boxes in [start, end) for the first box
+    * named `name`; returns its payload span. Size-0 (= to-end) boxes
+    * are honored; truncated or nonsense sizes end the scan (random
+    * bytes read as a huge first "size" and fall off the end — which is
+    * what makes this safe to probe on arbitrary payloads).
+    */
+  private def findBox(b: Array[Byte], start: Int, end: Int, name: String): Option[(Int, Int)] = {
+    var i = start
+    while (i + 8 <= end) {
+      val size = be32(b, i)
+      val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val boxEnd = if (size == 0) end.toLong else i + size
+      if (size != 0 && (size < 8 || boxEnd > end)) return None
+      if (typ == name) return Some((i + 8, boxEnd.toInt))
+      i = boxEnd.toInt
+    }
+    None
+  }
+
+  /** REAL video metadata via ISO-BMFF (MP4/MOV) container parsing —
+    * pure byte-level box walking, no codec needed for metadata: find
+    * moov → trak → tkhd and read the track's presentation width and
+    * height (16.16 fixed point, the last 8 bytes of tkhd). Returns
+    * (width, height, 3) or None for payloads that aren't an MP4-family
+    * container (then the caller falls back to the stub — actual FRAME
+    * decode still needs an ffmpeg-class library this container lacks).
+    */
+  def decodeVideoMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      for {
+        (ms, me) <- findBox(payload, 0, payload.length, "moov")
+        (ts, te) <- findBox(payload, ms, me, "trak")
+        (_, he) <- findBox(payload, ts, te, "tkhd")
+        w = (be32(payload, he - 8) >>> 16).toInt
+        h = (be32(payload, he - 4) >>> 16).toInt
+        if w > 0 && h > 0
+      } yield (w, h, 3)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Codec dispatch: real ImageIO for decodable image payloads, real
-    * javax.sound.sampled for parseable audio containers; the
-    * deterministic stub for video (no codec libs in this container)
-    * and for bytes no reader accepts.
+    * javax.sound.sampled for parseable audio containers, real ISO-BMFF
+    * box parsing for MP4-family video metadata; the deterministic stub
+    * for bytes no parser accepts (including this container's synthetic
+    * text payloads) and for video FRAME decode, which would need an
+    * ffmpeg-class codec.
     */
   def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) =
     (mediaType match {
       case "image" => decodeImage(payload)
       case "audio" => decodeAudio(payload)
+      case "video" => decodeVideoMeta(payload)
       case _ => None
     }).getOrElse(decodeStub(payload))
 

@@ -111,6 +111,31 @@ class MultimodalSpec extends SparkSuite {
       Multimodal.decodeStub(recs(1).payload))
   }
 
+  test("real MP4 container metadata parses to track dimensions via ISO-BMFF boxes") {
+    // hand-assembled minimal MP4: ftyp + moov{trak{tkhd(640x360)}}
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xFF).toByte, ((v >> 16) & 0xFF).toByte,
+        ((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(name: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ name.getBytes("ISO-8859-1") ++ payload
+    // tkhd v0 payload: version+flags(4) creation(4) mod(4) track(4)
+    // reserved(4) duration(4) reserved(8) layer(2) alt(2) volume(2)
+    // reserved(2) matrix(36) width(4) height(4) — 16.16 fixed point
+    val tkhd = box("tkhd",
+      Array.fill[Byte](4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36)(0) ++
+        be32(640L << 16) ++ be32(360L << 16))
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", box("trak", tkhd))
+    assert(Multimodal.decodeVideoMeta(mp4) === Some((640, 360, 3)))
+    assert(Multimodal.decode("video", mp4) === ((640, 360, 3)))
+    // non-container bytes: parser declines, stub takes over
+    val junk = "just some text, definitely not an mp4 container at all".getBytes("UTF-8")
+    assert(Multimodal.decodeVideoMeta(junk) === None)
+    assert(Multimodal.decode("video", junk) === Multimodal.decodeStub(junk))
+    // truncated container: size field points past the end → None, no throw
+    assert(Multimodal.decodeVideoMeta(mp4.take(20)) === None)
+  }
+
   test("decode stub is deterministic (same bytes → same dims)") {
     val b = "hello world".getBytes("UTF-8")
     assert(Multimodal.decodeStub(b) === Multimodal.decodeStub(b.clone()))
