@@ -291,6 +291,18 @@ object Cluster {
     dedupKeepCentralFrom(docs, Dedup.ngramScored(docs).filter(col("jac") >= 0.6))
   }
 
+  /** The SCALE form of [[dedupKeepCentral]]: medoid keep over
+    * MinHash+LSH verified edges — linear candidate generation, same
+    * exact-verified Jaccard weights, so where LSH recall is complete
+    * the keep set is identical to the ngram-edged form (spec-checked
+    * on sf0.001 and planted corpora). Rows-only for the driver
+    * (murmur3 signatures aren't SQL-expressible).
+    */
+  def dedupKeepCentralMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupKeepCentralFrom(docs, Dedup.minhashScored(docs).filter(col("jac") >= 0.6))
+  }
+
   /** Leak-free train/validation/test split: a near-dup CLUSTER is the
     * atomic unit of assignment, so two near-identical documents can
     * never land on opposite sides of the split (the classic eval-
@@ -323,6 +335,7 @@ object Cluster {
     "dedup_keep" -> dedupKeep,
     "dedup_keep_minhash" -> dedupKeepMinhash,
     "dedup_keep_central" -> dedupKeepCentral,
+    "dedup_keep_central_minhash" -> dedupKeepCentralMinhash,
     "split_leakfree" -> splitLeakfree)
 
   def oracleSql: Map[String, String] = Map(

@@ -213,6 +213,14 @@ class ClusterSpec extends SparkSuite {
     assert(keptClustered === best)
   }
 
+  test("dedup_keep_central_minhash keep-set equals the ngram-edged form on sf0.001") {
+    val ngram = Cluster.dedupKeepCentral(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val minhash = Cluster.dedupKeepCentralMinhash(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(minhash === ngram)
+  }
+
   test("split_leakfree: no near-dup cluster straddles a split boundary (sf0.001)") {
     val split = Cluster.splitLeakfree(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
