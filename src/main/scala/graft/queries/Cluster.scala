@@ -303,6 +303,69 @@ object Cluster {
     dedupKeepCentralFrom(docs, Dedup.minhashScored(docs).filter(col("jac") >= 0.6))
   }
 
+  /** PageRank over a DIRECTED edge list (undirected graphs: symmetrize
+    * before calling) — the centrality signal web-scale corpus
+    * pipelines use for page-level quality weighting. Fixed-iteration
+    * power method with damping and full dangling-node handling
+    * (rank mass of out-degree-0 nodes redistributes uniformly).
+    *
+    * Scale shape mirrors [[connectedComponents]]: the out-degree-
+    * annotated edge list is partitioned on src once and persisted —
+    * every iteration is one |E| join against the (|V|-row) rank table,
+    * a partial-agg'd groupBy on dst, and one tiny dangling-mass agg;
+    * persist + stride-4 checkpoint bound plan depth, retired
+    * generations are freed eagerly. No driver-side structure ever
+    * holds |V| or |E| rows — only the scalar dangling mass crosses to
+    * the driver each round.
+    */
+  def pagerankOf(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    val Seq(sc0, dc0) = edges.columns.take(2).toSeq
+    val e = edges.select(col(sc0).cast("long").as("src"), col(dc0).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val n = nodes.count().toDouble
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ann = e.join(deg, "src").repartition(col("src")).persist()
+    val dangling = nodes.join(deg.withColumnRenamed("src", "node"), Seq("node"), "left_anti")
+      .persist()
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist()
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to iters) {
+      val dmass = dangling.join(ranks, "node")
+        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+      val contrib = ann.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst").agg(sum(col("rank") / col("outdeg")).as("in"))
+        .withColumnRenamed("dst", "node")
+      var next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1 - damping) / n + damping * dmass / n) +
+            lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
+      val isCkpt = i % 4 == 0
+      next = if (isCkpt) next.localCheckpoint(true) else next.persist()
+      retired += ranks
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
+      ranks = next
+    }
+    retired.foreach(_.unpersist(false))
+    ann.unpersist(false); dangling.unpersist(false); nodes.unpersist(false)
+    ranks
+  }
+
+  /** Registered PageRank: centrality over the symmetrized near-dup
+    * graph (ngram edges >= 0.6), ranks rounded to 6 decimals so float
+    * reassociation across runs cannot wobble the output. Rows-only for
+    * the driver (an iterative fixpoint isn't one SQL statement DuckDB
+    * evaluates the same way); PagerankSpec asserts equality with a
+    * local power iteration, dangling handling, and mass conservation.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    val und = Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6).select("doc_a", "doc_b")
+    val sym = und.union(und.select(col("doc_b"), col("doc_a")))
+    pagerankOf(sym)
+      .select(col("node").as("doc_id"), round(col("rank"), 6).as("rank"))
+  }
+
   /** Leak-free train/validation/test split: a near-dup CLUSTER is the
     * atomic unit of assignment, so two near-identical documents can
     * never land on opposite sides of the split (the classic eval-
@@ -336,7 +399,8 @@ object Cluster {
     "dedup_keep_minhash" -> dedupKeepMinhash,
     "dedup_keep_central" -> dedupKeepCentral,
     "dedup_keep_central_minhash" -> dedupKeepCentralMinhash,
-    "split_leakfree" -> splitLeakfree)
+    "split_leakfree" -> splitLeakfree,
+    "pagerank" -> pagerank)
 
   def oracleSql: Map[String, String] = Map(
     "dedup_cluster" ->
