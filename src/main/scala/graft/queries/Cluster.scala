@@ -320,7 +320,12 @@ object Cluster {
     */
   def pagerankOf(edges: DataFrame, iters: Int = 10, damping: Double = 0.85): DataFrame = {
     val Seq(sc0, dc0) = edges.columns.take(2).toSeq
+    // Materialize the edge list ONCE — it feeds the node set, degrees,
+    // the annotated join spine, and the dangling set; without this an
+    // expensive producer (a near-dup candidate pipeline) re-runs for
+    // each derivation.
     val e = edges.select(col(sc0).cast("long").as("src"), col(dc0).cast("long").as("dst"))
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count().toDouble
@@ -331,16 +336,21 @@ object Cluster {
     var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank")).persist()
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to iters) {
+      // Dangling mass stays a 1-row DataFrame cross-joined (broadcast)
+      // into the update — no per-iteration driver action; the only
+      // eager materializations in the whole loop are the stride-4
+      // checkpoints that bound plan depth.
       val dmass = dangling.join(ranks, "node")
-        .agg(coalesce(sum("rank"), lit(0.0))).head().getDouble(0)
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dmass"))
       val contrib = ann.join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy("dst").agg(sum(col("rank") / col("outdeg")).as("in"))
         .withColumnRenamed("dst", "node")
       var next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(dmass)
         .select(col("node"),
-          (lit((1 - damping) / n + damping * dmass / n) +
+          (lit((1 - damping) / n) + lit(damping) * col("dmass") / lit(n) +
             lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
-      val isCkpt = i % 4 == 0
+      val isCkpt = i % 4 == 0 || i == iters
       next = if (isCkpt) next.localCheckpoint(true) else next.persist()
       retired += ranks
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
