@@ -93,43 +93,54 @@ object Multimodal {
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
       ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
 
-  /** Scan a run of ISO-BMFF boxes in [start, end) for the first box
-    * named `name`; returns its payload span. Size-0 (= to-end) boxes
-    * are honored; truncated or nonsense sizes end the scan (random
-    * bytes read as a huge first "size" and fall off the end — which is
-    * what makes this safe to probe on arbitrary payloads).
+  /** All ISO-BMFF boxes named `name` in [start, end) as payload
+    * spans. size==1 boxes (64-bit largesize — mdat in big files) are
+    * skipped over correctly; size-0 (= to-end) boxes are honored;
+    * truncated or nonsense sizes end the scan (random bytes read as a
+    * huge first "size" and fall off the end — which is what makes this
+    * safe to probe on arbitrary payloads).
     */
-  private def findBox(b: Array[Byte], start: Int, end: Int, name: String): Option[(Int, Int)] = {
+  private def findBoxes(b: Array[Byte], start: Int, end: Int, name: String): List[(Int, Int)] = {
+    val out = scala.collection.mutable.ListBuffer.empty[(Int, Int)]
     var i = start
-    while (i + 8 <= end) {
+    var ok = true
+    while (ok && i + 8 <= end) {
       val size = be32(b, i)
       val typ = new String(b, i + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val boxEnd = if (size == 0) end.toLong else i + size
-      if (size != 0 && (size < 8 || boxEnd > end)) return None
-      if (typ == name) return Some((i + 8, boxEnd.toInt))
-      i = boxEnd.toInt
+      val (payloadStart, boxEnd) =
+        if (size == 1 && i + 16 <= end) {
+          val large = (be32(b, i + 8) << 32) | be32(b, i + 12)
+          (i + 16L, i + large)
+        } else (i + 8L, if (size == 0) end.toLong else i + size)
+      if (boxEnd < payloadStart || boxEnd > end) ok = false
+      else {
+        if (typ == name) out += ((payloadStart.toInt, boxEnd.toInt))
+        i = boxEnd.toInt
+      }
     }
-    None
+    out.toList
   }
 
   /** REAL video metadata via ISO-BMFF (MP4/MOV) container parsing —
-    * pure byte-level box walking, no codec needed for metadata: find
-    * moov → trak → tkhd and read the track's presentation width and
-    * height (16.16 fixed point, the last 8 bytes of tkhd). Returns
-    * (width, height, 3) or None for payloads that aren't an MP4-family
-    * container (then the caller falls back to the stub — actual FRAME
-    * decode still needs an ffmpeg-class library this container lacks).
+    * pure byte-level box walking, no codec needed for metadata: scan
+    * EVERY moov → trak → tkhd (an MP4's first track is often the audio
+    * track, whose tkhd carries width=height=0) and read the first
+    * track with non-zero presentation dimensions (16.16 fixed point,
+    * the last 8 bytes of tkhd). Returns (width, height, 3) or None for
+    * payloads that aren't an MP4-family container (then the caller
+    * falls back to the stub — actual FRAME decode still needs an
+    * ffmpeg-class library this container lacks).
     */
   def decodeVideoMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
     try {
-      for {
-        (ms, me) <- findBox(payload, 0, payload.length, "moov")
-        (ts, te) <- findBox(payload, ms, me, "trak")
-        (_, he) <- findBox(payload, ts, te, "tkhd")
+      (for {
+        (ms, me) <- findBoxes(payload, 0, payload.length, "moov")
+        (ts, te) <- findBoxes(payload, ms, me, "trak")
+        (_, he) <- findBoxes(payload, ts, te, "tkhd")
         w = (be32(payload, he - 8) >>> 16).toInt
         h = (be32(payload, he - 4) >>> 16).toInt
         if w > 0 && h > 0
-      } yield (w, h, 3)
+      } yield (w, h, 3)).headOption
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Codec dispatch: real ImageIO for decodable image payloads, real

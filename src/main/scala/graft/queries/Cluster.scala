@@ -395,11 +395,8 @@ object Cluster {
     val keyed = docs.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("k"))
-    val bucket = (col("k") % 1000003L) * 2654435761L % 100
     keyed.select(col("doc_id"),
-      when(bucket < 90, "train")
-        .when(bucket < 95, "validation")
-        .otherwise("test").as("split"))
+      TextOps.splitLabel(TextOps.hashBucket(col("k"))).as("split"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

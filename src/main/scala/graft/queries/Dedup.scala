@@ -346,33 +346,58 @@ object Dedup {
     * Jaccard >= tau.
     */
   def similarityJoin(documents: DataFrame, tau: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val s = documents.sparkSession
     graft.functions.WordShingles.register(s)
     val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
       .filter(size(col("sh")) > 0)
     val ex = docs.select(col("doc_id"), size(col("sh")).as("nsh"),
       explode(col("sh")).as("shingle"))
-    // df via agg + join-back, NOT a shingle-partitioned window count:
-    // the agg partial-aggregates map-side so only |distinct shingles|
-    // rows shuffle, and AQE size-picks the join-back (broadcast while
-    // the df table fits, shuffle join at web scale) — a window count
-    // would force the full exploded stream through a by-shingle
-    // exchange unconditionally.
+    val cand = ssjCandidates(ssjPrefix(ex, tau), tau)
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
+  }
+
+  /** Prefix stage of [[similarityJoin]] over an exploded
+    * (doc_id, nsh, shingle) stream: rank each doc's shingles by global
+    * rarity and keep the n - ceil(tau·n) + 1 prefix. df via agg +
+    * join-back, NOT a shingle-partitioned window count: the agg
+    * partial-aggregates map-side so only |distinct shingles| rows
+    * shuffle, and AQE size-picks the join-back (broadcast while the df
+    * table fits, shuffle join at web scale) — a window count would
+    * force the full exploded stream through a by-shingle exchange
+    * unconditionally. (private[graft]: also driven stage-by-stage by
+    * the ProfileSim dev harness.)
+    */
+  private[graft] def ssjPrefix(ex: DataFrame, tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("doc_id").orderBy(col("df").asc, col("shingle").asc)
-    val prefix = ex.join(dfreq, "shingle")
+    ex.join(dfreq, "shingle")
       .withColumn("rk", row_number().over(byRarity))
       .filter(col("rk") <= col("nsh") - ceil(lit(tau) * col("nsh")) + 1)
-    // Two in-bucket prunes (both necessary conditions for J >= tau, so
-    // exactness holds): the size-ratio filter min >= ceil(tau*max), and
-    // PPJoin's positional filter — a match via the token at rarity
-    // position ra in A and rb in B caps the total overlap at
-    // 1 + min(na-ra, nb-rb), which must reach the overlap lower bound
-    // alpha = ceil(tau/(1+tau)*(na+nb)). For a qualifying pair the
-    // FIRST common prefix token's occurrence always passes, so keeping
-    // pairs where ANY occurrence passes loses nothing.
-    val cand = prefix.groupBy("shingle")
+  }
+
+  /** Candidate stage of [[similarityJoin]]: group prefix tokens,
+    * expand in-bucket pairs two-stage (O(k) per-row memory), with two
+    * in-bucket prunes — both necessary conditions for J >= tau, so
+    * exactness holds. Size-ratio filter: min >= ceil(tau*max).
+    * PPJoin's positional filter: a match via the token at rarity
+    * position ra in A and rb in B caps the total overlap at
+    * 1 + min(na-ra, nb-rb), which must reach the overlap lower bound
+    * alpha = ceil(tau/(1+tau)*(na+nb)). For a qualifying pair the
+    * FIRST common prefix token's occurrence always passes, so keeping
+    * pairs where ANY occurrence passes loses nothing.
+    */
+  private[graft] def ssjCandidates(prefix: DataFrame, tau: Double): DataFrame =
+    prefix.groupBy("shingle")
       .agg(collect_list(struct(col("doc_id"), col("nsh"), col("rk"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
@@ -390,17 +415,6 @@ object Dedup {
             ceil(lit(tau / (1 + tau)) * (p("na") + p("nb"))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sa"), col("sb"))).as("common"),
-        size(col("sa")).as("na"), size(col("sb")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
-      .filter(col("jac") >= tau)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 4).as("jac"))
-  }
 
   /** NEAR-DUP incremental ingest: the MinHash+LSH face of
     * [[dedupIncremental]] — batch docs that are near-duplicates
@@ -435,7 +449,12 @@ object Dedup {
     * doc.
     */
   def incrementalNearNew(batch: DataFrame, corpus: DataFrame, tau: Double): DataFrame = {
-    val exactNew = incrementalNew(batch, corpus) // (doc_id, text_hash)
+    // exactNew feeds both the survivors semi-join and the final
+    // anti-join — materialize once or the corpus-wide digest+distinct
+    // pipeline behind it runs twice (the re-run hazard pagerankOf and
+    // dedupKeepCentralFrom checkpoint against). Size is the new-doc
+    // slice: (doc_id, 32-byte digest) rows only.
+    val exactNew = incrementalNew(batch, corpus).localCheckpoint(true)
     val survivors = batch.join(exactNew.select("doc_id"), Seq("doc_id"), "left_semi")
     val nearDupIds = minhashCrossScored(survivors, corpus)
       .filter(col("jac") >= tau)

@@ -68,11 +68,15 @@ object Sketches {
     * is a guaranteed superset. This stage runs INSIDE mapPartitions
     * because it is the one plan shape Catalyst cannot express: a
     * count-based filter applied BEFORE any shuffle (a groupBy's
-    * map-side partial agg still ships every distinct key). Candidate
-    * volume is bounded by n·P/T rows total (each partition emits at
-    * most n_p/(T/P) tokens) — with a production-scale T this is tiny
-    * and broadcastable even when the full vocabulary (10⁸–10⁹ tokens
-    * of web-scale typo/URL noise) is not. Per-partition memory is the
+    * map-side partial agg still ships every distinct key). The
+    * candidate stage runs on at most T/[[MinLocalFloor]] partitions
+    * (narrow coalesce when the scan is wider), so the local threshold
+    * never degrades below the floor and the web-scale singleton tail
+    * (the 10⁸–10⁹ typo/URL tokens that appear a handful of times) can
+    * never flood the broadcast; worst-case candidate volume is
+    * n/[[MinLocalFloor]] (every token exactly at the local threshold),
+    * typical volume is the tokens with a partition-local count >= the
+    * floor — a tiny head. Per-partition memory is the
     * local distinct-token map — the same class as Spark's own hash-agg
     * partial map, sized by `files.maxPartitionBytes`; a Misra-Gries
     * summary (k counters, guarantees survivors above n_p/k) is the
@@ -87,15 +91,33 @@ object Sketches {
   def heavyHitters(s: SparkSession, d: String): DataFrame =
     heavyHittersOn(Tables.documents(s, d))
 
+  /** Minimum per-partition threshold the candidate stage is allowed to
+    * degrade to. With minLocal = floor(T/P), a partition count P >= T
+    * would drive minLocal to 1 and the "prefilter" would pass the
+    * ENTIRE vocabulary into the broadcast — the exact failure this
+    * plan exists to avoid. Capping the candidate stage at T/floor
+    * partitions (a narrow coalesce, no shuffle) keeps minLocal >=
+    * floor at any input partitioning. The pigeonhole guarantee is
+    * per-ACTUAL-partition, so exactness is unaffected by the coalesce.
+    * In production the threshold scales with the corpus (heavy hitters
+    * at 100 TB are ppm-scale counts, T ~ 10⁶+), so T/floor partitions
+    * is plentiful parallelism precisely when the corpus is large; the
+    * fixed T=500 here only pins the test-scale contract.
+    */
+  val MinLocalFloor = 16L
+
   /** Core of [[heavyHitters]] over any (doc_id, text) DataFrame. */
   def heavyHittersOn(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
     val toks = documents
       .select(explode(Dedup.tokensCol(col("text"))).as("tok"))
-    val p = math.max(1, toks.rdd.getNumPartitions)
+    val maxP = math.max(1, (HeavyHitterThreshold / MinLocalFloor).toInt)
+    val toksC =
+      if (toks.rdd.getNumPartitions > maxP) toks.coalesce(maxP) else toks
+    val p = math.max(1, toksC.rdd.getNumPartitions)
     val minLocal = math.max(1L, HeavyHitterThreshold / p)
-    val candidates = toks.as[String].mapPartitions { it =>
+    val candidates = toksC.as[String].mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
       m.iterator.collect { case (t, n) if n >= minLocal => t }

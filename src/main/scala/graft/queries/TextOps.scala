@@ -179,25 +179,33 @@ object TextOps {
         "[0-9]{9,}", "<PHONE>").as("masked"))
   }
 
-  /** Deterministic train/validation/test split (90/5/5): bucket =
-    * multiplicative hash of doc_id, mod 100. The inner `% 1000003`
-    * keeps the product far below int64 overflow at ANY corpus size
-    * (Spark would wrap silently, other engines would error — silent
-    * divergence); the split must be a pure function of the key so
-    * re-runs, retries, and incremental appends land every doc in the
-    * same split. Pure map + 3-group agg; no shuffle of document bodies.
+  /** Deterministic 0–99 bucket: multiplicative hash of a long key. The
+    * inner `% 1000003` keeps the product far below int64 overflow at
+    * ANY corpus size (Spark would wrap silently, other engines would
+    * error — silent divergence); a pure function of the key, so
+    * re-runs, retries, and incremental appends bucket every key
+    * identically. Shared by [[sampleSplit]], [[stratifiedSample]], and
+    * Cluster.splitLeakfree — one definition, one oracle arithmetic.
     */
-  def sampleSplit(s: SparkSession, d: String): DataFrame = {
-    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 100
+  def hashBucket(key: Column): Column =
+    (key % 1000003L) * 2654435761L % 100
+
+  /** 90/5/5 train/validation/test label from a [[hashBucket]] value. */
+  def splitLabel(bucket: Column): Column =
+    when(bucket < 90, "train")
+      .when(bucket < 95, "validation")
+      .otherwise("test")
+
+  /** Deterministic train/validation/test split (90/5/5) by
+    * [[hashBucket]] of doc_id. Pure map + 3-group agg; no shuffle of
+    * document bodies.
+    */
+  def sampleSplit(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        when(bucket < 90, "train")
-          .when(bucket < 95, "validation")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitLabel(hashBucket(col("doc_id"))).as("split"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
-  }
 
   /** Deterministic per-stratum (language) downsampling: keep 50% of en,
     * 20% of everything else, selected by the same multiplicative-hash
@@ -206,7 +214,7 @@ object TextOps {
     * Pure map + one small agg: no shuffle of document bodies.
     */
   def stratifiedSample(s: SparkSession, d: String): DataFrame = {
-    val bucket = (col("doc_id") % 1000003L) * 2654435761L % 100
+    val bucket = hashBucket(col("doc_id"))
     val rate = when(col("lang") === "en", 50).otherwise(20)
     Tables.documents(s, d)
       .select(col("lang"), (bucket < rate).cast("int").as("kept"))

@@ -128,6 +128,20 @@ class MultimodalSpec extends SparkSuite {
       box("moov", box("trak", tkhd))
     assert(Multimodal.decodeVideoMeta(mp4) === Some((640, 360, 3)))
     assert(Multimodal.decode("video", mp4) === ((640, 360, 3)))
+    // audio-track-first container (common muxer layout): first tkhd has
+    // width=height=0 — the scan must continue to the video track
+    val audioTkhd = box("tkhd",
+      Array.fill[Byte](4 + 4 + 4 + 4 + 4 + 4 + 8 + 2 + 2 + 2 + 2 + 36)(0) ++
+        be32(0L) ++ be32(0L))
+    val mp4AudioFirst = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0)) ++
+      box("moov", box("trak", audioTkhd) ++ box("trak", tkhd))
+    assert(Multimodal.decodeVideoMeta(mp4AudioFirst) === Some((640, 360, 3)))
+    // a 64-bit largesize box (size==1) before moov must be skipped, not
+    // abort the scan
+    val largeMdat = be32(1L) ++ "mdat".getBytes("ISO-8859-1") ++
+      be32(0L) ++ be32(24L) ++ Array.fill[Byte](8)(7)
+    val mp4LargeFirst = largeMdat ++ box("moov", box("trak", tkhd))
+    assert(Multimodal.decodeVideoMeta(mp4LargeFirst) === Some((640, 360, 3)))
     // non-container bytes: parser declines, stub takes over
     val junk = "just some text, definitely not an mp4 container at all".getBytes("UTF-8")
     assert(Multimodal.decodeVideoMeta(junk) === None)

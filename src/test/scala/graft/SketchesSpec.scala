@@ -83,5 +83,12 @@ class SketchesSpec extends SparkSuite {
     val out = Sketches.heavyHittersOn(df).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out === Map("needle" -> t.toLong))
+    // input wider than T/MinLocalFloor partitions: the candidate stage
+    // must coalesce rather than let minLocal floor to 1 (which would
+    // pass the whole vocabulary into the broadcast) — and stay exact
+    val wide = rows.toDF("doc_id", "text").repartition(600)
+    val outWide = Sketches.heavyHittersOn(wide).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(outWide === Map("needle" -> t.toLong))
   }
 }
