@@ -143,8 +143,8 @@ object Dedup {
   private val NumHashes = 48
   private val Bands = 8
   private val RowsPerBand = 6
-  private val hashA = array(Array.tabulate(NumHashes)(i => lit(2L * i + 1)): _*)
-  private val hashB = array(Array.tabulate(NumHashes)(i => lit((2654435761L * (i + 1)) % P)): _*)
+  private val hashA = array(Array.tabulate(NumHashes)(i => lit(2L * i + 1)).toIndexedSeq: _*)
+  private val hashB = array(Array.tabulate(NumHashes)(i => lit((2654435761L * (i + 1)) % P)).toIndexedSeq: _*)
 
   /** 8 band-bucket keys per doc in ONE pass over the shingle set:
     * aggregate(shingle-hashes, [P]*48, running zip_with min, finish =

@@ -67,7 +67,7 @@ object Similarity {
   private def plane(t: Int, p: Int): Array[Double] =
     planeSeed(t * PlanesPerTable + p)
   private def planeLit(t: Int, p: Int): Column =
-    array(plane(t, p).map(lit): _*)
+    array(plane(t, p).map(lit).toIndexedSeq: _*)
 
   /** Signature of vector v in table t: 8 sign bits packed to an int. */
   private def sigCol(v: Column, t: Int): Column =
@@ -166,10 +166,10 @@ object Similarity {
   private def bestCellCol(v: Column, nrm: Column,
       cents: Array[(Array[Double], Double)]): Column = {
     val scored = cents.zipWithIndex.map { case ((cv, cn), i) =>
-      struct((dot(v, array(cv.map(lit): _*)) / (nrm * lit(cn))).as("ccos"),
+      struct((dot(v, array(cv.map(lit).toIndexedSeq: _*)) / (nrm * lit(cn))).as("ccos"),
         lit(-i).as("neg_cell"))
     }
-    -greatest(scored: _*).getField("neg_cell")
+    -greatest(scored.toIndexedSeq: _*).getField("neg_cell")
   }
 
   /** The NProbe nearest cell ids, map-only like [[bestCellCol]]:
@@ -178,10 +178,10 @@ object Similarity {
   private def probeCellsCol(v: Column, nrm: Column,
       cents: Array[(Array[Double], Double)]): Column = {
     val scored = cents.zipWithIndex.map { case ((cv, cn), i) =>
-      struct((-(dot(v, array(cv.map(lit): _*)) / (nrm * lit(cn)))).as("negcos"),
+      struct((-(dot(v, array(cv.map(lit).toIndexedSeq: _*)) / (nrm * lit(cn)))).as("negcos"),
         lit(i).as("cell_id"))
     }
-    transform(slice(array_sort(array(scored: _*)), 1, NProbe), x => x.getField("cell_id"))
+    transform(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, NProbe), x => x.getField("cell_id"))
   }
 
   /** IVF (inverted-file) ANN — the cluster-then-probe scale path:
@@ -224,7 +224,7 @@ object Similarity {
   // independent
   private def dedupSigCol(v: Column, t: Int): Column =
     (0 until DedupBits).map { p =>
-      when(dot(v, array(planeSeed(1000 + t * DedupBits + p).map(lit): _*)) > 0,
+      when(dot(v, array(planeSeed(1000 + t * DedupBits + p).map(lit).toIndexedSeq: _*)) > 0,
         lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
