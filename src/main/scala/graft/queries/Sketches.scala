@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.functions.MisraGriesAggregator
 
 /** Approximate/sketch aggregates ([EXT]): HyperLogLog distinct counts
   * and t-digest-style quantiles. These are the aggregates that make
@@ -128,9 +129,50 @@ object Sketches {
       .filter(col("n") >= HeavyHitterThreshold)
   }
 
+  /** Counter budget for the Misra-Gries candidate stage of
+    * [[heavyHittersMg]]. The superset guarantee needs the undercount
+    * bound n/(k+1) to stay below the threshold, i.e. k > n/T — the
+    * aggregator fails loudly (finish asserts) rather than silently
+    * dropping a true heavy hitter when a corpus outgrows the budget.
+    * At 100 TB the threshold is ppm-scale (T ~ 10⁶+), so k = n/T
+    * stays in the 10⁴–10⁵ range — a few MB of counters per task
+    * regardless of the (10⁸–10⁹ token) vocabulary.
+    */
+  val MgCounters = 4096
+
+  /** Same exact contract as [[heavyHitters]] (identical oracle SQL),
+    * different candidate mechanism: a mergeable Misra-Gries summary
+    * ([[graft.functions.MisraGriesAggregator]]) replaces the exact
+    * per-partition hash map. Memory is O(k) counters per task
+    * INDEPENDENT of the vocabulary — the shape that survives when
+    * even one partition's distinct-token map would spill. The
+    * undercount bound (<= n/(k+1)) widens the candidate set slightly;
+    * the broadcast-verify pass (map-side semi join, exact HAVING)
+    * collapses it back to exactly `GROUP BY tok HAVING count >= T`.
+    */
+  def heavyHittersMg(s: SparkSession, d: String): DataFrame =
+    heavyHittersMgOn(Tables.documents(s, d))
+
+  /** Core of [[heavyHittersMg]] over any (doc_id, text) DataFrame. */
+  def heavyHittersMgOn(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    val toks = documents
+      .select(explode(Dedup.tokensCol(col("text"))).as("tok"))
+    val candidates = toks.as[String]
+      .select(MisraGriesAggregator.frequentCandidates(MgCounters, HeavyHitterThreshold))
+      .toDF("cands")
+      .select(explode(col("cands")).as("tok"))
+    toks.join(broadcast(candidates), "tok")
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= HeavyHitterThreshold)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct" -> approxDistinct,
     "heavy_hitters" -> heavyHitters,
+    "heavy_hitters_mg" -> heavyHittersMg,
     "hll_merge" -> hllMerge)
 
   /** approx_distinct / hll_merge are approximate — no SQL oracle by
@@ -139,6 +181,13 @@ object Sketches {
     * plan, so it takes the full hash gate.
     */
   def oracleSql: Map[String, String] = Map(
+    "heavy_hitters_mg" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+        |                            x -> len(x) > 0)) AS tok
+        |  FROM documents)
+        |SELECT tok, count(*) AS n FROM toks
+        |GROUP BY tok HAVING count(*) >= 500""".stripMargin,
     "heavy_hitters" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),

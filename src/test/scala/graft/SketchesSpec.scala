@@ -91,4 +91,58 @@ class SketchesSpec extends SparkSuite {
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(outWide === Map("needle" -> t.toLong))
   }
+
+  test("heavy_hitters_mg ≡ exact heavy_hitters on sf0.001") {
+    val exact = Sketches.heavyHitters(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val mg = Sketches.heavyHittersMg(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(mg === exact && mg.nonEmpty)
+  }
+
+  test("Misra-Gries candidate stage is superset-safe under eviction pressure") {
+    import spark.implicits._
+    import graft.functions.MisraGriesAggregator
+    // vocabulary (k*4 distinct tokens) far exceeds the counter budget
+    // (k=32), forcing constant decrement/eviction; the one true heavy
+    // hitter must still be certified. n = t + 4k singletons, so the
+    // undercount bound n/(k+1) stays below t.
+    val k = 32
+    val t = 200
+    val stream = scala.util.Random.shuffle(
+      (0 until t).map(_ => "needle").toVector ++
+        (0 until 4 * k).map(i => "noise" + i).toVector)
+    val cands = stream.toDF("tok").repartition(8).as[String]
+      .select(MisraGriesAggregator.frequentCandidates(k, t.toLong))
+      .toDF("cands").select(explode(col("cands")).as("tok"))
+      .collect().map(_.getString(0)).toSet
+    assert(cands.contains("needle"),
+      s"true heavy hitter evicted; candidates=$cands")
+    // candidate list is bounded by the counter budget, not vocabulary
+    assert(cands.size <= k)
+  }
+
+  test("Misra-Gries merge of two halves certifies the same candidates as one pass") {
+    import graft.functions.MisraGriesAggregator
+    val k = 16
+    val agg = new MisraGriesAggregator(k, 50L)
+    val half1 = (0 until 60).map(_ => "hot") ++ (0 until 30).map(i => "a" + i)
+    val half2 = (0 until 40).map(_ => "hot") ++ (0 until 30).map(i => "b" + i)
+    val b1 = half1.foldLeft(agg.zero)(agg.reduce)
+    val b2 = half2.foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.finish(agg.merge(b1, b2))
+    val single = agg.finish((half1 ++ half2).foldLeft(agg.zero)(agg.reduce))
+    assert(merged.contains("hot") && single.contains("hot"))
+    // merged undercounts obey the same bound, so both certify supersets
+    // of the true >=threshold set; exactness is restored by the verify
+    // pass in heavyHittersMgOn
+  }
+
+  test("Misra-Gries fails loudly when k is too small for the stream") {
+    import graft.functions.MisraGriesAggregator
+    val agg = new MisraGriesAggregator(2, 10L)
+    // n = 100 singletons => undercount bound 33 >= threshold 10
+    val buf = (0 until 100).map(i => "x" + i).foldLeft(agg.zero)(agg.reduce)
+    intercept[IllegalArgumentException](agg.finish(buf))
+  }
 }
