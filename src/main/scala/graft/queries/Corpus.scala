@@ -210,10 +210,60 @@ object Corpus {
         r4(least(weight, lit(1.0))).as("sample_rate"))
   }
 
+  /** Fixed-width histogram bucket for [[driftPsi]] (n_chars / 50 →
+    * ~a dozen buckets over this corpus's 48..553 range). Fixed edges —
+    * not quantiles — so two snapshots bucket identically and their
+    * PSIs are comparable.
+    */
+  val PsiBucketWidth = 50
+
+  /** Per-source distribution drift vs the whole corpus: the population
+    * stability index over a fixed-width document-length histogram —
+    * the standard "did this crawl/source shift?" monitor a training
+    * pipeline runs per snapshot. PSI = Σ_b (p_b − q_b)·ln(p_b/q_b)
+    * with p = the source's bucket share and q = the corpus-wide share,
+    * Laplace-smoothed (+0.5 per cell) so empty buckets are defined.
+    * Every term is ≥ 0, so PSI ≥ 0 with equality iff p ≡ q
+    * (spec-checked in CorpusSpec; planted shifted source scores ≫ an
+    * identically-distributed one).
+    *
+    * Scale: the only full-corpus work is the (source, bucket) count —
+    * partial-agg'd to |S|·|B| cells. Everything after (the grid cross
+    * join, the window sums incl. the unpartitioned total) runs on that
+    * metadata-cardinality grid, which is bounded by
+    * sources × buckets, never by corpus size.
+    */
+  def driftPsi(s: SparkSession, d: String): DataFrame =
+    driftPsiOn(Tables.documents(s, d))
+
+  def driftPsiOn(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = documents.select(col("source"),
+      floor(col("n_chars") / lit(PsiBucketWidth)).cast("long").as("bucket"))
+    val counts = b.groupBy("source", "bucket").agg(count(lit(1)).as("c"))
+    val grid = b.select("source").distinct()
+      .crossJoin(b.select("bucket").distinct())
+    val enriched = grid.join(counts, Seq("source", "bucket"), "left")
+      .select(col("source"), col("bucket"), coalesce(col("c"), lit(0L)).as("c"))
+      .select(col("source"), col("c"),
+        sum("c").over(Window.partitionBy("source")).as("n_s"),
+        sum("c").over(Window.partitionBy("bucket")).as("g"),
+        sum("c").over(Window.partitionBy()).as("n"),
+        // grid has exactly |B| rows per source
+        count(lit(1)).over(Window.partitionBy("source")).as("nb"))
+    val p = (col("c") + lit(0.5)) / (col("n_s") + lit(0.5) * col("nb"))
+    val q = (col("g") + lit(0.5)) / (col("n") + lit(0.5) * col("nb"))
+    enriched
+      .select(col("source"), col("n_s"), ((p - q) * log(p / q)).as("term"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_docs"), r4(sum("term")).as("psi"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_repetition" -> qualityRepetition,
     "lm_score" -> lmScore,
     "dedup_spans" -> dedupSpans,
+    "drift_psi" -> driftPsi,
     "source_mix" -> sourceMix)
 
   private val tokSqlDuck =
@@ -265,6 +315,29 @@ object Corpus {
          |    floor(CAST(coalesce(n_dup, 0) AS DOUBLE) / len(spans) * 10000 + 0.5) / 10000.0
          |  ELSE 0.0 END AS dup_span_frac
          |FROM sp LEFT JOIN dd ON sp.doc_id = dd.doc_id""".stripMargin,
+    "drift_psi" ->
+      """WITH b AS (SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket
+        |           FROM documents),
+        |c AS (SELECT source, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+        |grid AS (SELECT s.source, k.bucket
+        |         FROM (SELECT DISTINCT source FROM b) s
+        |         CROSS JOIN (SELECT DISTINCT bucket FROM b) k),
+        |f AS (SELECT grid.source, grid.bucket, coalesce(c.c, 0) AS c
+        |      FROM grid LEFT JOIN c
+        |        ON grid.source = c.source AND grid.bucket = c.bucket),
+        |e AS (SELECT source, c,
+        |        sum(c) OVER (PARTITION BY source) AS n_s,
+        |        sum(c) OVER (PARTITION BY bucket) AS g,
+        |        sum(c) OVER () AS n,
+        |        count(*) OVER (PARTITION BY source) AS nb
+        |      FROM f),
+        |e2 AS (SELECT source, n_s,
+        |         (CAST(c AS DOUBLE) + 0.5) / (n_s + 0.5 * nb) AS p,
+        |         (CAST(g AS DOUBLE) + 0.5) / (n + 0.5 * nb) AS q
+        |       FROM e)
+        |SELECT source, CAST(max(n_s) AS BIGINT) AS n_docs,
+        |  floor(sum((p - q) * ln(p / q)) * 10000 + 0.5) / 10000.0 AS psi
+        |FROM e2 GROUP BY source""".stripMargin,
     "source_mix" ->
       s"""WITH ps AS (SELECT source, count(*) AS n_docs,
          |              CAST(sum(len($tokSqlDuck)) AS BIGINT) AS n_tokens

@@ -53,4 +53,41 @@ class CorpusSpec extends SparkSuite {
       .collect().map(_.toSeq).toSet
     assert(viaRegistry === viaOn)
   }
+
+  test("drift_psi: PSI >= 0 for every source; all sources covered") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val nSources = docs.select("source").distinct().count()
+    val rows = Corpus.driftPsi(spark, sfDir).collect()
+    assert(rows.length === nSources)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0,
+      s"${r.getString(0)}: psi=${r.getDouble(2)} < 0"))
+  }
+
+  test("drift_psi: a shifted source scores far above identically-distributed ones") {
+    import spark.implicits._
+    // a and b draw the same length histogram; c sits in disjoint buckets
+    val mk = (src: String, lens: Seq[Int]) =>
+      lens.zipWithIndex.map { case (len, i) => (src, i.toLong, len.toLong) }
+    val lens = Seq.fill(40)(60) ++ Seq.fill(40)(120) ++ Seq.fill(20)(180)
+    val shifted = Seq.fill(100)(520)
+    // two identically-distributed sources: both PSIs ~0 (only the
+    // Laplace smoothing keeps them off exact zero)
+    val same = (mk("a", lens) ++ mk("b", lens))
+      .toDF("source", "doc_id", "n_chars")
+    val psiSame = Corpus.driftPsiOn(same).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(psiSame("a") === psiSame("b"))
+    assert(psiSame("a") < 0.05, s"identical-dist psi=${psiSame("a")}")
+    // add a wholesale-shifted source: it must dominate, and (because q
+    // is the blended corpus-wide mix) it also drags a/b off zero —
+    // PSI is per-source-vs-corpus, not per-source-vs-others
+    val docs = (mk("a", lens) ++ mk("b", lens) ++ mk("c", shifted))
+      .toDF("source", "doc_id", "n_chars")
+    val psi = Corpus.driftPsiOn(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(psi("a") === psi("b"))
+    // >= 1.0 on the shifted source — "significant drift" on any PSI rubric
+    assert(psi("c") > 1.0, s"shifted psi=${psi("c")}")
+    assert(psi("c") > psi("a"), s"shifted ${psi("c")} vs in-dist ${psi("a")}")
+  }
 }
