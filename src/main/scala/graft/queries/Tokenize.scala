@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Tokenizer-training operators ([EXT]): the distributed half of BPE
+  * (byte-pair-encoding) vocabulary learning — the step a training-data
+  * pipeline runs over the whole corpus before any model sees a token.
+  *
+  * Scale design: everything operates on the FREQUENCY-WEIGHTED DISTINCT
+  * VOCABULARY, never the raw token stream. The one corpus-sized job is
+  * the initial word count (partial-agg'd shuffle collapsing the stream
+  * to its vocabulary — corpus-sublinear output); each training
+  * iteration then shuffles only Σ|word|-many (symbol, symbol) pairs
+  * over that vocabulary. Counting pairs weighted by word frequency is
+  * exactly equivalent to counting over the raw stream (spec-checked in
+  * TokenizeSpec), which is what makes corpus-scale BPE tractable —
+  * the standard trick of every production BPE trainer.
+  *
+  * The per-merge argmax is a 1-row `collect` per iteration: BPE is
+  * inherently sequential (merge r+1's counts depend on merge r), so
+  * the loop is data-dependent plan construction — same bounded
+  * driver-action contract as the CC/PageRank convergence scalars
+  * (Cluster.scala), 1 row × nMerges total.
+  */
+object Tokenize {
+
+  /** Frequency-weighted vocabulary: one row per distinct word. */
+  private def wordFreq(documents: DataFrame): DataFrame =
+    documents
+      .select(explode(Dedup.tokensCol(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** Split a word into 1-character symbols — BPE's initial state. */
+  def charSyms(w: Column): Column =
+    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+
+  /** Adjacent-pair counts over a (f, syms) vocabulary, weighted by
+    * word frequency: one partial-agg'd shuffle of Σ|syms| pair rows.
+    */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.filter(size(col("syms")) >= 2)
+      .select(col("f"),
+        explode(transform(sequence(lit(1), size(col("syms")) - 1),
+          i => struct(element_at(col("syms"), i).as("l"),
+            element_at(col("syms"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum("f").as("cnt"))
+
+  /** One BPE merge applied to a symbol array: replace adjacent
+    * (l, r) occurrences with the concatenated symbol, greedy
+    * leftmost-first, non-overlapping ("aaa" + (a,a) → ["aa", "a"]).
+    * Pure Catalyst `aggregate` fold — the accumulator carries the
+    * emitted prefix plus one pending symbol, so the scan is a single
+    * left-to-right pass inside whole-stage codegen, no UDF.
+    */
+  def applyMerge(syms: Column, l: String, r: String): Column = {
+    val empty = array().cast("array<string>")
+    val init = struct(empty.as("out"), lit(null).cast("string").as("carry"))
+    val folded = aggregate(syms, init, (acc, tok) => {
+      val out = acc.getField("out")
+      val carry = acc.getField("carry")
+      when(carry === lit(l) && tok === lit(r),
+        struct(concat(out, array(lit(l + r))).as("out"),
+          lit(null).cast("string").as("carry")))
+        .otherwise(struct(
+          when(carry.isNull, out).otherwise(concat(out, array(carry))).as("out"),
+          tok.as("carry")))
+    })
+    when(folded.getField("carry").isNull, folded.getField("out"))
+      .otherwise(concat(folded.getField("out"), array(folded.getField("carry"))))
+  }
+
+  /** Merge count for the registered `bpe_train` entry. */
+  val NMerges = 20
+
+  /** Learn `nMerges` BPE merges over a document corpus. Returns the
+    * merge table (rank, left, right, cnt) — deterministic: ties in
+    * pair count break lexicographically on (left, right), so the
+    * learned vocabulary is reproducible run-to-run (spec-checked
+    * against a sequential reference trainer in TokenizeSpec).
+    *
+    * Iteration shape: per merge, one vocabulary-sized pair count +
+    * a 1-row argmax collect + an `aggregate`-fold rewrite of the
+    * symbol arrays. The vocab is persisted per round and
+    * checkpointed on a stride to keep plans O(1) deep (the CC /
+    * PageRank idiom, Cluster.scala).
+    */
+  def bpeMergesOn(documents: DataFrame, nMerges: Int = NMerges): DataFrame = {
+    val s = documents.sparkSession
+    import s.implicits._
+    // materialize once: feeds every iteration's pair count
+    var vocab = wordFreq(documents)
+      .select(col("f"), charSyms(col("w")).as("syms"))
+      .localCheckpoint(true)
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= nMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(1).collect() // 1 row — the bounded per-iteration action
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, c))
+        var next = vocab.select(col("f"), applyMerge(col("syms"), l, rr).as("syms"))
+        val isCkpt = r % 4 == 0 || r == nMerges
+        next = if (isCkpt) next.localCheckpoint(true) else next.persist()
+        retired += vocab
+        if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
+        vocab = next
+        r += 1
+      }
+    }
+    retired.foreach(_.unpersist(false))
+    vocab.unpersist(false)
+    merges.toSeq.toDF("rank", "left", "right", "cnt")
+  }
+
+  /** Iteration 0 of BPE training as a standalone oracle-able query:
+    * adjacent character-pair counts over the corpus. Computed on the
+    * weighted vocabulary; hash-identical to counting over the raw
+    * token stream (the equivalence the whole module rests on).
+    */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    bpePairsOn(Tables.documents(s, d))
+
+  def bpePairsOn(documents: DataFrame): DataFrame =
+    pairCounts(wordFreq(documents).select(col("f"), charSyms(col("w")).as("syms")))
+      .select(concat(col("left"), col("right")).as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("cnt"))
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeMergesOn(Tables.documents(s, d))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_pairs" -> bpePairs,
+    "bpe_train" -> bpeTrain)
+
+  /** bpe_train is iterative/data-dependent (not SQL-expressible) —
+    * rows-only for the driver, equivalence to a sequential reference
+    * trainer asserted in TokenizeSpec.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "bpe_pairs" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+        |                            x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+        |                               i -> substr(w, i, 2))) AS pair
+        |  FROM toks WHERE len(w) >= 2)
+        |SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair""".stripMargin)
+}
