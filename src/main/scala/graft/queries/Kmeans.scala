@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Distributed k-means (Lloyd's algorithm) over the embeddings table
+  * ([EXT]) — the clustering primitive under IVF index builds, SemDeDup
+  * cells, and corpus-partitioned curriculum sampling.
+  *
+  * Scale design, per round:
+  *  - ASSIGNMENT is a pure map: the k centroids are plan-time literal
+  *    arrays (like Similarity's IVF quantizer), so the argmin is
+  *    `least` over k (dist, cell) structs inside codegen — no join, no
+  *    shuffle of the corpus, and `vec_dot` keeps the inner product
+  *    compiled.
+  *  - UPDATE is one partial-agg'd shuffle of (cell, dim) cells:
+  *    posexplode fans each vector into dim (cell, pos, x) rows whose
+  *    map-side partial sums collapse to k·dim groups before the
+  *    exchange — the bytes crossing the wire are O(k·dim·partitions),
+  *    independent of corpus size.
+  *  - The per-round driver action collects exactly k·dim aggregate
+  *    rows (8×64 here) to rebuild the literal centroids — the same
+  *    bounded-collect contract as the IVF trainer and the CC/PageRank
+  *    convergence scalars; the corpus itself is never collected.
+  *
+  * Determinism: seeds are the first k vectors by vec_id; argmin ties
+  * break to the smallest cell id. (Float-sum merge order can perturb
+  * centroid means at ~1e-15; an assignment flip would need a vector
+  * equidistant to two centroids at that scale, which the spec's
+  * fixed corpora are nowhere near.) Equivalence to a sequential
+  * reference Lloyd implementation is asserted in KmeansSpec.
+  */
+object Kmeans {
+
+  val K = 8
+  val Iters = 5
+
+  private def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  private def vecs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  /** Nearest centroid by squared euclidean distance, as a map-only
+    * expression over literal centroids: argmin_c (||c||² − 2·v·c)
+    * (the ||v||² term is constant per row). `least` on (d, cell)
+    * structs compares lexicographically — min distance, ties to the
+    * smallest cell id.
+    */
+  private def nearestCell(v: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cv, i) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(v, array(cv.map(lit).toIndexedSeq: _*))).as("d"),
+        lit(i).as("cell"))
+    }
+    least(scored.toIndexedSeq: _*).getField("cell")
+  }
+
+  /** Run `iters` Lloyd rounds; returns (vec_id, cell) for every
+    * vector. Empty cells keep their previous centroid (deterministic,
+    * and standard practice).
+    */
+  def kmeansAssignOn(embeddings: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    graft.functions.DotProduct.register(embeddings.sparkSession)
+    val all = embeddings
+      .select(col("vec_id"), col("v"))
+      .persist() // feeds every round's assignment + the final output
+    // deterministic seeds: the k lowest vec_ids (bounded k·dim collect;
+    // the predicate pushes to the scan)
+    var cents: Array[Array[Double]] = all.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to iters) {
+      val sums = all
+        .select(nearestCell(col("v"), cents).as("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect() // k·dim rows — the bounded per-round driver action
+      val next = cents.map(_.clone())
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / r.getLong(3)
+      }
+      cents = next
+    }
+    val out = all.select(col("vec_id"), nearestCell(col("v"), cents).as("cell"))
+    all.unpersist(false)
+    out
+  }
+
+  /** Registered entry: cluster the embeddings table, emit one row per
+    * vector. Iterative plan-time-trained centroids aren't
+    * SQL-expressible — rows-only for the driver; KmeansSpec pins the
+    * result to sequential Lloyd.
+    */
+  def kmeans(s: SparkSession, d: String): DataFrame =
+    kmeansAssignOn(vecs(s, d))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kmeans" -> kmeans)
+
+  def oracleSql: Map[String, String] = Map.empty
+}

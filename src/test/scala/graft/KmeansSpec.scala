@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.queries.Kmeans
+
+/** Distributed Lloyd vs a sequential reference implementation with the
+  * same seeding (first k by vec_id), tie-break (smallest cell), and
+  * empty-cell rule (keep previous centroid).
+  */
+class KmeansSpec extends SparkSuite {
+
+  private def referenceLloyd(vecs: Seq[(Long, Array[Double])], k: Int,
+      iters: Int): Map[Long, Int] = {
+    val sorted = vecs.sortBy(_._1)
+    var cents = sorted.take(k).map(_._2.clone()).toArray
+    def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+      var best = 0; var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { d += -2.0 * v(i) * cs(c)(i); i += 1 }
+        var c2 = 0.0; var j = 0
+        while (j < cs(c).length) { c2 += cs(c)(j) * cs(c)(j); j += 1 }
+        d += c2
+        if (d < bestD) { bestD = d; best = c } // strict < : ties keep lowest id
+        c += 1
+      }
+      best
+    }
+    for (_ <- 1 to iters) {
+      val dim = cents(0).length
+      val sums = Array.fill(k, dim)(0.0)
+      val counts = new Array[Long](k)
+      sorted.foreach { case (_, v) =>
+        val c = nearest(v, cents)
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        counts(c) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c))
+      }
+    }
+    sorted.map { case (id, v) => id -> nearest(v, cents) }.toMap
+  }
+
+  private lazy val raw: Seq[(Long, Array[Double])] =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+
+  test("kmeans assignments ≡ sequential Lloyd on sf0.001 embeddings") {
+    val want = referenceLloyd(raw, Kmeans.K, Kmeans.Iters)
+    val got = Kmeans.kmeans(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size === raw.size)
+    assert(got === want)
+    // every cell is used on this corpus (k=8 over 500 spread vectors)
+    assert(got.values.toSet.size === Kmeans.K)
+  }
+
+  test("kmeans handles an empty cell by keeping its previous centroid") {
+    import spark.implicits._
+    // seeds are ids 0..2; id 2's seed is a far outlier that attracts
+    // nothing once centroids move — including itself (it sits closer
+    // to the mass after round 1's update pulls centroid 2 toward the
+    // duplicate point at (0.9, 0.9))
+    val pts: Seq[(Long, Seq[Double])] = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(0.1, 0.0)), (2L, Seq(0.9, 0.9)),
+      (3L, Seq(0.05, 0.0)), (4L, Seq(0.9, 0.9)))
+    val df = pts.toDF("vec_id", "v")
+    val got = Kmeans.kmeansAssignOn(df, k = 3, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = referenceLloyd(pts.map(p => (p._1, p._2.toArray)), 3, 3)
+    assert(got === want)
+  }
+
+  test("assignment round is map-only: no Exchange above the scan in the assign stage") {
+    import spark.implicits._
+    val df = raw.take(50).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v")
+    // one-round pipeline: final assignment select only (iters=0 keeps
+    // seed centroids — plan shape is identical for any round)
+    val out = Kmeans.kmeansAssignOn(df, k = 4, iters = 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment stage shuffles:\n$plan")
+  }
+}
