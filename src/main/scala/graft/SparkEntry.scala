@@ -50,5 +50,6 @@ object SparkEntry {
     "dedup_cluster", "dedup_cluster_minhash", "recursive_cte", "pack_sequences",
     "lm_score", "dedup_spans", "semdedup", "quality_repetition",
     "dedup_keep_minhash", "heavy_hitters", "dedup_incremental",
-    "dedup_incremental_minhash", "join_similarity")
+    "dedup_incremental_minhash", "join_similarity",
+    "heavy_hitters_mg", "drift_psi", "bpe_pairs", "kmeans")
 }

@@ -160,6 +160,40 @@ object TextOps {
         round(col("score"), 6).as("tfidf"), col("rk"))
   }
 
+  /** BM25 (Okapi, Lucene-form idf) top-3 terms per document — the
+    * retrieval-grade replacement for [[tfidfTerms]]'s raw tf-idf:
+    * tf saturates at k1 and document length is normalized against the
+    * corpus average (b). Same single-tokenize-pass plan shape as
+    * tfidf_terms (df/dl as windows over the corpus-sublinear tf
+    * frame, no self-joins); the only additions are the 1-row
+    * (total_tok, n_docs) broadcast for avgdl. Constants written as
+    * exact double literals on both engines (2.2, 1.2, 0.75) so the
+    * arithmetic is bit-identical under the hash gate.
+    */
+  def bm25Terms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
+    val stats = docs.select(size(toks(col("text"))).as("dl"))
+      .agg(sum("dl").cast("double").as("total_tok"), count(lit(1)).as("n_docs"))
+    val rankW = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.crossJoin(broadcast(stats))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("dl", sum("n_td").over(Window.partitionBy("doc_id")))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("score", col("idf") * (col("n_td") * lit(2.2)) /
+        (col("n_td") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / (col("total_tok") / col("n_docs")))))
+      .withColumn("rk", row_number().over(rankW))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"),
+        round(col("score"), 6).as("bm25"), col("rk"))
+  }
+
   /** PII masking: email and long-digit-run redaction via regexp_replace
     * (patterns chosen to mean the same thing in Java regex and RE2).
     * The corpus text has no PII, so the contact string under test is
@@ -260,6 +294,7 @@ object TextOps {
     "lang_id" -> langId,
     "fingerprint" -> fingerprint,
     "tfidf_terms" -> tfidfTerms,
+    "bm25_terms" -> bm25Terms,
     "pii_mask" -> piiMask)
 
   private val tokSqlDuck =
@@ -342,6 +377,24 @@ object TextOps {
          |      ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS score
          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
          |SELECT doc_id, term, round(score, 6) AS tfidf, CAST(rk AS INTEGER) AS rk
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+         |      FROM scored)
+         |WHERE rk <= 3""".stripMargin,
+    "bm25_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS n_td FROM t GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(sum(len(ws)) AS DOUBLE) AS total_tok, count(*) AS n_docs
+         |       FROM (SELECT $tokSqlDuck AS ws FROM documents)),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+         |      (n_td * 2.2) / (n_td + 1.2 *
+         |        (0.25 + 0.75 * (sum(n_td) OVER (PARTITION BY tf.doc_id)) /
+         |          (total_tok / n_docs))) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN st)
+         |SELECT doc_id, term, round(score, 6) AS bm25, CAST(rk AS INTEGER) AS rk
          |FROM (SELECT *, row_number() OVER (
          |        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
          |      FROM scored)
