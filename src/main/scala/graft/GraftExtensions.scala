@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{DotProduct, MinHashBuckets, WordShingles}
+import graft.functions.{DotProduct, MinHashBuckets, WordShingles, ZValue}
 
 /** Library entry point for `spark.sql.extensions`: installs graft's
   * native Catalyst expressions into every session built with
@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_buckets"),
       new ExpressionInfo(classOf[MinHashBuckets].getName, "minhash_buckets"),
       exprs => MinHashBuckets(exprs.head, 48, 8)))
+    ext.injectFunction((
+      new FunctionIdentifier("z_value"),
+      new ExpressionInfo(classOf[ZValue].getName, "z_value"),
+      exprs => ZValue(exprs.head, exprs(1))))
   }
 }

@@ -51,5 +51,6 @@ object SparkEntry {
     "lm_score", "dedup_spans", "semdedup", "quality_repetition",
     "dedup_keep_minhash", "heavy_hitters", "dedup_incremental",
     "dedup_incremental_minhash", "join_similarity",
-    "heavy_hitters_mg", "drift_psi", "bpe_pairs", "kmeans")
+    "heavy_hitters_mg", "drift_psi", "bpe_pairs", "kmeans",
+    "bm25_terms", "zorder_bucket")
 }

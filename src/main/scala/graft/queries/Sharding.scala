@@ -66,9 +66,47 @@ object Sharding {
         min("doc_id").as("first_doc"))
   }
 
+  /** Bucket = z >> ZShift: each bucket is an axis-aligned Morton cell
+    * of at most 2^(ZShift/2) × 2^(ZShift/2) key-space units (1024×1024
+    * here) — the bound ZorderSpec asserts.
+    */
+  val ZShift = 20
+
+  /** Z-order (Morton) layout summary over orders, keyed on
+    * (o_custkey, order day): the two-dimensional clustering pass a
+    * lakehouse runs before writing, so file-level min-max stats stay
+    * tight in BOTH columns and predicate pushdown on EITHER prunes
+    * most files. A single-column sort gives this for one column only;
+    * at 100 TB the difference is scanning 3% vs 100% of files for the
+    * off-sort-key predicate (ZorderSpec measures exactly this on the
+    * bucket bboxes).
+    *
+    * Plan: z-values come from the native `z_value` expression
+    * (graft.functions.ZValue — constant-time magic-mask interleave,
+    * codegen'd, map-only); the layout summary is one partial-agg'd
+    * groupBy on the bucket id. In a real write path the same z column
+    * feeds `repartitionByRange(z).sortWithinPartitions(z)` +
+    * `.write` — the summary here is the part with checkable
+    * semantics, and it doubles as the file-skipping index.
+    */
+  def zorderBucket(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ZValue.register(s)
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("y"))
+      .select(shiftright(call_function("z_value", col("x"), col("y")), ZShift)
+        .as("bucket"), col("x"), col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_cust"), max("x").as("max_cust"),
+        min("y").as("min_day"), max("y").as("max_day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_pack" -> shardPack,
-    "pack_sequences" -> packSequences)
+    "pack_sequences" -> packSequences,
+    "zorder_bucket" -> zorderBucket)
 
   def oracleSql: Map[String, String] = Map(
     "shard_pack" ->
@@ -88,5 +126,21 @@ object Sharding {
         |SELECT lang, CAST(floor(off / 4000) AS BIGINT) AS pack,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS pack_chars,
         |  min(doc_id) AS first_doc
-        |FROM c GROUP BY 1, 2""".stripMargin)
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "zorder_bucket" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS x,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+        |  FROM orders),
+        |z AS (
+        |  SELECT x, y,
+        |    CAST(list_sum(list_transform(generate_series(0, 20),
+        |      i -> (((x >> i) & 1) << (2 * i)) +
+        |           (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+        |  FROM b)
+        |SELECT z >> 20 AS bucket, count(*) AS n,
+        |  min(x) AS min_cust, max(x) AS max_cust,
+        |  min(y) AS min_day, max(y) AS max_day
+        |FROM z GROUP BY 1""".stripMargin)
 }
