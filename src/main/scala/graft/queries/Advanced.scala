@@ -407,6 +407,22 @@ object Advanced {
       .groupBy(width_bucket(col("o_totalprice"), lit(0d), lit(500000d), lit(20)).as("bucket"))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
 
+  /** Equi-DEPTH histogram via ntile: deciles of event value per type —
+    * the complement of [[histogramBucket]]'s equi-width form (fixed
+    * count per bucket, data-dependent edges: what a quantile-gated
+    * filter or an equi-depth file-layout pass consumes). The (value,
+    * event_id) order key is a total order, so tile membership — and
+    * hence every aggregate — is deterministic despite duplicate
+    * values.
+    */
+  def ntileHist(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("q", ntile(10).over(
+        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+      .groupBy("event_type", "q")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 6).as("lo"), round(max("value"), 6).as("hi"))
+
   /** Ordered string aggregation (listagg WITHIN GROUP): nation roster
     * per region — deterministic via the explicit ORDER BY.
     */
@@ -473,6 +489,7 @@ object Advanced {
     "join_nullsafe" -> joinNullsafe,
     "recursive_cte" -> recursiveCte,
     "histogram_bucket" -> histogramBucket,
+    "ntile_hist" -> ntileHist,
     "agg_listagg" -> aggListagg,
     "regexp_ops" -> regexpOps,
     "try_funcs" -> tryFuncs,
@@ -547,6 +564,15 @@ object Advanced {
         |            ELSE CAST(floor(o_totalprice / 25000) AS BIGINT) + 1 END AS bucket,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+    "ntile_hist" ->
+      """WITH q AS (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type
+        |                    ORDER BY value, event_id) AS q
+        |  FROM events)
+        |SELECT event_type, CAST(q AS INTEGER) AS q, count(*) AS n,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM q GROUP BY 1, 2""".stripMargin,
     "agg_listagg" ->
       """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         |  count(*) AS n_nations

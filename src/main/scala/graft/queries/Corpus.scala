@@ -259,8 +259,44 @@ object Corpus {
       .agg(max("n_s").as("n_docs"), r4(sum("term")).as("psi"))
   }
 
+  /** Snapshot diff — the audit a pipeline runs between two corpus
+    * versions before promoting one: per-document digests full-outer
+    * joined on doc_id, classified added / removed / changed /
+    * unchanged, aggregated to a status report. Only (doc_id, md5)
+    * pairs ever shuffle — document bodies are digested at the scan
+    * and never move, so the diff costs two 48-byte-per-row streams
+    * at any corpus size.
+    *
+    * The "new" snapshot is derived deterministically from the same
+    * table (drop doc_id%11, append ' v2' to doc_id%7, add fresh ids
+    * for doc_id%13) so the DuckDB oracle can reproduce it exactly —
+    * in production the two sides are two parquet snapshots.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val newSnap = docs
+      .filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("h_new"))
+      .unionAll(docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          md5(concat(lit("new:"), col("doc_id").cast("string"))).as("h_new")))
+    oldSnap.join(newSnap, Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "quality_repetition" -> qualityRepetition,
+    "snapshot_diff" -> snapshotDiff,
     "lm_score" -> lmScore,
     "dedup_spans" -> dedupSpans,
     "drift_psi" -> driftPsi,
@@ -315,6 +351,26 @@ object Corpus {
          |    floor(CAST(coalesce(n_dup, 0) AS DOUBLE) / len(spans) * 10000 + 0.5) / 10000.0
          |  ELSE 0.0 END AS dup_span_frac
          |FROM sp LEFT JOIN dd ON sp.doc_id = dd.doc_id""".stripMargin,
+    "snapshot_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
+        |new AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    md5('new:' || CAST(doc_id AS VARCHAR)) AS h_new
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+        |    CASE WHEN h_old IS NULL THEN 'added'
+        |         WHEN h_new IS NULL THEN 'removed'
+        |         WHEN h_old <> h_new THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+        |SELECT status, count(*) AS n_docs,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM j GROUP BY status""".stripMargin,
     "drift_psi" ->
       """WITH b AS (SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bucket
         |           FROM documents),

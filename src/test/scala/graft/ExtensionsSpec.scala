@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
   */
 class ExtensionsSpec extends SparkSuite {
 
+  test("GraftExtensions injects z_value (native Morton interleave) into SQL") {
+    val z = spark.sql("SELECT z_value(3L, 5L) AS z").collect()(0).getLong(0)
+    assert(z === graft.functions.ZValue.interleave(3L, 5L))
+  }
+
   test("GraftExtensions injects vec_dot/word_shingles/minhash_buckets") {
     val s2: SparkSession = spark.newSession()
     val r = s2.sql(
