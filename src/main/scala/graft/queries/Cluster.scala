@@ -399,7 +399,69 @@ object Cluster {
       TextOps.splitLabel(TextOps.hashBucket(col("k"))).as("split"))
   }
 
+  /** Triangle census over an undirected (doc_a < doc_b) edge list:
+    * edge/wedge/triangle counts + the global clustering coefficient —
+    * the graph-density report that tells a dedup pipeline whether its
+    * near-dup graph is clique-like (true duplicate groups) or
+    * chain-like (threshold too loose).
+    *
+    * Scale shape (Suri-Vassilvitskii): edges are ORIENTED from the
+    * (degree, id)-smaller endpoint to the larger, so every wedge is
+    * generated at its lowest-degree vertex — the join fan-out per
+    * vertex is bounded by its oriented out-degree (O(sqrt(|E|))
+    * on any graph), not by its raw degree; the curse-of-the-last-
+    * reducer hub never materializes its full wedge set. Each triangle
+    * has exactly one vertex with two out-edges (the orientation is
+    * acyclic), so the wedge-close equi-join counts each triangle
+    * exactly once.
+    */
+  def triangleCountOf(edges: DataFrame): DataFrame = {
+    // materialize once: feeds degrees, orientation, wedges, closing
+    val e = edges.select(col("doc_a").cast("long").as("u"),
+      col("doc_b").cast("long").as("v")).localCheckpoint(true)
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val dir = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .persist()
+    val wedges = dir.as("e1").join(dir.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.t").as("x"), col("e2.t").as("y")) // x < y by id
+    val nTri = wedges
+      .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(
+      sum((col("d") * (col("d") - 1) / lit(2)).cast("long")).as("n_wedges"))
+    val out = nEdges.crossJoin(nWedges).crossJoin(nTri)
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(when(col("n_wedges") > 0,
+          col("n_triangles") * lit(3.0) / col("n_wedges")).otherwise(lit(0.0)), 6)
+          .as("clustering_coeff"))
+    dir.unpersist(false)
+    out
+  }
+
+  /** Registered form: census of the same >= 0.6 near-dup graph the
+    * cluster/keep family consumes (quadratic oracle edge producer by
+    * design; swap in Dedup.minhashScored for the linear scale path
+    * exactly as in dedupClusterMinhash).
+    */
+  def triangleCount(s: SparkSession, d: String): DataFrame =
+    triangleCountOf(Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "triangle_count" -> triangleCount,
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_minhash" -> dedupClusterMinhash,
     "dedup_keep" -> dedupKeep,
@@ -410,6 +472,44 @@ object Cluster {
     "pagerank" -> pagerank)
 
   def oracleSql: Map[String, String] = Map(
+    "triangle_count" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+        |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_a, doc_b
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT doc_a AS n FROM scored
+        |          UNION ALL SELECT doc_b FROM scored) GROUP BY n),
+        |tri AS (SELECT count(*) AS n_triangles
+        |        FROM scored e1
+        |        JOIN scored e2 ON e1.doc_b = e2.doc_a
+        |        JOIN scored e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |st AS (SELECT count(*) AS n_edges FROM scored),
+        |wt AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_edges, n_wedges, n_triangles,
+        |  round(CASE WHEN n_wedges > 0
+        |             THEN n_triangles * 3.0 / n_wedges ELSE 0.0 END, 6)
+        |    AS clustering_coeff
+        |FROM st CROSS JOIN wt CROSS JOIN tri""".stripMargin,
     "dedup_cluster" ->
       """WITH RECURSIVE sh AS (
         |  SELECT doc_id,

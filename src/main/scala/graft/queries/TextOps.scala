@@ -256,6 +256,32 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis-
+    * Spirakis A-ES): top-5 docs per language with inclusion probability
+    * proportional to n_chars. The uniform draw is derived from
+    * md5(doc_id) — a pure function of the row, so retries, appends,
+    * and both engines reproduce the same sample (the same trick as
+    * [[sampleSplit]]'s hash bucketing, extended to weights). Key =
+    * ln(u)/w; taking the k LARGEST keys per group is exactly weighted
+    * sampling without replacement (Efraimidis & Spirakis 2006).
+    *
+    * Scale: pure map + a per-group top-k window; for hot groups the
+    * bounded-buffer TopKAggregator form applies unchanged (same
+    * contract as topk_per_group vs topk_agg).
+    */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame = {
+    // 48 hex-derived bits + 0.5, over 2^48: u ∈ (0,1), exact in double
+    val u = (conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 12),
+      16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)
+    val key = log(u) / col("n_chars")
+    val w = Window.partitionBy("lang").orderBy(col("key").desc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("lang"), col("doc_id"), col("n_chars"), key.as("key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+  }
+
   /** Percentile-gated quality filter: drop each language's bottom
     * quartile by composite quality. The per-lang threshold is an exact
     * interpolated percentile computed as a whole-partition window — no
@@ -295,6 +321,7 @@ object TextOps {
     "fingerprint" -> fingerprint,
     "tfidf_terms" -> tfidfTerms,
     "bm25_terms" -> bm25Terms,
+    "sample_weighted" -> sampleWeighted,
     "pii_mask" -> piiMask)
 
   private val tokSqlDuck =
@@ -381,6 +408,17 @@ object TextOps {
          |        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
          |      FROM scored)
          |WHERE rk <= 3""".stripMargin,
+    "sample_weighted" ->
+      """WITH k AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ln((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+        |        + 0.5) / 281474976710656.0) / n_chars AS key
+        |  FROM documents)
+        |SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id, n_chars
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
+        |      FROM k)
+        |WHERE rk <= 5""".stripMargin,
     "bm25_terms" ->
       s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS n_td FROM t GROUP BY 1, 2),

@@ -254,4 +254,41 @@ class ClusterSpec extends SparkSuite {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
     assert(out.map(t => t._1 -> t._2).toMap === unionFind(edges))
   }
+
+  private def bruteTriangles(edges: Seq[(Long, Long)]): Long = {
+    val es = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if es.contains((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if es.contains((nodes(j), nodes(k))) && es.contains((nodes(i), nodes(k)))
+    } yield 1).size.toLong
+  }
+
+  test("triangle census ≡ brute force on planted graphs incl. a hub") {
+    import spark.implicits._
+    // K4 (4 triangles) + a path (0) + a 6-spoke star hub (0 triangles,
+    // 15 wedges — exercises the degree orientation: the hub must not
+    // generate wedges, its spokes must)
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val star = (21L to 26L).map(x => (20L, x))
+    val edges = k4 ++ path ++ star
+    val got = Cluster.triangleCountOf(edges.toDF("doc_a", "doc_b")).collect()(0)
+    assert(got.getLong(0) === edges.length.toLong)
+    assert(got.getLong(2) === bruteTriangles(edges))
+    assert(got.getLong(2) === 4L)
+    // wedge total: K4 has 4*C(3,2)=12, path 2, star C(6,2)=15 + 6 spokes' C(1,2)=0
+    assert(got.getLong(1) === 12L + 2L + 15L)
+  }
+
+  test("triangle_count ≡ brute force over the sf0.001 near-dup edges") {
+    val edges = Dedup.ngramScored(graft.core.Tables.documents(spark, sfDir))
+      .filter(col("jac") >= 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val got = Cluster.triangleCount(spark, sfDir).collect()(0)
+    assert(got.getLong(2) === bruteTriangles(edges))
+    assert(got.getLong(0) === edges.length.toLong)
+  }
 }

@@ -58,4 +58,21 @@ class TextOpsSpec extends SparkSuite {
     assert(rows.map(_.getString(0)).toSet === Set("en", "es", "de", "fr", "zh"))
     assert(rows.map(_.getLong(1)).sum === 500)
   }
+
+  test("sample_weighted: deterministic, 5 per lang, inclusion skews with weight") {
+    val rows = TextOps.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val perLang = rows.groupBy(_._1)
+    assert(perLang.values.forall(g => g.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5)))
+    val again = TextOps.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === again.toSeq)
+    // A-ES property: E[selected weight] > population mean weight.
+    // n_chars spreads ~48..550; the weighted sample must lean heavy.
+    val popMean = graft.core.Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.avg("n_chars")).collect()(0).getDouble(0)
+    val selMean = rows.map(_._4).sum.toDouble / rows.length
+    assert(selMean > popMean,
+      s"weighted sample mean $selMean not above population mean $popMean")
+  }
 }
