@@ -113,7 +113,39 @@ object EventOps {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Trailing-window z-score anomaly detection over per-hour event
+    * volumes — the monitoring query an ingest pipeline alerts on. The
+    * per-type hourly count stream gets mean/sd over the TRAILING 24
+    * hourly rows (explicit sum/sumsq so both engines run the identical
+    * arithmetic — the stats_agg convention); hours with |z| >= 2 and a
+    * defined sd are flagged. Counts collapse map-side to (type, hour)
+    * cells before any window, so the sort is over the tiny hourly
+    * series, never raw events.
+    */
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour").rowsBetween(-23, 0)
+    Tables.events(s, d)
+      .select(col("event_type"), expr("ts DIV 3600000000000").as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("hour"), col("c"),
+        count(lit(1)).over(w).as("n"),
+        sum("c").over(w).as("s"),
+        sum(col("c") * col("c")).over(w).as("ss"))
+      .filter(col("n") >= 2)
+      .select(col("event_type"), col("hour"), col("c"),
+        ((col("ss") - col("s").cast("double") * col("s") / col("n")) / (col("n") - 1)).as("v"),
+        (col("s").cast("double") / col("n")).as("mean"))
+      .filter(col("v") > 0)
+      .filter(abs((col("c") - col("mean")) / sqrt(col("v"))) >= 2.0)
+      .select(col("event_type"), col("hour"), col("c"),
+        round(col("mean"), 4).as("mean24"),
+        round((col("c") - col("mean")) / sqrt(col("v")), 4).as("z"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> eventsAnomaly,
     "events_retention" -> eventsRetention,
     "events_tumbling" -> eventsTumbling,
     "events_tumbling_stream" -> eventsTumblingStream,
@@ -124,6 +156,29 @@ object EventOps {
     "events_funnel" -> eventsFunnel)
 
   def oracleSql: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, hour, c,
+        |    count(*) OVER tw AS n,
+        |    CAST(sum(c) OVER tw AS BIGINT) AS s,
+        |    CAST(sum(c * c) OVER tw AS BIGINT) AS ss
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+        |                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |v AS (
+        |  SELECT event_type, hour, c,
+        |    (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) AS v,
+        |    CAST(s AS DOUBLE) / n AS mean
+        |  FROM w WHERE n >= 2)
+        |SELECT event_type, hour, c,
+        |  round(mean, 4) AS mean24,
+        |  round((c - mean) / sqrt(v), 4) AS z
+        |FROM v WHERE v > 0 AND abs((c - mean) / sqrt(v)) >= 2.0""".stripMargin,
     "events_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day

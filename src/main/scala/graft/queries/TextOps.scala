@@ -213,6 +213,46 @@ object TextOps {
         "[0-9]{9,}", "<PHONE>").as("masked"))
   }
 
+  /** URL-canonicalization dedup — the crawl-frontier / web-corpus step
+    * that collapses surface URL variants before content ever downloads
+    * or dedups: lowercase scheme+host, strip default ports (:80/:443),
+    * drop query string and fragment, trim the trailing slash. URLs are
+    * synthesized deterministically from doc_id (the corpus has none —
+    * same convention as [[piiMask]]) with planted variant classes:
+    * scheme/host case, explicit default port, utm tracking params,
+    * fragments. Groups collapse 4-to-1 by construction; output is one
+    * row per canonical URL with the duplicate count and the kept
+    * (min-id) doc. All regex steps mean the same thing in Java regex
+    * and RE2, and the whole op is a pure map + one groupBy on the
+    * canonical key (48-byte rows — bodies never shuffle).
+    */
+  def dedupUrl(s: SparkSession, d: String): DataFrame = {
+    val variant = col("doc_id") % 4
+    val scheme = when(variant === 0, "HTTPS://").when(variant === 1, "https://")
+      .when(variant === 2, "https://").otherwise("https://")
+    val host = when(variant % 2 === 0,
+      concat(lit("WWW.Site"), (col("doc_id") % 25).cast("string"), lit(".COM")))
+      .otherwise(concat(lit("www.site"), (col("doc_id") % 25).cast("string"), lit(".com")))
+    val port = when(variant === 1, ":443").otherwise("")
+    val tail = when(variant === 2, "?utm_source=feed&utm_medium=rss")
+      .when(variant === 3, "#section-2").otherwise("")
+    val url = concat(scheme, host, port,
+      lit("/Articles/"), (col("doc_id") % 125).cast("string"), lit("/"), tail)
+    // lowercase ONLY scheme://host (paths are case-sensitive), strip
+    // default port, query, fragment, trailing slash
+    val head = regexp_replace(
+      lower(regexp_extract(url, "^[A-Za-z]+://[^/]*", 0)), ":(443|80)$", "")
+    val path = regexp_replace(
+      regexp_replace(regexp_replace(url, "^[A-Za-z]+://[^/]*", ""),
+        "[?#].*$", ""),
+      "/$", "")
+    val canon = concat(head, path)
+    Tables.documents(s, d)
+      .select(col("doc_id"), canon.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper"))
+  }
+
   /** Deterministic 0–99 bucket: multiplicative hash of a long key. The
     * inner `% 1000003` keeps the product far below int64 overflow at
     * ANY corpus size (Spark would wrap silently, other engines would
@@ -322,6 +362,7 @@ object TextOps {
     "tfidf_terms" -> tfidfTerms,
     "bm25_terms" -> bm25Terms,
     "sample_weighted" -> sampleWeighted,
+    "dedup_url" -> dedupUrl,
     "pii_mask" -> piiMask)
 
   private val tokSqlDuck =
@@ -408,6 +449,28 @@ object TextOps {
          |        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
          |      FROM scored)
          |WHERE rk <= 3""".stripMargin,
+    "dedup_url" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://' ELSE 'https://' END ||
+        |    CASE WHEN (doc_id % 4) % 2 = 0
+        |      THEN 'WWW.Site' || CAST(doc_id % 25 AS VARCHAR) || '.COM'
+        |      ELSE 'www.site' || CAST(doc_id % 25 AS VARCHAR) || '.com' END ||
+        |    CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END ||
+        |    '/Articles/' || CAST(doc_id % 125 AS VARCHAR) || '/' ||
+        |    CASE WHEN doc_id % 4 = 2 THEN '?utm_source=feed&utm_medium=rss'
+        |         WHEN doc_id % 4 = 3 THEN '#section-2' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/]*')),
+        |                   ':(443|80)$', '') ||
+        |    regexp_replace(regexp_replace(
+        |      regexp_replace(url, '^[A-Za-z]+://[^/]*', ''),
+        |      '[?#].*$', ''), '/$', '') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS keeper
+        |FROM c GROUP BY 1""".stripMargin,
     "sample_weighted" ->
       """WITH k AS (
         |  SELECT lang, doc_id, n_chars,
