@@ -55,6 +55,22 @@ object StreamingOps {
       .withWatermark("tsm", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming heavy-hitter candidates: the SAME mergeable Misra-Gries
+    * summary the batch path uses (Sketches.heavyHittersMg), run as a
+    * streaming global aggregation — Spark keeps the (counters, n)
+    * buffer as query state and merges each micro-batch's partial
+    * summary into it with the identical Agarwal-et-al. merge rule that
+    * combines map-side partials in batch. Complete output mode: every
+    * trigger emits the current certified-candidate set. Mergeability
+    * is exactly what makes one sketch implementation serve batch,
+    * incremental, and streaming ingestion unchanged.
+    */
+  def frequentTokensStream(toks: org.apache.spark.sql.Dataset[String],
+      k: Int, threshold: Long): DataFrame =
+    toks
+      .select(graft.functions.MisraGriesAggregator.frequentCandidates(k, threshold))
+      .toDF("candidates")
+
   /** Stream-static join: enrich the event stream with a static
     * dimension (auto-broadcast — each micro-batch joins against the
     * executor-cached dim, no shuffle of the stream side). The static

@@ -254,4 +254,33 @@ class StreamingSpec extends SparkSuite {
     val got = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
     assert(got.toSeq === (0L until 12L))
   }
+
+  test("streaming Misra-Gries candidates certify the true heavy hitters across micro-batches") {
+    import spark.implicits._
+    val k = 32
+    val t = 120L
+    // 3 micro-batches; "needle" crosses the threshold only over the
+    // whole stream, so state must merge across batches. 60 distinct
+    // noise tokens per batch keep eviction pressure on.
+    def batch(b: Int): Seq[String] =
+      (0 until 50).map(_ => "needle") ++ (0 until 60).map(i => s"noise-$b-$i")
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
+    val out = StreamingOps.frequentTokensStream(mem.toDS(), k, t)
+    val name = s"mg_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
+    try {
+      (0 until 3).foreach { b => mem.addData(batch(b)); q.processAllAvailable() }
+      val cands = spark.table(name).collect()(0).getSeq[String](0)
+      assert(cands.contains("needle"), s"lost across batches: $cands")
+      assert(cands.size <= k)
+      // exact verify over the full stream ≡ naive batch answer, the
+      // same two-pass contract as Sketches.heavyHittersMgOn
+      val all = (0 until 3).flatMap(batch)
+      val exact = all.groupBy(identity).filter(_._2.size >= t).keySet
+      val verified = all.filter(cands.contains).groupBy(identity)
+        .filter(_._2.size >= t).keySet
+      assert(verified === exact && exact === Set("needle"))
+    } finally q.stop()
+  }
 }
