@@ -213,6 +213,41 @@ object TextOps {
         "[0-9]{9,}", "<PHONE>").as("masked"))
   }
 
+  /** PMI phrase mining: top-20 adjacent word pairs by pointwise mutual
+    * information (min support 5) — the collocation detector ("new
+    * york") a tokenizer/vocab pipeline runs before deciding merge
+    * candidates at the word level. PMI = ln(p(a,b) / (p(a)·p(b)))
+    * with p from bigram/unigram corpus frequencies.
+    *
+    * Scale: bigram and unigram counts are partial-agg'd shuffles that
+    * collapse to vocabulary-sized frames; the two probability joins
+    * run at bigram-vocabulary cardinality (corpus-sublinear), and the
+    * final top-k is a 20-row ordered limit. Arithmetic is written with
+    * identical shape on both engines so the hash gate applies.
+    */
+  def pmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(toks(col("text")).as("ws"))
+    val ws = col("ws")
+    val bi = base.filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("a"), element_at(ws, i + 1).as("b")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val uni = base.select(explode(ws).as("tok"))
+    val cab = bi.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val uc = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = bi.agg(count(lit(1)).as("n_bi"))
+      .crossJoin(uni.agg(count(lit(1)).as("n_uni")))
+    val pmi = log((col("c_ab") / col("n_bi")) /
+      ((col("ca") / col("n_uni")) * (col("cb") / col("n_uni"))))
+    cab.filter(col("c_ab") >= 5)
+      .join(uc.select(col("tok").as("a"), col("c").as("ca")), "a")
+      .join(uc.select(col("tok").as("b"), col("c").as("cb")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c_ab"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("a").asc, col("b").asc)
+      .limit(20)
+  }
+
   /** URL-canonicalization dedup — the crawl-frontier / web-corpus step
     * that collapses surface URL variants before content ever downloads
     * or dedups: lowercase scheme+host, strip default ports (:80/:443),
@@ -363,6 +398,7 @@ object TextOps {
     "bm25_terms" -> bm25Terms,
     "sample_weighted" -> sampleWeighted,
     "dedup_url" -> dedupUrl,
+    "pmi_bigrams" -> pmiBigrams,
     "pii_mask" -> piiMask)
 
   private val tokSqlDuck =
@@ -449,6 +485,27 @@ object TextOps {
          |        PARTITION BY doc_id ORDER BY score DESC, term) AS rk
          |      FROM scored)
          |WHERE rk <= 3""".stripMargin,
+    "pmi_bigrams" ->
+      s"""WITH t AS (SELECT $tokSqlDuck AS w FROM documents),
+         |bi AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |         i -> struct_pack(a := w[i], b := w[i+1]))) AS p
+         |       FROM t WHERE len(w) >= 2),
+         |pairs AS (SELECT p.a AS a, p.b AS b, count(*) AS c_ab
+         |          FROM bi GROUP BY 1, 2),
+         |uni AS (SELECT unnest(w) AS tok FROM t),
+         |uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*) FROM bi) AS n_bi,
+         |               (SELECT count(*) FROM uni) AS n_uni)
+         |SELECT a, b, c_ab,
+         |  round(ln((c_ab / CAST(n_bi AS DOUBLE)) /
+         |    ((ca.c / CAST(n_uni AS DOUBLE)) * (cb.c / CAST(n_uni AS DOUBLE)))), 6)
+         |    AS pmi
+         |FROM pairs
+         |JOIN uc ca ON ca.tok = pairs.a
+         |JOIN uc cb ON cb.tok = pairs.b
+         |CROSS JOIN tot
+         |WHERE c_ab >= 5
+         |ORDER BY pmi DESC, a, b LIMIT 20""".stripMargin,
     "dedup_url" ->
       """WITH u AS (
         |  SELECT doc_id,

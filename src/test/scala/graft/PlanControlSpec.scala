@@ -60,4 +60,53 @@ class PlanControlSpec extends SparkSuite {
     assert(df.queryExecution.optimizedPlan.toString.contains("RebalancePartitions"))
     assert(df.count() === orders.count())
   }
+
+  /** AQE's executedPlan string echoes the pre-adaptive plan under
+    * "== Initial Plan ==" — strip it so Exchange counts reflect what
+    * actually ran.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val i = s.indexOf("== Initial Plan ==")
+    if (i >= 0) s.substring(0, i) else s
+  }
+
+  test("zorder_bucket: z_value is a map-side project; one partial-agg'd shuffle") {
+    val plan = finalPlan(graft.queries.Sharding.zorderBucket(spark, sfDir))
+    // exactly one exchange: the groupBy(bucket); assignment never shuffles
+    assert(plan.split("Exchange").length - 1 === 1, s"plan:\n$plan")
+    assert(!plan.contains("Join"), s"z assignment must be join-free:\n$plan")
+  }
+
+  test("bm25_terms: rank window reuses the doc_id exchange; top-k is pushed down") {
+    val plan = finalPlan(graft.queries.TextOps.bm25Terms(spark, sfDir))
+    // 4 shuffle exchanges ran: tf groupBy, 1-row stats agg, term
+    // window, doc window (the stats BROADCAST exchange doesn't move
+    // corpus data). The rank window (same doc_id partitioning as dl)
+    // must NOT re-exchange — a 5th shuffle means the reuse broke.
+    val n = plan.split("Exchange").length - 1 -
+      (plan.split("BroadcastExchange").length - 1)
+    assert(n <= 4, s"expected <=4 shuffle exchanges, got $n:\n$plan")
+    // rk <= 3 compiles to WindowGroupLimit: per-partition top-k prune
+    // before the final window — the bounded form of the rank filter
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+  }
+
+  test("drift_psi: corpus-sized work ends at the (source,bucket) count") {
+    val df = graft.queries.Corpus.driftPsi(spark, sfDir)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the documents scan feeds exactly one Aggregate before the grid
+    // join — no window or join touches the raw table
+    val scanIdx = plan.indexOf("Relation")
+    assert(scanIdx > 0)
+    assert(plan.contains("Aggregate"), plan)
+  }
+
+  test("heavy_hitters_mg: candidate stage aggregates to a single object row, verify join is broadcast") {
+    val df = graft.queries.Sketches.heavyHittersMg(spark, sfDir)
+    val plan = execPlan(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"verify pass must broadcast the candidate set:\n$plan")
+  }
 }
