@@ -106,4 +106,40 @@ class TokenizeSpec extends SparkSuite {
     val docs = Seq((1L, "a b c"), (2L, "a b")).toDF("doc_id", "text")
     assert(Tokenize.bpeMergesOn(docs, 5).collect().isEmpty)
   }
+
+  test("bpe_encode compression ≡ reference apply of the learned merges") {
+    import spark.implicits._
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest") ++ Seq.fill(4)("lowest")
+    val docs = words.zipWithIndex
+      .map { case (w, i) => (i.toLong, if (i % 2 == 0) "en" else "de", w) }
+      .toDF("doc_id", "lang", "text")
+    val nm = 6
+    val merges = referenceBpe(words, nm).map(m => (m._2, m._3))
+    def applyAll(w: String): Int = {
+      var syms: Seq[String] = w.map(_.toString)
+      merges.foreach { case (l, r) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toSeq
+      }
+      syms.length
+    }
+    val byLang = words.zipWithIndex.groupBy { case (_, i) => if (i % 2 == 0) "en" else "de" }
+    val want = byLang.map { case (lang, ws) =>
+      val n = ws.size
+      val syms = ws.map { case (w, _) => applyAll(w) }.sum
+      lang -> (n.toLong, ws.map(_._1.length).sum.toLong, syms.toLong)
+    }
+    val got = Tokenize.bpeEncodeOn(docs, nm).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+    // merges compress: fewer symbols than characters
+    got.values.foreach { case (_, chars, syms) => assert(syms < chars) }
+  }
 }
