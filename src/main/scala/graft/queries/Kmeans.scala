@@ -69,10 +69,11 @@ object Kmeans {
     val all = embeddings
       .select(col("vec_id"), col("v"))
       .persist() // feeds every round's assignment + the final output
-    // deterministic seeds: the k lowest vec_ids (bounded k·dim collect;
-    // the predicate pushes to the scan)
-    var cents: Array[Array[Double]] = all.filter(col("vec_id") < k)
-      .orderBy("vec_id").collect()
+    // deterministic seeds: the k lowest vec_ids — ordered limit, so
+    // sparse/offset id spaces still seed exactly k clusters (bounded
+    // k·dim collect via TakeOrdered, no full sort)
+    var cents: Array[Array[Double]] = all
+      .orderBy("vec_id").limit(k).collect()
       .map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to iters) {
       val sums = all

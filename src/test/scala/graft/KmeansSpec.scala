@@ -77,6 +77,18 @@ class KmeansSpec extends SparkSuite {
     assert(got === want)
   }
 
+  test("seeding works on sparse, offset vec_id spaces") {
+    import spark.implicits._
+    // ids 1000, 2000, ... — vec_id < k would seed zero clusters
+    val pts: Seq[(Long, Seq[Double])] = (1 to 10)
+      .map(i => (i * 1000L, Seq(i.toDouble, 0.0)))
+    val got = Kmeans.kmeansAssignOn(pts.toDF("vec_id", "v"), k = 3, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = referenceLloyd(pts.map(p => (p._1, p._2.toArray)), 3, 2)
+    assert(got === want)
+    assert(got.values.toSet.size === 3)
+  }
+
   test("assignment round is map-only: no Exchange above the scan in the assign stage") {
     import spark.implicits._
     val df = raw.take(50).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "v")
