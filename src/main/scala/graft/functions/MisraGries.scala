@@ -81,3 +81,42 @@ object MisraGriesAggregator {
   def frequentCandidates(k: Int, threshold: Long): TypedColumn[String, Seq[String]] =
     new MisraGriesAggregator(k, threshold).toColumn
 }
+
+/** Share-based Misra-Gries: certify tokens with frequency >= share·n
+  * of the stream seen SO FAR. The validity condition share > 1/(k+1)
+  * is STATIC — checked once at construction, independent of n — so
+  * unlike an absolute threshold this form can never outgrow its
+  * counter budget on an unbounded stream: the right contract for
+  * streaming ingestion, where n grows without bound by definition.
+  * A token with true frequency >= share·n has a counter >=
+  * share·n − n/(k+1), which is the emission bound.
+  */
+class MisraGriesShareAggregator(k: Int, share: Double)
+  extends Aggregator[String, (Map[String, Long], Long), Seq[String]] {
+  require(share > 1.0 / (k + 1),
+    s"share $share must exceed 1/(k+1)=${1.0 / (k + 1)} for the superset guarantee")
+
+  private val inner = new MisraGriesAggregator(k, Long.MaxValue)
+
+  override def zero: (Map[String, Long], Long) = inner.zero
+  override def reduce(b: (Map[String, Long], Long), t: String): (Map[String, Long], Long) =
+    inner.reduce(b, t)
+  override def merge(a: (Map[String, Long], Long), b: (Map[String, Long], Long)): (Map[String, Long], Long) =
+    inner.merge(a, b)
+
+  override def finish(buf: (Map[String, Long], Long)): Seq[String] = {
+    val (m, n) = buf
+    val bound = share * n - n.toDouble / (k + 1)
+    m.iterator.collect { case (t, c) if c >= bound => t }.toSeq.sorted
+  }
+
+  override def bufferEncoder: Encoder[(Map[String, Long], Long)] =
+    ExpressionEncoder[(Map[String, Long], Long)]()
+  override def outputEncoder: Encoder[Seq[String]] =
+    ExpressionEncoder[Seq[String]]()
+}
+
+object MisraGriesShareAggregator {
+  def frequentCandidates(k: Int, share: Double): TypedColumn[String, Seq[String]] =
+    new MisraGriesShareAggregator(k, share).toColumn
+}

@@ -95,4 +95,10 @@ object DotProduct {
       "vec_dot",
       exprs => DotProduct(exprs.head, exprs(1)),
       "built-in")
+
+  /** Column-API form — the one definition every query module uses
+    * (requires [[register]] on the session, which all callers invoke).
+    */
+  def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
 }

@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types.{DataType, LongType}
 
 /** Native Morton (Z-order) interleave of two non-negative long keys,
-  * 21 bits each → a 42-bit z-value, with full whole-stage-codegen
-  * support.
+  * 31 bits each → a 62-bit z-value (the full 2-D budget of a signed
+  * long — covers keys to 2.1×10⁹ per dimension, e.g. TPC-H custkey
+  * past sf10000), with full whole-stage-codegen support.
   *
   * Z-ordering is the multi-dimensional data-LAYOUT optimizer: sorting
   * a table by z(x, y) before writing makes file/row-group min-max
@@ -17,11 +18,11 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * sort gives pruning on that column only).
   *
   * Bit spreading uses the constant-time magic-mask sequence rather
-  * than a 21-iteration loop; the semantics are exactly
+  * than a 31-iteration loop; the semantics are exactly
   * Σ_i ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1), which is what the DuckDB
   * oracle computes with an explicit bit loop (hash-gate compatible)
   * and what ZorderSpec's sequential reference asserts bit-for-bit.
-  * Inputs are masked to their low 21 bits; null if either side is
+  * Inputs are masked to their low 31 bits; null if either side is
   * null (standard binary-expression null propagation).
   */
 case class ZValue(left: Expression, right: Expression)
@@ -56,9 +57,9 @@ case class ZValue(left: Expression, right: Expression)
 }
 
 object ZValue {
-  /** Spread the low 21 bits of v so bit i lands at position 2i. */
+  /** Spread the low 31 bits of v so bit i lands at position 2i. */
   def spread(v: Long): Long = {
-    var x = v & 0x1FFFFFL
+    var x = v & 0x7FFFFFFFL
     x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
     x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
     x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
@@ -67,7 +68,7 @@ object ZValue {
     x
   }
 
-  /** x bits at even positions, y bits at odd — the 42-bit z-value. */
+  /** x bits at even positions, y bits at odd — the 62-bit z-value. */
   def interleave(x: Long, y: Long): Long =
     spread(x) | (spread(y) << 1)
 

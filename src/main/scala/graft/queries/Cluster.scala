@@ -431,7 +431,11 @@ object Cluster {
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v"))
           .otherwise(col("u")).as("t"))
-      .persist()
+      // eager checkpoint (not persist-then-unpersist-before-action,
+      // which caches nothing): both sides of the wedge self-join read
+      // the materialized oriented edges instead of re-running the two
+      // degree joins
+      .localCheckpoint(true)
     val wedges = dir.as("e1").join(dir.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.t").as("x"), col("e2.t").as("y")) // x < y by id
@@ -446,7 +450,6 @@ object Cluster {
         round(when(col("n_wedges") > 0,
           col("n_triangles") * lit(3.0) / col("n_wedges")).otherwise(lit(0.0)), 6)
           .as("clustering_coeff"))
-    dir.unpersist(false)
     out
   }
 

@@ -281,7 +281,9 @@ object Corpus {
         md5(when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
           .otherwise(col("text"))).as("h_new"))
       .unionAll(docs.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        // negated ids: the synthetic "added" rows can never collide
+        // with a real doc_id at ANY corpus size (real ids are >= 0)
+        .select((-col("doc_id") - 1).as("doc_id"),
           md5(concat(lit("new:"), col("doc_id").cast("string"))).as("h_new")))
     oldSnap.join(newSnap, Seq("doc_id"), "full")
       .select(col("doc_id"),
@@ -358,7 +360,7 @@ object Corpus {
         |    md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h_new
         |  FROM documents WHERE doc_id % 11 <> 0
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id,
+        |  SELECT -doc_id - 1 AS doc_id,
         |    md5('new:' || CAST(doc_id AS VARCHAR)) AS h_new
         |  FROM documents WHERE doc_id % 13 = 0),
         |j AS (

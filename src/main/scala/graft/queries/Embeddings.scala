@@ -17,7 +17,7 @@ import graft.core.Tables
 object Embeddings {
 
   private def dot(a: Column, b: Column): Column =
-    call_function("vec_dot", a, b)
+    graft.functions.DotProduct.dotCol(a, b)
 
   /** Per-dimension corpus statistics: n, mean, min, max, L2 mass —
     * the report that catches dead dimensions (all-zero), saturated

@@ -37,7 +37,7 @@ object Kmeans {
   val Iters = 5
 
   private def dot(a: Column, b: Column): Column =
-    call_function("vec_dot", a, b)
+    graft.functions.DotProduct.dotCol(a, b)
 
   private def vecs(s: SparkSession, d: String): DataFrame = {
     graft.functions.DotProduct.register(s)
@@ -57,7 +57,9 @@ object Kmeans {
       struct((lit(c2) - lit(2.0) * dot(v, array(cv.map(lit).toIndexedSeq: _*))).as("d"),
         lit(i).as("cell"))
     }
-    least(scored.toIndexedSeq: _*).getField("cell")
+    // least() needs >= 2 args; a single centroid means cell 0 for all
+    if (scored.length == 1) lit(0)
+    else least(scored.toIndexedSeq: _*).getField("cell")
   }
 
   /** Run `iters` Lloyd rounds; returns (vec_id, cell) for every
@@ -87,7 +89,11 @@ object Kmeans {
       }
       cents = next
     }
+    // materialize the final assignment BEFORE dropping the cache the
+    // select reads through (an unpersist-then-execute would rescan the
+    // source for every downstream action)
     val out = all.select(col("vec_id"), nearestCell(col("v"), cents).as("cell"))
+      .localCheckpoint(true)
     all.unpersist(false)
     out
   }

@@ -135,7 +135,7 @@ object Sharding {
         |  FROM orders),
         |z AS (
         |  SELECT x, y,
-        |    CAST(list_sum(list_transform(generate_series(0, 20),
+        |    CAST(list_sum(list_transform(generate_series(0, 30),
         |      i -> (((x >> i) & 1) << (2 * i)) +
         |           (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
         |  FROM b)

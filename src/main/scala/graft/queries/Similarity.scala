@@ -25,7 +25,7 @@ object Similarity {
     * The declarative twin [[dotLambda]] stays for spec cross-checks.
     */
   private def dot(a: Column, b: Column): Column =
-    call_function("vec_dot", a, b)
+    graft.functions.DotProduct.dotCol(a, b)
 
   def dotLambda(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

@@ -129,16 +129,19 @@ object Sketches {
       .filter(col("n") >= HeavyHitterThreshold)
   }
 
-  /** Counter budget for the Misra-Gries candidate stage of
-    * [[heavyHittersMg]]. The superset guarantee needs the undercount
-    * bound n/(k+1) to stay below the threshold, i.e. k > n/T — the
-    * aggregator fails loudly (finish asserts) rather than silently
-    * dropping a true heavy hitter when a corpus outgrows the budget.
-    * At 100 TB the threshold is ppm-scale (T ~ 10⁶+), so k = n/T
-    * stays in the 10⁴–10⁵ range — a few MB of counters per task
-    * regardless of the (10⁸–10⁹ token) vocabulary.
+  /** Floor for the Misra-Gries counter budget of [[heavyHittersMg]];
+    * the actual k is DERIVED per run as max(floor, 4·n/T) from a
+    * map-only token-count sizing pass, so the undercount bound
+    * n/(k+1) sits at ~T/4 at any corpus size instead of silently
+    * outgrowing a constant. The cap bounds counter memory (4M
+    * counters ≈ low hundreds of MB); beyond cap·T/4 tokens the
+    * threshold itself must scale (heavy hitters at 100 TB are
+    * ppm-scale counts, T ~ 10⁶+ — same production contract as
+    * [[heavyHitters]]), and the aggregator's finish assert stays the
+    * loud guard against a misconfigured pair.
     */
   val MgCounters = 4096
+  val MgCountersCap = 1 << 22
 
   /** Same exact contract as [[heavyHitters]] (identical oracle SQL),
     * different candidate mechanism: a mergeable Misra-Gries summary
@@ -157,10 +160,16 @@ object Sketches {
   def heavyHittersMgOn(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
+    // sizing pass: map-only tokenize + 1-row sum (no shuffle of tokens)
+    val n = documents
+      .select(coalesce(sum(size(Dedup.tokensCol(col("text")))), lit(0L)).as("n"))
+      .first().getLong(0)
+    val k = math.min(MgCountersCap.toLong,
+      math.max(MgCounters.toLong, 4L * n / HeavyHitterThreshold)).toInt
     val toks = documents
       .select(explode(Dedup.tokensCol(col("text"))).as("tok"))
     val candidates = toks.as[String]
-      .select(MisraGriesAggregator.frequentCandidates(MgCounters, HeavyHitterThreshold))
+      .select(MisraGriesAggregator.frequentCandidates(k, HeavyHitterThreshold))
       .toDF("cands")
       .select(explode(col("cands")).as("tok"))
     toks.join(broadcast(candidates), "tok")

@@ -163,10 +163,12 @@ object TextOps {
   /** BM25 (Okapi, Lucene-form idf) top-3 terms per document — the
     * retrieval-grade replacement for [[tfidfTerms]]'s raw tf-idf:
     * tf saturates at k1 and document length is normalized against the
-    * corpus average (b). Same single-tokenize-pass plan shape as
-    * tfidf_terms (df/dl as windows over the corpus-sublinear tf
-    * frame, no self-joins); the only additions are the 1-row
-    * (total_tok, n_docs) broadcast for avgdl. Constants written as
+    * corpus average (b). Same windowed plan shape as tfidf_terms
+    * (df/dl as windows over the corpus-sublinear tf frame, no
+    * self-joins); the additions are a 1-row (total_tok, n_docs)
+    * broadcast for avgdl, fed by a second MAP-ONLY tokenize pass —
+    * see the stats comment for why that beats reusing tf. Constants
+    * written as
     * exact double literals on both engines (2.2, 1.2, 0.75) so the
     * arithmetic is bit-identical under the hash gate.
     */
@@ -176,6 +178,12 @@ object TextOps {
       .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
       .filter(col("term").isNotNull)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
+    // The 1-row avgdl stats deliberately re-tokenize in a MAP-ONLY
+    // pass (scan → size → tiny agg, no shuffle). Deriving them from
+    // the tf frame instead was measured to recompute the whole
+    // tokenize chain AND its exchange — Spark's exchange reuse does
+    // not fire across the join (same finding as tfidfTerms's df
+    // window-vs-join note) — so this shape is the cheaper of the two.
     val stats = docs.select(size(toks(col("text"))).as("dl"))
       .agg(sum("dl").cast("double").as("total_tok"), count(lit(1)).as("n_docs"))
     val rankW = Window.partitionBy("doc_id")
@@ -274,9 +282,13 @@ object TextOps {
     val url = concat(scheme, host, port,
       lit("/Articles/"), (col("doc_id") % 125).cast("string"), lit("/"), tail)
     // lowercase ONLY scheme://host (paths are case-sensitive), strip
-    // default port, query, fragment, trailing slash
-    val head = regexp_replace(
-      lower(regexp_extract(url, "^[A-Za-z]+://[^/]*", 0)), ":(443|80)$", "")
+    // the scheme's OWN default port (:443 is only default for https,
+    // :80 only for http — https://h:80 is a distinct origin and must
+    // NOT collapse), query, fragment, trailing slash
+    val lowered = lower(regexp_extract(url, "^[A-Za-z]+://[^/]*", 0))
+    val head = when(lowered.startsWith("https://"),
+      regexp_replace(lowered, ":443$", ""))
+      .otherwise(regexp_replace(lowered, ":80$", ""))
     val path = regexp_replace(
       regexp_replace(regexp_replace(url, "^[A-Za-z]+://[^/]*", ""),
         "[?#].*$", ""),
@@ -520,8 +532,12 @@ object TextOps {
         |  FROM documents),
         |c AS (
         |  SELECT doc_id,
-        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/]*')),
-        |                   ':(443|80)$', '') ||
+        |    CASE WHEN lower(regexp_extract(url, '^[A-Za-z]+://[^/]*'))
+        |              LIKE 'https://%'
+        |         THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/]*')),
+        |                             ':443$', '')
+        |         ELSE regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/]*')),
+        |                             ':80$', '') END ||
         |    regexp_replace(regexp_replace(
         |      regexp_replace(url, '^[A-Za-z]+://[^/]*', ''),
         |      '[?#].*$', ''), '/$', '') AS canonical_url

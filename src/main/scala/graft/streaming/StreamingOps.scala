@@ -56,19 +56,24 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(keyCol)
 
   /** Streaming heavy-hitter candidates: the SAME mergeable Misra-Gries
-    * summary the batch path uses (Sketches.heavyHittersMg), run as a
-    * streaming global aggregation — Spark keeps the (counters, n)
-    * buffer as query state and merges each micro-batch's partial
-    * summary into it with the identical Agarwal-et-al. merge rule that
-    * combines map-side partials in batch. Complete output mode: every
-    * trigger emits the current certified-candidate set. Mergeability
-    * is exactly what makes one sketch implementation serve batch,
-    * incremental, and streaming ingestion unchanged.
+    * state the batch path uses, run as a streaming global aggregation —
+    * Spark keeps the (counters, n) buffer as query state and merges
+    * each micro-batch's partial summary into it with the identical
+    * Agarwal-et-al. rule that combines map-side partials in batch.
+    * Complete output mode: every trigger emits the current certified
+    * set.
+    *
+    * The threshold is a SHARE of the stream (freq >= share·n), not an
+    * absolute count: on an unbounded stream n grows forever, so an
+    * absolute-threshold summary would eventually violate its k > n/T
+    * precondition and fail every subsequent trigger (including after
+    * checkpoint restart). The share form's validity condition
+    * (share > 1/(k+1)) is static — the query runs indefinitely.
     */
   def frequentTokensStream(toks: org.apache.spark.sql.Dataset[String],
-      k: Int, threshold: Long): DataFrame =
+      k: Int, share: Double): DataFrame =
     toks
-      .select(graft.functions.MisraGriesAggregator.frequentCandidates(k, threshold))
+      .select(graft.functions.MisraGriesShareAggregator.frequentCandidates(k, share))
       .toDF("candidates")
 
   /** Stream-static join: enrich the event stream with a static

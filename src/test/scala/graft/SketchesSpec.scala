@@ -138,6 +138,16 @@ class SketchesSpec extends SparkSuite {
     // pass in heavyHittersMgOn
   }
 
+  test("share-based Misra-Gries rejects share <= 1/(k+1) at construction") {
+    import graft.functions.MisraGriesShareAggregator
+    intercept[IllegalArgumentException](new MisraGriesShareAggregator(9, 0.1))
+    // valid share: certifies the planted heavy fraction
+    val agg = new MisraGriesShareAggregator(32, 0.2)
+    val stream = (0 until 60).map(_ => "hot") ++ (0 until 140).map(i => "u" + i)
+    val out = agg.finish(stream.foldLeft(agg.zero)(agg.reduce))
+    assert(out.contains("hot"))
+  }
+
   test("Misra-Gries fails loudly when k is too small for the stream") {
     import graft.functions.MisraGriesAggregator
     val agg = new MisraGriesAggregator(2, 10L)

@@ -258,14 +258,14 @@ class StreamingSpec extends SparkSuite {
   test("streaming Misra-Gries candidates certify the true heavy hitters across micro-batches") {
     import spark.implicits._
     val k = 32
-    val t = 120L
-    // 3 micro-batches; "needle" crosses the threshold only over the
-    // whole stream, so state must merge across batches. 60 distinct
-    // noise tokens per batch keep eviction pressure on.
+    val share = 0.2 // static validity: 0.2 > 1/(k+1) — runs forever
+    // 3 micro-batches; "needle" holds >= 20% of the whole stream, so
+    // state must merge across batches. 60 distinct noise tokens per
+    // batch keep eviction pressure on.
     def batch(b: Int): Seq[String] =
       (0 until 50).map(_ => "needle") ++ (0 until 60).map(i => s"noise-$b-$i")
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String](spark)
-    val out = StreamingOps.frequentTokensStream(mem.toDS(), k, t)
+    val out = StreamingOps.frequentTokensStream(mem.toDS(), k, share)
     val name = s"mg_${System.nanoTime()}"
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete()).start()
@@ -277,6 +277,7 @@ class StreamingSpec extends SparkSuite {
       // exact verify over the full stream ≡ naive batch answer, the
       // same two-pass contract as Sketches.heavyHittersMgOn
       val all = (0 until 3).flatMap(batch)
+      val t = math.ceil(share * all.size).toLong
       val exact = all.groupBy(identity).filter(_._2.size >= t).keySet
       val verified = all.filter(cands.contains).groupBy(identity)
         .filter(_._2.size >= t).keySet

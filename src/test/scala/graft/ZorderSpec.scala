@@ -14,7 +14,7 @@ class ZorderSpec extends SparkSuite {
   private def refZ(x: Long, y: Long): Long = {
     var z = 0L
     var i = 0
-    while (i < 21) {
+    while (i < 31) {
       z |= ((x >> i) & 1L) << (2 * i)
       z |= ((y >> i) & 1L) << (2 * i + 1)
       i += 1
@@ -23,13 +23,15 @@ class ZorderSpec extends SparkSuite {
   }
 
   test("magic-mask interleave ≡ bit-loop reference on edge and random-ish values") {
-    val vals = Seq(0L, 1L, 2L, 3L, 0x1FFFFFL, 0x155555L, 0xAAAAAL,
-      12345L, 999999L, (1L << 20) + 7L)
+    val vals = Seq(0L, 1L, 2L, 3L, 0x7FFFFFFFL, 0x55555555L, 0x2AAAAAAAL,
+      12345L, 999999L, (1L << 30) + 7L, 2100000000L)
     for (x <- vals; y <- vals) {
       assert(ZValue.interleave(x, y) === refZ(x, y), s"x=$x y=$y")
     }
-    // inputs beyond 21 bits are masked, never corrupt high bits
-    assert(ZValue.interleave(-1L, -1L) === refZ(0x1FFFFFL, 0x1FFFFFL))
+    // the z-value of max inputs stays a positive signed long (62 bits)
+    assert(ZValue.interleave(0x7FFFFFFFL, 0x7FFFFFFFL) > 0)
+    // inputs beyond 31 bits are masked, never corrupt high bits
+    assert(ZValue.interleave(-1L, -1L) === refZ(0x7FFFFFFFL, 0x7FFFFFFFL))
   }
 
   test("z_value expression under codegen ≡ reference; null propagates") {
