@@ -463,8 +463,19 @@ object Cluster {
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
+  /** The linear scale form of [[triangleCount]]: identical census over
+    * MinHash+LSH verified edges — same >= 0.6 contract, cost linear in
+    * corpus + true near-dup pairs (the standard quadratic-oracle /
+    * minhash-scale-path pairing of this module).
+    */
+  def triangleCountMinhash(s: SparkSession, d: String): DataFrame =
+    triangleCountOf(Dedup.minhashScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triangle_count" -> triangleCount,
+    "triangle_count_minhash" -> triangleCountMinhash,
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_minhash" -> dedupClusterMinhash,
     "dedup_keep" -> dedupKeep,

@@ -291,4 +291,10 @@ class ClusterSpec extends SparkSuite {
     assert(got.getLong(2) === bruteTriangles(edges))
     assert(got.getLong(0) === edges.length.toLong)
   }
+
+  test("triangle_count_minhash census equals the ngram-edged census on sf0.001") {
+    val ngram = Cluster.triangleCount(spark, sfDir).collect()(0).toSeq
+    val mh = Cluster.triangleCountMinhash(spark, sfDir).collect()(0).toSeq
+    assert(mh === ngram)
+  }
 }
