@@ -85,4 +85,87 @@ class PropertySpec extends SparkSuite {
       got == model
     })
   }
+
+  // --- round-6 algorithmic components -------------------------------
+
+  private val genEdges: Gen[List[(Long, Long)]] =
+    Gen.listOfN(30, for {
+      a <- Gen.choose(0L, 11L); b <- Gen.choose(0L, 11L) if a != b
+    } yield (math.min(a, b), math.max(a, b))).map(_.distinct)
+
+  test("triangle census ≡ brute force on random graphs (ScalaCheck)") {
+    def brute(es: Set[(Long, Long)]): Long = {
+      val ns = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      (for {
+        i <- ns.indices; j <- (i + 1) until ns.length
+        if es.contains((ns(i), ns(j)))
+        k <- (j + 1) until ns.length
+        if es.contains((ns(j), ns(k))) && es.contains((ns(i), ns(k)))
+      } yield 1).size.toLong
+    }
+    check(Prop.forAll(genEdges) { es =>
+      es.isEmpty || {
+        val got = graft.queries.Cluster
+          .triangleCountOf(es.toDF("doc_a", "doc_b")).collect()(0)
+        got.getLong(2) == brute(es.toSet) && got.getLong(0) == es.length.toLong
+      }
+    })
+  }
+
+  private val genStream: Gen[List[String]] = for {
+    nHot <- Gen.choose(30, 60)
+    noise <- Gen.listOfN(40, Gen.oneOf((0 until 25).map("n" + _)))
+  } yield scala.util.Random.shuffle(List.fill(nHot)("hot") ++ noise)
+
+  test("Misra-Gries candidates are a superset of true >=T items on random streams") {
+    val k = 8
+    check(Prop.forAll(genStream) { stream =>
+      val t = 25L // bound valid: n <= 100 => err <= 11 < 25
+      val agg = new graft.functions.MisraGriesAggregator(k, t)
+      // random split + merge: exercise the mergeable path too
+      val (s1, s2) = stream.splitAt(stream.length / 2)
+      val merged = agg.finish(agg.merge(
+        s1.foldLeft(agg.zero)(agg.reduce), s2.foldLeft(agg.zero)(agg.reduce)))
+      val truth = stream.groupBy(identity).filter(_._2.size >= t).keySet
+      truth.subsetOf(merged.toSet)
+    })
+  }
+
+  private val genSyms: Gen[List[String]] =
+    Gen.listOfN(12, Gen.oneOf("a", "b", "ab", "c"))
+
+  test("applyMerge ≡ sequential greedy merge on random symbol arrays") {
+    def ref(syms: List[String], l: String, r: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          out += (l + r); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toList
+    }
+    check(Prop.forAll(genSyms) { syms =>
+      val got = Seq(syms).toDF("syms")
+        .select(graft.queries.Tokenize.applyMerge(
+          org.apache.spark.sql.functions.col("syms"), "a", "b"))
+        .collect()(0).getSeq[String](0).toList
+      got == ref(syms, "a", "b")
+    })
+  }
+
+  test("ZValue.interleave ≡ definitional bit loop (ScalaCheck)") {
+    def refZ(x: Long, y: Long): Long = {
+      var z = 0L; var i = 0
+      while (i < 31) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    check(Prop.forAll(Gen.choose(0L, 0x7FFFFFFFL), Gen.choose(0L, 0x7FFFFFFFL)) {
+      (x, y) => graft.functions.ZValue.interleave(x, y) == refZ(x, y)
+    })
+  }
 }
