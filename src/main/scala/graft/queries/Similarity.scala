@@ -103,6 +103,43 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Embedding-space decontamination: flag corpus vectors semantically
+    * too close to any held-out eval vector — the semantic complement
+    * of the n-gram `decontaminate` (paraphrased eval leakage has no
+    * shingle overlap but lives at high cosine). Same plan law as the
+    * n-gram form: the eval side broadcasts (eval sets are small by
+    * construction), the corpus is scanned map-side once and never
+    * shuffles beyond the flagged tail. Emits one row per CONTAMINATED
+    * vector (eval-hit count, max cos, min hit id) — the review list a
+    * curation pipeline acts on.
+    *
+    * Production thresholds for paraphrase contamination sit at
+    * cos ≳ 0.9; the synthetic corpus is a near-orthogonal cloud (max
+    * pairwise cos ≈ 0.51), so the registered entry uses 0.4 to
+    * exercise a non-empty tail. Planted-contamination semantics are
+    * spec-checked in SimilaritySpec via the On-form.
+    */
+  val DecontamCos = 0.4
+
+  def decontaminateEmbeddingOn(corpus: DataFrame, eval: DataFrame,
+      tau: Double = DecontamCos): DataFrame = {
+    val ev = eval.select(col("vec_id").as("eval_id"), col("v").as("ev"),
+      col("nrm").as("en"))
+    corpus.join(broadcast(ev), col("vec_id") =!= col("eval_id"))
+      .select(col("vec_id"), col("eval_id"),
+        (dot(col("v"), col("ev")) / (col("nrm") * col("en"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_evals_hit"),
+        round(max("cos"), 6).as("max_cos"),
+        min("eval_id").as("first_eval_hit"))
+  }
+
+  def decontaminateEmbedding(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d)
+    decontaminateEmbeddingOn(all, all.filter(col("vec_id") < 8))
+  }
+
   // IVF parameters: 16 coarse cells, queries probe the 2 nearest.
   private val NCells = 16
   private val NProbe = 2
@@ -371,6 +408,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine" -> annCosine,
+    "decontaminate_embedding" -> decontaminateEmbedding,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
@@ -378,6 +416,20 @@ object Similarity {
     "semdedup" -> semDedup)
 
   def oracleSql: Map[String, String] = Map(
+    "decontaminate_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |hits AS (
+        |  SELECT c.vec_id, q.vec_id AS eval_id,
+        |    list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS cos
+        |  FROM e c JOIN e q ON q.vec_id < 8 AND c.vec_id <> q.vec_id
+        |  WHERE list_dot_product(c.v, q.v) / (c.nrm * q.nrm) >= 0.4)
+        |SELECT vec_id, count(*) AS n_evals_hit,
+        |  round(max(cos), 6) AS max_cos,
+        |  min(eval_id) AS first_eval_hit
+        |FROM hits GROUP BY vec_id""".stripMargin,
     "ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -135,4 +135,27 @@ class SimilaritySpec extends SparkSuite {
     val sims = rows.map(_.getDouble(2))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
+
+  test("decontaminateEmbedding flags planted eval-near vectors and nothing else") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.functions.DotProduct.register(spark)
+    // eval vector e0 = e1-axis; corpus: id 10 is a near-copy (cos ~0.995),
+    // id 11 moderately close (cos ~0.707), id 12 orthogonal
+    val rows: Seq[(Long, Seq[Double])] = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (10L, Seq(0.995, 0.1, 0.0)),
+      (11L, Seq(1.0, 1.0, 0.0)),
+      (12L, Seq(0.0, 0.0, 1.0)))
+    val df = rows.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(Similarity.dotLambda(col("v"), col("v"))))
+    val eval = df.filter(col("vec_id") === 0L)
+    val got = Similarity.decontaminateEmbeddingOn(df, eval, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(got === Set((10L, 1L, 0L)))
+    // looser tau picks up the moderate one too; orthogonal never flags
+    val loose = Similarity.decontaminateEmbeddingOn(df, eval, tau = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(loose === Set(10L, 11L))
+  }
 }
