@@ -79,14 +79,66 @@ object Embeddings {
   def pcaTop(s: SparkSession, d: String): DataFrame =
     pcaTopOn(Tables.embeddings(s, d))
 
+  /** Per-dimension z-normalization — the feature-scaling pass before
+    * indexing or clustering. The dim-bounded (mean, sd) table is
+    * computed once (posexplode → dim cells, explicit sum/sumsq so both
+    * engines run identical arithmetic), collected (2·dim doubles —
+    * the bounded-literal pattern of Kmeans/IVF), and folded into the
+    * plan as literal arrays, so the normalization itself is a pure map
+    * over the corpus: no join, no second shuffle, vectors never move.
+    * Zero-variance dimensions normalize to 0 by convention.
+    */
+  def embedNormalize(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = all
+      .select(posexplode(col("v")))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n"), sum("col").as("s"),
+        sum(col("col") * col("col")).as("ss"))
+      .select(col("pos"),
+        (col("s") / col("n")).as("mean"),
+        sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("sd"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val dim = stats.size
+    val meanLit = array((0 until dim).map(i => lit(stats(i)._1)).toIndexedSeq: _*)
+    val sdLit = array((0 until dim).map(i => lit(stats(i)._2)).toIndexedSeq: _*)
+    all.select(col("vec_id"),
+      zip_with(col("v"), sequence(lit(0), lit(dim - 1)), (x, i) => {
+        val m = element_at(meanLit, i + 1)
+        val sd = element_at(sdLit, i + 1)
+        when(sd > 0, round((x - m) / sd, 6)).otherwise(lit(0.0))
+      }).as("z"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_stats" -> embedStats,
+    "embed_normalize" -> embedNormalize,
     "pca_top" -> pcaTop)
 
   /** pca_top is iterative plan-time state — rows-only for the driver,
     * pinned to a sequential power iteration in EmbeddingsSpec.
     */
   def oracleSql: Map[String, String] = Map(
+    "embed_normalize" ->
+      """WITH dims AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(embedding)) AS INTEGER) FROM embeddings))) AS i),
+        |st AS (
+        |  SELECT i, count(*) AS n,
+        |    sum(CAST(embedding[i] AS DOUBLE)) AS s,
+        |    sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS ss
+        |  FROM embeddings, dims WHERE i <= len(embedding) GROUP BY i),
+        |ms AS (
+        |  SELECT list(s / n ORDER BY i) AS m,
+        |    list(sqrt((ss - s * s / n) / (n - 1)) ORDER BY i) AS sd
+        |  FROM st)
+        |SELECT vec_id,
+        |  list_transform(generate_series(1, len(embedding)),
+        |    i -> CASE WHEN sd[i] > 0
+        |              THEN round((CAST(embedding[i] AS DOUBLE) - m[i]) / sd[i], 6)
+        |              ELSE 0.0 END) AS z
+        |FROM embeddings CROSS JOIN ms""".stripMargin,
     "embed_stats" ->
       """WITH dims AS (
         |  SELECT unnest(generate_series(1,

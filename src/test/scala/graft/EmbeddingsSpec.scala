@@ -59,6 +59,23 @@ class EmbeddingsSpec extends SparkSuite {
     assert(math.abs(v(2)) < 1e-6 && math.abs(v(3)) < 1e-6)
   }
 
+  test("embed_normalize: per-dim mean ~0 / sd ~1; map-only plan (no Exchange)") {
+    val df = Embeddings.embedNormalize(spark, sfDir)
+    val rows = df.collect().map(_.getSeq[Double](1))
+    assert(rows.length === mat.length)
+    val dim = rows.head.length
+    (0 until dim).foreach { i =>
+      val xs = rows.map(_(i))
+      val mean = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
+      assert(math.abs(mean) < 1e-4, s"dim $i mean $mean")
+      assert(math.abs(sd - 1.0) < 1e-3, s"dim $i sd $sd")
+    }
+    // normalization is a pure map: the returned plan never shuffles
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"normalize must be map-only:\n$plan")
+  }
+
   test("embed_stats: one row per dimension, l2 mass positive, bounds ordered") {
     val rows = Embeddings.embedStats(spark, sfDir).collect()
     assert(rows.length === mat.head.length)
