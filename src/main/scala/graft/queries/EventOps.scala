@@ -114,21 +114,30 @@ object EventOps {
   }
 
   /** Trailing-window z-score anomaly detection over per-hour event
-    * volumes — the monitoring query an ingest pipeline alerts on. The
-    * per-type hourly count stream gets mean/sd over the TRAILING 24
-    * hourly rows (explicit sum/sumsq so both engines run the identical
-    * arithmetic — the stats_agg convention); hours with |z| >= 2 and a
-    * defined sd are flagged. Counts collapse map-side to (type, hour)
-    * cells before any window, so the sort is over the tiny hourly
-    * series, never raw events.
+    * volumes — the monitoring query an ingest pipeline alerts on. Each
+    * hour is scored against the 24 PRIOR hourly rows (excluding
+    * itself — the alert baseline is history, which is also what makes
+    * the streaming twin StreamingOps.anomalyAlerts exactly equivalent
+    * on ordered input); explicit sum/sumsq so both engines run the
+    * identical arithmetic (the stats_agg convention); hours with
+    * |z| >= 2 and a defined sd are flagged. Counts collapse map-side
+    * to (type, hour) cells before any window, so the sort is over the
+    * tiny hourly series, never raw events.
     */
-  def eventsAnomaly(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("hour").rowsBetween(-23, 0)
-    Tables.events(s, d)
+  def eventsAnomaly(s: SparkSession, d: String): DataFrame =
+    eventsAnomalyOn(Tables.events(s, d)
       .select(col("event_type"), expr("ts DIV 3600000000000").as("hour"))
       .groupBy("event_type", "hour")
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Core of [[eventsAnomaly]] over a pre-aggregated hourly
+    * (event_type, hour, c) frame — also the batch twin the streaming
+    * spec compares StreamingOps.anomalyAlerts against.
+    */
+  def eventsAnomalyOn(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    hourly
       .select(col("event_type"), col("hour"), col("c"),
         count(lit(1)).over(w).as("n"),
         sum("c").over(w).as("s"),
@@ -169,7 +178,7 @@ object EventOps {
         |    CAST(sum(c * c) OVER tw AS BIGINT) AS ss
         |  FROM h
         |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour
-        |                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
         |v AS (
         |  SELECT event_type, hour, c,
         |    (ss - CAST(s AS DOUBLE) * s / n) / (n - 1) AS v,

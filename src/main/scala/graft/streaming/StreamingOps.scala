@@ -177,6 +177,71 @@ object StreamingOps {
       }
   }
 
+  final case class AnomalyState(openHour: Long, openCount: Long,
+    closed: List[(Long, Long)]) // trailing <=24 closed (hour, count)
+  final case class AnomalyOut(event_type: String, hour: Long, c: Long,
+    mean24: Double, z: Double)
+
+  /** Streaming volume-anomaly alerts — the stateful twin of the batch
+    * `events_anomaly` query. State per event_type: the currently open
+    * hour's running count plus the trailing <=24 CLOSED (hour, count)
+    * pairs — constant size per key regardless of event volume. When an
+    * event for a LATER hour arrives, the open hour closes: it is
+    * z-scored against the closed history (same explicit mean/sd
+    * arithmetic and same |z| >= 2, >=2-prior-rows, sd>0 gates as the
+    * batch window form, which scores each hour against its 24 PRIOR
+    * rows) and appended to the history. On event-time-ordered input
+    * the emitted alerts are EXACTLY the batch query's rows for every
+    * closed hour (StreamingSpec asserts set equality after a flush
+    * event); out-of-order events older than the open hour are dropped
+    * (the watermark analog — documented, matching dedupStream's
+    * within-watermark contract).
+    */
+  def anomalyAlerts(events: DataFrame): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    // match Spark's round() exactly (HALF_UP on the shortest decimal
+    // repr — BigDecimal.valueOf semantics), incl. negative z values
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    events
+      .select(col("event_type"), col("tsm"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ, rows, state: GroupState[AnomalyState]) =>
+          var s = state.getOption.getOrElse(AnomalyState(-1L, 0L, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[AnomalyOut]
+          def close(): Unit = if (s.openHour >= 0) {
+            val prior = s.closed
+            val n = prior.length
+            if (n >= 2) {
+              val sum = prior.map(_._2).sum.toDouble
+              val ss = prior.map(p => p._2.toDouble * p._2).sum
+              val mean = sum / n
+              val v = (ss - sum * sum / n) / (n - 1)
+              if (v > 0) {
+                val z = (s.openCount - mean) / math.sqrt(v)
+                if (math.abs(z) >= 2.0)
+                  out += AnomalyOut(typ, s.openHour, s.openCount, r4(mean), r4(z))
+              }
+            }
+            // chronological append, trailing 24 kept
+            s = s.copy(closed = (s.closed :+ ((s.openHour, s.openCount))).takeRight(24))
+          }
+          rows.toSeq.map(_._2.getTime / 3600000L).sorted.foreach { h =>
+            if (s.openHour < 0) s = s.copy(openHour = h, openCount = 1L)
+            else if (h == s.openHour) s = s.copy(openCount = s.openCount + 1L)
+            else if (h > s.openHour) {
+              close()
+              s = s.copy(openHour = h, openCount = 1L)
+            } // h < openHour: late event beyond the open hour — dropped
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class FunnelState(vts: Long, cts: Long, pts: Long) // -1 = not reached
   final case class StageOut(user_id: Long, stage: Int, ts_s: Long)
 

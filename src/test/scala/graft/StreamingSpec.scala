@@ -255,6 +255,54 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSeq === (0L until 12L))
   }
 
+  test("streaming anomaly alerts ≡ batch events_anomaly on ordered input") {
+    import spark.implicits._
+    // planted hourly volumes per type: steady 10s with a spike (50) and
+    // a dip (1); type b steady (never alerts)
+    val volumes = Map(
+      "a" -> Seq(10L, 11L, 10L, 9L, 10L, 50L, 10L, 1L, 10L, 10L),
+      "b" -> Seq(5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L))
+    val evs: Seq[(java.sql.Timestamp, String)] = (for {
+      (typ, cs) <- volumes.toSeq
+      (c, h) <- cs.zipWithIndex
+      i <- 0L until c
+    } yield (new java.sql.Timestamp(h * 3600000L + i * 1000L), typ))
+      .sortBy(_._1.getTime)
+    val flushHour = 100L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)](spark)
+    val out = StreamingOps.anomalyAlerts(mem.toDF().toDF("tsm", "event_type"))
+    val name = s"anom_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // split mid-hour across micro-batches: open-hour state must carry
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      // flush: close the final open hours
+      mem.addData(Seq((new java.sql.Timestamp(flushHour * 3600000L), "a"),
+        (new java.sql.Timestamp(flushHour * 3600000L), "b")))
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toSet
+      val hourly = volumes.toSeq.flatMap { case (t, cs) =>
+        cs.zipWithIndex.map { case (c, h) => (t, h.toLong, c) }
+      }.toDF("event_type", "hour", "c")
+      val batch = graft.queries.EventOps.eventsAnomalyOn(hourly).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .filter(_._2 < flushHour).toSet
+      assert(streamed === batch)
+      assert(streamed.exists(r => r._1 == "a" && r._2 == 5L && r._5 >= 2.0),
+        s"spike not flagged: $streamed")
+      // the hour-7 dip is NOT flagged: once the spike joins the history
+      // the baseline sd balloons (~16), so z(1) ≈ -1 — faithful z-score
+      // behavior, identical in both engines by the equality above
+      assert(!streamed.exists(r => r._1 == "a" && r._2 == 7L))
+      assert(!streamed.exists(_._1 == "b"))
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries candidates certify the true heavy hitters across micro-batches") {
     import spark.implicits._
     val k = 32
