@@ -178,7 +178,55 @@ object Sketches {
       .filter(col("n") >= HeavyHitterThreshold)
   }
 
+  /** KMV sketch size for [[audienceOverlap]] (rel. error ~1/√k ≈ 6%). */
+  val KmvK = 256
+
+  /** Pairwise audience overlap between event types via KMV/theta
+    * sketches — the set-INTERSECTION estimate HLL cannot provide.
+    * One pass builds an O(k) sketch per type (map-side mergeable
+    * typed aggregator — user sets never shuffle, only k-double
+    * arrays); the pair stage is a self-join of the 5-row sketch
+    * table, all array ops. θ = k-th min of the merged pair sketch;
+    * below θ every sketch is a uniform sample of its set, so
+    * |A∪B| ≈ (k−1)/θ and |A∩B| ≈ |{x ∈ A∩B : x < θ}|/θ. Sketches
+    * smaller than k hold their ENTIRE set — those pairs compute
+    * exact counts (θ = 1 branch).
+    */
+  def audienceOverlap(s: SparkSession, d: String): DataFrame =
+    audienceOverlapOn(Tables.events(s, d), KmvK)
+
+  def audienceOverlapOn(events: DataFrame, k: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val sk = events
+      .select(col("event_type"),
+        (xxhash64(col("user_id")) / lit(1.8446744073709552e19) + lit(0.5)).as("h"))
+      .as[(String, Double)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(graft.functions.KmvAggregator.sketch(k).name("sk"))
+      .toDF("event_type", "sk")
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    val merged = slice(array_sort(array_distinct(concat(col("ska"), col("skb")))), 1, k)
+    val pairs = a.join(b, col("type_a") < col("type_b"))
+      .withColumn("m", merged)
+      .withColumn("full", size(col("m")) === k)
+      .withColumn("theta",
+        when(col("full"), element_at(col("m"), k)).otherwise(lit(1.0)))
+      .withColumn("inter_raw",
+        size(filter(array_intersect(col("ska"), col("skb")),
+          x => x < col("theta"))).cast("double"))
+    pairs.select(col("type_a"), col("type_b"),
+      round(when(col("full"), lit((k - 1).toDouble) / col("theta"))
+        .otherwise(size(col("m")).cast("double")), 4).as("est_union"),
+      round(col("inter_raw") / col("theta"), 4).as("est_overlap"),
+      round((col("inter_raw") / col("theta")) /
+        (when(col("full"), lit((k - 1).toDouble) / col("theta"))
+          .otherwise(size(col("m")).cast("double"))), 4).as("est_jaccard"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "audience_overlap" -> audienceOverlap,
     "approx_distinct" -> approxDistinct,
     "heavy_hitters" -> heavyHitters,
     "heavy_hitters_mg" -> heavyHittersMg,

@@ -138,6 +138,45 @@ class SketchesSpec extends SparkSuite {
     // pass in heavyHittersMgOn
   }
 
+  test("KMV audience overlap: exact on small sets, ~1/√k accurate on planted overlap") {
+    import spark.implicits._
+    def ev(t: String, ids: Range): Seq[(String, Long)] = ids.map(i => (t, i.toLong))
+    // small sets (< k): exact mode — jaccard must be exactly 1/3
+    val small = (ev("x", 0 until 60) ++ ev("y", 40 until 100))
+      .toDF("event_type", "user_id")
+    val exact = Sketches.audienceOverlapOn(small, k = 256).collect()(0)
+    assert(exact.getDouble(2) === 100.0 && exact.getDouble(3) === 20.0)
+    assert(math.abs(exact.getDouble(4) - 0.2) < 1e-9)
+    // large planted overlap: |A|=|B|=1000, |A∩B|=500, jac = 1/3
+    val big = (ev("x", 0 until 1000) ++ ev("y", 500 until 1500))
+      .toDF("event_type", "user_id")
+    val est = Sketches.audienceOverlapOn(big, k = 256).collect()(0)
+    assert(math.abs(est.getDouble(2) - 1500.0) / 1500.0 < 0.2, est.toString)
+    assert(math.abs(est.getDouble(3) - 500.0) / 500.0 < 0.35, est.toString)
+    assert(math.abs(est.getDouble(4) - 1.0 / 3) < 0.12, est.toString)
+    // identical sets → jaccard exactly 1; disjoint → exactly 0
+    val same = (ev("x", 0 until 2000) ++ ev("y", 0 until 2000))
+      .toDF("event_type", "user_id")
+    assert(Sketches.audienceOverlapOn(same, k = 128).collect()(0).getDouble(4) === 1.0)
+    val disj = (ev("x", 0 until 2000) ++ ev("y", 5000 until 7000))
+      .toDF("event_type", "user_id")
+    assert(Sketches.audienceOverlapOn(disj, k = 128).collect()(0).getDouble(4) === 0.0)
+  }
+
+  test("audience_overlap estimates track exact pairwise user-set jaccard on sf0.001") {
+    val users = Tables.events(spark, sfDir)
+      .select("event_type", "user_id").distinct().collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    val rows = Sketches.audienceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (users(r.getString(0)), users(r.getString(1)))
+      val jac = (a & b).size.toDouble / (a | b).size
+      assert(math.abs(r.getDouble(4) - jac) < 0.15,
+        s"${r.getString(0)}/${r.getString(1)}: est=${r.getDouble(4)} exact=$jac")
+    }
+  }
+
   test("share-based Misra-Gries rejects share <= 1/(k+1) at construction") {
     import graft.functions.MisraGriesShareAggregator
     intercept[IllegalArgumentException](new MisraGriesShareAggregator(9, 0.1))
