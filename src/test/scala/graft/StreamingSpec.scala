@@ -255,6 +255,56 @@ class StreamingSpec extends SparkSuite {
     assert(got.toSeq === (0L until 12L))
   }
 
+  test("Misra-Gries aggregation state survives a checkpointed restart") {
+    import spark.implicits._
+    // The sketch-state durability contract: the (counters, n) buffer is
+    // part of the streaming aggregation state, so a query killed and
+    // restarted from its checkpoint must resume the count — a token
+    // that only crosses its share threshold ACROSS the restart boundary
+    // proves state carried over (a reset would leave it under).
+    val base = s"/tmp/graft_mg_ckpt_${System.nanoTime()}"
+    val (in, out, chk) = (s"$base/in", s"$base/out", s"$base/chk")
+    new java.io.File(in).mkdirs()
+    val k = 32
+    val share = 0.4
+    def addBatch(name: String, toks: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/$name"),
+        toks.mkString("\n").getBytes("UTF-8"))
+    def runOnce(): Unit = {
+      val q = StreamingOps.frequentTokensStream(
+        spark.readStream.schema("value STRING").format("text").load(in).as[String],
+        k, share)
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          df.coalesce(1).write.mode("overwrite").json(out)
+        }
+        .option("checkpointLocation", chk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: 120 distinct singleton noise tokens — n grows to 120,
+    // nothing certifiable (every counter <= 1, bound = 0.4·120 − 3.6)
+    addBatch("b1.txt", (0 until 120).map(i => s"u$i"))
+    runOnce()
+    val after1 = spark.read.json(out).collect()
+    assert(!after1.exists(_.toString.contains("probe")) &&
+      !after1.exists(_.toString.contains("ctrl")))
+    // batch 2 after RESTART: probe×95 + ctrl×150. With batch-1 state
+    // carried, n = 365 and the certification bound is ~135: ctrl
+    // (counter >= 150 − 11) certifies, probe (<= 95) cannot. If the
+    // restart RESET the state, n = 245 and the bound drops to ~91 —
+    // probe would certify too. So after restart: ctrl present AND
+    // probe absent <=> the (counters, n) buffer survived.
+    addBatch("b2.txt", (0 until 95).map(_ => "probe") ++
+      (0 until 150).map(_ => "ctrl"))
+    runOnce()
+    val after2 = spark.read.json(out).collect().map(_.toString).mkString
+    assert(after2.contains("ctrl"), s"query broken or ctrl lost: $after2")
+    assert(!after2.contains("probe"),
+      s"probe certified => batch-1 state was lost across restart: $after2")
+  }
+
   test("streaming anomaly alerts ≡ batch events_anomaly on ordered input") {
     import spark.implicits._
     // planted hourly volumes per type: steady 10s with a spike (50) and
