@@ -450,6 +450,13 @@ object Cluster {
         round(when(col("n_wedges") > 0,
           col("n_triangles") * lit(3.0) / col("n_wedges")).otherwise(lit(0.0)), 6)
           .as("clustering_coeff"))
+      // the census is ONE row — materialize it eagerly so the e/dir
+      // checkpoint blocks can be freed now instead of accumulating for
+      // the life of the driver (a long-lived session runs this many
+      // times)
+      .localCheckpoint(true)
+    e.unpersist(false)
+    dir.unpersist(false)
     out
   }
 

@@ -98,11 +98,18 @@ object Embeddings {
         sum(col("col") * col("col")).as("ss"))
       .select(col("pos"),
         (col("s") / col("n")).as("mean"),
-        sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)).as("sd"))
+        // n = 1 would divide by zero (NULL sd) — treat a single-row
+        // corpus as zero-variance, same as a constant dimension
+        when(col("n") > 1,
+          sqrt((col("ss") - col("s") * col("s") / col("n")) / (col("n") - 1)))
+          .otherwise(lit(0.0)).as("sd"))
       .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    val dim = stats.size
-    val meanLit = array((0 until dim).map(i => lit(stats(i)._1)).toIndexedSeq: _*)
-    val sdLit = array((0 until dim).map(i => lit(stats(i)._2)).toIndexedSeq: _*)
+    val dim = if (stats.isEmpty) 0 else stats.keys.max + 1
+    // ragged corpora can leave positions unseen — normalize those to 0
+    val meanLit = array((0 until dim).map(i =>
+      lit(stats.getOrElse(i, (0.0, 0.0))._1)).toIndexedSeq: _*)
+    val sdLit = array((0 until dim).map(i =>
+      lit(stats.getOrElse(i, (0.0, 0.0))._2)).toIndexedSeq: _*)
     all.select(col("vec_id"),
       zip_with(col("v"), sequence(lit(0), lit(dim - 1)), (x, i) => {
         val m = element_at(meanLit, i + 1)

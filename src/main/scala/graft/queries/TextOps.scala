@@ -288,7 +288,9 @@ object TextOps {
     val lowered = lower(regexp_extract(url, "^[A-Za-z]+://[^/]*", 0))
     val head = when(lowered.startsWith("https://"),
       regexp_replace(lowered, ":443$", ""))
-      .otherwise(regexp_replace(lowered, ":80$", ""))
+      .when(lowered.startsWith("http://"),
+        regexp_replace(lowered, ":80$", ""))
+      .otherwise(lowered) // other schemes: no default-port assumption
     val path = regexp_replace(
       regexp_replace(regexp_replace(url, "^[A-Za-z]+://[^/]*", ""),
         "[?#].*$", ""),
@@ -536,8 +538,11 @@ object TextOps {
         |              LIKE 'https://%'
         |         THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/]*')),
         |                             ':443$', '')
-        |         ELSE regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/]*')),
-        |                             ':80$', '') END ||
+        |         WHEN lower(regexp_extract(url, '^[A-Za-z]+://[^/]*'))
+        |              LIKE 'http://%'
+        |         THEN regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://[^/]*')),
+        |                             ':80$', '')
+        |         ELSE lower(regexp_extract(url, '^[A-Za-z]+://[^/]*')) END ||
         |    regexp_replace(regexp_replace(
         |      regexp_replace(url, '^[A-Za-z]+://[^/]*', ''),
         |      '[?#].*$', ''), '/$', '') AS canonical_url

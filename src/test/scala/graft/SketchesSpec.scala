@@ -141,7 +141,8 @@ class SketchesSpec extends SparkSuite {
   test("KMV audience overlap: exact on small sets, ~1/√k accurate on planted overlap") {
     import spark.implicits._
     def ev(t: String, ids: Range): Seq[(String, Long)] = ids.map(i => (t, i.toLong))
-    // small sets (< k): exact mode — jaccard must be exactly 1/3
+    // small sets (< k): exact mode — 60∪60 with 20 shared: union 100,
+    // overlap 20, jaccard exactly 0.2
     val small = (ev("x", 0 until 60) ++ ev("y", 40 until 100))
       .toDF("event_type", "user_id")
     val exact = Sketches.audienceOverlapOn(small, k = 256).collect()(0)
