@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("z_value"),
       new ExpressionInfo(classOf[ZValue].getName, "z_value"),
       exprs => ZValue(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("z3_value"),
+      new ExpressionInfo(classOf[graft.functions.ZValue3].getName, "z3_value"),
+      exprs => graft.functions.ZValue3(exprs.head, exprs(1), exprs(2))))
   }
 }

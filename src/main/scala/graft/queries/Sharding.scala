@@ -103,10 +103,35 @@ object Sharding {
         min("y").as("min_day"), max("y").as("max_day"))
   }
 
+  /** 3-D variant of [[zorderBucket]]: Morton cells over (custkey,
+    * order day, totalprice band) via the native `z3_value` expression —
+    * the layout for a fact table filtered independently on all three.
+    * Shift 33 leaves 10 bits per dimension: every bucket is an
+    * axis-aligned 2^11-cube in key space (ZorderSpec bound).
+    */
+  val Z3Shift = 33
+
+  def zorder3Bucket(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ZValue.register(s)
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("y"),
+        floor(col("o_totalprice") / lit(1000.0)).cast("long").as("w"))
+      .select(shiftright(call_function("z3_value", col("x"), col("y"), col("w")),
+        Z3Shift).as("bucket"), col("x"), col("y"), col("w"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_cust"), max("x").as("max_cust"),
+        min("y").as("min_day"), max("y").as("max_day"),
+        min("w").as("min_band"), max("w").as("max_band"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_pack" -> shardPack,
     "pack_sequences" -> packSequences,
-    "zorder_bucket" -> zorderBucket)
+    "zorder_bucket" -> zorderBucket,
+    "zorder3_bucket" -> zorder3Bucket)
 
   def oracleSql: Map[String, String] = Map(
     "shard_pack" ->
@@ -142,5 +167,24 @@ object Sharding {
         |SELECT z >> 20 AS bucket, count(*) AS n,
         |  min(x) AS min_cust, max(x) AS max_cust,
         |  min(y) AS min_day, max(y) AS max_day
+        |FROM z GROUP BY 1""".stripMargin,
+    "zorder3_bucket" ->
+      """WITH b AS (
+        |  SELECT o_custkey AS x,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |                   CAST(o_orderdate AS DATE)) AS BIGINT) AS y,
+        |    CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS w
+        |  FROM orders),
+        |z AS (
+        |  SELECT x, y, w,
+        |    CAST(list_sum(list_transform(generate_series(0, 20),
+        |      i -> (((x >> i) & 1) << (3 * i)) +
+        |           (((y >> i) & 1) << (3 * i + 1)) +
+        |           (((w >> i) & 1) << (3 * i + 2)))) AS BIGINT) AS z
+        |  FROM b)
+        |SELECT z >> 33 AS bucket, count(*) AS n,
+        |  min(x) AS min_cust, max(x) AS max_cust,
+        |  min(y) AS min_day, max(y) AS max_day,
+        |  min(w) AS min_band, max(w) AS max_band
         |FROM z GROUP BY 1""".stripMargin)
 }

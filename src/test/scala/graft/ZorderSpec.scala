@@ -46,6 +46,32 @@ class ZorderSpec extends SparkSuite {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("3-D interleave ≡ bit-loop reference; buckets are aligned 2^11 cubes") {
+    def refZ3(x: Long, y: Long, z: Long): Long = {
+      var out = 0L
+      var i = 0
+      while (i < 21) {
+        out |= ((x >> i) & 1L) << (3 * i)
+        out |= ((y >> i) & 1L) << (3 * i + 1)
+        out |= ((z >> i) & 1L) << (3 * i + 2)
+        i += 1
+      }
+      out
+    }
+    val vals = Seq(0L, 1L, 7L, 0x1FFFFFL, 0x155555L, 999999L)
+    for (x <- vals; y <- vals; z <- vals)
+      assert(ZValue.interleave3(x, y, z) === refZ3(x, y, z), s"($x,$y,$z)")
+    assert(ZValue.interleave3(-1L, -1L, -1L) ===
+      refZ3(0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL))
+    val rows = Sharding.zorder3Bucket(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) < 2048, s"cust range: $r")
+      assert(r.getLong(5) - r.getLong(4) < 2048, s"day range: $r")
+      assert(r.getLong(7) - r.getLong(6) < 2048, s"band range: $r")
+    }
+  }
+
   test("every z-bucket is an aligned cell: bbox <= 1024 in both dimensions") {
     val rows = Sharding.zorderBucket(spark, sfDir).collect()
     assert(rows.nonEmpty)
