@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** The composed end-to-end curation pipeline ([EXT]) — the query a
+  * user of this engine actually ships: quality gate → near-dup keep →
+  * benchmark decontamination → leak-free split, with a per-stage
+  * survivor census as the output artifact. Every stage reuses a
+  * separately-oracle-verified operator (quality_filter's score,
+  * dedup_keep's cluster keep, decontaminate's shingle overlap,
+  * split_leakfree's cluster-atomic hash split), and the WHOLE
+  * composition sits under one DuckDB hash gate, so stage wiring —
+  * not just stage logic — is correctness-checked.
+  *
+  * Scale: each stage's plan law is inherited from its operator
+  * (documented there); the only additions here are doc_id semi/anti
+  * joins between stages (digest-width rows). The expensive shared
+  * frames (stage-1 survivors, the cluster labels) are computed once
+  * and reused across stages; the registered quadratic ngram edge
+  * producer is the oracle baseline — swap Dedup.minhashScored for the
+  * linear path exactly as in dedupClusterMinhash.
+  */
+object Pipeline {
+
+  /** Benchmark/eval doc ids (decontaminate's convention): held out of
+    * the corpus entirely and the source of contamination shingles.
+    */
+  private val BenchCap = 20
+
+  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") >= BenchCap)
+
+    // stage 1 — per-lang p25 quality gate (quality_filter semantics)
+    val q = TextOps.qualityPerDoc(corpus)
+    val keptIds = q
+      .withColumn("thr", expr("percentile(quality, 0.25)")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter(col("quality") >= col("thr"))
+      .select("doc_id")
+    val s1 = corpus.join(keptIds, "doc_id").persist() // feeds edges + shingles
+
+    // stage 2 — near-dup keep (dedup_keep semantics over s1)
+    val edges = Dedup.ngramScored(s1)
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = Cluster.clustersOf(edges).persist() // reused by the split
+    val keepIds = s1.select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
+      .select("doc_id")
+    val s2 = s1.join(keepIds, "doc_id")
+
+    // stage 3 — benchmark decontamination (decontaminate semantics):
+    // drop survivors sharing ANY shingle with the held-out eval docs
+    val bench = docs.filter(col("doc_id") < BenchCap)
+      .select(explode(expr("word_shingles(text)")).as("shingle")).distinct()
+    val contaminated = s2
+      .select(col("doc_id"), explode_outer(expr("word_shingles(text)")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+      .join(broadcast(bench), "shingle")
+      .select("doc_id").distinct()
+    val s3 = s2.select("doc_id").join(contaminated, Seq("doc_id"), "left_anti")
+
+    // stage 4 — cluster-atomic split (split_leakfree semantics)
+    val splits = s3
+      .join(clusters, Seq("doc_id"), "left")
+      .select(TextOps.splitLabel(TextOps.hashBucket(
+        coalesce(col("cluster_id"), col("doc_id")))).as("split"))
+
+    def cnt(stage: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
+    val out = cnt("0_corpus", corpus)
+      .unionAll(cnt("1_quality", s1))
+      .unionAll(cnt("2_dedup", s2))
+      .unionAll(cnt("3_decontam", s3))
+      .unionAll(splits.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(concat(lit("4_"), col("split")).as("stage"), col("n_docs")))
+      .localCheckpoint(true) // materialize before freeing the stage caches
+    s1.unpersist(false)
+    clusters.unpersist(false)
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate" -> pipelineCurate)
+
+  private val tokSqlDuck =
+    "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE
+         |t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20),
+         |qt AS (SELECT doc_id, lang, text, $tokSqlDuck AS ws FROM t0),
+         |q AS (SELECT doc_id, lang, text,
+         |  floor(((CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(ws)) * 0.4
+         |    + least(len(ws) / 100.0, 1.0) * 0.3
+         |    + (1.0 - CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+         |  FROM qt),
+         |thr AS (SELECT lang, quantile_cont(quality, 0.25) AS thr FROM q GROUP BY lang),
+         |s1 AS (SELECT q.doc_id, q.lang, q.text FROM q JOIN thr USING (lang)
+         |       WHERE quality >= thr),
+         |sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |      generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |    ELSE [] END AS shingles
+         |  FROM (SELECT doc_id, $tokSqlDuck AS w FROM s1)),
+         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+         |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+         |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+         |pairs AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+         |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+         |      UNION ALL
+         |      SELECT doc_b AS src, doc_a AS dst FROM scored),
+         |cc AS (
+         |  SELECT DISTINCT src AS node, src AS label FROM e
+         |  UNION
+         |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
+         |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+         |s2 AS (SELECT s1.doc_id, s1.lang, s1.text FROM s1
+         |       LEFT JOIN lab ON lab.node = s1.doc_id
+         |       WHERE lab.cluster_id IS NULL OR lab.cluster_id = s1.doc_id),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(shingles) AS shingle FROM (
+         |    SELECT CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |        generate_series(1, len(w) - 2),
+         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |      ELSE [] END AS shingles
+         |    FROM (SELECT $tokSqlDuck AS w FROM documents WHERE doc_id < 20))),
+         |contam AS (
+         |  SELECT DISTINCT ex2.doc_id FROM (
+         |    SELECT s2.doc_id, unnest(sh.shingles) AS shingle
+         |    FROM s2 JOIN sh ON sh.doc_id = s2.doc_id) ex2
+         |  JOIN bsh USING (shingle)),
+         |s3 AS (SELECT doc_id FROM s2
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |keyed AS (
+         |  SELECT s3.doc_id, coalesce(lab.cluster_id, s3.doc_id) AS k
+         |  FROM s3 LEFT JOIN lab ON lab.node = s3.doc_id),
+         |splits AS (
+         |  SELECT CASE WHEN (k % 1000003) * 2654435761 % 100 < 90 THEN 'train'
+         |              WHEN (k % 1000003) * 2654435761 % 100 < 95 THEN 'validation'
+         |              ELSE 'test' END AS split
+         |  FROM keyed)
+         |SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
+         |UNION ALL SELECT '1_quality', count(*) FROM s1
+         |UNION ALL SELECT '2_dedup', count(*) FROM s2
+         |UNION ALL SELECT '3_decontam', count(*) FROM s3
+         |UNION ALL SELECT '4_' || split, count(*) FROM splits GROUP BY split""".stripMargin)
+}

@@ -378,7 +378,11 @@ object TextOps {
     * threshold: interpolation at f=.5 between 1e-4-grid values lands
     * exactly on 4th-decimal halves, where the engines' round() differ.
     */
-  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+  /** Per-document composite quality over any (doc_id, lang, text)
+    * frame — the scoring half of [[qualityFilter]], shared with the
+    * end-to-end Pipeline.curate composition.
+    */
+  def qualityPerDoc(documents: DataFrame): DataFrame = {
     val ws = col("ws")
     val nTok = size(ws)
     val punctRatio = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", ""))
@@ -387,9 +391,13 @@ object TextOps {
     val stopRatio = size(filter(ws, w => array_contains(stopArr, w))).cast("double") / nTok
     val quality = floor((stopRatio * 0.4 + least(nTok / lit(100.0), lit(1.0)) * 0.3
       + (lit(1.0) - punctRatio) * 0.3) * 10000 + 0.5) / 10000.0
-    val q = Tables.documents(s, d)
+    documents
       .select(col("doc_id"), col("lang"), col("text"), toks(col("text")).as("ws"))
       .select(col("doc_id"), col("lang"), quality.as("quality"))
+  }
+
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val q = qualityPerDoc(Tables.documents(s, d))
     q.withColumn("thr", expr("percentile(quality, 0.25)")
         .over(Window.partitionBy("lang")))
       .filter(col("quality") >= col("thr"))
