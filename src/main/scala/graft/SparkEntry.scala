@@ -53,5 +53,5 @@ object SparkEntry {
     "dedup_keep_minhash", "heavy_hitters", "dedup_incremental",
     "dedup_incremental_minhash", "join_similarity",
     "heavy_hitters_mg", "drift_psi", "bpe_pairs", "kmeans",
-    "bm25_terms", "zorder_bucket", "pipeline_curate")
+    "bm25_terms", "zorder_bucket", "pipeline_curate_minhash")
 }

@@ -29,7 +29,26 @@ object Pipeline {
     */
   private val BenchCap = 20
 
-  def pipelineCurate(s: SparkSession, d: String): DataFrame = {
+  /** Registered oracle form — quadratic ngram edges (the family's
+    * verifiable baseline). The linear scale path is
+    * [[pipelineCurateMinhash]], spec'd output-identical on sf0.001.
+    */
+  def pipelineCurate(s: SparkSession, d: String): DataFrame =
+    pipelineCurateWith(s, d,
+      docs => Dedup.ngramScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
+
+  /** The linear end-to-end form: MinHash+LSH verified edges feed the
+    * keep and split stages — corpus + true-near-dup-pair cost, the
+    * plan that runs at 100 TB.
+    */
+  def pipelineCurateMinhash(s: SparkSession, d: String): DataFrame =
+    pipelineCurateWith(s, d,
+      docs => Dedup.minhashScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
+
+  def pipelineCurateWith(s: SparkSession, d: String,
+      edgeProducer: DataFrame => DataFrame): DataFrame = {
     graft.functions.WordShingles.register(s)
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= BenchCap)
@@ -41,13 +60,14 @@ object Pipeline {
         .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
       .filter(col("quality") >= col("thr"))
       .select("doc_id")
-    val s1 = corpus.join(keptIds, "doc_id").persist() // feeds edges + shingles
+    // s1 feeds the edge producer, the census, AND the stage-3 shingle
+    // scan — materialize it eagerly so the census union's parallel
+    // branches all read the cache instead of racing to compute it
+    val s1 = corpus.join(keptIds, "doc_id").localCheckpoint(true)
 
     // stage 2 — near-dup keep (dedup_keep semantics over s1)
-    val edges = Dedup.ngramScored(s1)
-      .filter(col("jac") >= 0.6)
-      .select(col("doc_a"), col("doc_b"))
-    val clusters = Cluster.clustersOf(edges).persist() // reused by the split
+    val edges = edgeProducer(s1)
+    val clusters = Cluster.clustersOf(edges).localCheckpoint(true) // reused by the split
     val keepIds = s1.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
@@ -87,7 +107,8 @@ object Pipeline {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipeline_curate" -> pipelineCurate)
+    "pipeline_curate" -> pipelineCurate,
+    "pipeline_curate_minhash" -> pipelineCurateMinhash)
 
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"

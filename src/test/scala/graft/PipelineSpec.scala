@@ -18,4 +18,12 @@ class PipelineSpec extends SparkSuite {
     assert(splitSum === rows("3_decontam"),
       s"splits ($splitSum) must partition stage-3 survivors: $rows")
   }
+
+  test("minhash-edged pipeline equals the ngram-edged (oracle) form on sf0.001") {
+    val ngram = Pipeline.pipelineCurate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mh = Pipeline.pipelineCurateMinhash(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mh === ngram)
+  }
 }
