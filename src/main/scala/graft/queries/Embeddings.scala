@@ -49,11 +49,19 @@ object Embeddings {
     * against a sequential reference in EmbeddingsSpec).
     */
   def pcaTopOn(embeddings: DataFrame, iters: Int = PcaIters): DataFrame = {
-    graft.functions.DotProduct.register(embeddings.sparkSession)
+    val s = embeddings.sparkSession
+    import s.implicits._
+    graft.functions.DotProduct.register(s)
     val all = embeddings
       .select(col("embedding").cast("array<double>").as("v"))
       .persist()
-    val dim = all.select(size(col("v"))).first().getInt(0)
+    // degenerate corpus: no rows → empty result, not a .first() crash
+    val head = all.select(size(col("v"))).limit(1).collect()
+    if (head.isEmpty) {
+      all.unpersist(false)
+      return Seq.empty[(Long, Double)].toDF("dim", "weight")
+    }
+    val dim = head(0).getInt(0)
     var vec = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
     for (_ <- 1 to iters) {
       val vLit = array(vec.map(lit).toIndexedSeq: _*)
@@ -66,11 +74,11 @@ object Embeddings {
       next.foreach(r => raw(r.getInt(0)) = r.getDouble(1))
       val nrm = math.sqrt(raw.map(x => x * x).sum)
       val sign = raw.find(math.abs(_) > 1e-9).map(x => math.signum(x)).getOrElse(1.0)
-      vec = raw.map(_ / nrm * sign)
+      // all-zero corpus (nrm == 0) would turn the vector into NaN for
+      // every later round — keep the previous iterate instead
+      if (nrm > 0) vec = raw.map(_ / nrm * sign)
     }
     all.unpersist(false)
-    val s = embeddings.sparkSession
-    import s.implicits._
     vec.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
       .toDF("dim", "weight")
       .select(col("dim"), round(col("weight"), 6).as("weight"))
@@ -86,7 +94,10 @@ object Embeddings {
     * the bounded-literal pattern of Kmeans/IVF), and folded into the
     * plan as literal arrays, so the normalization itself is a pure map
     * over the corpus: no join, no second shuffle, vectors never move.
-    * Zero-variance dimensions normalize to 0 by convention.
+    * Zero-variance dimensions normalize to 0 by convention. Output is
+    * exploded to scalar (vec_id, dim, z) rows — the registry contract
+    * is hash-matchable scalar columns, and at dim=64 the row blow-up
+    * is trivial next to the vectors themselves.
     */
   def embedNormalize(s: SparkSession, d: String): DataFrame = {
     val all = Tables.embeddings(s, d)
@@ -110,12 +121,15 @@ object Embeddings {
       lit(stats.getOrElse(i, (0.0, 0.0))._1)).toIndexedSeq: _*)
     val sdLit = array((0 until dim).map(i =>
       lit(stats.getOrElse(i, (0.0, 0.0))._2)).toIndexedSeq: _*)
-    all.select(col("vec_id"),
-      zip_with(col("v"), sequence(lit(0), lit(dim - 1)), (x, i) => {
-        val m = element_at(meanLit, i + 1)
-        val sd = element_at(sdLit, i + 1)
-        when(sd > 0, round((x - m) / sd, 6)).otherwise(lit(0.0))
-      }).as("z"))
+    all.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        {
+          val i = (col("pos") + 1).cast("int")
+          val m = element_at(meanLit, i)
+          val sd = element_at(sdLit, i)
+          when(sd > 0, round((col("col") - m) / sd, 6))
+            .otherwise(lit(0.0)).as("z")
+        })
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -137,15 +151,15 @@ object Embeddings {
         |    sum(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)) AS ss
         |  FROM embeddings, dims WHERE i <= len(embedding) GROUP BY i),
         |ms AS (
-        |  SELECT list(s / n ORDER BY i) AS m,
-        |    list(sqrt((ss - s * s / n) / (n - 1)) ORDER BY i) AS sd
+        |  SELECT i, s / n AS m,
+        |    CASE WHEN n > 1 THEN sqrt((ss - s * s / n) / (n - 1))
+        |         ELSE 0.0 END AS sd
         |  FROM st)
-        |SELECT vec_id,
-        |  list_transform(generate_series(1, len(embedding)),
-        |    i -> CASE WHEN sd[i] > 0
-        |              THEN round((CAST(embedding[i] AS DOUBLE) - m[i]) / sd[i], 6)
-        |              ELSE 0.0 END) AS z
-        |FROM embeddings CROSS JOIN ms""".stripMargin,
+        |SELECT vec_id, CAST(ms.i - 1 AS BIGINT) AS dim,
+        |  CASE WHEN sd > 0
+        |       THEN round((CAST(embedding[ms.i] AS DOUBLE) - m) / sd, 6)
+        |       ELSE 0.0 END AS z
+        |FROM embeddings JOIN ms ON ms.i <= len(embedding)""".stripMargin,
     "embed_stats" ->
       """WITH dims AS (
         |  SELECT unnest(generate_series(1,

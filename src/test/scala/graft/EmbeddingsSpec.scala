@@ -61,19 +61,32 @@ class EmbeddingsSpec extends SparkSuite {
 
   test("embed_normalize: per-dim mean ~0 / sd ~1; map-only plan (no Exchange)") {
     val df = Embeddings.embedNormalize(spark, sfDir)
-    val rows = df.collect().map(_.getSeq[Double](1))
-    assert(rows.length === mat.length)
-    val dim = rows.head.length
+    val byDim = df.collect()
+      .map(r => r.getLong(1).toInt -> r.getDouble(2))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2) }
+    val dim = mat.head.length
+    assert(byDim.size === dim)
     (0 until dim).foreach { i =>
-      val xs = rows.map(_(i))
+      val xs = byDim(i)
+      assert(xs.length === mat.length)
       val mean = xs.sum / xs.length
       val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.length - 1))
       assert(math.abs(mean) < 1e-4, s"dim $i mean $mean")
       assert(math.abs(sd - 1.0) < 1e-3, s"dim $i sd $sd")
     }
-    // normalization is a pure map: the returned plan never shuffles
+    // normalization is a pure map (explode + project): never shuffles
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"normalize must be map-only:\n$plan")
+  }
+
+  test("pca_top degenerate inputs: empty corpus → empty frame; all-zero corpus → finite vector") {
+    import spark.implicits._
+    val empty = Seq.empty[Seq[Double]].toDF("embedding")
+    assert(Embeddings.pcaTopOn(empty, iters = 3).collect().isEmpty)
+    val zeros = Seq.fill(5)(Seq(0.0, 0.0, 0.0)).toDF("embedding")
+    val v = Embeddings.pcaTopOn(zeros, iters = 3).collect().map(_.getDouble(1))
+    assert(v.length === 3)
+    assert(v.forall(x => !x.isNaN && !x.isInfinite), s"NaN leak: ${v.toSeq}")
   }
 
   test("embed_stats: one row per dimension, l2 mass positive, bounds ordered") {
