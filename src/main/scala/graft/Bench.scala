@@ -36,10 +36,11 @@ object Bench {
     // and listed in "errors"; the process exits non-zero so a crashing
     // benchmark is never mistaken for a fast one.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    // min of 2 timed reps: one-off scheduler/GC hiccups don't pollute
-    // the reported steady-state number
+    // min of 3 timed reps: one-off scheduler/GC hiccups don't pollute
+    // the reported steady-state number (machine-load drift on shared
+    // hosts has produced spurious 2x readings on sub-second queries)
     val results = names.map { name =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
         catch {
