@@ -114,10 +114,32 @@ object Parity {
     * format, not just the in-memory result; oracle = the wc SQL on the
     * same slice.
     */
+  /** Scratch root visible to BOTH the driver and every executor.
+    * `spark.graft.scratchDir` (a shared filesystem path — NFS, a
+    * fuse-mounted object store, …) makes the staging cluster-safe; when
+    * unset we fall back to a driver-local temp dir, which is only
+    * correct when executors share the driver's filesystem, i.e. a
+    * `local[*]` master — enforced loudly here rather than letting the
+    * read-back silently find zero files on a real cluster.
+    */
+  private def scratchDir(spark: SparkSession, prefix: String): String =
+    spark.conf.getOption("spark.graft.scratchDir") match {
+      case Some(root) =>
+        val d = new java.io.File(root, prefix + "-" + java.util.UUID.randomUUID())
+        require(d.mkdirs(), s"cannot create scratch dir $d under spark.graft.scratchDir=$root")
+        d.toString
+      case None =>
+        require(spark.sparkContext.isLocal,
+          "mr_pipeline stages files on a filesystem shared by driver and " +
+            "executors; on a cluster set spark.graft.scratchDir to a shared " +
+            "path — a driver-local temp dir is invisible to executor writes")
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
+
   def mrPipeline(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stage = java.nio.file.Files.createTempDirectory("graft_mr_in").toString
-    val outDir = java.nio.file.Files.createTempDirectory("graft_mr_out").toString
+    val stage = scratchDir(spark, "graft_mr_in")
+    val outDir = scratchDir(spark, "graft_mr_out")
     Tables.documents(spark, dir)
       .filter(col("doc_id") < 500)
       .select(format_string("d%06d", col("doc_id")).as("key"), col("text").as("value"))

@@ -155,4 +155,21 @@ class MapReduceJobSpec extends SparkSuite {
     } yield a1 < b2 && b1 < a2).count(identity)
     assert(overlapping >= 1, s"no concurrent tasks observed: $spans")
   }
+
+  test("mr_pipeline stages under spark.graft.scratchDir when set (cluster-safe path)") {
+    val root = Files.createTempDirectory("graft_scratch").toString
+    spark.conf.set("spark.graft.scratchDir", root)
+    try {
+      val out = graft.queries.Parity.mrPipeline(spark, sfDir).collect()
+      assert(out.nonEmpty)
+      val staged = new java.io.File(root).listFiles()
+      val names = staged.map(_.getName)
+      assert(names.exists(_.startsWith("graft_mr_in-")), s"no staged input dir under $root")
+      assert(names.exists(_.startsWith("graft_mr_out-")), s"no sink dir under $root")
+      val inFiles = staged.find(_.getName.startsWith("graft_mr_in-")).get.listFiles()
+      assert(inFiles.nonEmpty && inFiles.forall(_.getName.endsWith(".txt")))
+      val outFiles = staged.find(_.getName.startsWith("graft_mr_out-")).get.listFiles()
+      assert(outFiles.exists(_.getName.startsWith("mr-out-")), "sink wrote no mr-out-<r> files")
+    } finally spark.conf.unset("spark.graft.scratchDir")
+  }
 }
