@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.functions.MisraGriesAggregator
@@ -216,17 +216,39 @@ object Sketches {
       .withColumn("inter_raw",
         size(filter(array_intersect(col("ska"), col("skb")),
           x => x < col("theta"))).cast("double"))
+    // floor(x*1e4+0.5)/1e4, not round(): both engines round the same
+    // IEEE value identically (see qualityScore) — required for the
+    // exact-mode oracle row, harmless for the estimates
+    val fl = (c: Column) => floor(c * 10000 + 0.5) / 10000.0
+    val union = when(col("full"), lit((k - 1).toDouble) / col("theta"))
+      .otherwise(size(col("m")).cast("double"))
     pairs.select(col("type_a"), col("type_b"),
-      round(when(col("full"), lit((k - 1).toDouble) / col("theta"))
-        .otherwise(size(col("m")).cast("double")), 4).as("est_union"),
-      round(col("inter_raw") / col("theta"), 4).as("est_overlap"),
-      round((col("inter_raw") / col("theta")) /
-        (when(col("full"), lit((k - 1).toDouble) / col("theta"))
-          .otherwise(size(col("m")).cast("double"))), 4).as("est_jaccard"))
+      fl(union).as("est_union"),
+      fl(col("inter_raw") / col("theta")).as("est_overlap"),
+      fl((col("inter_raw") / col("theta")) / union).as("est_jaccard"))
   }
+
+  /** KMV sketch size for [[audienceOverlapExact]]: far above the pair
+    * union cardinality through sf0.1 (~3k users/pair), so every sketch
+    * stays in the sub-k regime where it holds its ENTIRE hashed set.
+    */
+  val KmvExactK = 4096
+
+  /** [[audienceOverlapOn]] operated in its exact sub-k mode: with
+    * k > |A∪B| the θ=1 branch counts distinct 64-bit hashes directly,
+    * so union/intersection/Jaccard are exact set algebra (collision
+    * probability ~n²/2⁶⁴ — negligible and hash-deterministic), and the
+    * row carries a full DuckDB oracle over distinct (event_type,
+    * user_id) pairs. Past k the SAME plan degrades gracefully into the
+    * θ-estimate path — k is the documented exactness contract, not a
+    * correctness cliff.
+    */
+  def audienceOverlapExact(s: SparkSession, d: String): DataFrame =
+    audienceOverlapOn(Tables.events(s, d), KmvExactK)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "audience_overlap" -> audienceOverlap,
+    "audience_overlap_exact" -> audienceOverlapExact,
     "approx_distinct" -> approxDistinct,
     "heavy_hitters" -> heavyHitters,
     "heavy_hitters_mg" -> heavyHittersMg,
@@ -238,6 +260,25 @@ object Sketches {
     * plan, so it takes the full hash gate.
     */
   def oracleSql: Map[String, String] = Map(
+    "audience_overlap_exact" ->
+      """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+        |c AS (SELECT event_type, count(*) AS n FROM u GROUP BY event_type),
+        |i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             count(*) AS ninter
+        |      FROM u a JOIN u b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT ca.event_type AS type_a, cb.event_type AS type_b,
+        |  floor(CAST(ca.n + cb.n - coalesce(i.ninter, 0) AS DOUBLE) * 10000 + 0.5)
+        |    / 10000.0 AS est_union,
+        |  floor(CAST(coalesce(i.ninter, 0) AS DOUBLE) * 10000 + 0.5)
+        |    / 10000.0 AS est_overlap,
+        |  floor(CAST(coalesce(i.ninter, 0) AS DOUBLE)
+        |          / (ca.n + cb.n - coalesce(i.ninter, 0)) * 10000 + 0.5)
+        |    / 10000.0 AS est_jaccard
+        |FROM c ca
+        |JOIN c cb ON ca.event_type < cb.event_type
+        |LEFT JOIN i ON i.type_a = ca.event_type AND i.type_b = cb.event_type""".stripMargin,
     "heavy_hitters_mg" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),

@@ -89,8 +89,11 @@ object TextOps {
 
   /** Heuristic language ID: score = fraction of tokens hitting each
     * language's stopword profile; argmax with (score, lang) struct
-    * ordering for a deterministic tie-break. Rows-only check (the
-    * heuristic itself is the operator under test; LangIdSpec covers it).
+    * ordering for a deterministic tie-break. The heuristic is plain
+    * deterministic SQL, so it carries a full DuckDB oracle (argmax
+    * mirrored as a row_number window over the unnested profiles);
+    * conf uses the floor(x*1e4+0.5) rounding shared with quality
+    * scoring so both engines round the same IEEE value identically.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
     val ws = col("ws")
@@ -106,7 +109,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"), array_max(scored).as("best"))
       .select(col("doc_id"), col("lang"),
         col("best").getField("plang").as("pred_lang"),
-        round(col("best").getField("score"), 4).as("conf"))
+        (floor(col("best").getField("score") * 10000 + 0.5) / 10000.0).as("conf"))
   }
 
   /** Rolling polynomial fingerprint over the token stream:
@@ -484,6 +487,22 @@ object TextOps {
          |  round(avg(len($tokSqlDuck)), 2) AS avg_tokens,
          |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
          |FROM documents GROUP BY lang""".stripMargin,
+    "lang_id" -> {
+      val vals = LangProfiles.map { case (l, ws) =>
+        s"('$l', [${ws.map(w => s"'$w'").mkString(",")}])"
+      }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, $tokSqlDuck AS ws FROM documents),
+         |s AS (SELECT doc_id, lang, p.plang,
+         |        CAST(len(list_filter(ws, x -> list_contains(p.words, x))) AS DOUBLE)
+         |          / len(ws) AS score
+         |      FROM t, (VALUES $vals) AS p(plang, words))
+         |SELECT doc_id, lang, plang AS pred_lang,
+         |       floor(score * 10000 + 0.5) / 10000.0 AS conf
+         |FROM (SELECT *, row_number() OVER
+         |        (PARTITION BY doc_id ORDER BY score DESC, plang DESC) AS rn
+         |      FROM s)
+         |WHERE rn = 1""".stripMargin
+    },
     "fingerprint" ->
       s"""SELECT doc_id,
          |  list_reduce(
