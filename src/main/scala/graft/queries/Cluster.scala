@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** Duplicate-cluster formation ([EXT] — SURVEY.md §0): candidate-pair
   * producers (n-gram Jaccard, MinHash, SimHash — queries/Dedup.scala)
@@ -17,9 +18,10 @@ import graft.core.Tables
   * graphs are unions of small dense cliques (diameter ≈ 2-4), so at
   * 100 TB this runs a handful of linear shuffles; the edge list is the
   * MinHash candidate set (∝ true dups), never n². Lineage is truncated
-  * every round (`localCheckpoint`) so plans stay O(1) deep; on a real
-  * cluster use `sparkContext.setCheckpointDir` + `checkpoint` for
-  * fault-tolerant truncation instead.
+  * every round ([[graft.core.Checkpoints.stable]]) so plans stay O(1)
+  * deep — executor-local by default, reliable `checkpoint()` when
+  * `spark.graft.checkpointDir` points at durable shared storage (the
+  * executor-loss recovery story; see Checkpoints).
   *
   * Spark 4's recursive CTE (see Advanced.recursiveCte) could express
   * the closure too, but it materializes reachable-PAIR state — O(k²)
@@ -82,7 +84,7 @@ object Cluster {
       // is EVICTED, its recompute chains back through up to 4 |E| joins
       // to the last checkpoint — bounded by the stride, never unbounded.
       val isCkpt = it % 4 == 3
-      next = if (isCkpt) next.localCheckpoint(true) else next.persist()
+      next = if (isCkpt) next.stable else next.persist()
       val cur = metric(next)
       done = cur.compareTo(last) == 0
       last = cur
@@ -118,9 +120,9 @@ object Cluster {
   def connectedComponentsLogStar(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val Seq(c0, c1) = edges.columns.take(2).toSeq
     var e = edges.select(col(c0).cast("long").as("u"), col(c1).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().stable
     val nodes = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-      .distinct().localCheckpoint(true)
+      .distinct().stable
 
     // fixpoint signature: (|E|, Σu, Σv) — invariant exactly at the
     // star state (rounds strictly shrink the paper's potential).
@@ -150,7 +152,7 @@ object Cluster {
     var it = 0
     var done = e.isEmpty
     while (!done && it < maxIter) {
-      val e2 = smallStar(largeStar(e)).localCheckpoint(true)
+      val e2 = smallStar(largeStar(e)).stable
       val s2 = sig(e2)
       done = s2 == s
       s = s2
@@ -264,7 +266,7 @@ object Cluster {
     // persists for its symmetrized copy. Without this the (expensive)
     // candidate pipeline behind scoredEdges re-runs three times.
     val edges = scoredEdges.select(col("doc_a"), col("doc_b"), col("jac"))
-      .localCheckpoint(true)
+      .stable
     val clusters = clustersOf(edges.select("doc_a", "doc_b"))
     val strength = edges.select(col("doc_a").as("doc_id"), col("jac"))
       .unionAll(edges.select(col("doc_b").as("doc_id"), col("jac")))
@@ -325,7 +327,7 @@ object Cluster {
     // expensive producer (a near-dup candidate pipeline) re-runs for
     // each derivation.
     val e = edges.select(col(sc0).cast("long").as("src"), col(dc0).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .stable
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val n = nodes.count().toDouble
@@ -351,7 +353,7 @@ object Cluster {
           (lit((1 - damping) / n) + lit(damping) * col("dmass") / lit(n) +
             lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
       val isCkpt = i % 4 == 0 || i == iters
-      next = if (isCkpt) next.localCheckpoint(true) else next.persist()
+      next = if (isCkpt) next.stable else next.persist()
       retired += ranks
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       ranks = next
@@ -418,7 +420,7 @@ object Cluster {
   def triangleCountOf(edges: DataFrame): DataFrame = {
     // materialize once: feeds degrees, orientation, wedges, closing
     val e = edges.select(col("doc_a").cast("long").as("u"),
-      col("doc_b").cast("long").as("v")).localCheckpoint(true)
+      col("doc_b").cast("long").as("v")).stable
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val dir = e
@@ -435,7 +437,7 @@ object Cluster {
       // which caches nothing): both sides of the wedge self-join read
       // the materialized oriented edges instead of re-running the two
       // degree joins
-      .localCheckpoint(true)
+      .stable
     val wedges = dir.as("e1").join(dir.as("e2"),
         col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
       .select(col("e1.t").as("x"), col("e2.t").as("y")) // x < y by id
@@ -454,7 +456,7 @@ object Cluster {
       // checkpoint blocks can be freed now instead of accumulating for
       // the life of the driver (a long-lived session runs this many
       // times)
-      .localCheckpoint(true)
+      .stable
     e.unpersist(false)
     dir.unpersist(false)
     out

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** Deduplication operators for large-scale training-data pipelines
   * ([EXT], no reference citation by definition — SURVEY.md §0): exact
@@ -454,7 +455,7 @@ object Dedup {
     // pipeline behind it runs twice (the re-run hazard pagerankOf and
     // dedupKeepCentralFrom checkpoint against). Size is the new-doc
     // slice: (doc_id, 32-byte digest) rows only.
-    val exactNew = incrementalNew(batch, corpus).localCheckpoint(true)
+    val exactNew = incrementalNew(batch, corpus).stable
     val survivors = batch.join(exactNew.select("doc_id"), Seq("doc_id"), "left_semi")
     val nearDupIds = minhashCrossScored(survivors, corpus)
       .filter(col("jac") >= tau)

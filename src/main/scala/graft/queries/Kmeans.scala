@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** Distributed k-means (Lloyd's algorithm) over the embeddings table
   * ([EXT]) — the clustering primitive under IVF index builds, SemDeDup
@@ -93,7 +94,7 @@ object Kmeans {
     // select reads through (an unpersist-then-execute would rescan the
     // source for every downstream action)
     val out = all.select(col("vec_id"), nearestCell(col("v"), cents).as("cell"))
-      .localCheckpoint(true)
+      .stable
     all.unpersist(false)
     out
   }

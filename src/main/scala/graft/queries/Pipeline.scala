@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** The composed end-to-end curation pipeline ([EXT]) — the query a
   * user of this engine actually ships: quality gate → near-dup keep →
@@ -63,11 +64,11 @@ object Pipeline {
     // s1 feeds the edge producer, the census, AND the stage-3 shingle
     // scan — materialize it eagerly so the census union's parallel
     // branches all read the cache instead of racing to compute it
-    val s1 = corpus.join(keptIds, "doc_id").localCheckpoint(true)
+    val s1 = corpus.join(keptIds, "doc_id").stable
 
     // stage 2 — near-dup keep (dedup_keep semantics over s1)
     val edges = edgeProducer(s1)
-    val clusters = Cluster.clustersOf(edges).localCheckpoint(true) // reused by the split
+    val clusters = Cluster.clustersOf(edges).stable // reused by the split
     val keepIds = s1.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
       .filter(col("cluster_id").isNull || col("doc_id") === col("cluster_id"))
@@ -100,7 +101,7 @@ object Pipeline {
       .unionAll(splits.groupBy("split")
         .agg(count(lit(1)).as("n_docs"))
         .select(concat(lit("4_"), col("split")).as("stage"), col("n_docs")))
-      .localCheckpoint(true) // materialize before freeing the stage caches
+      .stable // materialize before freeing the stage caches
     s1.unpersist(false)
     clusters.unpersist(false)
     out

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** Tokenizer-training operators ([EXT]): the distributed half of BPE
   * (byte-pair-encoding) vocabulary learning — the step a training-data
@@ -99,7 +100,7 @@ object Tokenize {
     // materialize once: feeds every iteration's pair count
     var vocab = wordFreq(documents)
       .select(col("f"), charSyms(col("w")).as("syms"))
-      .localCheckpoint(true)
+      .stable
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
@@ -114,7 +115,7 @@ object Tokenize {
         merges += ((r, l, rr, c))
         var next = vocab.select(col("f"), applyMerge(col("syms"), l, rr).as("syms"))
         val isCkpt = r % 4 == 0 || r == nMerges
-        next = if (isCkpt) next.localCheckpoint(true) else next.persist()
+        next = if (isCkpt) next.stable else next.persist()
         retired += vocab
         if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
         vocab = next

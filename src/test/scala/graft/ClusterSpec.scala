@@ -297,4 +297,21 @@ class ClusterSpec extends SparkSuite {
     val mh = Cluster.triangleCountMinhash(spark, sfDir).collect()(0).toSeq
     assert(mh === ngram)
   }
+
+  test("spark.graft.checkpointDir switches lineage truncation to reliable checkpoint()") {
+    // a path graph forces several contraction rounds through .stable
+    val edges = (0L until 12L).map(i => (i, i + 1))
+    val base = ccStarOf(edges)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.conf.set("spark.graft.checkpointDir", dir)
+    try {
+      assert(ccStarOf(edges) === base) // same labels through the reliable path
+      // the truncation really went through checkpoint(): files landed
+      // under the configured root (setCheckpointDir adds an app subdir)
+      def rddFiles(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(rddFiles).sum
+        else if (f.getName.startsWith("part-")) 1L else 0L
+      assert(rddFiles(new java.io.File(dir)) > 0, s"no checkpoint files under $dir")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
 }
