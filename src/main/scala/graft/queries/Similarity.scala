@@ -328,6 +328,76 @@ object Similarity {
       .limit(50)
   }
 
+  /** Cosine threshold for incremental embedding ingest. The synthetic
+    * corpus tops out near cos 0.51 pairwise, so 0.45 exercises real
+    * drops at the oracle gate while staying in the near-dup regime on
+    * planted spec corpora.
+    */
+  val IncrEmbedTau = 0.45
+
+  /** Incremental embedding ingest, exact form: batch vectors
+    * (vec_id % 5 == 0) survive unless some corpus vector sits at
+    * cosine >= tau. Bounded to vec_id < 2000 like [[dedupEmbedding]] —
+    * the pairwise cross is the ORACLE BASELINE for
+    * [[dedupIncrementalEmbeddingLsh]], the unbounded scale path.
+    */
+  def dedupIncrementalEmbedding(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+    incrementalEmbeddingNew(
+      batch = e.filter(col("vec_id") % 5 === 0),
+      corpus = e.filter(col("vec_id") % 5 =!= 0), IncrEmbedTau, lshCandidates = false)
+  }
+
+  /** Scale form: the embedding face of Dedup.dedupIncrementalMinhash.
+    * Candidates come from a cross-side equi-join of the two sides'
+    * (table, signature) hyperplane-LSH bucket tables — co-partitioned
+    * shuffle, linear in rows; batch fan-out per bucket is
+    * |batch∩bucket| × |corpus∩bucket| with the batch factor tiny by
+    * construction in incremental ingest. Exact cosine verify collapses
+    * candidates to true near-dups. Rows-only for the driver
+    * (plan-time hyperplanes); ≡-exact on planted corpora in
+    * SimilaritySpec.
+    */
+  def dedupIncrementalEmbeddingLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    incrementalEmbeddingNew(
+      batch = e.filter(col("vec_id") % 5 === 0),
+      corpus = e.filter(col("vec_id") % 5 =!= 0), IncrEmbedTau, lshCandidates = true)
+  }
+
+  /** Core of both incremental forms over any (vec_id, embedding)
+    * sides: batch vec_ids with NO corpus vector at cosine >= tau.
+    * Zero-norm batch vectors (cosine undefined) always survive —
+    * the kept=1 convention of [[semDedupOn]]. `lshCandidates` picks
+    * the candidate producer: hyperplane-LSH bucket equi-join (scale
+    * path) or the full cross (exact baseline; caller bounds the sides).
+    */
+  def incrementalEmbeddingNew(batch: DataFrame, corpus: DataFrame,
+      tau: Double, lshCandidates: Boolean): DataFrame = {
+    graft.functions.DotProduct.register(batch.sparkSession)
+    def prep(df: DataFrame, idc: String, vc: String, nc: String): DataFrame = df
+      .select(col("vec_id").as(idc), col("embedding").cast("array<double>").as(vc))
+      .withColumn(nc, sqrt(dot(col(vc), col(vc))))
+      .filter(col(nc) > 0)
+    val b = prep(batch, "vec_id", "vb", "nb")
+    val c = prep(corpus, "cid", "vc", "nc")
+    val pairs =
+      if (!lshCandidates) b.join(c, col("vec_id").isNotNull)
+      else {
+        def bandsOf(df: DataFrame, idc: String, vc: String): DataFrame = df
+          .select(col(idc),
+            posexplode_outer(array((0 until DedupTables).map(t => dedupSigCol(col(vc), t)): _*)))
+          .toDF(idc, "table_id", "sig")
+        bandsOf(b, "vec_id", "vb").join(bandsOf(c, "cid", "vc"), Seq("table_id", "sig"))
+          .select("vec_id", "cid").distinct()
+          .join(b, "vec_id").join(c, "cid")
+      }
+    val dropped = pairs
+      .filter(dot(col("vb"), col("vc")) / (col("nb") * col("nc")) >= tau)
+      .select("vec_id").distinct()
+    batch.select("vec_id").join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   // SemDeDup cosine gate: the corpus has no true duplicate vectors
   // (max pairwise cos ≈ 0.51), so the gate sits in the
   // diversity-pruning regime — the paper (Abbas et al. 2023) likewise
@@ -413,6 +483,8 @@ object Similarity {
     "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "dedup_incremental_embedding" -> dedupIncrementalEmbedding,
+    "dedup_incremental_embedding_lsh" -> dedupIncrementalEmbeddingLsh,
     "semdedup" -> semDedup)
 
   def oracleSql: Map[String, String] = Map(
@@ -443,6 +515,20 @@ object Similarity {
         |    round(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 6) AS cos_sim
         |  FROM e c JOIN e q ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
         |WHERE rn <= 5""".stripMargin,
+    "dedup_incremental_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings WHERE vec_id < 2000),
+        |dropped AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM e b JOIN e c
+        |    ON b.vec_id % 5 = 0 AND c.vec_id % 5 <> 0
+        |   AND b.nrm > 0 AND c.nrm > 0
+        |   AND list_dot_product(b.v, c.v) / (b.nrm * c.nrm) >= ${IncrEmbedTau})
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id < 2000 AND vec_id % 5 = 0
+        |  AND vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -92,6 +92,38 @@ class SimilaritySpec extends SparkSuite {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("incrementalEmbeddingNew: planted batch near-dups drop, novel + zero-norm survive; LSH ≡ exact") {
+    import spark.implicits._
+    val dim = 64
+    def gauss(seed: Long): Array[Double] = {
+      val r = new java.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian())
+    }
+    val corpus = (1 until 41).map(i => (i.toLong, gauss(i).map(_.toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+    // batch: 10 planted near-dups of corpus vecs 1..10, 5 novel vectors,
+    // 1 zero-norm vector (must always survive — cosine undefined)
+    val batchRows: Seq[(Long, Seq[Float])] =
+      (1 to 10).map { i =>
+        val b = gauss(i)
+        val t = gauss(i + 9000L)
+        (100L + i, Array.tabulate(dim)(j => b(j) + 0.05 * t(j)).map(_.toFloat).toSeq)
+      } ++ (1 to 5).map(i => (200L + i, gauss(i + 77000L).map(_.toFloat).toSeq)) ++
+        Seq((300L, Seq.fill(dim)(0.0f)))
+    val batch = batchRows.toDF("vec_id", "embedding")
+
+    val lsh = Similarity.incrementalEmbeddingNew(batch, corpus,
+      tau = 0.8, lshCandidates = true)
+    assert(!lsh.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "cross-side candidates must come from the bucket equi-join")
+    val got = lsh.collect().map(_.getLong(0)).toSet
+    assert(got === ((1 to 5).map(200L + _).toSet + 300L),
+      s"planted near-dups must drop, novel+zero-norm survive: $got")
+    val exact = Similarity.incrementalEmbeddingNew(batch, corpus,
+      tau = 0.8, lshCandidates = false).collect().map(_.getLong(0)).toSet
+    assert(got === exact, "LSH path must equal the exact cross on the planted corpus")
+  }
+
   test("semDedup: planted dup groups keep the min vec_id; zero-norm rows kept with null cell") {
     import spark.implicits._
     val dim = 8
