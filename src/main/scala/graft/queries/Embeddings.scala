@@ -48,44 +48,103 @@ object Embeddings {
     * is deterministic up to float-sum noise (spec tolerance 1e-6
     * against a sequential reference in EmbeddingsSpec).
     */
-  def pcaTopOn(embeddings: DataFrame, iters: Int = PcaIters): DataFrame = {
+  /** Up to `k` orthonormal principal directions by power iteration
+    * with Gram-Schmidt deflation: each round multiplies by X^T X
+    * distributed (map-side score with the literal current vector →
+    * posexplode → dim cells), then the DRIVER orthogonalizes the
+    * dim-length update against the already-extracted components
+    * (k·dim flops — bounded) and renormalizes. Component 0 starts at
+    * the uniform vector (identical to the single-component form);
+    * later components start from a seeded deterministic Gaussian so
+    * the start is never parallel to an earlier direction. Sign
+    * convention per component: first |w| > 1e-9 entry positive.
+    * Degenerate input: empty corpus → no components; a zero-norm
+    * update (all-zero corpus / k past the rank collapsing to 0)
+    * keeps the previous iterate rather than going NaN.
+    */
+  def pcaComponents(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
     val s = embeddings.sparkSession
-    import s.implicits._
     graft.functions.DotProduct.register(s)
     val all = embeddings
       .select(col("embedding").cast("array<double>").as("v"))
       .persist()
-    // degenerate corpus: no rows → empty result, not a .first() crash
+    // degenerate corpus: no rows → no components, not a .first() crash
     val head = all.select(size(col("v"))).limit(1).collect()
     if (head.isEmpty) {
       all.unpersist(false)
-      return Seq.empty[(Long, Double)].toDF("dim", "weight")
+      return Seq.empty
     }
     val dim = head(0).getInt(0)
-    var vec = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-    for (_ <- 1 to iters) {
-      val vLit = array(vec.map(lit).toIndexedSeq: _*)
-      val next = all
-        .select(dot(col("v"), vLit).as("s"), posexplode(col("v")))
-        .groupBy("pos")
-        .agg(sum(col("s") * col("col")).as("w"))
-        .collect() // dim rows — the bounded per-round driver action
-      val raw = new Array[Double](dim)
-      next.foreach(r => raw(r.getInt(0)) = r.getDouble(1))
-      val nrm = math.sqrt(raw.map(x => x * x).sum)
-      val sign = raw.find(math.abs(_) > 1e-9).map(x => math.signum(x)).getOrElse(1.0)
-      // all-zero corpus (nrm == 0) would turn the vector into NaN for
-      // every later round — keep the previous iterate instead
-      if (nrm > 0) vec = raw.map(_ / nrm * sign)
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def orthogonalize(x: Array[Double]): Unit = comps.foreach { u =>
+      var p = 0.0
+      var i = 0
+      while (i < dim) { p += x(i) * u(i); i += 1 }
+      i = 0
+      while (i < dim) { x(i) -= p * u(i); i += 1 }
+    }
+    for (c <- 0 until math.min(k, dim)) {
+      var vec =
+        if (c == 0) Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+        else {
+          val r = new java.util.Random(c.toLong) // algorithm-specified → deterministic
+          val g = Array.fill(dim)(r.nextGaussian())
+          orthogonalize(g)
+          val n = math.sqrt(g.map(x => x * x).sum)
+          g.map(_ / n)
+        }
+      for (_ <- 1 to iters) {
+        val vLit = array(vec.map(lit).toIndexedSeq: _*)
+        val next = all
+          .select(dot(col("v"), vLit).as("s"), posexplode(col("v")))
+          .groupBy("pos")
+          .agg(sum(col("s") * col("col")).as("w"))
+          .collect() // dim rows — the bounded per-round driver action
+        val raw = new Array[Double](dim)
+        next.foreach(r => raw(r.getInt(0)) = r.getDouble(1))
+        orthogonalize(raw)
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        val sign = raw.find(math.abs(_) > 1e-9).map(x => math.signum(x)).getOrElse(1.0)
+        if (nrm > 0) vec = raw.map(_ / nrm * sign)
+      }
+      comps += vec
     }
     all.unpersist(false)
-    vec.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
+    comps.toSeq
+  }
+
+  def pcaTopOn(embeddings: DataFrame, iters: Int = PcaIters): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    val comps = pcaComponents(embeddings, k = 1, iters)
+    comps.headOption.getOrElse(Array.empty[Double])
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
       .toDF("dim", "weight")
       .select(col("dim"), round(col("weight"), 6).as("weight"))
   }
 
   def pcaTop(s: SparkSession, d: String): DataFrame =
     pcaTopOn(Tables.embeddings(s, d))
+
+  /** Components for [[pcaTopk]]. */
+  val PcaK = 4
+
+  /** Top-k principal directions as (component, dim, weight) scalar
+    * rows. Not SQL-expressible (iterative, plan-time literals) →
+    * rows-only for the driver; ≡ a sequential deflated reference and
+    * pairwise-orthogonal within 1e-6 in EmbeddingsSpec.
+    */
+  def pcaTopkOn(embeddings: DataFrame, k: Int = PcaK, iters: Int = PcaIters): DataFrame = {
+    val s = embeddings.sparkSession
+    import s.implicits._
+    pcaComponents(embeddings, k, iters).zipWithIndex.flatMap { case (u, c) =>
+      u.zipWithIndex.map { case (w, i) => (c.toLong, i.toLong, w) }
+    }.toDF("component", "dim", "weight")
+      .select(col("component"), col("dim"), round(col("weight"), 6).as("weight"))
+  }
+
+  def pcaTopk(s: SparkSession, d: String): DataFrame =
+    pcaTopkOn(Tables.embeddings(s, d))
 
   /** Per-dimension z-normalization — the feature-scaling pass before
     * indexing or clustering. The dim-bounded (mean, sd) table is
@@ -135,7 +194,8 @@ object Embeddings {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_stats" -> embedStats,
     "embed_normalize" -> embedNormalize,
-    "pca_top" -> pcaTop)
+    "pca_top" -> pcaTop,
+    "pca_topk" -> pcaTopk)
 
   /** pca_top is iterative plan-time state — rows-only for the driver,
     * pinned to a sequential power iteration in EmbeddingsSpec.

@@ -45,6 +45,76 @@ class EmbeddingsSpec extends SparkSuite {
     assert(math.abs(nrm - 1.0) < 1e-4)
   }
 
+  private def referenceDeflated(m: Array[Array[Double]], k: Int, iters: Int): Seq[Array[Double]] = {
+    val dim = m.head.length
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def ortho(x: Array[Double]): Unit = comps.foreach { u =>
+      val p = (0 until dim).map(i => x(i) * u(i)).sum
+      (0 until dim).foreach(i => x(i) -= p * u(i))
+    }
+    for (c <- 0 until math.min(k, dim)) {
+      var v =
+        if (c == 0) Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+        else {
+          val r = new java.util.Random(c.toLong)
+          val g = Array.fill(dim)(r.nextGaussian())
+          ortho(g)
+          val n = math.sqrt(g.map(x => x * x).sum)
+          g.map(_ / n)
+        }
+      for (_ <- 1 to iters) {
+        val raw = new Array[Double](dim)
+        m.foreach { row =>
+          var s = 0.0; var i = 0
+          while (i < dim) { s += row(i) * v(i); i += 1 }
+          var j = 0
+          while (j < dim) { raw(j) += s * row(j); j += 1 }
+        }
+        ortho(raw)
+        val nrm = math.sqrt(raw.map(x => x * x).sum)
+        val sign = raw.find(math.abs(_) > 1e-9).map(math.signum).getOrElse(1.0)
+        if (nrm > 0) v = raw.map(_ / nrm * sign)
+      }
+      comps += v
+    }
+    comps.toSeq
+  }
+
+  test("pca_topk ≡ sequential deflated power iteration; components pairwise orthogonal") {
+    val k = Embeddings.PcaK
+    val want = referenceDeflated(mat, k, Embeddings.PcaIters)
+    val got = Embeddings.pcaTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    val dim = mat.head.length
+    assert(got.size === k * dim)
+    want.zipWithIndex.foreach { case (u, c) =>
+      u.zipWithIndex.foreach { case (w, i) =>
+        assert(math.abs(got((c, i)) - w) < 1e-6, s"comp $c dim $i: got ${got((c, i))} want $w")
+      }
+    }
+    // orthonormal within rounding: |u_i·u_j| tiny, |u_i| ≈ 1
+    val comps = (0 until k).map(c => (0 until dim).map(i => got((c, i))).toArray)
+    for (a <- 0 until k; b <- 0 until k) {
+      val d = (0 until dim).map(i => comps(a)(i) * comps(b)(i)).sum
+      if (a == b) assert(math.abs(d - 1.0) < 1e-4, s"comp $a not unit: $d")
+      else assert(math.abs(d) < 1e-4, s"comps $a,$b not orthogonal: $d")
+    }
+  }
+
+  test("pca_topk recovers the planted axes of an anisotropic cloud in variance order") {
+    import spark.implicits._
+    // variance 25 on e1, 4 on e2, 1 on e3, 0 on e4
+    val rows = (0 until 240).map { i =>
+      Seq(5.0 * ((i % 21) - 10) / 10.0, 2.0 * ((i % 13) - 6) / 6.0,
+        1.0 * ((i % 7) - 3) / 3.0, 0.0)
+    }
+    val comps = Embeddings.pcaTopkOn(rows.toDF("embedding"), k = 3, iters = 30)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(math.abs(comps((0, 0))) > 0.99, s"comp0 should be e1: $comps")
+    assert(math.abs(comps((1, 1))) > 0.99, s"comp1 should be e2: $comps")
+    assert(math.abs(comps((2, 2))) > 0.99, s"comp2 should be e3: $comps")
+  }
+
   test("pca_top captures the dominant direction of a planted anisotropic cloud") {
     import spark.implicits._
     // points along e1 with small e2 noise: top PC ≈ e1
