@@ -106,7 +106,7 @@ object Sharding {
   /** 3-D variant of [[zorderBucket]]: Morton cells over (custkey,
     * order day, totalprice band) via the native `z3_value` expression —
     * the layout for a fact table filtered independently on all three.
-    * Shift 33 leaves 10 bits per dimension: every bucket is an
+    * Shift 33 leaves 11 bits per dimension: every bucket is an
     * axis-aligned 2^11-cube in key space (ZorderSpec bound).
     */
   val Z3Shift = 33

@@ -196,6 +196,14 @@ object StreamingOps {
     * event); out-of-order events older than the open hour are dropped
     * (the watermark analog — documented, matching dedupStream's
     * within-watermark contract).
+    *
+    * Memory bound: the STATE is constant per key, but each trigger
+    * materializes and sorts the key's micro-batch rows before folding
+    * them (the same per-trigger shape as the funnel above), so
+    * transient memory is O(events per key per trigger). A burst
+    * micro-batch concentrated on one event_type pressures its task;
+    * bound trigger size (maxOffsetsPerTrigger / trigger interval) if
+    * bursts are expected.
     */
   def anomalyAlerts(events: DataFrame): Dataset[AnomalyOut] = {
     import events.sparkSession.implicits._

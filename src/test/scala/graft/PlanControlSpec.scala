@@ -96,11 +96,35 @@ class PlanControlSpec extends SparkSuite {
   test("drift_psi: corpus-sized work ends at the (source,bucket) count") {
     val df = graft.queries.Corpus.driftPsi(spark, sfDir)
     val plan = df.queryExecution.optimizedPlan.toString
-    // the documents scan feeds exactly one Aggregate before the grid
-    // join — no window or join touches the raw table
-    val scanIdx = plan.indexOf("Relation")
-    assert(scanIdx > 0)
-    assert(plan.contains("Aggregate"), plan)
+    // every documents scan must reach an Aggregate before any Join or
+    // Window touches it: walk each scan's ancestor chain (nearest
+    // preceding line of strictly smaller tree depth) and assert the
+    // first guard node is the Aggregate, i.e. windows/joins only ever
+    // see (source,bucket) cells, never corpus-sized rows
+    val lines = plan.split("\n")
+    def depth(l: String): Int = l.indexOf("- ") match {
+      case -1 => 0; case i => i / 3 + 1
+    }
+    def node(l: String): String = l.dropWhile(c => !c.isLetter)
+    val scans = lines.zipWithIndex.filter(_._1.contains("Relation"))
+    assert(scans.nonEmpty, plan)
+    scans.foreach { case (l, idx) =>
+      var d = depth(l)
+      var i = idx - 1
+      var guard: Option[String] = None
+      while (i >= 0 && guard.isEmpty) {
+        val di = depth(lines(i))
+        if (di < d) {
+          d = di
+          val n = node(lines(i))
+          if (n.startsWith("Aggregate") || n.startsWith("Join") ||
+            n.startsWith("Window")) guard = Some(n)
+        }
+        i -= 1
+      }
+      assert(guard.exists(_.startsWith("Aggregate")),
+        s"scan at line $idx reaches ${guard.getOrElse("nothing")} before an Aggregate:\n$plan")
+    }
   }
 
   test("heavy_hitters_mg: candidate stage aggregates to a single object row, verify join is broadcast") {
