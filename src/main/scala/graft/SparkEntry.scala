@@ -53,5 +53,6 @@ object SparkEntry {
     "dedup_keep_minhash", "heavy_hitters", "dedup_incremental",
     "dedup_incremental_minhash", "join_similarity",
     "heavy_hitters_mg", "drift_psi", "bpe_pairs", "kmeans",
-    "bm25_terms", "zorder_bucket", "pipeline_curate_minhash")
+    "bm25_terms", "zorder_bucket", "pipeline_curate_minhash",
+    "dedup_incremental_embedding_lsh", "lang_id", "audience_overlap_exact")
 }

@@ -191,9 +191,80 @@ object Embeddings {
         })
   }
 
+  /** Int8 scalar quantization — the compression pass before an ANN
+    * index ships to serving (4-8× memory cut at ~1% recall cost). The
+    * dim-bounded (lo, hi) table collects once and folds into the plan
+    * as literal arrays (the embedNormalize pattern), so quantization
+    * is a pure map: q = floor((x-lo)/(hi-lo)·255 + 0.5) - 128 in
+    * [-128, 127]. floor(t+0.5) — not round() — so both engines round
+    * the same IEEE value identically; constant dimensions quantize to
+    * 0. Scalar (vec_id, dim, q) rows per the registry contract.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stats = all
+      .select(posexplode(col("v")))
+      .groupBy("pos")
+      .agg(min("col").as("lo"), max("col").as("hi"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    if (stats.isEmpty) { // empty corpus: typed empty frame, not array() analysis errors
+      val sess = s
+      import sess.implicits._
+      return Seq.empty[(Long, Long, Int)].toDF("vec_id", "dim", "q")
+    }
+    val dim = stats.keys.max + 1
+    val loLit = array((0 until dim).map(i =>
+      lit(stats.getOrElse(i, (0.0, 0.0))._1)).toIndexedSeq: _*)
+    val hiLit = array((0 until dim).map(i =>
+      lit(stats.getOrElse(i, (0.0, 0.0))._2)).toIndexedSeq: _*)
+    all.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), col("pos").cast("long").as("dim"),
+        {
+          val i = (col("pos") + 1).cast("int")
+          val lo = element_at(loLit, i)
+          val hi = element_at(hiLit, i)
+          when(hi > lo,
+            (floor((col("col") - lo) / (hi - lo) * 255 + 0.5) - 128).cast("int"))
+            .otherwise(lit(0)).as("q")
+        })
+  }
+
+  /** Projection onto the top-k principal directions — the
+    * dimensionality-reduction map that feeds 2-D corpus atlases and
+    * compact downstream features. Components are [[pcaComponents]]
+    * plan-time literals, so the projection is one map-side dot product
+    * per component: (vec_id, component, score) with no shuffle of
+    * vectors. Iterative plan-time state → rows-only for the driver;
+    * ≡ a driver-side projection at 1e-6 in EmbeddingsSpec.
+    */
+  def embedProjectOn(embeddings: DataFrame, k: Int = PcaK,
+      iters: Int = PcaIters): DataFrame = {
+    val comps = pcaComponents(embeddings, k, iters)
+    if (comps.isEmpty) { // empty corpus
+      val s = embeddings.sparkSession
+      import s.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("vec_id", "component", "score")
+    }
+    val all = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val scores = array(comps.zipWithIndex.map { case (u, c) =>
+      struct(lit(c.toLong).as("component"),
+        round(dot(col("v"), array(u.map(lit).toIndexedSeq: _*)), 6).as("score"))
+    }.toIndexedSeq: _*)
+    all.select(col("vec_id"), explode(scores).as("p"))
+      .select(col("vec_id"), col("p.component").as("component"),
+        col("p.score").as("score"))
+  }
+
+  def embedProject(s: SparkSession, d: String): DataFrame =
+    embedProjectOn(Tables.embeddings(s, d))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_stats" -> embedStats,
     "embed_normalize" -> embedNormalize,
+    "embed_quantize" -> embedQuantize,
+    "embed_project" -> embedProject,
     "pca_top" -> pcaTop,
     "pca_topk" -> pcaTopk)
 
@@ -201,6 +272,20 @@ object Embeddings {
     * pinned to a sequential power iteration in EmbeddingsSpec.
     */
   def oracleSql: Map[String, String] = Map(
+    "embed_quantize" ->
+      """WITH dims AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(embedding)) AS INTEGER) FROM embeddings))) AS i),
+        |st AS (
+        |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+        |  FROM embeddings, dims WHERE i <= len(embedding) GROUP BY i)
+        |SELECT vec_id, CAST(st.i - 1 AS BIGINT) AS dim,
+        |  CASE WHEN hi > lo
+        |       THEN CAST(floor((CAST(embedding[st.i] AS DOUBLE) - lo)
+        |                       / (hi - lo) * 255 + 0.5) - 128 AS INTEGER)
+        |       ELSE 0 END AS q
+        |FROM embeddings JOIN st ON st.i <= len(embedding)""".stripMargin,
     "embed_normalize" ->
       """WITH dims AS (
         |  SELECT unnest(generate_series(1,

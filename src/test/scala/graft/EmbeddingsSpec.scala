@@ -159,6 +159,41 @@ class EmbeddingsSpec extends SparkSuite {
     assert(v.forall(x => !x.isNaN && !x.isInfinite), s"NaN leak: ${v.toSeq}")
   }
 
+  test("embed_quantize: q in [-128,127], per-dim extremes hit the rails, map-only plan") {
+    val df = Embeddings.embedQuantize(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(1).toInt, r.getInt(2)))
+    assert(rows.length === mat.length * mat.head.length)
+    assert(rows.forall { case (_, q) => q >= -128 && q <= 127 })
+    val byDim = rows.groupBy(_._1)
+    byDim.values.foreach { qs =>
+      val vals = qs.map(_._2)
+      // a non-constant dimension must span the full rail-to-rail range
+      if (vals.distinct.length > 1)
+        assert(vals.min === -128 && vals.max === 127, s"rails: ${vals.min}..${vals.max}")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"quantize must be map-only:\n$plan")
+  }
+
+  test("embed_project ≡ driver-side projection onto the deflated components at 1e-6") {
+    val k = 3
+    val comps = referenceDeflated(mat, k, Embeddings.PcaIters)
+    val got = Embeddings.embedProjectOn(
+      Tables.embeddings(spark, sfDir), k, Embeddings.PcaIters)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(got.size === mat.length * k)
+    // check every vector against the reference dot product
+    val vecRows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    vecRows.foreach { case (id, v) =>
+      comps.zipWithIndex.foreach { case (u, c) =>
+        val want = v.zip(u).map { case (a, b) => a * b }.sum
+        assert(math.abs(got((id, c)) - want) < 1e-6, s"vec $id comp $c")
+      }
+    }
+  }
+
   test("embed_stats: one row per dimension, l2 mass positive, bounds ordered") {
     val rows = Embeddings.embedStats(spark, sfDir).collect()
     assert(rows.length === mat.head.length)
