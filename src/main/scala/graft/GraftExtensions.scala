@@ -37,6 +37,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_buckets"),
       new ExpressionInfo(classOf[MinHashBuckets].getName, "minhash_buckets"),
       exprs => MinHashBuckets(exprs.head, 48, 8)))
+    // the two hyperplane-LSH families (params mirror queries/Similarity:
+    // ANN = 4 tables × 8 bits from seed 0; dedup = 6 × 12 from seed 1000)
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sigs_ann"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSigs].getName, "hyperplane_sigs_ann"),
+      exprs => graft.functions.HyperplaneSigs(exprs.head, 0, 4, 8)))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sigs_dedup"),
+      new ExpressionInfo(classOf[graft.functions.HyperplaneSigs].getName, "hyperplane_sigs_dedup"),
+      exprs => graft.functions.HyperplaneSigs(exprs.head, 1000, 6, 12)))
     ext.injectFunction((
       new FunctionIdentifier("z_value"),
       new ExpressionInfo(classOf[ZValue].getName, "z_value"),

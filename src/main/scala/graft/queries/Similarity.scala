@@ -69,11 +69,26 @@ object Similarity {
   private def planeLit(t: Int, p: Int): Column =
     array(plane(t, p).map(lit).toIndexedSeq: _*)
 
-  /** Signature of vector v in table t: 8 sign bits packed to an int. */
-  private def sigCol(v: Column, t: Int): Column =
-    (0 until PlanesPerTable).map { p =>
-      when(dot(v, planeLit(t, p)) > 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Signature of vector v in table t: 8 sign bits packed to an int.
+    * DECLARATIVE TWIN kept for the VectorOpsSpec bit-identity check —
+    * production paths use the native `hyperplane_sigs_*` expression
+    * (graft.functions.HyperplaneSigs), which computes all tables in
+    * one compiled pass instead of a ~5,000-node interpreted tree.
+    */
+  def declarativeAnnSigs(v: Column): Column =
+    array((0 until NumTables).map { t =>
+      (0 until PlanesPerTable).map { p =>
+        when(dot(v, planeLit(t, p)) > 0, lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Registers both hyperplane signature families (≡ GraftExtensions). */
+  def registerSigFunctions(s: SparkSession): Unit = {
+    graft.functions.HyperplaneSigs.register(
+      s, "hyperplane_sigs_ann", 0, NumTables, PlanesPerTable)
+    graft.functions.HyperplaneSigs.register(
+      s, "hyperplane_sigs_dedup", 1000, DedupTables, DedupBits)
+  }
 
   /** Approximate top-5 via multi-table hyperplane LSH: queries and
     * corpus hash into (table, signature) buckets; only same-bucket
@@ -81,9 +96,10 @@ object Similarity {
     * SimilaritySpec; not SQL-oracle-able (plan-time hyperplanes).
     */
   def annLsh(s: SparkSession, d: String): DataFrame = {
+    registerSigFunctions(s)
     val all = vecs(s, d)
     val buckets = all.select(col("vec_id"), col("v"), col("nrm"),
-      posexplode(array((0 until NumTables).map(t => sigCol(col("v"), t)): _*)))
+      posexplode(call_function("hyperplane_sigs_ann", col("v"))))
       .toDF("vec_id", "v", "nrm", "table_id", "sig")
     val q = buckets.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
@@ -259,11 +275,24 @@ object Similarity {
   private val DedupBits = 12
   // plane seeds offset past the ANN tables' 0..31 so the families are
   // independent
-  private def dedupSigCol(v: Column, t: Int): Column =
-    (0 until DedupBits).map { p =>
-      when(dot(v, array(planeSeed(1000 + t * DedupBits + p).map(lit).toIndexedSeq: _*)) > 0,
-        lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  /** Dev probe: the raw signature+explode stage (see tools/ProbeIncr). */
+  def probeBuckets(embeddings: DataFrame): DataFrame = {
+    registerSigFunctions(embeddings.sparkSession)
+    val all = embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    all.select(col("vec_id"),
+      posexplode_outer(call_function("hyperplane_sigs_dedup", col("v"))))
+      .toDF("vec_id", "table_id", "sig")
+  }
+
+  /** Declarative twin of `hyperplane_sigs_dedup` (VectorOpsSpec). */
+  def declarativeDedupSigs(v: Column): Column =
+    array((0 until DedupTables).map { t =>
+      (0 until DedupBits).map { p =>
+        when(dot(v, array(planeSeed(1000 + t * DedupBits + p).map(lit).toIndexedSeq: _*)) > 0,
+          lit(1 << p)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
 
   /** Scale form of [[dedupEmbedding]]: hyperplane-LSH bucket candidates
     * + exact cosine verify — the minhashPairs shape for vectors. Corpus
@@ -283,16 +312,17 @@ object Similarity {
     */
   def embeddingLshPairs(embeddings: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(embeddings.sparkSession)
+    registerSigFunctions(embeddings.sparkSession)
     val all = embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
       .filter(col("nrm") > 0)
     // posexplode_outer: keeps InferFiltersFromGenerate from pushing a
-    // filter that re-evaluates the 72-dot-product signature chain (the
-    // sig array is never null/empty).
+    // filter that re-evaluates the signature expression (the sig
+    // array is never null/empty).
     val buckets = all
       .select(col("vec_id"),
-        posexplode_outer(array((0 until DedupTables).map(t => dedupSigCol(col("v"), t)): _*)))
+        posexplode_outer(call_function("hyperplane_sigs_dedup", col("v"))))
       .toDF("vec_id", "table_id", "sig")
     val cand = buckets
       .groupBy("table_id", "sig")
@@ -384,9 +414,10 @@ object Similarity {
     val pairs =
       if (!lshCandidates) b.join(c, col("vec_id").isNotNull)
       else {
+        registerSigFunctions(batch.sparkSession)
         def bandsOf(df: DataFrame, idc: String, vc: String): DataFrame = df
           .select(col(idc),
-            posexplode_outer(array((0 until DedupTables).map(t => dedupSigCol(col(vc), t)): _*)))
+            posexplode_outer(call_function("hyperplane_sigs_dedup", col(vc))))
           .toDF(idc, "table_id", "sig")
         bandsOf(b, "vec_id", "vb").join(bandsOf(c, "cid", "vc"), Seq("table_id", "sig"))
           .select("vec_id", "cid").distinct()

@@ -61,4 +61,30 @@ class VectorOpsSpec extends SparkSuite {
     // and it must actually compute
     assert(e.agg(sum("d")).collect()(0).getDouble(0) > 0.0)
   }
+
+  test("hyperplane_sigs bit-identical to the declarative when-chain twins (both families)") {
+    Similarity.registerSigFunctions(spark)
+    DotProduct.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .limit(200)
+    val both = e.select(
+      call_function("hyperplane_sigs_dedup", col("v")).as("nd"),
+      Similarity.declarativeDedupSigs(col("v")).as("dd"),
+      call_function("hyperplane_sigs_ann", col("v")).as("na"),
+      Similarity.declarativeAnnSigs(col("v")).as("da")).collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1), "dedup family diverged")
+      assert(r.getSeq[Int](2) === r.getSeq[Int](3), "ann family diverged")
+    }
+    // degenerate inputs signature to 0 in every table, exactly like the
+    // declarative form (vec_dot NULL -> when falls to its 0 branch)
+    val deg = spark.sql(
+      """SELECT hyperplane_sigs_dedup(array(1.0d, 2.0d)) AS short,
+        |       hyperplane_sigs_dedup(CAST(NULL AS ARRAY<DOUBLE>)) AS nul""".stripMargin)
+      .collect()(0)
+    assert(deg.getSeq[Int](0).forall(_ == 0), "non-dim-64 input must sig to 0")
+    assert(deg.isNullAt(1), "NULL vector stays NULL (filtered upstream by nrm > 0)")
+  }
 }
