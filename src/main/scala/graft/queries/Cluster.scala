@@ -495,6 +495,57 @@ object Cluster {
     "pagerank" -> pagerank)
 
   def oracleSql: Map[String, String] = Map(
+    "pagerank" -> {
+      // 10 damped rounds unrolled as chained CTEs over the same
+      // near-dup edge set the triangle/cluster oracles build. The
+      // symmetrized graph has no dangling nodes, so the dangling-mass
+      // term is exactly 0.0 every round and is omitted; arithmetic
+      // otherwise mirrors pagerankOf term by term ((1-d)/n computed in
+      // double, per-edge rank/outdeg division, coalesce-to-0 for
+      // no-inlink nodes) so both engines round the same IEEE values.
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (
+           |  SELECT no.node,
+           |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.inr, 0.0) AS rank
+           |  FROM nodes no CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT s.dst AS node, sum(r.rank / d.outdeg) AS inr
+           |    FROM sym s JOIN r${i - 1} r ON r.node = s.src
+           |    JOIN deg d ON d.src = s.src
+           |    GROUP BY s.dst) c ON c.node = no.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |      generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |    ELSE [] END AS shingles
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0) AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+         |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+         |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+         |pairs AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+         |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+         |sym AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+         |        UNION ALL SELECT doc_b, doc_a FROM scored),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+         |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT node AS doc_id, round(rank, 6) AS rank FROM r10""".stripMargin
+    },
     "triangle_count" ->
       """WITH sh AS (
         |  SELECT doc_id,
