@@ -533,6 +533,87 @@ object Similarity {
         |  round(max(cos), 6) AS max_cos,
         |  min(eval_id) AS first_eval_hit
         |FROM hits GROUP BY vec_id""".stripMargin,
+    "dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |f AS (SELECT * FROM e WHERE nrm > 0),
+        |planes AS (SELECT ts.t AS t, ps.p AS p,
+        |             list_transform(generate_series(0, 63),
+        |               j -> sin(CAST((1000 + ts.t * 12 + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
+        |           FROM generate_series(0, 5) ts(t), generate_series(0, 11) ps(p)),
+        |sigs AS (SELECT f.vec_id, planes.t AS table_id,
+        |           sum(CASE WHEN list_dot_product(f.v, planes.pl) > 0
+        |                    THEN 1 << planes.p ELSE 0 END) AS sig
+        |         FROM f CROSS JOIN planes GROUP BY f.vec_id, planes.t),
+        |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |         FROM sigs a JOIN sigs b
+        |           ON a.table_id = b.table_id AND a.sig = b.sig
+        |          AND a.vec_id < b.vec_id),
+        |scored AS (SELECT cand.vec_a, cand.vec_b,
+        |             round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 6) AS cos_sim
+        |           FROM cand JOIN f ea ON ea.vec_id = cand.vec_a
+        |                     JOIN f eb ON eb.vec_id = cand.vec_b)
+        |SELECT vec_a, vec_b, cos_sim FROM scored
+        |ORDER BY cos_sim DESC, vec_a, vec_b LIMIT 50""".stripMargin,
+    "dedup_incremental_embedding_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |bb AS (SELECT * FROM e WHERE vec_id % 5 = 0 AND nrm > 0),
+        |cc AS (SELECT * FROM e WHERE vec_id % 5 <> 0 AND nrm > 0),
+        |planes AS (SELECT ts.t AS t, ps.p AS p,
+        |             list_transform(generate_series(0, 63),
+        |               j -> sin(CAST((1000 + ts.t * 12 + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
+        |           FROM generate_series(0, 5) ts(t), generate_series(0, 11) ps(p)),
+        |bsig AS (SELECT bb.vec_id, planes.t AS table_id,
+        |           sum(CASE WHEN list_dot_product(bb.v, planes.pl) > 0
+        |                    THEN 1 << planes.p ELSE 0 END) AS sig
+        |         FROM bb CROSS JOIN planes GROUP BY bb.vec_id, planes.t),
+        |csig AS (SELECT cc.vec_id AS cid, planes.t AS table_id,
+        |           sum(CASE WHEN list_dot_product(cc.v, planes.pl) > 0
+        |                    THEN 1 << planes.p ELSE 0 END) AS sig
+        |         FROM cc CROSS JOIN planes GROUP BY cc.vec_id, planes.t),
+        |cand AS (SELECT DISTINCT b.vec_id, c.cid
+        |         FROM bsig b JOIN csig c
+        |           ON b.table_id = c.table_id AND b.sig = c.sig),
+        |dropped AS (SELECT DISTINCT cand.vec_id
+        |            FROM cand JOIN bb ON bb.vec_id = cand.vec_id
+        |                      JOIN cc ON cc.vec_id = cand.cid
+        |            WHERE list_dot_product(bb.v, cc.v) / (bb.nrm * cc.nrm)
+        |                    >= ${IncrEmbedTau})
+        |SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0
+        |  AND vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
+    "ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |planes AS (SELECT ts.t AS t, ps.p AS p,
+        |             list_transform(generate_series(0, 63),
+        |               j -> sin(CAST((ts.t * 8 + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
+        |           FROM generate_series(0, 3) ts(t), generate_series(0, 7) ps(p)),
+        |sigs AS (SELECT e.vec_id, planes.t AS table_id,
+        |           sum(CASE WHEN list_dot_product(e.v, planes.pl) > 0
+        |                    THEN 1 << planes.p ELSE 0 END) AS sig
+        |         FROM e CROSS JOIN planes GROUP BY e.vec_id, planes.t),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |         FROM sigs q JOIN sigs c
+        |           ON q.vec_id < 8 AND c.table_id = q.table_id AND c.sig = q.sig
+        |          AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT cand.query_id, cand.neighbor_id,
+        |             list_dot_product(ec.v, eq.v) / (ec.nrm * eq.nrm) AS cos
+        |           FROM cand JOIN e ec ON ec.vec_id = cand.neighbor_id
+        |                     JOIN e eq ON eq.vec_id = cand.query_id)
+        |SELECT query_id, neighbor_id, rn, cos_sim FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn,
+        |    round(cos, 6) AS cos_sim
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin,
     "ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
