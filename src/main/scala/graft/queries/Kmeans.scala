@@ -100,9 +100,12 @@ object Kmeans {
   }
 
   /** Registered entry: cluster the embeddings table, emit one row per
-    * vector. Iterative plan-time-trained centroids aren't
-    * SQL-expressible — rows-only for the driver; KmeansSpec pins the
-    * result to sequential Lloyd.
+    * vector. The training loop is deterministic (first-k seeds, fixed
+    * rounds, smallest-cell tie-break), so the whole iteration unrolls
+    * into chained DuckDB CTEs — assignment margins are orders of
+    * magnitude above the ~1e-15 float-sum merge-order noise, so the
+    * discrete (vec_id, cell) output hash-matches across engines.
+    * KmeansSpec additionally pins the result to sequential Lloyd.
     */
   def kmeans(s: SparkSession, d: String): DataFrame =
     kmeansAssignOn(vecs(s, d))
@@ -110,5 +113,45 @@ object Kmeans {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans" -> kmeans)
 
-  def oracleSql: Map[String, String] = Map.empty
+  def oracleSql: Map[String, String] = Map(
+    "kmeans" -> {
+      // assignment CTE against centroid table c$prev: argmin of
+      // ||c||² − 2·v·c with ties to the smallest cell — exactly
+      // nearestCell's (d, cell) struct-least
+      def assign(name: String, prev: Int) =
+        s"""$name AS (
+           |  SELECT vec_id, cell FROM (
+           |    SELECT e.vec_id, c.cell,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_dot_product(c.cv, c.cv)
+           |                 - 2 * list_dot_product(e.v, c.cv), c.cell) AS rn
+           |    FROM e CROSS JOIN c$prev c)
+           |  WHERE rn = 1)""".stripMargin
+      // per-round update: per-(cell, dim) mean over members; an empty
+      // cell keeps its previous centroid (the left-join coalesce)
+      val rounds = (1 to Iters).map { i =>
+        s"""${assign(s"a$i", i - 1)},
+           |m$i AS (
+           |  SELECT a.cell, d.i, sum(e.v[d.i]) AS s, count(*) AS n
+           |  FROM a$i a JOIN e ON e.vec_id = a.vec_id
+           |  CROSS JOIN dims d WHERE d.i <= len(e.v)
+           |  GROUP BY a.cell, d.i),
+           |c$i AS (
+           |  SELECT prev.cell, coalesce(mm.cv, prev.cv) AS cv
+           |  FROM c${i - 1} prev LEFT JOIN
+           |    (SELECT cell, list(s / n ORDER BY i) AS cv
+           |     FROM m$i GROUP BY cell) mm ON mm.cell = prev.cell)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |dims AS (
+         |  SELECT unnest(generate_series(1,
+         |    (SELECT CAST(max(len(v)) AS INTEGER) FROM e))) AS i),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+         |         v AS cv
+         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),
+         |$rounds,
+         |${assign("afinal", Iters)}
+         |SELECT vec_id, cell FROM afinal""".stripMargin
+    })
 }
