@@ -533,6 +533,58 @@ object Similarity {
         |  round(max(cos), 6) AS max_cos,
         |  min(eval_id) AS first_eval_hit
         |FROM hits GROUP BY vec_id""".stripMargin,
+    "semdedup" ->
+      s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM raw),
+        |f AS (SELECT * FROM e WHERE nrm > 0),
+        |nc AS (SELECT GREATEST(16, LEAST(512,
+        |         CAST(ceil(count(*) / 64.0) AS INTEGER))) AS k FROM embeddings),
+        |dims AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(v)) AS INTEGER) FROM f))) AS i),
+        |sample AS (SELECT * FROM f WHERE vec_id < 2048),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |         v, nrm
+        |  FROM sample CROSS JOIN nc WHERE vec_id < nc.k),
+        |sassign AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT sa.vec_id, sa.v, sd.cell,
+        |      row_number() OVER (PARTITION BY sa.vec_id
+        |        ORDER BY list_dot_product(sa.v, sd.v) / (sa.nrm * sd.nrm) DESC,
+        |                 sd.cell) AS rn
+        |    FROM sample sa CROSS JOIN seeds sd)
+        |  WHERE rn = 1),
+        |centn AS (
+        |  SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+        |    SELECT cell, list(s / n ORDER BY i) AS cv FROM (
+        |      SELECT sa.cell, d.i, sum(sa.v[d.i]) AS s, count(*) AS n
+        |      FROM sassign sa CROSS JOIN dims d WHERE d.i <= len(sa.v)
+        |      GROUP BY sa.cell, d.i)
+        |    GROUP BY cell)),
+        |assigned AS (
+        |  SELECT vec_id, cell AS cell_id FROM (
+        |    SELECT f.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY f.vec_id
+        |        ORDER BY list_dot_product(f.v, c.cv) / (f.nrm * c.cn) DESC,
+        |                 c.cell) AS rn
+        |    FROM f CROSS JOIN centn c)
+        |  WHERE rn = 1),
+        |cand AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT cand.vec_b AS vec_id
+        |  FROM cand JOIN f fa ON fa.vec_id = cand.vec_a
+        |            JOIN f fb ON fb.vec_id = cand.vec_b
+        |  WHERE list_dot_product(fa.v, fb.v) / (fa.nrm * fb.nrm) >= ${SemTau})
+        |SELECT a.vec_id, a.cell_id,
+        |  CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS kept
+        |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        |UNION ALL
+        |SELECT vec_id, CAST(NULL AS INTEGER) AS cell_id, 1 AS kept
+        |FROM e WHERE NOT coalesce(nrm > 0, FALSE)""".stripMargin,
     "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
