@@ -533,6 +533,61 @@ object Similarity {
         |  round(max(cos), 6) AS max_cos,
         |  min(eval_id) AS first_eval_hit
         |FROM hits GROUP BY vec_id""".stripMargin,
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |dims AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(v)) AS INTEGER) FROM e))) AS i),
+        |sample AS (SELECT * FROM e WHERE vec_id < 2048),
+        |seeds AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+        |         v, nrm
+        |  FROM sample WHERE vec_id < 16),
+        |sassign AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT sa.vec_id, sa.v, sd.cell,
+        |      row_number() OVER (PARTITION BY sa.vec_id
+        |        ORDER BY list_dot_product(sa.v, sd.v) / (sa.nrm * sd.nrm) DESC,
+        |                 sd.cell) AS rn
+        |    FROM sample sa CROSS JOIN seeds sd)
+        |  WHERE rn = 1),
+        |centn AS (
+        |  SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+        |    SELECT cell, list(s / n ORDER BY i) AS cv FROM (
+        |      SELECT sa.cell, d.i, sum(sa.v[d.i]) AS s, count(*) AS n
+        |      FROM sassign sa CROSS JOIN dims d WHERE d.i <= len(sa.v)
+        |      GROUP BY sa.cell, d.i)
+        |    GROUP BY cell)),
+        |assigned AS (
+        |  SELECT vec_id, cell AS cell_id FROM (
+        |    SELECT e.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+        |                 c.cell) AS rn
+        |    FROM e CROSS JOIN centn c)
+        |  WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cell_id FROM (
+        |    SELECT e.vec_id, c.cell AS cell_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+        |                 c.cell) AS rn
+        |    FROM e CROSS JOIN centn c WHERE e.vec_id < 8)
+        |  WHERE rn <= 2)
+        |SELECT query_id, neighbor_id, rn, cos_sim FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_dot_product(en.v, eq.v) / (en.nrm * eq.nrm) DESC,
+        |               a.vec_id) AS INTEGER) AS rn,
+        |    round(list_dot_product(en.v, eq.v) / (en.nrm * eq.nrm), 6) AS cos_sim
+        |  FROM probes p
+        |  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+        |  JOIN e en ON en.vec_id = a.vec_id
+        |  JOIN e eq ON eq.vec_id = p.query_id)
+        |WHERE rn <= 5""".stripMargin,
     "semdedup" ->
       s"""WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |e AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM raw),
