@@ -190,19 +190,81 @@ object Tokenize {
     "bpe_train" -> bpeTrain,
     "bpe_encode" -> bpeEncode)
 
-  /** bpe_train is iterative/data-dependent (not SQL-expressible) —
-    * rows-only for the driver, equivalence to a sequential reference
-    * trainer asserted in TokenizeSpec.
+  /** The training loop is iterative but DETERMINISTIC (integer pair
+    * counts, lexicographic ties), so the fixed NMerges rounds unroll
+    * into chained DuckDB CTEs. Symbol lists travel as delimited
+    * strings with each token individually wrapped (`|tok|` — tokens
+    * are letter runs, so '|' can never occur inside one): the merge
+    * then IS SQL `replace` of `|l||r|` with `|lr|`, whose
+    * left-to-right non-overlapping scan is exactly [[applyMerge]]'s
+    * greedy-leftmost carry semantics (the per-token wrapping stops a
+    * replacement from consuming the delimiter the next match needs).
     */
-  def oracleSql: Map[String, String] = Map(
-    "bpe_pairs" ->
-      """WITH toks AS (
-        |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
-        |                            x -> len(x) > 0)) AS w
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
-        |                               i -> substr(w, i, 2))) AS pair
-        |  FROM toks WHERE len(w) >= 2)
-        |SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair""".stripMargin)
+  def oracleSql: Map[String, String] = {
+    // one training round: re-tokenize, weighted adjacent-pair count,
+    // (cnt desc, pair asc) argmax, replace on every vocab word
+    def trainRound(i: Int): String =
+      s"""t$i AS MATERIALIZED (SELECT w, f, list_filter(string_split(s, '|'), x -> len(x) > 0) AS toks
+         |        FROM v${i - 1}),
+         |p$i AS MATERIALIZED (SELECT t.toks[d.i] AS l, t.toks[d.i + 1] AS r,
+         |          CAST(sum(t.f) AS BIGINT) AS cnt
+         |        FROM t$i t CROSS JOIN dims d
+         |        WHERE len(t.toks) >= 2 AND d.i <= len(t.toks) - 1
+         |        GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT v.w, v.f,
+         |          replace(v.s, '|' || m.l || '||' || m.r || '|',
+         |                       '|' || m.l || m.r || '|') AS s
+         |        FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin
+    val rounds = (1 to NMerges).map(trainRound).mkString(",\n")
+    val prelude =
+      s"""toks AS (
+         |  SELECT unnest(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+         |                            x -> len(x) > 0)) AS w
+         |  FROM documents),
+         |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w),
+         |dims AS (
+         |  SELECT unnest(generate_series(1,
+         |    (SELECT CAST(max(len(w)) AS INTEGER) FROM wf))) AS i),
+         |v0 AS MATERIALIZED (SELECT w, f,
+         |         array_to_string(list_transform(generate_series(1, len(w)),
+         |           j -> '|' || substr(w, j, 1) || '|'), '') AS s
+         |       FROM wf),
+         |$rounds""".stripMargin
+    val mergeRows = (1 to NMerges).map { i =>
+      s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right", cnt FROM m$i"""
+    }.mkString("\nUNION ALL ")
+    Map(
+      "bpe_pairs" ->
+        """WITH toks AS (
+          |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+          |                            x -> len(x) > 0)) AS w
+          |  FROM documents),
+          |pairs AS (
+          |  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+          |                               i -> substr(w, i, 2))) AS pair
+          |  FROM toks WHERE len(w) >= 2)
+          |SELECT pair, count(*) AS cnt FROM pairs GROUP BY pair""".stripMargin,
+      "bpe_train" ->
+        s"""WITH $prelude
+           |$mergeRows""".stripMargin,
+      "bpe_encode" ->
+        s"""WITH tl AS (
+           |  SELECT lang, unnest(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+           |                                  x -> len(x) > 0)) AS w
+           |  FROM documents),
+           |wfl AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS f
+           |        FROM tl GROUP BY lang, w),
+           |$prelude,
+           |enc AS (SELECT w,
+           |          CAST(len(list_filter(string_split(s, '|'), x -> len(x) > 0))
+           |               AS INTEGER) AS n_syms
+           |        FROM v$NMerges)
+           |SELECT lang,
+           |  CAST(sum(f) AS BIGINT) AS n_words,
+           |  CAST(sum(len(w) * f) AS BIGINT) AS n_chars,
+           |  CAST(sum(n_syms * f) AS BIGINT) AS n_bpe_syms,
+           |  round(sum(n_syms * f) / CAST(sum(f) AS DOUBLE), 4) AS syms_per_word
+           |FROM wfl JOIN enc USING (w) GROUP BY lang""".stripMargin)
+  }
 }
