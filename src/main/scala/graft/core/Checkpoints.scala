@@ -23,16 +23,31 @@ object Checkpoints {
 
   /** Materialize `df` eagerly and cut its lineage, reliably when
     * `spark.graft.checkpointDir` is set, executor-locally otherwise.
+    *
+    * Retention: reliable checkpoint files are NOT deleted when the
+    * frame is later unpersisted — they are the recovery state. Spark
+    * reclaims them with the app when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (a
+    * startup conf); otherwise prune the checkpoint root externally.
     */
   def stable(df: DataFrame): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
-        // setCheckpointDir appends a per-app unique subdir; set it once
-        // per context and reuse (re-setting mid-app would scatter files)
-        if (s.sparkContext.getCheckpointDir.isEmpty)
+        // setCheckpointDir appends a per-app unique subdir, so compare
+        // against the configured ROOT: set on first use, and re-point
+        // if the app (or a conf change) aimed the context elsewhere —
+        // silently checkpointing to a stale dir would void the
+        // durability contract this conf exists for
+        if (!s.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
           s.sparkContext.setCheckpointDir(dir)
-        df.checkpoint()
+        // persist first: checkpoint(eager) otherwise runs the plan
+        // TWICE (once for the eager action, once when the reliable
+        // writer re-computes partitions to write files)
+        val cached = df.persist()
+        val out = cached.checkpoint()
+        cached.unpersist(false)
+        out
       case None => df.localCheckpoint(true)
     }
   }

@@ -164,6 +164,16 @@ object Parity {
     counted.toDF()
       .repartition(5, col("key"))
       .write.format("graft.sources.KvTextSink").mode("append").save(outDir)
+    // the sink write above is an action, so the staged inputs are fully
+    // consumed — reclaim them now rather than leaking a corpus copy per
+    // run onto the shared scratch root. outDir must outlive this call
+    // (the returned frame reads it lazily); it is one "key value" line
+    // per distinct word — vocabulary-sized, not corpus-sized.
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmRf)
+      f.delete(): Unit
+    }
+    rmRf(new java.io.File(stage))
     spark.read.text(outDir)
       .select(
         substring_index(col("value"), " ", 1).as("key"),

@@ -106,8 +106,10 @@ object Sharding {
   /** 3-D variant of [[zorderBucket]]: Morton cells over (custkey,
     * order day, totalprice band) via the native `z3_value` expression —
     * the layout for a fact table filtered independently on all three.
-    * Shift 33 leaves 11 bits per dimension: every bucket is an
-    * axis-aligned 2^11-cube in key space (ZorderSpec bound).
+    * Shift 33 drops 11 low bits per dimension (z3 packs 21 bits/dim,
+    * 3·21 = 63 interleaved), so every bucket is an axis-aligned
+    * 2^11-cube in key space (ZorderSpec bound) and 10 bucket-id bits
+    * remain per dimension.
     */
   val Z3Shift = 33
 

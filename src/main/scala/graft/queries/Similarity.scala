@@ -59,8 +59,12 @@ object Similarity {
 
   // 4 LSH tables × 8 random hyperplanes (deterministic pseudo-random
   // components; fixed at plan build). 8 bits/table → 256 buckets/table.
-  private val NumTables = 4
-  private val PlanesPerTable = 8
+  // PUBLIC: GraftExtensions and the oracle SQL derive from these —
+  // one definition so a retune cannot leave the session-extension
+  // functions or the DuckDB mirrors on stale planes
+  val AnnSeedBase = 0
+  val NumTables = 4
+  val PlanesPerTable = 8
   private val Dim = 64
   private def planeSeed(k: Int): Array[Double] =
     Array.tabulate(Dim)(j => math.sin(k * Dim + j + 1.0))
@@ -85,9 +89,9 @@ object Similarity {
   /** Registers both hyperplane signature families (≡ GraftExtensions). */
   def registerSigFunctions(s: SparkSession): Unit = {
     graft.functions.HyperplaneSigs.register(
-      s, "hyperplane_sigs_ann", 0, NumTables, PlanesPerTable)
+      s, "hyperplane_sigs_ann", AnnSeedBase, NumTables, PlanesPerTable)
     graft.functions.HyperplaneSigs.register(
-      s, "hyperplane_sigs_dedup", 1000, DedupTables, DedupBits)
+      s, "hyperplane_sigs_dedup", DedupSeedBase, DedupTables, DedupBits)
   }
 
   /** Approximate top-5 via multi-table hyperplane LSH: queries and
@@ -271,8 +275,9 @@ object Similarity {
   // cos 0.45 while 6 tables push near-dup recall > 0.999. At a bigger
   // corpus, raise bits ≈ log2(n / wanted-bucket-size): bucket count
   // scales with the corpus, candidate count stays ∝ true near-dups.
-  private val DedupTables = 6
-  private val DedupBits = 12
+  val DedupSeedBase = 1000
+  val DedupTables = 6
+  val DedupBits = 12
   // plane seeds offset past the ANN tables' 0..31 so the families are
   // independent
   /** Dev probe: the raw signature+explode stage (see tools/ProbeIncr). */
@@ -289,7 +294,7 @@ object Similarity {
   def declarativeDedupSigs(v: Column): Column =
     array((0 until DedupTables).map { t =>
       (0 until DedupBits).map { p =>
-        when(dot(v, array(planeSeed(1000 + t * DedupBits + p).map(lit).toIndexedSeq: _*)) > 0,
+        when(dot(v, array(planeSeed(DedupSeedBase + t * DedupBits + p).map(lit).toIndexedSeq: _*)) > 0,
           lit(1 << p)).otherwise(lit(0))
       }.reduce(_ + _)
     }: _*)
@@ -641,15 +646,15 @@ object Similarity {
         |SELECT vec_id, CAST(NULL AS INTEGER) AS cell_id, 1 AS kept
         |FROM e WHERE NOT coalesce(nrm > 0, FALSE)""".stripMargin,
     "dedup_embedding_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                                   CAST(embedding AS DOUBLE[]))) AS nrm
         |           FROM embeddings),
         |f AS (SELECT * FROM e WHERE nrm > 0),
         |planes AS (SELECT ts.t AS t, ps.p AS p,
         |             list_transform(generate_series(0, 63),
-        |               j -> sin(CAST((1000 + ts.t * 12 + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
-        |           FROM generate_series(0, 5) ts(t), generate_series(0, 11) ps(p)),
+        |               j -> sin(CAST((${DedupSeedBase} + ts.t * ${DedupBits} + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
+        |           FROM generate_series(0, ${DedupTables - 1}) ts(t), generate_series(0, ${DedupBits - 1}) ps(p)),
         |sigs AS (SELECT f.vec_id, planes.t AS table_id,
         |           sum(CASE WHEN list_dot_product(f.v, planes.pl) > 0
         |                    THEN 1 << planes.p ELSE 0 END) AS sig
@@ -673,8 +678,8 @@ object Similarity {
         |cc AS (SELECT * FROM e WHERE vec_id % 5 <> 0 AND nrm > 0),
         |planes AS (SELECT ts.t AS t, ps.p AS p,
         |             list_transform(generate_series(0, 63),
-        |               j -> sin(CAST((1000 + ts.t * 12 + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
-        |           FROM generate_series(0, 5) ts(t), generate_series(0, 11) ps(p)),
+        |               j -> sin(CAST((${DedupSeedBase} + ts.t * ${DedupBits} + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
+        |           FROM generate_series(0, ${DedupTables - 1}) ts(t), generate_series(0, ${DedupBits - 1}) ps(p)),
         |bsig AS (SELECT bb.vec_id, planes.t AS table_id,
         |           sum(CASE WHEN list_dot_product(bb.v, planes.pl) > 0
         |                    THEN 1 << planes.p ELSE 0 END) AS sig
@@ -694,14 +699,14 @@ object Similarity {
         |SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0
         |  AND vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     "ann_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
         |                                   CAST(embedding AS DOUBLE[]))) AS nrm
         |           FROM embeddings),
         |planes AS (SELECT ts.t AS t, ps.p AS p,
         |             list_transform(generate_series(0, 63),
-        |               j -> sin(CAST((ts.t * 8 + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
-        |           FROM generate_series(0, 3) ts(t), generate_series(0, 7) ps(p)),
+        |               j -> sin(CAST((${AnnSeedBase} + ts.t * ${PlanesPerTable} + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
+        |           FROM generate_series(0, ${NumTables - 1}) ts(t), generate_series(0, ${PlanesPerTable - 1}) ps(p)),
         |sigs AS (SELECT e.vec_id, planes.t AS table_id,
         |           sum(CASE WHEN list_dot_product(e.v, planes.pl) > 0
         |                    THEN 1 << planes.p ELSE 0 END) AS sig

@@ -101,7 +101,11 @@ object TextOps {
     val scored = array(LangProfiles.map { case (lang, words) =>
       val prof = array(words.map(lit): _*)
       struct(
-        (size(filter(ws, w => array_contains(prof, w))).cast("double") / nTok).as("score"),
+        // zero-token docs score 0.0 (not NULL/NaN) in every profile so
+        // the argmax and the DuckDB oracle agree on (pred='zh', conf=0)
+        when(nTok > 0,
+          size(filter(ws, w => array_contains(prof, w))).cast("double") / nTok)
+          .otherwise(lit(0.0)).as("score"),
         lit(lang).as("plang"))
     }: _*)
     Tables.documents(s, d)
@@ -493,8 +497,10 @@ object TextOps {
       }.mkString(", ")
       s"""WITH t AS (SELECT doc_id, lang, $tokSqlDuck AS ws FROM documents),
          |s AS (SELECT doc_id, lang, p.plang,
-         |        CAST(len(list_filter(ws, x -> list_contains(p.words, x))) AS DOUBLE)
-         |          / len(ws) AS score
+         |        CASE WHEN len(ws) = 0 THEN 0.0
+         |             ELSE CAST(len(list_filter(ws, x -> list_contains(p.words, x)))
+         |                       AS DOUBLE) / len(ws)
+         |        END AS score
          |      FROM t, (VALUES $vals) AS p(plang, words))
          |SELECT doc_id, lang, plang AS pred_lang,
          |       floor(score * 10000 + 0.5) / 10000.0 AS conf

@@ -202,7 +202,10 @@ object Tokenize {
     */
   def oracleSql: Map[String, String] = {
     // one training round: re-tokenize, weighted adjacent-pair count,
-    // (cnt desc, pair asc) argmax, replace on every vocab word
+    // (cnt desc, pair asc) argmax, replace on every vocab word; an
+    // exhausted round (empty m$i) leaves the vocab unchanged via the
+    // CASE guard, mirroring bpeMergesOn's early stop (a CROSS JOIN
+    // against the empty argmax would wipe the vocabulary instead)
     def trainRound(i: Int): String =
       s"""t$i AS MATERIALIZED (SELECT w, f, list_filter(string_split(s, '|'), x -> len(x) > 0) AS toks
          |        FROM v${i - 1}),
@@ -213,9 +216,12 @@ object Tokenize {
          |        GROUP BY 1, 2),
          |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
          |v$i AS MATERIALIZED (SELECT v.w, v.f,
-         |          replace(v.s, '|' || m.l || '||' || m.r || '|',
-         |                       '|' || m.l || m.r || '|') AS s
-         |        FROM v${i - 1} v CROSS JOIN m$i m)""".stripMargin
+         |          CASE WHEN (SELECT count(*) FROM m$i) = 0 THEN v.s
+         |               ELSE replace(v.s,
+         |                 '|' || (SELECT l FROM m$i) || '||' || (SELECT r FROM m$i) || '|',
+         |                 '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '|')
+         |          END AS s
+         |        FROM v${i - 1} v)""".stripMargin
     val rounds = (1 to NMerges).map(trainRound).mkString(",\n")
     val prelude =
       s"""toks AS (

@@ -164,10 +164,11 @@ class MapReduceJobSpec extends SparkSuite {
       assert(out.nonEmpty)
       val staged = new java.io.File(root).listFiles()
       val names = staged.map(_.getName)
-      assert(names.exists(_.startsWith("graft_mr_in-")), s"no staged input dir under $root")
+      // staged inputs are reclaimed once the sink write consumes them —
+      // a corpus copy must not leak onto the shared root per run
+      assert(!names.exists(_.startsWith("graft_mr_in-")),
+        s"staged input dir leaked under $root")
       assert(names.exists(_.startsWith("graft_mr_out-")), s"no sink dir under $root")
-      val inFiles = staged.find(_.getName.startsWith("graft_mr_in-")).get.listFiles()
-      assert(inFiles.nonEmpty && inFiles.forall(_.getName.endsWith(".txt")))
       val outFiles = staged.find(_.getName.startsWith("graft_mr_out-")).get.listFiles()
       assert(outFiles.exists(_.getName.startsWith("mr-out-")), "sink wrote no mr-out-<r> files")
     } finally spark.conf.unset("spark.graft.scratchDir")
