@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Corpus-curation operators for training-data assembly ([EXT]): the
+  * pipeline steps that sit BETWEEN cleaning/dedup and the trainer —
+  * chunking documents into context windows, building the training
+  * order, realizing mix weights into concrete epochs, vocabulary
+  * coverage feedback for tokenizer design, and per-source token-budget
+  * capping.
+  *
+  * Every operator here is linear and shuffle-light by construction:
+  * chunking and epoch realization are pure map+explode (zero shuffle),
+  * the shuffle/cap passes use per-shard / per-source windows (bounded
+  * partitions, no global single-partition window), and vocabulary
+  * coverage shuffles only (term, count) pairs — vocabulary-cardinality,
+  * not corpus-cardinality. All randomness is md5-derived from row keys
+  * (the [[TextOps.sampleWeighted]] convention), so results are
+  * deterministic across engines, retries, and cluster sizes.
+  */
+object Curation {
+
+  /** Context-window length (tokens) for [[chunkText]]. */
+  val ChunkLen = 64
+
+  /** Chunk stride: consecutive windows overlap by ChunkLen−ChunkStride
+    * tokens so no span longer than the overlap is ever split unseen.
+    */
+  val ChunkStride = 48
+
+  /** Training-order shard count for [[shuffleOrder]]. At 100 TB this is
+    * the writer parallelism — thousands; the per-shard window cost is
+    * corpus/shards regardless of the constant.
+    */
+  val NShards = 8
+
+  /** Top-V vocabulary size for [[vocabCoverage]]. */
+  val VocabSize = 50
+
+  /** Per-source token budget for [[capSourceTokens]]. Fixed per SOURCE,
+    * not per corpus — the cap semantics are SF-independent.
+    */
+  val TokenBudget = 1500
+
+  private def wsTokens(text: Column): Column =
+    filter(split(text, "\\s+"), w => length(w) > 0)
+
+  /** 48 hex-derived bits + 0.5 over 2^48: u ∈ (0,1), exact in double
+    * and bit-identical in any engine with md5 (sampleWeighted pattern).
+    */
+  private def mdUniform(prefix: String, key: Column): Column =
+    (conv(substring(md5(concat(lit(prefix), key.cast("string"))), 1, 12),
+      16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)
+
+  /** Fixed-size overlapping context-window chunking — the pretraining /
+    * RAG document splitter. Emits one row per (doc, window) with the
+    * window's token count and content digest; window w covers tokens
+    * [w·stride, w·stride+len). Pure map + explode over one scan: zero
+    * shuffle, embarrassingly parallel, output ∝ input tokens — the
+    * shape that survives 100 TB unchanged. Digests (not chunk text)
+    * keep the output row narrow; a writer variant would keep the text.
+    */
+  def chunkText(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), wsTokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("ws"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        (col("start") / ChunkStride).cast("int").as("chunk_id"),
+        least(lit(ChunkLen), col("n") - col("start")).cast("int").as("chunk_tokens"),
+        md5(array_join(slice(col("ws"), col("start") + 1, lit(ChunkLen)), " "))
+          .as("chunk_digest"))
+
+  /** Deterministic global training-order shuffle + shard assignment:
+    * shard = 24 md5 bits mod NShards, position = rank of the full md5
+    * key within the shard. Seeded by the key prefix, so the order is
+    * reproducible across runs, engines, and cluster sizes — the
+    * property a resumable training job needs. The window partitions by
+    * shard (never a global single-partition sort); at scale each shard
+    * sorts corpus/NShards keys, standard range-partitioned sort work.
+    */
+  def shuffleOrder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 6), 16, 10).cast("long"),
+          lit(NShards)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"), col("shuffle_key"))
+  }
+
+  /** Top-V vocabulary coverage: build the corpus-global top-V token
+    * vocabulary (count desc, token asc — fully ordered, so the V-th
+    * boundary is deterministic) and report each language's
+    * out-of-vocabulary token rate — the feedback number tokenizer
+    * sizing decisions are made on. Only (term, count) pairs shuffle
+    * (vocabulary cardinality); the vocabulary itself is a broadcast
+    * membership probe; the per-language tail is a partial-agg'd
+    * 5-row aggregate.
+    */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("lang"), explode(Dedup.tokensCol(col("text"))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(VocabSize)
+    tok.join(broadcast(vocab.select(col("term"), lit(1).as("in_vocab"))),
+        Seq("term"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1).otherwise(0)).as("oov_tokens"))
+      .select(col("lang"), col("n_tokens"), col("oov_tokens"),
+        (floor(col("oov_tokens").cast("double") / col("n_tokens") * 10000 + 0.5)
+          / 10000.0).as("oov_rate"))
+  }
+
+  /** Realize [[Corpus.sourceMix]]'s uniform-token-mass weights into
+    * concrete training copies — the epoch materialization step. Each
+    * doc in source s with weight w gets ⌊w⌋ copies plus one more when
+    * its md5-uniform is below frac(w), so every source's expected token
+    * mass equalizes while staying reproducible doc-by-doc (no RNG
+    * state, survives retries). Per-source weights are a broadcast
+    * 20-row frame; the corpus side is one map + explode — linear,
+    * zero data shuffle.
+    */
+  def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), size(Dedup.tokensCol(col("text"))).as("ntok"))
+      .groupBy("source").agg(sum("ntok").as("n_tokens"))
+    val totals = perSource.agg(
+      sum("n_tokens").as("total_tokens"), count(lit(1)).as("n_sources"))
+    val weight = (col("total_tokens").cast("double") / col("n_sources")) / col("n_tokens")
+    val weights = perSource.crossJoin(broadcast(totals))
+      .select(col("source"), weight.as("w"))
+    val u = mdUniform("mix:", col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(weights), Seq("source"))
+      .withColumn("n_copies",
+        (floor(col("w")) +
+          when(u < (col("w") - floor(col("w"))), 1).otherwise(0)).cast("int"))
+      .where(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy"))
+  }
+
+  /** Per-source token-budget cap in ingest order: running token sum per
+    * source (doc_id order = arrival order), docs past the budget are
+    * flagged dropped — the quota gate that stops one crawl dump from
+    * dominating the mix. Emits the full audit trail (cumulative count +
+    * kept flag) rather than silently filtering. One per-source window,
+    * linear; at 100 TB each source's partition sorts its own docs only.
+    */
+  def capSourceTokens(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(Dedup.tokensCol(col("text"))).as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        when(col("cum_tokens") <= TokenBudget, 1).otherwise(0).as("kept"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "chunk_text" -> chunkText,
+    "shuffle_order" -> shuffleOrder,
+    "vocab_coverage" -> vocabCoverage,
+    "mix_epochs" -> mixEpochs,
+    "cap_source_tokens" -> capSourceTokens)
+
+  // Letter-token twin of Dedup.tokensCol (shared with TextOps oracles).
+  private val tokSqlDuck =
+    "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
+
+  def oracleSql: Map[String, String] = Map(
+    "chunk_text" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             list_filter(string_split_regex(text, '\\s+'),
+         |                         x -> len(x) > 0) AS ws
+         |           FROM documents),
+         |n AS (SELECT doc_id, ws, len(ws) AS n FROM t WHERE len(ws) > 0),
+         |c AS (SELECT doc_id, n, ws,
+         |        unnest(generate_series(0, n - 1, $ChunkStride)) AS start
+         |      FROM n)
+         |SELECT doc_id,
+         |  CAST(start // $ChunkStride AS INTEGER) AS chunk_id,
+         |  CAST(least($ChunkLen, n - start) AS INTEGER) AS chunk_tokens,
+         |  md5(array_to_string(
+         |        list_slice(ws, start + 1, start + $ChunkLen), ' ')) AS chunk_digest
+         |FROM c""".stripMargin,
+    "shuffle_order" ->
+      s"""WITH k AS (SELECT doc_id,
+         |             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |           FROM documents),
+         |s AS (SELECT doc_id, shuffle_key,
+         |        CAST(('0x' || substr(shuffle_key, 1, 6))::UBIGINT % $NShards
+         |             AS INTEGER) AS shard
+         |      FROM k)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |                          ORDER BY shuffle_key, doc_id) AS INTEGER) AS pos,
+         |  shuffle_key
+         |FROM s""".stripMargin,
+    "vocab_coverage" ->
+      s"""WITH tok AS (SELECT lang, unnest($tokSqlDuck) AS term FROM documents),
+         |v AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM tok
+         |                        GROUP BY 1 ORDER BY cnt DESC, term
+         |                        LIMIT $VocabSize)),
+         |j AS (SELECT lang,
+         |        CASE WHEN term IN (SELECT term FROM v) THEN 0 ELSE 1 END AS oov
+         |      FROM tok)
+         |SELECT lang, count(*) AS n_tokens,
+         |  CAST(sum(oov) AS BIGINT) AS oov_tokens,
+         |  floor(CAST(sum(oov) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0
+         |    AS oov_rate
+         |FROM j GROUP BY lang""".stripMargin,
+    "mix_epochs" ->
+      s"""WITH ps AS (SELECT source,
+         |              CAST(sum(len($tokSqlDuck)) AS BIGINT) AS n_tokens
+         |            FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               count(*) AS n_sources FROM ps),
+         |w AS (SELECT source,
+         |        (CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens AS w
+         |      FROM ps CROSS JOIN tot),
+         |docs AS (SELECT doc_id, d.source, w.w,
+         |           (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+         |            + 0.5) / 281474976710656.0 AS u
+         |         FROM documents d JOIN w ON d.source = w.source),
+         |c AS (SELECT doc_id, source,
+         |        CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END
+         |             AS INTEGER) AS n_copies
+         |      FROM docs)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(1, n_copies)) AS INTEGER) AS copy
+         |FROM c WHERE n_copies > 0""".stripMargin,
+    "cap_source_tokens" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |             CAST(len($tokSqlDuck) AS INTEGER) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens,
+         |  CASE WHEN cum_tokens <= $TokenBudget THEN 1 ELSE 0 END AS kept
+         |FROM c""".stripMargin)
+}

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Curation
+
+/** Curation operators: chunk coverage/overlap invariants, the
+  * shuffle-order bijection, vocabulary-coverage bounds, mix-epoch
+  * expected-mass realization, and token-budget cap monotonicity —
+  * the properties the DuckDB hash gate can't state directly.
+  */
+class CurationSpec extends SparkSuite {
+
+  private lazy val docs = graft.core.Tables.documents(spark, sfDir)
+
+  test("chunk_text covers every token exactly once per stride step") {
+    val tokCounts = docs
+      .select(col("doc_id"),
+        size(filter(split(col("text"), "\\s+"), w => length(w) > 0)).as("n"))
+      .where(col("n") > 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = Curation.chunkText(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet === tokCounts.keySet)
+    chunks.foreach { case (doc, cs) =>
+      val n = tokCounts(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk ids are contiguous from 0; starts tile the doc at stride
+      assert(sorted.map(_._2).toSeq === sorted.indices.toSeq)
+      sorted.foreach { case (_, id, len) =>
+        val start = id * Curation.ChunkStride
+        assert(start < n, s"doc $doc chunk $id starts past the end")
+        assert(len === math.min(Curation.ChunkLen, n - start))
+      }
+      // last chunk reaches the final token (no tail is dropped)
+      val (_, lastId, lastLen) = sorted.last
+      assert(lastId * Curation.ChunkStride + lastLen === n)
+    }
+  }
+
+  test("shuffle_order is a bijection with contiguous per-shard positions") {
+    val rows = Curation.shuffleOrder(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.map(_._1).distinct.length === rows.length)
+    assert(rows.length === docs.count())
+    rows.groupBy(_._2).foreach { case (shard, in) =>
+      assert(0 <= shard && shard < Curation.NShards)
+      assert(in.map(_._3).sorted.toSeq === (1 to in.length))
+    }
+    // seeded: identical across runs
+    val again = Curation.shuffleOrder(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("vocab_coverage rates are in [0,1) and token totals add up") {
+    val rows = Curation.vocabCoverage(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val allTok = docs
+      .select(sum(size(graft.queries.Dedup.tokensCol(col("text"))))).head().getLong(0)
+    assert(rows.map(_._2).sum === allTok)
+    rows.foreach { case (lang, n, oov, rate) =>
+      assert(oov >= 0 && oov <= n, s"$lang oov $oov outside [0, $n]")
+      // the corpus vocabulary is tiny English-ish word soup: a top-50
+      // vocab must cover far more than half of every language's mass
+      assert(rate >= 0.0 && rate < 0.5, s"$lang oov rate $rate")
+      assert(math.abs(rate - oov.toDouble / n) < 1e-4)
+    }
+  }
+
+  test("mix_epochs realizes each source's weight within one copy per doc") {
+    val copies = Curation.mixEpochs(spark, sfDir)
+      .groupBy("source").agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val perSource = docs
+      .select(col("source"), size(graft.queries.Dedup.tokensCol(col("text"))).as("ntok"))
+      .groupBy("source").agg(sum("ntok").as("ntok"), count(lit(1)).as("ndocs"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val total = perSource.map(_._2).sum
+    val nSources = perSource.length
+    perSource.foreach { case (src, ntok, ndocs) =>
+      val w = (total.toDouble / nSources) / ntok
+      val (got, gotDocs) = copies.getOrElse(src, (0L, 0L))
+      // every doc gets floor(w) or floor(w)+1 copies
+      assert(got >= math.floor(w).toLong * ndocs)
+      assert(got <= (math.floor(w).toLong + 1) * ndocs)
+      // realized count tracks the fractional expectation (md5 uniforms)
+      assert(math.abs(got - w * ndocs) <= math.max(4.0, 0.5 * ndocs),
+        s"$src realized $got copies for expectation ${w * ndocs}")
+      assert(gotDocs <= ndocs)
+    }
+  }
+
+  test("cap_source_tokens keeps exactly the ingest-order prefix under budget") {
+    val rows = Curation.capSourceTokens(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    rows.groupBy(_._2).foreach { case (src, in) =>
+      val sorted = in.sortBy(_._1)
+      var cum = 0L
+      sorted.foreach { case (_, _, ntok, cumTok, kept) =>
+        cum += ntok
+        assert(cumTok === cum, s"$src cumulative sum mismatch")
+        assert(kept === (if (cum <= Curation.TokenBudget) 1 else 0))
+      }
+      // kept flags are a prefix: once dropped, never kept again
+      val flags = sorted.map(_._5)
+      assert(!flags.sliding(2).exists(p => p.length == 2 && p(0) == 0 && p(1) == 1),
+        s"$src kept a doc after the budget closed")
+    }
+    // the budget actually binds somewhere at this SF (else the test is vacuous)
+    assert(rows.exists(_._5 == 0), "budget never binds — raise SF or lower budget")
+  }
+
+  test("plan shapes: map-only chunking, broadcast vocab probe") {
+    // chunk_text is pure map + explode: any Exchange would mean the
+    // corpus shuffles for a per-row transform
+    val chunkPlan = Curation.chunkText(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunk_text shuffles:\n$chunkPlan")
+    // vocab membership is a broadcast probe, never a shuffle join of
+    // the corpus-sized token stream against a 50-row vocabulary
+    val vocabPlan = Curation.vocabCoverage(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(vocabPlan.contains("BroadcastHashJoin"), s"vocab probe not broadcast:\n$vocabPlan")
+    // mix_epochs: the per-source weight frame broadcasts; the corpus
+    // side joins map-side (no shuffle of the documents scan)
+    val mixPlan = Curation.mixEpochs(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(mixPlan.contains("BroadcastHashJoin"), s"mix weights not broadcast:\n$mixPlan")
+  }
+}
