@@ -55,5 +55,5 @@ object SparkEntry {
     "heavy_hitters_mg", "drift_psi", "bpe_pairs", "kmeans",
     "bm25_terms", "zorder_bucket", "pipeline_curate_minhash",
     "dedup_incremental_embedding_lsh", "lang_id", "audience_overlap_exact",
-    "chunk_text", "vocab_coverage")
+    "chunk_text", "vocab_coverage", "pipeline_pretrain_minhash")
 }

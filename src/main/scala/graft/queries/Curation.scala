@@ -64,7 +64,13 @@ object Curation {
     * keep the output row narrow; a writer variant would keep the text.
     */
   def chunkText(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    chunkTextOn(Tables.documents(s, d))
+
+  /** [[chunkText]] over any frame with (doc_id, text) — the form
+    * composed pipelines reuse (Pipeline.pipelinePretrain).
+    */
+  def chunkTextOn(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), wsTokens(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
       .where(col("n") > 0)

@@ -48,8 +48,16 @@ object Pipeline {
       docs => Dedup.minhashScored(docs)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
 
-  def pipelineCurateWith(s: SparkSession, d: String,
-      edgeProducer: DataFrame => DataFrame): DataFrame = {
+  /** The shared stage chain: corpus, quality survivors (stabled),
+    * cluster labels (stabled), dedup survivors, decontaminated ids,
+    * per-doc split labels. Callers MUST unpersist s1 and clusters when
+    * done (after stabling their own output).
+    */
+  private case class Stages(corpus: DataFrame, s1: DataFrame,
+      clusters: DataFrame, s2: DataFrame, s3: DataFrame, splits: DataFrame)
+
+  private def curateStages(s: SparkSession, d: String,
+      edgeProducer: DataFrame => DataFrame): Stages = {
     graft.functions.WordShingles.register(s)
     val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= BenchCap)
@@ -89,35 +97,117 @@ object Pipeline {
     // stage 4 — cluster-atomic split (split_leakfree semantics)
     val splits = s3
       .join(clusters, Seq("doc_id"), "left")
-      .select(TextOps.splitLabel(TextOps.hashBucket(
+      .select(col("doc_id"), TextOps.splitLabel(TextOps.hashBucket(
         coalesce(col("cluster_id"), col("doc_id")))).as("split"))
+    Stages(corpus, s1, clusters, s2, s3, splits)
+  }
 
-    def cnt(stage: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
-    val out = cnt("0_corpus", corpus)
-      .unionAll(cnt("1_quality", s1))
-      .unionAll(cnt("2_dedup", s2))
-      .unionAll(cnt("3_decontam", s3))
-      .unionAll(splits.groupBy("split")
+  private def cnt(stage: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
+
+  def pipelineCurateWith(s: SparkSession, d: String,
+      edgeProducer: DataFrame => DataFrame): DataFrame = {
+    val st = curateStages(s, d, edgeProducer)
+    val out = cnt("0_corpus", st.corpus)
+      .unionAll(cnt("1_quality", st.s1))
+      .unionAll(cnt("2_dedup", st.s2))
+      .unionAll(cnt("3_decontam", st.s3))
+      .unionAll(st.splits.groupBy("split")
         .agg(count(lit(1)).as("n_docs"))
         .select(concat(lit("4_"), col("split")).as("stage"), col("n_docs")))
       .stable // materialize before freeing the stage caches
-    s1.unpersist(false)
-    clusters.unpersist(false)
+    st.s1.unpersist(false)
+    st.clusters.unpersist(false)
     out
   }
 
+  /** The training-shard materialization pipeline — curate stages 0–4,
+    * then TRAIN-split survivors only: per-source token-budget cap
+    * (cap_source_tokens semantics, ingest order), context-window
+    * chunking (chunk_text semantics), and deterministic md5 shard
+    * assignment of the chunks. Census output: docs per curate stage,
+    * capped docs, total chunks, chunks per shard — the artifact a
+    * training job consumes. Same composition contract as
+    * pipelineCurate: every stage is a separately-oracle-verified
+    * operator and the whole chain sits under one DuckDB hash gate.
+    *
+    * Scale: the additions are one per-source window over the train
+    * survivors (linear), the map+explode chunker, and a map-side md5
+    * shard id — nothing beyond the curate chain's cost envelope.
+    */
+  def pipelinePretrainWith(s: SparkSession, d: String,
+      edgeProducer: DataFrame => DataFrame): DataFrame = {
+    val st = curateStages(s, d, edgeProducer)
+    val train = st.splits.filter(col("split") === "train").select("doc_id")
+
+    // stage 5 — per-source token budget over train docs, ingest order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val s5 = st.corpus.join(train, "doc_id")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(Dedup.tokensCol(col("text"))).as("ntok"))
+      .withColumn("cum", sum("ntok").over(w))
+      .filter(col("cum") <= Curation.TokenBudget)
+      .select(col("doc_id"), col("text"))
+      .stable // census count + chunker both read it
+
+    // stage 6 — context-window chunks of the capped train corpus
+    val chunks = Curation.chunkTextOn(s5).stable // census + shard stage
+
+    // stage 7 — deterministic shard assignment of the chunks
+    val shards = chunks.select(
+      pmod(conv(substring(md5(concat(lit("pshard:"),
+          col("doc_id").cast("string"), lit(":"),
+          col("chunk_id").cast("string"))), 1, 6), 16, 10).cast("long"),
+        lit(Curation.NShards)).cast("int").as("shard"))
+
+    val out = cnt("0_corpus", st.corpus)
+      .unionAll(cnt("1_quality", st.s1))
+      .unionAll(cnt("2_dedup", st.s2))
+      .unionAll(cnt("3_decontam", st.s3))
+      .unionAll(cnt("4_train", train))
+      .unionAll(cnt("5_cap", s5))
+      .unionAll(cnt("6_chunks", chunks))
+      .unionAll(shards.groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"))
+        .select(concat(lit("7_shard_"), col("shard")).as("stage"), col("n_docs")))
+      .stable
+    st.s1.unpersist(false)
+    st.clusters.unpersist(false)
+    s5.unpersist(false)
+    chunks.unpersist(false)
+    out
+  }
+
+  /** Registered oracle form of the pretrain pipeline (quadratic ngram
+    * edges); [[pipelinePretrainMinhash]] is the linear scale path,
+    * spec'd output-identical on sf0.001 (PipelineSpec).
+    */
+  def pipelinePretrain(s: SparkSession, d: String): DataFrame =
+    pipelinePretrainWith(s, d,
+      docs => Dedup.ngramScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
+
+  def pipelinePretrainMinhash(s: SparkSession, d: String): DataFrame =
+    pipelinePretrainWith(s, d,
+      docs => Dedup.minhashScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate,
-    "pipeline_curate_minhash" -> pipelineCurateMinhash)
+    "pipeline_curate_minhash" -> pipelineCurateMinhash,
+    "pipeline_pretrain" -> pipelinePretrain,
+    "pipeline_pretrain_minhash" -> pipelinePretrainMinhash)
 
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
-  def oracleSql: Map[String, String] = Map(
-    "pipeline_curate" ->
-      s"""WITH RECURSIVE
-         |t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20),
+  // Shared curate-chain CTEs (t0 … splits) embedded by both oracles —
+  // one definition so the composed gates can never drift apart.
+  private val chainSql =
+    s"""t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20),
          |qt AS (SELECT doc_id, lang, text, $tokSqlDuck AS ws FROM t0),
          |q AS (SELECT doc_id, lang, text,
          |  floor(((CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(ws)) * 0.4
@@ -177,13 +267,55 @@ object Pipeline {
          |  SELECT s3.doc_id, coalesce(lab.cluster_id, s3.doc_id) AS k
          |  FROM s3 LEFT JOIN lab ON lab.node = s3.doc_id),
          |splits AS (
-         |  SELECT CASE WHEN (k % 1000003) * 2654435761 % 100 < 90 THEN 'train'
-         |              WHEN (k % 1000003) * 2654435761 % 100 < 95 THEN 'validation'
-         |              ELSE 'test' END AS split
-         |  FROM keyed)
+         |  SELECT doc_id,
+         |    CASE WHEN (k % 1000003) * 2654435761 % 100 < 90 THEN 'train'
+         |         WHEN (k % 1000003) * 2654435761 % 100 < 95 THEN 'validation'
+         |         ELSE 'test' END AS split
+         |  FROM keyed)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "pipeline_curate" ->
+      s"""WITH RECURSIVE
+         |$chainSql
          |SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
          |UNION ALL SELECT '1_quality', count(*) FROM s1
          |UNION ALL SELECT '2_dedup', count(*) FROM s2
          |UNION ALL SELECT '3_decontam', count(*) FROM s3
-         |UNION ALL SELECT '4_' || split, count(*) FROM splits GROUP BY split""".stripMargin)
+         |UNION ALL SELECT '4_' || split, count(*) FROM splits GROUP BY split""".stripMargin,
+    "pipeline_pretrain" ->
+      s"""WITH RECURSIVE
+         |$chainSql,
+         |tr AS (SELECT doc_id FROM splits WHERE split = 'train'),
+         |capt AS (SELECT d.doc_id, d.source, d.text,
+         |           CAST(len(list_filter(string_split_regex(d.text, '[^\\p{L}]+'),
+         |                                x -> len(x) > 0)) AS BIGINT) AS ntok
+         |         FROM documents d JOIN tr USING (doc_id)),
+         |s5 AS (SELECT doc_id, text FROM (
+         |         SELECT doc_id, text,
+         |           sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+         |                           ROWS UNBOUNDED PRECEDING) AS cum
+         |         FROM capt)
+         |       WHERE cum <= ${Curation.TokenBudget}),
+         |cws AS (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '\\s+'),
+         |                      x -> len(x) > 0) AS ws
+         |        FROM s5),
+         |cn AS (SELECT doc_id, len(ws) AS n FROM cws WHERE len(ws) > 0),
+         |chid AS (SELECT doc_id,
+         |           CAST(unnest(generate_series(0, n - 1, ${Curation.ChunkStride}))
+         |                // ${Curation.ChunkStride} AS INTEGER) AS chunk_id
+         |         FROM cn),
+         |shards AS (SELECT CAST(('0x' || substr(md5('pshard:'
+         |             || CAST(doc_id AS VARCHAR) || ':'
+         |             || CAST(chunk_id AS VARCHAR)), 1, 6))::UBIGINT
+         |             % ${Curation.NShards} AS INTEGER) AS shard
+         |           FROM chid)
+         |SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
+         |UNION ALL SELECT '1_quality', count(*) FROM s1
+         |UNION ALL SELECT '2_dedup', count(*) FROM s2
+         |UNION ALL SELECT '3_decontam', count(*) FROM s3
+         |UNION ALL SELECT '4_train', count(*) FROM tr
+         |UNION ALL SELECT '5_cap', count(*) FROM s5
+         |UNION ALL SELECT '6_chunks', count(*) FROM chid
+         |UNION ALL SELECT '7_shard_' || shard, count(*) FROM shards GROUP BY shard""".stripMargin)
 }

@@ -26,4 +26,36 @@ class PipelineSpec extends SparkSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(mh === ngram)
   }
+
+  test("pretrain census: funnel extends monotonically, shards partition chunks") {
+    val rows = Pipeline.pipelinePretrain(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // docs funnel keeps shrinking through train selection and the cap
+    val funnel = Seq("0_corpus", "1_quality", "2_dedup", "3_decontam",
+      "4_train", "5_cap").map(rows)
+    assert(funnel.zip(funnel.tail).forall { case (a, b) => a >= b },
+      s"funnel not monotone: $rows")
+    assert(funnel.last > 0, s"cap stage emptied the corpus: $rows")
+    // chunking re-expands: at least one chunk per capped doc
+    assert(rows("6_chunks") >= rows("5_cap"), s"fewer chunks than docs: $rows")
+    // shard counts partition the chunks
+    val shardSum = rows.collect { case (k, v) if k.startsWith("7_shard_") => v }.sum
+    assert(shardSum === rows("6_chunks"),
+      s"shards ($shardSum) must partition the chunks: $rows")
+    // curate stages agree between the two composed queries
+    val curate = Pipeline.pipelineCurate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("0_corpus", "1_quality", "2_dedup", "3_decontam").foreach { k =>
+      assert(rows(k) === curate(k), s"$k disagrees with pipeline_curate")
+    }
+    assert(rows("4_train") === curate("4_train"))
+  }
+
+  test("pretrain minhash twin equals the ngram-edged (oracle) form on sf0.001") {
+    val ngram = Pipeline.pipelinePretrain(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mh = Pipeline.pipelinePretrainMinhash(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mh === ngram)
+  }
 }
