@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Checkpoints.StableOps
+
+/** Trained text classifier over hashed bag-of-words features ([EXT]) —
+  * the fastText-style model-based filter every production curation
+  * pipeline runs alongside the heuristic gates: featurize → full-batch
+  * logistic regression by gradient descent → score the corpus. The
+  * demo target DISTILLS the heuristic stopword-density quality gate
+  * (the same stopword list the pipeline's quality stage uses) into the
+  * hashed model — exactly how real quality classifiers are
+  * bootstrapped from seed heuristics (CCNet / GPT-3 / LLaMA style);
+  * swapping the label column swaps in any other binary signal.
+  * Trained accuracy ≈ 0.97 at every SF, with a non-degenerate
+  * confusion matrix (the classifier genuinely learns which hashed
+  * dims carry the stopword mass).
+  *
+  * Scale design:
+  *  - FEATURIZE is one token-level shuffle (doc, dim) partial-agg'd to
+  *    ≤ Dims narrow rows per doc, then a per-doc map rebuild — the same
+  *    cost envelope as the tf-idf / vocab operators, run ONCE and
+  *    `.stable`d; the corpus text never shuffles.
+  *  - Each GD ITERATION is a pure map over the cached dense vectors
+  *    (the weight vector is a plan-time literal array, margins via the
+  *    codegen'd `vec_dot`) plus ONE partial-agg'd shuffle of
+  *    (dim, grad) cells — bytes crossing the wire are
+  *    O(Dims·partitions), independent of corpus size.
+  *  - The per-iteration driver action collects exactly Dims+1
+  *    aggregate rows (the same bounded-collect contract as
+  *    [[Kmeans]]'s k·dim centroid rebuild); the corpus is never
+  *    collected.
+  *
+  * Determinism across engines: weights start at zero, iterate a fixed
+  * number of rounds with a deterministic per-round step (Lr0/√t —
+  * IEEE sqrt is correctly rounded, so both engines compute the same
+  * double), and are ROUNDED to 1e-6 after every update
+  * (`floor(w·1e6 + 0.5)/1e6` in both engines) — float-sum merge-order
+  * noise (~1e-15 relative) is far below the rounding granularity, so
+  * the rounding resynchronizes the two trajectories each round and the
+  * whole training loop unrolls into chained DuckDB CTEs under the
+  * driver's hash gate. ClassifierSpec additionally pins the result to
+  * a sequential in-JVM reference implementation.
+  *
+  * Reference scope: mapreduce-go's apps are fixed map/reduce functions
+  * (main/mrapps, wc.go / indexer.go); a trained model is beyond its
+  * surface, hence [EXT] — but the training loop is exactly the
+  * reference's iterate-a-job shape (each GD round = one map+reduce).
+  */
+object Classifier {
+
+  /** Hashed feature dimensions (md5 % Dims, the shard-key convention).
+    * Feature Dims (one past the hashed range) is the bias/intercept.
+    * 64 keeps the oracle CTE chain readable; the Spark side is
+    * Dims-agnostic — at 100 TB you'd run 2^18+.
+    */
+  val Dims = 64
+
+  /** Full-batch GD rounds. Fixed (no convergence test) so the loop
+    * unrolls deterministically in both engines.
+    */
+  val Iters = 24
+
+  /** Base learning rate; round t steps by Lr0/√t (deterministic decay
+    * damps full-batch oscillation — picked by sweep, acc 0.97+ at
+    * sf0.001/0.01/0.1).
+    */
+  val Lr0 = 2.0
+
+  /** Label: stopword density ≥ SwTau — the heuristic gate being
+    * distilled. Same list as TextOps.Stopwords / the pipeline quality
+    * stage.
+    */
+  val SwTau = 0.11
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotCol(a, b)
+
+  /** Round to 1e-6, half-up — MUST match the oracle's
+    * `floor(x*1e6 + 0.5)/1e6` bit-for-bit (same formula, same doubles).
+    */
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Feature id of a token: 24 md5 bits mod Dims (the mdUniform /
+    * shard-key convention — deterministic in any engine with md5).
+    */
+  private def dimOf(tok: Column): Column =
+    pmod(conv(substring(md5(tok), 1, 6), 16, 10).cast("long"), lit(Dims)).cast("int")
+
+  /** (doc_id, y, x: dense Dims+1-vector) for every doc with ≥1 letter
+    * token: x(d) = tf(d)·Dims for hashed dims (scaled so feature mass
+    * is O(1), comparable to the bias), x(Dims) = 1 (bias). Built once
+    * per query and `.stable`d — every GD round and the final scoring
+    * pass re-read the materialized vectors, not the text.
+    */
+  private def featurize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val stopArr = array(Stopwords.map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc_id"), col("ws"), size(col("ws")).cast("double").as("n"))
+      .select(col("doc_id"), col("n"),
+        (size(filter(col("ws"), w => array_contains(stopArr, w))).cast("double") / col("n")
+          >= SwTau).cast("double").as("y"),
+        explode(col("ws")).as("tok"))
+      .groupBy(col("doc_id"), col("y"), col("n"), dimOf(col("tok")).as("dim"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy("doc_id", "y", "n")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("c")))).as("m"))
+      .select(col("doc_id"), col("y"),
+        concat(
+          transform(sequence(lit(0), lit(Dims - 1)),
+            dm => coalesce(element_at(col("m"), dm), lit(0.0)) / col("n") * lit(Dims.toDouble)),
+          array(lit(1.0))).as("x"))
+      .stable
+  }
+
+  /** The training loop: Iters rounds of mean-gradient descent from
+    * w = 0 with step Lr0/√t. Returns the final (rounded) weights.
+    */
+  private def trainWeights(vec: DataFrame): Array[Double] = {
+    val nDocs = vec.count().toDouble // one bounded scalar action
+    var w = Array.fill(Dims + 1)(0.0)
+    for (t <- 1 to Iters) {
+      val wl = array(w.map(lit).toIndexedSeq: _*)
+      val grad = vec
+        .select((lit(1.0) / (lit(1.0) + exp(-dot(col("x"), wl))) - col("y")).as("r"),
+          posexplode(col("x")))
+        .groupBy("pos").agg(sum(col("r") * col("col")).as("g"))
+        .collect() // Dims+1 rows — the bounded per-round driver action
+      val lr = Lr0 / math.sqrt(t.toDouble)
+      val next = w.clone()
+      grad.foreach { r =>
+        next(r.getInt(0)) = round6(w(r.getInt(0)) - lr * r.getDouble(1) / nDocs)
+      }
+      w = next
+    }
+    w
+  }
+
+  /** Registered entry: train and emit the Dims+1 (dim, w) weight rows
+    * (dim = Dims is the bias) — the model artifact a downstream
+    * scoring job broadcasts.
+    */
+  def classifierTrain(s: SparkSession, d: String): DataFrame = {
+    val vec = featurize(s, d)
+    val w = trainWeights(vec)
+    vec.unpersist(false)
+    import s.implicits._
+    w.zipWithIndex.map { case (wv, i) => (i, wv) }.toSeq.toDF("dim", "w")
+  }
+
+  /** Registered entry: train, then score the corpus with the trained
+    * weights (literal array ⇒ map-only scoring pass) and emit the
+    * (label, pred) confusion census — the evaluation artifact of the
+    * distilled filter. Margins after training sit O(0.1) from the
+    * decision boundary; cross-engine margin noise is ~1e-15, so the
+    * discrete counts are stable under the hash gate.
+    */
+  def classifierPredict(s: SparkSession, d: String): DataFrame = {
+    val vec = featurize(s, d)
+    val w = trainWeights(vec)
+    val wl = array(w.map(lit).toIndexedSeq: _*)
+    val out = vec
+      .select(col("y").cast("int").as("label"),
+        (dot(col("x"), wl) > 0).cast("int").as("pred"))
+      .groupBy("label", "pred").agg(count(lit(1)).as("n_docs"))
+      .stable
+    vec.unpersist(false)
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_train" -> classifierTrain,
+    "classifier_predict" -> classifierPredict)
+
+  private val tokSqlDuck =
+    "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
+  private val swSqlDuck =
+    "list_contains(['the','a','of','and','to','in','is','it'], x)"
+
+  // Shared featurize + unrolled-GD CTE chain — ONE definition embedded
+  // by both oracles so the train and predict gates cannot drift.
+  private def chainSql: String = {
+    val rounds = (1 to Iters).map { i =>
+      // w{i-1} is referenced twice (margin + update) — without
+      // MATERIALIZED DuckDB inlines the chain and scan count doubles
+      // per round (the documented exponential-CTE trap)
+      s"""m$i AS (SELECT d.doc_id, sum(d.x * w.w) AS m
+         |  FROM dd d JOIN w${i - 1} w USING (dim) GROUP BY d.doc_id),
+         |g$i AS (SELECT d.dim, sum((1/(1 + exp(-m.m)) - d.y) * d.x) AS g
+         |  FROM dd d JOIN m$i m USING (doc_id) GROUP BY d.dim),
+         |w$i AS MATERIALIZED (SELECT w.dim,
+         |    floor((w.w - $Lr0 / sqrt($i.0) * coalesce(g.g, 0.0) / (SELECT nn FROM n0)) * 1e6 + 0.5) / 1e6 AS w
+         |  FROM w${i - 1} w LEFT JOIN g$i g USING (dim))""".stripMargin
+    }.mkString(",\n")
+    s"""f0 AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents),
+       |f1 AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n,
+       |         CASE WHEN CAST(len(list_filter(ws, x -> $swSqlDuck)) AS DOUBLE)
+       |                   / CAST(len(ws) AS DOUBLE) >= $SwTau
+       |              THEN 1.0 ELSE 0.0 END AS y,
+       |         ws
+       |       FROM f0 WHERE len(ws) > 0),
+       |dd AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    CAST(('0x' || substr(md5(tok), 1, 6))::UBIGINT % $Dims AS INTEGER) AS dim,
+       |    CAST(count(*) AS DOUBLE) / n * $Dims.0 AS x
+       |  FROM (SELECT doc_id, y, n, unnest(ws) AS tok FROM f1)
+       |  GROUP BY doc_id, y, n, dim
+       |  UNION ALL
+       |  SELECT doc_id, y, $Dims AS dim, 1.0 AS x FROM f1),
+       |n0 AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM f1),
+       |w0 AS MATERIALIZED (
+       |  SELECT CAST(unnest(generate_series(0, $Dims)) AS INTEGER) AS dim,
+       |         0.0 AS w),
+       |$rounds""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "classifier_train" ->
+      s"""WITH
+         |$chainSql
+         |SELECT dim, CAST(w AS DOUBLE) AS w FROM w$Iters""".stripMargin,
+    "classifier_predict" ->
+      s"""WITH
+         |$chainSql,
+         |sc AS (SELECT d.doc_id, d.y, sum(d.x * w.w) AS m
+         |       FROM dd d JOIN w$Iters w USING (dim)
+         |       GROUP BY d.doc_id, d.y)
+         |SELECT CAST(y AS INTEGER) AS label,
+         |       CAST(CASE WHEN m > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred,
+         |       count(*) AS n_docs
+         |FROM sc GROUP BY y, pred""".stripMargin)
+}
