@@ -302,7 +302,39 @@ object Corpus {
     "lm_score" -> lmScore,
     "dedup_spans" -> dedupSpans,
     "drift_psi" -> driftPsi,
-    "source_mix" -> sourceMix)
+    "source_mix" -> sourceMix,
+    "mix_temperature" -> mixTemperature)
+
+  /** Temperature-scaled source mixing (T = 2): resampled share
+    * q_s ∝ p_s^(1/T) = √p_s — the multilingual/multi-source sampling
+    * rule (mBERT/XLM-style α = 0.5) that upweights small sources
+    * without flattening the mix entirely, the companion to
+    * [[sourceMix]]'s fully-uniform target. `boost` = q_s/p_s is the
+    * per-source up/down-sampling factor a [[Curation.mixEpochs]]-style
+    * realization would consume.
+    *
+    * Exponent 1/T = 0.5 is deliberately √ (IEEE-correctly-rounded in
+    * every engine) rather than pow (no bit guarantee) — the only
+    * cross-engine float surface left is the 20-term normalizer sum,
+    * ~1e-16 noise under the 1e-4 rounding. Scale: source-cardinality
+    * aggregates only; the corpus shuffles (source, ntok) pairs once.
+    */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val perSource = Tables.documents(s, d)
+      .select(col("source"), size(toks(col("text"))).as("ntok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+    val totals = perSource.agg(sum("n_tokens").as("total_tokens"))
+    val withShare = perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("total_tokens")).as("p"))
+    val z = withShare.agg(sum(sqrt(col("p"))).as("z"))
+    withShare.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r4(col("p")).as("token_share"),
+        r4(sqrt(col("p")) / col("z")).as("temp_share"),
+        r4(sqrt(col("p")) / col("z") / col("p")).as("boost"))
+  }
 
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
@@ -406,5 +438,19 @@ object Corpus {
          |  floor(CAST(n_tokens AS DOUBLE) / total_tokens * 10000 + 0.5) / 10000.0 AS token_share,
          |  floor((CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens * 10000 + 0.5) / 10000.0 AS mix_weight,
          |  floor(least((CAST(total_tokens AS DOUBLE) / n_sources) / n_tokens, 1.0) * 10000 + 0.5) / 10000.0 AS sample_rate
-         |FROM ps CROSS JOIN tot""".stripMargin)
+         |FROM ps CROSS JOIN tot""".stripMargin,
+    "mix_temperature" ->
+      s"""WITH ps AS (SELECT source, count(*) AS n_docs,
+         |              CAST(sum(len($tokSqlDuck)) AS BIGINT) AS n_tokens
+         |            FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM ps),
+         |sh AS (SELECT source, n_docs, n_tokens,
+         |         CAST(n_tokens AS DOUBLE) / total_tokens AS p
+         |       FROM ps CROSS JOIN tot),
+         |z AS (SELECT sum(sqrt(p)) AS z FROM sh)
+         |SELECT source, n_docs, n_tokens,
+         |  floor(p * 10000 + 0.5) / 10000.0 AS token_share,
+         |  floor(sqrt(p) / z * 10000 + 0.5) / 10000.0 AS temp_share,
+         |  floor(sqrt(p) / z / p * 10000 + 0.5) / 10000.0 AS boost
+         |FROM sh CROSS JOIN z""".stripMargin)
 }

@@ -40,6 +40,9 @@ object Curation {
   /** Top-V vocabulary size for [[vocabCoverage]]. */
   val VocabSize = 50
 
+  /** Curriculum phase count for [[curriculumOrder]]. */
+  val Phases = 5
+
   /** Per-source token budget for [[capSourceTokens]]. Fixed per SOURCE,
     * not per corpus — the cap semantics are SF-independent.
     */
@@ -137,6 +140,46 @@ object Curation {
     * 20-row frame; the corpus side is one map + explode — linear,
     * zero data shuffle.
     */
+  /** Curriculum-ordered training schedule: docs are bucketed into
+    * [[Phases]] quality phases (phase 0 = cleanest, trained first —
+    * fixed thresholds on the [[TextOps.qualityScore]] composite, so
+    * phasing is a pure MAP, not a global ntile sort), then
+    * deterministically shuffled within phase and assigned to shards
+    * ([[shuffleOrder]]'s md5 conventions). `pos` is the per-shard
+    * training position ordered by (phase, shuffle_key) — each shard
+    * streams its cleanest docs first, randomized within a phase,
+    * reproducible across runs/engines/cluster sizes.
+    *
+    * Scale: quality + phase + shard are map-only; the only shuffle is
+    * the per-shard rank window (corpus/shards rows per partition, the
+    * shuffleOrder bound).
+    */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val stopArr = array(Seq("the", "a", "of", "and", "to", "in", "is", "it").map(lit): _*)
+    val ws = col("ws")
+    val nTok = size(ws)
+    val punct = length(regexp_replace(col("text"), "[\\p{L}\\p{N}\\s]", ""))
+    val stopRatio = size(filter(ws, w => array_contains(stopArr, w))).cast("double") / nTok
+    val punctRatio = punct.cast("double") / length(col("text"))
+    // EXACTLY TextOps.qualityScore's floor-rounded composite
+    val quality = floor((stopRatio * 0.4 + least(nTok / lit(100.0), lit(1.0)) * 0.3
+      + (lit(1.0) - punctRatio) * 0.3) * 10000 + 0.5) / 10000.0
+    val w = Window.partitionBy("shard").orderBy(col("phase"), col("shuffle_key"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), Dedup.tokensCol(col("text")).as("ws"))
+      .where(size(ws) > 0)
+      .select(col("doc_id"), quality.as("quality"),
+        md5(concat(lit("cur:"), col("doc_id").cast("string"))).as("shuffle_key"))
+      .withColumn("shard",
+        pmod(conv(substring(col("shuffle_key"), 1, 6), 16, 10).cast("long"),
+          lit(NShards)).cast("int"))
+      .withColumn("phase",
+        least(floor((lit(1.0) - col("quality")) * lit(Phases)), lit((Phases - 1).toDouble))
+          .cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("phase"), col("shard"), col("pos"))
+  }
+
   def mixEpochs(s: SparkSession, d: String): DataFrame = {
     val perSource = Tables.documents(s, d)
       .select(col("source"), size(Dedup.tokensCol(col("text"))).as("ntok"))
@@ -179,6 +222,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "chunk_text" -> chunkText,
     "shuffle_order" -> shuffleOrder,
+    "curriculum_order" -> curriculumOrder,
     "vocab_coverage" -> vocabCoverage,
     "mix_epochs" -> mixEpochs,
     "cap_source_tokens" -> capSourceTokens)
@@ -203,6 +247,31 @@ object Curation {
          |  md5(array_to_string(
          |        list_slice(ws, start + 1, start + $ChunkLen), ' ')) AS chunk_digest
          |FROM c""".stripMargin,
+    "curriculum_order" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokSqlDuck AS ws FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS INTEGER) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) AS punct,
+         |  CAST(length(text) AS INTEGER) AS n_chars,
+         |  CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) AS nstop
+         |  FROM t WHERE len(ws) > 0),
+         |q AS (SELECT doc_id,
+         |  floor(((nstop / n_tokens) * 0.4 + least(n_tokens / 100.0, 1.0) * 0.3
+         |        + (1.0 - punct / n_chars) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+         |  FROM m),
+         |k AS (SELECT doc_id, quality,
+         |        md5('cur:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+         |      FROM q),
+         |s AS (SELECT doc_id, shuffle_key,
+         |        CAST(('0x' || substr(shuffle_key, 1, 6))::UBIGINT % $NShards
+         |             AS INTEGER) AS shard,
+         |        CAST(least(floor((1.0 - quality) * $Phases), ${Phases - 1}.0)
+         |             AS INTEGER) AS phase
+         |      FROM k)
+         |SELECT doc_id, phase, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard
+         |                          ORDER BY phase, shuffle_key, doc_id) AS INTEGER) AS pos
+         |FROM s""".stripMargin,
     "shuffle_order" ->
       s"""WITH k AS (SELECT doc_id,
          |             md5('shuf:' || CAST(doc_id AS VARCHAR)) AS shuffle_key

@@ -153,7 +153,53 @@ object EventOps {
         round((col("c") - col("mean")) / sqrt(col("v")), 4).as("z"))
   }
 
+  /** EWMA smoothing depth (trailing observations) and decay. */
+  val EwmaWindow = 24
+  val EwmaAlpha = 0.2
+
+  /** (1−α)^k weights, computed ONCE here and embedded as literals in
+    * BOTH the Spark plan and the oracle SQL (Double.toString round-trips
+    * exactly), so neither engine's pow() is in the comparison path.
+    */
+  private val ewmaWeights: IndexedSeq[Double] =
+    (0 until EwmaWindow).map(k => math.pow(1.0 - EwmaAlpha, k.toDouble))
+
+  /** Exponentially-weighted moving average of the hourly event-type
+    * series — the smoothing/forecast primitive next to
+    * [[eventsAnomaly]]'s z-score detector. Finite-memory form
+    * (trailing EwmaWindow OBSERVATIONS, missing-hour-skipping like the
+    * anomaly window), weights renormalized over the present terms so
+    * series heads are unbiased:
+    * s_t = Σ_k (1−α)^k·x_{t−k} / Σ_k (1−α)^k.
+    *
+    * Scale: one hourly pre-aggregation (map-side partial), then one
+    * window pass per event_type — the smoothing itself is a
+    * fixed-width lag chain inside a single window spec, no self-join,
+    * no recursion. Cross-engine determinism: the lag chain is summed
+    * left-associated in both engines with shared weight literals, then
+    * floor-rounded at 1e-4 (the half-point-safe convention).
+    */
+  def eventsEwma(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"), expr("ts DIV 3600000000000").as("hour"))
+      .groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("c"))
+    val terms = (0 until EwmaWindow).map { k =>
+      val l = if (k == 0) col("c").cast("double")
+              else lag(col("c"), k).over(w).cast("double")
+      (when(l.isNotNull, l * lit(ewmaWeights(k))).otherwise(lit(0.0)),
+        when(l.isNotNull, lit(ewmaWeights(k))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _) // left-assoc, mirrors the SQL
+    val den = terms.map(_._2).reduce(_ + _)
+    hourly.select(col("event_type"), col("hour"), col("c"),
+      (floor(num / den * lit(1e4) + lit(0.5)) / lit(1e4)).as("ewma"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ewma" -> eventsEwma,
     "events_anomaly" -> eventsAnomaly,
     "events_retention" -> eventsRetention,
     "events_tumbling" -> eventsTumbling,
@@ -165,6 +211,32 @@ object EventOps {
     "events_funnel" -> eventsFunnel)
 
   def oracleSql: Map[String, String] = Map(
+    "events_ewma" -> {
+      val lags = (1 until EwmaWindow).map(k =>
+        s"lag(c, $k) OVER tw AS l$k").mkString(",\n        |    ")
+      // identical left-assoc chain + shared weight literals as eventsEwma
+      val num = (s"CAST(c AS DOUBLE) * ${ewmaWeights(0)}" +:
+        (1 until EwmaWindow).map(k =>
+          s"CASE WHEN l$k IS NULL THEN 0.0 ELSE CAST(l$k AS DOUBLE) * ${ewmaWeights(k)} END"))
+        .mkString(" + ")
+      val den = (s"${ewmaWeights(0)}" +:
+        (1 until EwmaWindow).map(k =>
+          s"CASE WHEN l$k IS NULL THEN 0.0 ELSE ${ewmaWeights(k)} END"))
+        .mkString(" + ")
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hour,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (
+        |  SELECT event_type, hour, c,
+        |    $lags
+        |  FROM h
+        |  WINDOW tw AS (PARTITION BY event_type ORDER BY hour))
+        |SELECT event_type, hour, c,
+        |  floor(($num) / ($den) * 1e4 + 0.5) / 1e4 AS ewma
+        |FROM l""".stripMargin
+    },
     "events_anomaly" ->
       """WITH h AS (
         |  SELECT event_type,
