@@ -96,10 +96,16 @@ object Classifier {
     * per query and `.stable`d — every GD round and the final scoring
     * pass re-read the materialized vectors, not the text.
     */
-  private def featurize(s: SparkSession, d: String): DataFrame = {
-    graft.functions.DotProduct.register(s)
+  private def featurize(s: SparkSession, d: String): DataFrame =
+    featurizeOn(Tables.documents(s, d))
+
+  /** [[featurize]] over any frame with (doc_id, text) — the form the
+    * composed pipeline's model gate reuses (Pipeline.modelKeptIds).
+    */
+  private[queries] def featurizeOn(docs: DataFrame): DataFrame = {
+    graft.functions.DotProduct.register(docs.sparkSession)
     val stopArr = array(Stopwords.map(lit): _*)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), Dedup.tokensCol(col("text")).as("ws"))
       .where(size(col("ws")) > 0)
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("double").as("n"))
@@ -122,7 +128,7 @@ object Classifier {
   /** The training loop: Iters rounds of mean-gradient descent from
     * w = 0 with step Lr0/√t. Returns the final (rounded) weights.
     */
-  private def trainWeights(vec: DataFrame): Array[Double] = {
+  private[queries] def trainWeights(vec: DataFrame): Array[Double] = {
     val nDocs = vec.count().toDouble // one bounded scalar action
     var w = Array.fill(Dims + 1)(0.0)
     for (t <- 1 to Iters) {
@@ -183,9 +189,17 @@ object Classifier {
   private val swSqlDuck =
     "list_contains(['the','a','of','and','to','in','is','it'], x)"
 
+  /** CTE name of the final trained weights in [[chainSqlOn]]. */
+  private[queries] def finalWeightsCte: String = s"w$Iters"
+
   // Shared featurize + unrolled-GD CTE chain — ONE definition embedded
   // by both oracles so the train and predict gates cannot drift.
-  private def chainSql: String = {
+  private def chainSql: String = chainSqlOn("documents")
+
+  /** The chain against an arbitrary (doc_id, …, text) relation — the
+    * composed pipeline embeds it over its own corpus CTE.
+    */
+  private[queries] def chainSqlOn(rel: String): String = {
     val rounds = (1 to Iters).map { i =>
       // w{i-1} is referenced twice (margin + update) — without
       // MATERIALIZED DuckDB inlines the chain and scan count doubles
@@ -198,7 +212,7 @@ object Classifier {
          |    floor((w.w - $Lr0 / sqrt($i.0) * coalesce(g.g, 0.0) / (SELECT nn FROM n0)) * 1e6 + 0.5) / 1e6 AS w
          |  FROM w${i - 1} w LEFT JOIN g$i g USING (dim))""".stripMargin
     }.mkString(",\n")
-    s"""f0 AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents),
+    s"""f0 AS (SELECT doc_id, $tokSqlDuck AS ws FROM $rel),
        |f1 AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS n,
        |         CASE WHEN CAST(len(list_filter(ws, x -> $swSqlDuck)) AS DOUBLE)
        |                   / CAST(len(ws) AS DOUBLE) >= $SwTau

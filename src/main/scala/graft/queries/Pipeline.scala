@@ -56,19 +56,56 @@ object Pipeline {
   private case class Stages(corpus: DataFrame, s1: DataFrame,
       clusters: DataFrame, s2: DataFrame, s3: DataFrame, splits: DataFrame)
 
-  private def curateStages(s: SparkSession, d: String,
-      edgeProducer: DataFrame => DataFrame): Stages = {
-    graft.functions.WordShingles.register(s)
-    val docs = Tables.documents(s, d)
-    val corpus = docs.filter(col("doc_id") >= BenchCap)
-
-    // stage 1 — per-lang p25 quality gate (quality_filter semantics)
-    val q = TextOps.qualityPerDoc(corpus)
-    val keptIds = q
+  /** Stage-1 ranking functions: both keep the per-lang top 75%, they
+    * differ in WHO scores a doc — the heuristic composite
+    * (quality_filter semantics) or the trained hashed-BoW classifier
+    * margin ([[Classifier]], the distilled gate). Swapping the scorer
+    * without touching the budget is exactly how production pipelines
+    * A/B heuristic-vs-model filtering.
+    */
+  private def heuristicKeptIds(corpus: DataFrame): DataFrame =
+    TextOps.qualityPerDoc(corpus)
       .withColumn("thr", expr("percentile(quality, 0.25)")
         .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
       .filter(col("quality") >= col("thr"))
       .select("doc_id")
+
+  /** Model gate: train the classifier ON the corpus being curated
+    * (self-distillation of the stopword gate), score every doc by its
+    * margin, keep the per-lang top 75% by score. Margins are
+    * floor-rounded at 1e-6 BEFORE the percentile so the quantile
+    * interpolation sees bit-identical inputs in both engines (raw
+    * margins carry ~1e-15 merge-order noise). Cost beyond the
+    * heuristic gate: the bounded GD loop (Dims+1-row collects) + one
+    * map-only scoring pass.
+    */
+  private def modelKeptIds(corpus: DataFrame): DataFrame = {
+    val vec = Classifier.featurizeOn(corpus)
+    val wts = Classifier.trainWeights(vec)
+    val wl = array(wts.map(lit).toIndexedSeq: _*)
+    val kept = vec
+      .select(col("doc_id"),
+        (floor(graft.functions.DotProduct.dotCol(col("x"), wl) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("score"))
+      .join(corpus.select("doc_id", "lang"), "doc_id")
+      .withColumn("thr", expr("percentile(score, 0.25)")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter(col("score") >= col("thr"))
+      .select("doc_id")
+      .stable // materialize before freeing the feature cache
+    vec.unpersist(false)
+    kept
+  }
+
+  private def curateStages(s: SparkSession, d: String,
+      edgeProducer: DataFrame => DataFrame,
+      keptIdsOf: DataFrame => DataFrame = heuristicKeptIds): Stages = {
+    graft.functions.WordShingles.register(s)
+    val docs = Tables.documents(s, d)
+    val corpus = docs.filter(col("doc_id") >= BenchCap)
+
+    // stage 1 — per-lang p25 gate over the configured scorer
+    val keptIds = keptIdsOf(corpus)
     // s1 feeds the edge producer, the census, AND the stage-3 shingle
     // scan — materialize it eagerly so the census union's parallel
     // branches all read the cache instead of racing to compute it
@@ -106,8 +143,9 @@ object Pipeline {
     df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
 
   def pipelineCurateWith(s: SparkSession, d: String,
-      edgeProducer: DataFrame => DataFrame): DataFrame = {
-    val st = curateStages(s, d, edgeProducer)
+      edgeProducer: DataFrame => DataFrame,
+      keptIdsOf: DataFrame => DataFrame = heuristicKeptIds): DataFrame = {
+    val st = curateStages(s, d, edgeProducer, keptIdsOf)
     val out = cnt("0_corpus", st.corpus)
       .unionAll(cnt("1_quality", st.s1))
       .unionAll(cnt("2_dedup", st.s2))
@@ -195,20 +233,49 @@ object Pipeline {
       docs => Dedup.minhashScored(docs)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
 
+  /** The model-gated pipeline: stage 1 ranks by the trained classifier
+    * margin instead of the heuristic composite (same per-lang 75%
+    * budget); stages 2–4 unchanged. Registered with the full oracle —
+    * the unrolled GD chain nests inside the curate chain, so ONE
+    * DuckDB hash gate certifies train → score → gate → dedup →
+    * decontam → split end to end.
+    */
+  def pipelineCurateModel(s: SparkSession, d: String): DataFrame =
+    pipelineCurateWith(s, d,
+      docs => Dedup.ngramScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
+      modelKeptIds)
+
+  /** Linear-edge twin of [[pipelineCurateModel]] (MinHash+LSH), spec'd
+    * output-identical on sf0.001 — the form that runs at 100 TB.
+    */
+  def pipelineCurateModelMinhash(s: SparkSession, d: String): DataFrame =
+    pipelineCurateWith(s, d,
+      docs => Dedup.minhashScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
+      modelKeptIds)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_minhash" -> pipelineCurateMinhash,
+    "pipeline_curate_model" -> pipelineCurateModel,
+    "pipeline_curate_model_minhash" -> pipelineCurateModelMinhash,
     "pipeline_pretrain" -> pipelinePretrain,
     "pipeline_pretrain_minhash" -> pipelinePretrainMinhash)
 
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
-  // Shared curate-chain CTEs (t0 … splits) embedded by both oracles —
-  // one definition so the composed gates can never drift apart.
-  private val chainSql =
-    s"""t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20),
-         |qt AS (SELECT doc_id, lang, text, $tokSqlDuck AS ws FROM t0),
+  // Shared curate-chain CTEs embedded by every pipeline oracle — one
+  // definition per segment so the composed gates can never drift
+  // apart. The chain is prefix (t0) + a stage-1 variant (heuristic
+  // p25 gate, or the nested classifier-GD chain scoring the same 75%
+  // budget) + the common suffix (dedup → decontam → split).
+  private val chainPrefixSql =
+    s"""t0 AS (SELECT doc_id, lang, text FROM documents WHERE doc_id >= 20)""".stripMargin
+
+  private val s1HeuristicSql =
+    s"""qt AS (SELECT doc_id, lang, text, $tokSqlDuck AS ws FROM t0),
          |q AS (SELECT doc_id, lang, text,
          |  floor(((CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(ws)) * 0.4
          |    + least(len(ws) / 100.0, 1.0) * 0.3
@@ -216,8 +283,26 @@ object Pipeline {
          |  FROM qt),
          |thr AS (SELECT lang, quantile_cont(quality, 0.25) AS thr FROM q GROUP BY lang),
          |s1 AS (SELECT q.doc_id, q.lang, q.text FROM q JOIN thr USING (lang)
-         |       WHERE quality >= thr),
-         |sh AS (
+         |       WHERE quality >= thr)""".stripMargin
+
+  // Classifier GD chain over t0 (names f0/f1/dd/n0/w0/m_i/g_i/w_i —
+  // disjoint from the curate chain's), then margin-scored per-lang p25
+  // gate. Margins floor-rounded at 1e-6 BEFORE the quantile, exactly
+  // like the Spark side, so interpolation sees identical inputs.
+  private def s1ModelSql =
+    s"""${Classifier.chainSqlOn("t0")},
+         |smod AS (SELECT d.doc_id, floor(sum(d.x * w.w) * 1e6 + 0.5) / 1e6 AS score
+         |         FROM dd d JOIN ${Classifier.finalWeightsCte} w USING (dim)
+         |         GROUP BY d.doc_id),
+         |sml AS (SELECT t0.doc_id, t0.lang, t0.text, smod.score
+         |        FROM t0 JOIN smod USING (doc_id)),
+         |mthr AS (SELECT lang, quantile_cont(score, 0.25) AS thr
+         |         FROM sml GROUP BY lang),
+         |s1 AS (SELECT sml.doc_id, sml.lang, sml.text FROM sml
+         |       JOIN mthr USING (lang) WHERE score >= thr)""".stripMargin
+
+  private val chainSuffixSql =
+    s"""sh AS (
          |  SELECT doc_id,
          |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
          |      generate_series(1, len(w) - 2),
@@ -273,15 +358,28 @@ object Pipeline {
          |         ELSE 'test' END AS split
          |  FROM keyed)""".stripMargin
 
+  private val chainSql =
+    s"$chainPrefixSql,\n$s1HeuristicSql,\n$chainSuffixSql"
+
+  private def modelChainSql =
+    s"$chainPrefixSql,\n$s1ModelSql,\n$chainSuffixSql"
+
+  private val censusSql =
+    """SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
+      |UNION ALL SELECT '1_quality', count(*) FROM s1
+      |UNION ALL SELECT '2_dedup', count(*) FROM s2
+      |UNION ALL SELECT '3_decontam', count(*) FROM s3
+      |UNION ALL SELECT '4_' || split, count(*) FROM splits GROUP BY split""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "pipeline_curate" ->
       s"""WITH RECURSIVE
          |$chainSql
-         |SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
-         |UNION ALL SELECT '1_quality', count(*) FROM s1
-         |UNION ALL SELECT '2_dedup', count(*) FROM s2
-         |UNION ALL SELECT '3_decontam', count(*) FROM s3
-         |UNION ALL SELECT '4_' || split, count(*) FROM splits GROUP BY split""".stripMargin,
+         |$censusSql""".stripMargin,
+    "pipeline_curate_model" ->
+      s"""WITH RECURSIVE
+         |$modelChainSql
+         |$censusSql""".stripMargin,
     "pipeline_pretrain" ->
       s"""WITH RECURSIVE
          |$chainSql,

@@ -51,6 +51,26 @@ class PipelineSpec extends SparkSuite {
     assert(rows("4_train") === curate("4_train"))
   }
 
+  test("model-gated pipeline: minhash twin equals the ngram form, same stage-1 budget as the heuristic gate") {
+    val ngram = Pipeline.pipelineCurateModel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mh = Pipeline.pipelineCurateModelMinhash(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mh === ngram)
+    // funnel monotone and non-empty
+    val funnel = Seq("0_corpus", "1_quality", "2_dedup", "3_decontam").map(ngram)
+    assert(funnel.zip(funnel.tail).forall { case (a, b) => a >= b }, s"$ngram")
+    assert(funnel.last > 0)
+    // same per-lang 75% budget as the heuristic gate: stage-1 counts
+    // may differ only by per-lang tie handling at the threshold
+    val heuristic = Pipeline.pipelineCurate(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ngram("0_corpus") === heuristic("0_corpus"))
+    val diff = math.abs(ngram("1_quality") - heuristic("1_quality"))
+    assert(diff <= heuristic("0_corpus") / 10,
+      s"model gate budget drifted: model=${ngram("1_quality")} heuristic=${heuristic("1_quality")}")
+  }
+
   test("pretrain minhash twin equals the ngram-edged (oracle) form on sf0.001") {
     val ngram = Pipeline.pipelinePretrain(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
