@@ -160,8 +160,10 @@ object EventOps {
   /** (1−α)^k weights, computed ONCE here and embedded as literals in
     * BOTH the Spark plan and the oracle SQL (Double.toString round-trips
     * exactly), so neither engine's pow() is in the comparison path.
+    * private[graft]: StreamingOps.ewmaStream folds the SAME values in
+    * the same order, making stream ≡ batch bit-exact.
     */
-  private val ewmaWeights: IndexedSeq[Double] =
+  private[graft] val ewmaWeights: IndexedSeq[Double] =
     (0 until EwmaWindow).map(k => math.pow(1.0 - EwmaAlpha, k.toDouble))
 
   /** Exponentially-weighted moving average of the hourly event-type
@@ -179,13 +181,19 @@ object EventOps {
     * left-associated in both engines with shared weight literals, then
     * floor-rounded at 1e-4 (the half-point-safe convention).
     */
-  def eventsEwma(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_type").orderBy("hour")
-    val hourly = Tables.events(s, d)
+  def eventsEwma(s: SparkSession, d: String): DataFrame =
+    eventsEwmaOn(Tables.events(s, d)
       .select(col("event_type"), expr("ts DIV 3600000000000").as("hour"))
       .groupBy("event_type", "hour")
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** Core of [[eventsEwma]] over a pre-aggregated hourly
+    * (event_type, hour, c) frame — also the batch twin the streaming
+    * spec compares StreamingOps.ewmaStream against.
+    */
+  def eventsEwmaOn(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
     val terms = (0 until EwmaWindow).map { k =>
       val l = if (k == 0) col("c").cast("double")
               else lag(col("c"), k).over(w).cast("double")

@@ -250,6 +250,62 @@ object StreamingOps {
       }
   }
 
+  final case class EwmaOut(event_type: String, hour: Long, c: Long,
+    ewma: Double)
+
+  /** Streaming EWMA smoother — the stateful twin of the batch
+    * `events_ewma` query. Same state machine as [[anomalyAlerts]]
+    * (open hour + trailing 24 closed observations per type, constant
+    * size); on each hour close it folds EventOps.ewmaWeights over the
+    * closing count and the trailing 23 closed counts IN THE BATCH
+    * QUERY'S TERM ORDER (k = 0..23, most-recent first). The batch lag
+    * chain adds literal 0.0 for absent lags and IEEE `x + 0.0 ≡ x`,
+    * so skipping absent terms here is bit-identical — stream ≡ batch
+    * exactly, not approximately (StreamingSpec asserts set equality).
+    *
+    * Per-trigger cost: one sort of each key's micro-batch rows (the
+    * funnel/anomaly pattern — per-trigger buffering proportional to
+    * events per key per batch), then O(EwmaWindow) per closed hour.
+    */
+  def ewmaStream(events: DataFrame): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val wts = graft.queries.EventOps.ewmaWeights
+    events
+      .select(col("event_type"), col("tsm"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (typ, rows, state: GroupState[AnomalyState]) =>
+          var s = state.getOption.getOrElse(AnomalyState(-1L, 0L, Nil))
+          val out = scala.collection.mutable.ListBuffer.empty[EwmaOut]
+          def close(): Unit = if (s.openHour >= 0) {
+            val prior = s.closed.reverse // most recent observation first
+            var num = s.openCount.toDouble * wts(0)
+            var den = wts(0)
+            var k = 1
+            while (k < graft.queries.EventOps.EwmaWindow && k - 1 < prior.length) {
+              num += prior(k - 1)._2.toDouble * wts(k)
+              den += wts(k)
+              k += 1
+            }
+            out += EwmaOut(typ, s.openHour, s.openCount,
+              math.floor(num / den * 1e4 + 0.5) / 1e4)
+            s = s.copy(closed = (s.closed :+ ((s.openHour, s.openCount))).takeRight(24))
+          }
+          rows.toSeq.map(_._2.getTime / 3600000L).sorted.foreach { h =>
+            if (s.openHour < 0) s = s.copy(openHour = h, openCount = 1L)
+            else if (h == s.openHour) s = s.copy(openCount = s.openCount + 1L)
+            else if (h > s.openHour) {
+              close()
+              s = s.copy(openHour = h, openCount = 1L)
+            } // h < openHour: late event beyond the open hour — dropped
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class FunnelState(vts: Long, cts: Long, pts: Long) // -1 = not reached
   final case class StageOut(user_id: Long, stage: Int, ts_s: Long)
 

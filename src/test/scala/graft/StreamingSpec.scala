@@ -353,6 +353,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming EWMA ≡ batch events_ewma on ordered input") {
+    import spark.implicits._
+    val volumes = Map(
+      "a" -> Seq(10L, 11L, 10L, 9L, 10L, 50L, 10L, 1L, 10L, 10L),
+      "b" -> Seq(5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L, 5L))
+    val evs: Seq[(java.sql.Timestamp, String)] = (for {
+      (typ, cs) <- volumes.toSeq
+      (c, h) <- cs.zipWithIndex
+      i <- 0L until c
+    } yield (new java.sql.Timestamp(h * 3600000L + i * 1000L), typ))
+      .sortBy(_._1.getTime)
+    val flushHour = 100L
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)](spark)
+    val out = StreamingOps.ewmaStream(mem.toDF().toDF("tsm", "event_type"))
+    val name = s"ewma_${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append()).start()
+    try {
+      // split mid-hour across micro-batches: open-hour state must carry
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(Seq((new java.sql.Timestamp(flushHour * 3600000L), "a"),
+        (new java.sql.Timestamp(flushHour * 3600000L), "b")))
+      q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val hourly = volumes.toSeq.flatMap { case (t, cs) =>
+        cs.zipWithIndex.map { case (c, h) => (t, h.toLong, c) }
+      }.toDF("event_type", "hour", "c")
+      val batch = graft.queries.EventOps.eventsEwmaOn(hourly).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .filter(_._2 < flushHour).toSet
+      assert(streamed === batch)
+      // spike at hour 5 pulls the smoothed value up but well below 50
+      val spike = streamed.find(r => r._1 == "a" && r._2 == 5L).get
+      assert(spike._4 > 10.0 && spike._4 < 50.0, s"smoothing broken: $spike")
+      // steady series stays at its level
+      assert(streamed.filter(_._1 == "b").forall(_._4 === 5.0))
+    } finally q.stop()
+  }
+
   test("streaming Misra-Gries candidates certify the true heavy hitters across micro-batches") {
     import spark.implicits._
     val k = 32
