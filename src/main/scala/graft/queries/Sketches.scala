@@ -246,7 +246,40 @@ object Sketches {
   def audienceOverlapExact(s: SparkSession, d: String): DataFrame =
     audienceOverlapOn(Tables.events(s, d), KmvExactK)
 
+  /** Bottom-k sample size for [[quantileSketch]]. */
+  val QuantK = 64
+
+  /** Mergeable per-source quantile sketch
+    * ([[graft.functions.QuantileSketchAggregator]]): deterministic
+    * bottom-[[QuantK]]-by-md5 row sample, discrete quantiles read from
+    * the sample — p50/p90/p99 of document token counts per source.
+    * The sample membership depends only on hash order, so the
+    * estimates are exactly reproducible across partitionings and
+    * engines: this quantile sketch carries a FULL DuckDB oracle
+    * (rank-≤k selection + 1-indexed ⌈q·n⌉ pick), which
+    * ingestion-order-dependent sketches (t-digest/KLL) cannot.
+    * O(k) state per group; map-side partial aggregation; rank error
+    * O(1/√k). Sources smaller than k answer exactly.
+    */
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pick = (q: Double) =>
+      element_at(col("vals"), ceil(lit(q) * size(col("vals"))).cast("int"))
+    Tables.documents(s, d)
+      .select(col("source"),
+        ((conv(substring(md5(concat(lit("qsk:"), col("doc_id").cast("string"))), 1, 12),
+          16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)).as("h"),
+        size(Dedup.tokensCol(col("text"))).cast("long").as("ntok"))
+      .as[(String, Double, Long)]
+      .groupByKey(_._1).mapValues(t => (t._2, t._3))
+      .agg(graft.functions.QuantileSketchAggregator.sketch(QuantK).name("vals"))
+      .toDF("source", "vals")
+      .select(col("source"), size(col("vals")).as("n_sample"),
+        pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantile_sketch" -> quantileSketch,
     "audience_overlap" -> audienceOverlap,
     "audience_overlap_exact" -> audienceOverlapExact,
     "approx_distinct" -> approxDistinct,
@@ -260,6 +293,23 @@ object Sketches {
     * plan, so it takes the full hash gate.
     */
   def oracleSql: Map[String, String] = Map(
+    "quantile_sketch" ->
+      s"""WITH u AS (SELECT source,
+         |  (CAST(('0x' || substr(md5('qsk:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
+         |        AS DOUBLE) + 0.5) / 281474976710656.0 AS h,
+         |  CAST(len(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+         |                       x -> len(x) > 0)) AS BIGINT) AS ntok
+         |  FROM documents),
+         |r AS (SELECT source, ntok,
+         |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |      FROM u),
+         |g AS (SELECT source, list(ntok ORDER BY ntok) AS vals
+         |      FROM r WHERE rn <= $QuantK GROUP BY source)
+         |SELECT source, CAST(len(vals) AS INTEGER) AS n_sample,
+         |  vals[CAST(ceil(0.5 * len(vals)) AS INTEGER)] AS p50,
+         |  vals[CAST(ceil(0.9 * len(vals)) AS INTEGER)] AS p90,
+         |  vals[CAST(ceil(0.99 * len(vals)) AS INTEGER)] AS p99
+         |FROM g""".stripMargin,
     "audience_overlap_exact" ->
       """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
         |c AS (SELECT event_type, count(*) AS n FROM u GROUP BY event_type),

@@ -195,4 +195,52 @@ class SketchesSpec extends SparkSuite {
     val buf = (0 until 100).map(i => "x" + i).foldLeft(agg.zero)(agg.reduce)
     intercept[IllegalArgumentException](agg.finish(buf))
   }
+
+  test("quantile sketch: partitioning-invariant, rank error within the uniform-sample bound") {
+    import spark.implicits._
+    // merge-order / partitioning invariance: identical output however
+    // the rows are split before the partial aggregation
+    def run(parts: Int): Map[String, (Int, Long, Long, Long)] = {
+      val docs = Tables.documents(spark, sfDir).repartition(parts)
+      val agg = new graft.functions.QuantileSketchAggregator(Sketches.QuantK)
+      docs.select(col("source"),
+          ((conv(substring(md5(concat(lit("qsk:"), col("doc_id").cast("string"))), 1, 12),
+            16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)).as("h"),
+          size(graft.queries.Dedup.tokensCol(col("text"))).cast("long").as("ntok"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1).mapValues(t => (t._2, t._3))
+        .agg(agg.toColumn.name("vals"))
+        .collect().map { case (src, vals) =>
+          def pick(q: Double) = vals(math.ceil(q * vals.size).toInt - 1)
+          src -> ((vals.size, pick(0.5), pick(0.9), pick(0.99)))
+        }.toMap
+    }
+    val one = run(1)
+    val many = run(13)
+    assert(one === many, "sketch must not depend on partitioning")
+
+    // rank error: each estimate's true rank within its source must sit
+    // within q ± 2.5/sqrt(k) (the uniform-sample deviation bound)
+    val eps = 2.5 / math.sqrt(Sketches.QuantK.toDouble)
+    val exact = Tables.documents(spark, sfDir)
+      .select(col("source"), size(graft.queries.Dedup.tokensCol(col("text"))).cast("long").as("ntok"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    one.foreach { case (src, (_, p50, p90, p99)) =>
+      val vals = exact(src)
+      def rankOf(v: Long) = vals.count(_ <= v).toDouble / vals.size
+      Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99).foreach { case (q, est) =>
+        val r = rankOf(est)
+        assert(r >= q - eps && r <= math.min(1.0, q + eps) + 1e-9,
+          s"$src q=$q: est=$est has rank $r outside ±$eps")
+      }
+    }
+
+    // exact mode: a group smaller than k answers discrete quantiles exactly
+    val small = exact.head
+    assert(small._2.size < Sketches.QuantK, "fixture assumption: per-source n < k")
+    val (_, p50s, _, p99s) = one(small._1)
+    def dq(vals: IndexedSeq[Long], q: Double) = vals(math.ceil(q * vals.size).toInt - 1)
+    assert(p50s === dq(small._2, 0.5) && p99s === dq(small._2, 0.99))
+  }
 }
