@@ -127,6 +127,24 @@ class PlanControlSpec extends SparkSuite {
     }
   }
 
+  test("quantile_sketch: one partial-agg'd shuffle, join-free") {
+    val plan = finalPlan(graft.queries.Sketches.quantileSketch(spark, sfDir))
+    // the typed aggregator partial-aggregates map-side; the only
+    // exchange carries O(k)-sized sketch buffers per source
+    assert(plan.split("Exchange").length - 1 === 1, s"plan:\n$plan")
+    assert(!plan.contains("Join"), s"sketch must be join-free:\n$plan")
+  }
+
+  test("events_ewma: hourly partial-agg then one window pass, join-free") {
+    val plan = finalPlan(graft.queries.EventOps.eventsEwma(spark, sfDir))
+    // exchange 1: (event_type, hour) groupBy; exchange 2: event_type
+    // window partitioning. The 24-term lag chain must stay inside ONE
+    // Window node — 24 separate windows would mean 24 sort passes.
+    assert(plan.split("Exchange").length - 1 <= 2, s"plan:\n$plan")
+    assert(plan.split("Window").length - 1 <= 2, s"lag chain split across windows:\n$plan")
+    assert(!plan.contains("Join"), s"smoother must be join-free:\n$plan")
+  }
+
   test("heavy_hitters_mg: candidate stage aggregates to a single object row, verify join is broadcast") {
     val df = graft.queries.Sketches.heavyHittersMg(spark, sfDir)
     val plan = execPlan(df)
