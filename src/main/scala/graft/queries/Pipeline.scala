@@ -174,8 +174,9 @@ object Pipeline {
     * shard id — nothing beyond the curate chain's cost envelope.
     */
   def pipelinePretrainWith(s: SparkSession, d: String,
-      edgeProducer: DataFrame => DataFrame): DataFrame = {
-    val st = curateStages(s, d, edgeProducer)
+      edgeProducer: DataFrame => DataFrame,
+      keptIdsOf: DataFrame => DataFrame = heuristicKeptIds): DataFrame = {
+    val st = curateStages(s, d, edgeProducer, keptIdsOf)
     val train = st.splits.filter(col("split") === "train").select("doc_id")
 
     // stage 5 — per-source token budget over train docs, ingest order
@@ -233,6 +234,17 @@ object Pipeline {
       docs => Dedup.minhashScored(docs)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
 
+  /** The full stack: model-gated stage 1 + shard materialization — the
+    * pipeline a production pretraining run ships. Oracle = the nested
+    * GD chain + curate suffix + pretrain tail, all from the same
+    * shared SQL segments.
+    */
+  def pipelinePretrainModel(s: SparkSession, d: String): DataFrame =
+    pipelinePretrainWith(s, d,
+      docs => Dedup.ngramScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
+      modelKeptIds)
+
   /** The model-gated pipeline: stage 1 ranks by the trained classifier
     * margin instead of the heuristic composite (same per-lang 75%
     * budget); stages 2–4 unchanged. Registered with the full oracle —
@@ -261,7 +273,8 @@ object Pipeline {
     "pipeline_curate_model" -> pipelineCurateModel,
     "pipeline_curate_model_minhash" -> pipelineCurateModelMinhash,
     "pipeline_pretrain" -> pipelinePretrain,
-    "pipeline_pretrain_minhash" -> pipelinePretrainMinhash)
+    "pipeline_pretrain_minhash" -> pipelinePretrainMinhash,
+    "pipeline_pretrain_model" -> pipelinePretrainModel)
 
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
@@ -383,7 +396,16 @@ object Pipeline {
     "pipeline_pretrain" ->
       s"""WITH RECURSIVE
          |$chainSql,
-         |tr AS (SELECT doc_id FROM splits WHERE split = 'train'),
+         |$pretrainTailSql
+         |$pretrainCensusSql""".stripMargin,
+    "pipeline_pretrain_model" ->
+      s"""WITH RECURSIVE
+         |$modelChainSql,
+         |$pretrainTailSql
+         |$pretrainCensusSql""".stripMargin)
+
+  private val pretrainTailSql =
+    s"""tr AS (SELECT doc_id FROM splits WHERE split = 'train'),
          |capt AS (SELECT d.doc_id, d.source, d.text,
          |           CAST(len(list_filter(string_split_regex(d.text, '[^\\p{L}]+'),
          |                                x -> len(x) > 0)) AS BIGINT) AS ntok
@@ -403,17 +425,22 @@ object Pipeline {
          |           CAST(unnest(generate_series(0, n - 1, ${Curation.ChunkStride}))
          |                // ${Curation.ChunkStride} AS INTEGER) AS chunk_id
          |         FROM cn),
-         |shards AS (SELECT CAST(('0x' || substr(md5('pshard:'
-         |             || CAST(doc_id AS VARCHAR) || ':'
-         |             || CAST(chunk_id AS VARCHAR)), 1, 6))::UBIGINT
+         |shards AS (SELECT CAST(('0x' || substr(md5('pshard:' ||
+         |             CAST(doc_id AS VARCHAR) || ':' ||
+         |             CAST(chunk_id AS VARCHAR)), 1, 6))::UBIGINT
          |             % ${Curation.NShards} AS INTEGER) AS shard
-         |           FROM chid)
-         |SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
-         |UNION ALL SELECT '1_quality', count(*) FROM s1
-         |UNION ALL SELECT '2_dedup', count(*) FROM s2
-         |UNION ALL SELECT '3_decontam', count(*) FROM s3
-         |UNION ALL SELECT '4_train', count(*) FROM tr
-         |UNION ALL SELECT '5_cap', count(*) FROM s5
-         |UNION ALL SELECT '6_chunks', count(*) FROM chid
-         |UNION ALL SELECT '7_shard_' || shard, count(*) FROM shards GROUP BY shard""".stripMargin)
+         |           FROM chid)""".stripMargin
+  // NOTE: this val is embedded into outer stripMargin templates, so no
+  // line above may BEGIN with '|' (e.g. a wrapped '||' concat) — the
+  // outer stripMargin would eat one pipe and break the SQL.
+
+  private val pretrainCensusSql =
+    """SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
+      |UNION ALL SELECT '1_quality', count(*) FROM s1
+      |UNION ALL SELECT '2_dedup', count(*) FROM s2
+      |UNION ALL SELECT '3_decontam', count(*) FROM s3
+      |UNION ALL SELECT '4_train', count(*) FROM tr
+      |UNION ALL SELECT '5_cap', count(*) FROM s5
+      |UNION ALL SELECT '6_chunks', count(*) FROM chid
+      |UNION ALL SELECT '7_shard_' || shard, count(*) FROM shards GROUP BY shard""".stripMargin
 }

@@ -71,6 +71,19 @@ class PipelineSpec extends SparkSuite {
       s"model gate budget drifted: model=${ngram("1_quality")} heuristic=${heuristic("1_quality")}")
   }
 
+  test("model-gated pretrain agrees with the model-gated curate on shared stages") {
+    val pm = Pipeline.pipelinePretrainModel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cm = Pipeline.pipelineCurateModel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("0_corpus", "1_quality", "2_dedup", "3_decontam").foreach { k =>
+      assert(pm(k) === cm(k), s"$k disagrees between pretrain_model and curate_model")
+    }
+    assert(pm("4_train") === cm("4_train"))
+    val shardSum = pm.collect { case (k, v) if k.startsWith("7_shard_") => v }.sum
+    assert(shardSum === pm("6_chunks"))
+  }
+
   test("pretrain minhash twin equals the ngram-edged (oracle) form on sf0.001") {
     val ngram = Pipeline.pipelinePretrain(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
