@@ -130,11 +130,28 @@ object Classifier {
     */
   private[queries] def trainWeights(vec: DataFrame): Array[Double] = {
     val nDocs = vec.count().toDouble // one bounded scalar action
+    // GD rounds are LATENCY-bound, not throughput-bound: each round's
+    // per-row work is a 65-term dot product, so 32 shuffle-partitioned
+    // tasks over ~150-row slices is pure scheduling overhead. Pack the
+    // cached dense vectors into >=2k-row tasks (never ABOVE the
+    // frame's own partition count — at cluster scale the narrow
+    // coalesce is a no-op and rounds stay fully parallel).
+    val parts = math.max(1, math.min(vec.rdd.getNumPartitions,
+      math.ceil(nDocs / 2000.0).toInt))
+    val data = if (parts < vec.rdd.getNumPartitions) vec.coalesce(parts) else vec
+    val sp = vec.sparkSession
+    import sp.implicits._
     var w = Array.fill(Dims + 1)(0.0)
     for (t <- 1 to Iters) {
-      val wl = array(w.map(lit).toIndexedSeq: _*)
-      val grad = vec
-        .select((lit(1.0) / (lit(1.0) + exp(-dot(col("x"), wl))) - col("y")).as("r"),
+      // weights travel as a broadcast one-row frame, NOT a literal
+      // array: a literal would bake each round's values into the
+      // generated code, forcing a fresh analysis + janino compile per
+      // round (the dominant cost at bench scale). As an attribute the
+      // plan source is identical every round, so codegen caches hit
+      // and a round costs only its two tiny stages.
+      val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
+      val grad = data.crossJoin(broadcast(wDf))
+        .select((lit(1.0) / (lit(1.0) + exp(-dot(col("x"), col("wv")))) - col("y")).as("r"),
           posexplode(col("x")))
         .groupBy("pos").agg(sum(col("r") * col("col")).as("g"))
         .collect() // Dims+1 rows — the bounded per-round driver action
