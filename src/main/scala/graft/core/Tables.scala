@@ -24,17 +24,39 @@ object Tables {
     * one integer timeline. Generations of the testdata have shipped
     * both TIMESTAMP(NANOS) (read as long via nanosAsLong — Spark's
     * vectorized reader rejects nanos otherwise) and TIMESTAMP(MICROS)
-    * (read as a real timestamp, converted here via unix_micros ×
-    * 1000 — exact: sessions run UTC and µs×1000 stays < 2^63 until
-    * 2262). Derive µs timestamps with `expr("ts DIV 1000")` where
+    * with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). The NTZ
+    * wall-clock is defined as UTC by the testdata contract
+    * (TESTDATA.md), and the conversion below is PURE wall-clock
+    * arithmetic — epoch days + time-of-day, every term
+    * timezone-independent on NTZ — so the epoch output is identical
+    * under ANY spark.sql.session.timeZone (a plain
+    * `cast(ntz as timestamp)` would shift by the session offset).
+    * Derive µs timestamps with `expr("ts DIV 1000")` where
     * wall-clock semantics are needed — never `/` (double loses bits
     * above 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(s, d, "events")
+    // The legacy nanos flag is only set when the file actually carries
+    // TIMESTAMP(NANOS) (the read fails loudly without it); it must then
+    // STAY set — executor-side schema conversion re-reads it at action
+    // time — so the session-wide effect is taken only on that
+    // generation, never on the micros/NTZ path.
+    val df =
+      try t(s, d, "events")
+      catch {
+        case e: Exception if e.getMessage != null &&
+            e.getMessage.toUpperCase.contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          t(s, d, "events")
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", expr(
+          """(datediff(cast(ts as date), date'1970-01-01') * 86400000000L
+            | + hour(ts) * 3600000000L + minute(ts) * 60000000L
+            | + cast(date_part('SECOND', ts) * 1000000 as bigint)) * 1000L"""
+            .stripMargin))
       case _ => df.withColumn("ts",
         expr("unix_micros(cast(ts as timestamp)) * 1000L"))
     }

@@ -127,6 +127,19 @@ case class BloomMightContain(child: Expression, words: Array[Long], k: Int)
     copy(child = newChild)
 
   override def prettyName: String = "bloom_might_contain"
+
+  // Case-class equality on Array[Long] is reference identity, which
+  // would stop semantically identical probes from canonicalizing (and
+  // thus from subexpression elimination). Compare filter CONTENT.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomMightContain =>
+      b.k == k && b.child == child && java.util.Arrays.equals(b.words, words)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Integer.valueOf(k),
+      Integer.valueOf(java.util.Arrays.hashCode(words)))
 }
 
 object BloomMightContain {

@@ -305,6 +305,53 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"))
   }
 
+  /** [[dedupIncremental]] with the production bloom prefilter made
+    * EXPLICIT (the "persisted bloom filter over corpus digests" upgrade
+    * the doc above describes): build a [[graft.functions.BloomAggregator]]
+    * filter over the corpus digests (map-side partials, word-wise-OR
+    * merge, ONE m/8-byte row to the driver), probe every batch row
+    * map-side with the codegen'd [[graft.functions.BloomMightContain]],
+    * and send ONLY bloom-positive rows into the exact anti-join.
+    * Bloom guarantees no false negatives, so bloom-negative rows are
+    * definitely new and bypass the join; false positives are killed by
+    * the anti-join — the result is EXACTLY [[dedupIncremental]]'s
+    * (same oracle SQL gates both).
+    *
+    * Scale design: at 100 TB the filter is ~1.2 B/corpus-doc —
+    * broadcastable where the digest set itself is not — and the
+    * anti-join's probe side shrinks from |batch| to
+    * |true dups| + ~1% FPR of the rest; the corpus-side shuffle still
+    * happens once here (it builds the filter), but a STANDING ingest
+    * pipeline persists the filter across rounds, amortizing it to
+    * zero. The filter is sized from one corpus count (bounded scalar
+    * action) at 9.6 bits/key, k=7 ⇒ ~1% FPR.
+    */
+  def dedupIncrementalBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.{BloomAggregator, BloomMightContain}
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val n = corpus.count() // bounded: one scalar, sizes the filter
+    val numBits = math.max(1024L, ((n * 96L / 10L + 63L) / 64L) * 64L).toInt
+    val k = 7
+    val words = corpus
+      .select(xxhash64(sha2(col("text"), 256)).as("h")).as[Long]
+      .select(BloomAggregator.sketch(numBits, k)).head()
+    val probed = batch
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_hash"))
+      .withColumn("maybe",
+        BloomMightContain.probe(xxhash64(col("text_hash")), words, k))
+      .stable // probe once; both branches below reuse the materialization
+    val corpusHashes =
+      corpus.select(sha2(col("text"), 256).as("text_hash")).distinct()
+    probed.filter(!col("maybe")).select("doc_id", "text_hash")
+      .union(
+        probed.filter(col("maybe")).select("doc_id", "text_hash")
+          .join(corpusHashes, Seq("text_hash"), "left_anti")
+          .select("doc_id", "text_hash"))
+  }
+
   /** Jaccard threshold for [[similarityJoin]] (mirrored in the oracle
     * SQL's HAVING).
     */
@@ -555,6 +602,7 @@ object Dedup {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "dedup_incremental_minhash" -> dedupIncrementalMinhash,
     "join_similarity" -> dedupSimilarityJoin,
     "decontaminate" -> decontaminate)
@@ -611,6 +659,15 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5""".stripMargin,
     "dedup_incremental" ->
+      """SELECT b.doc_id, sha256(b.text) AS text_hash
+        |FROM documents b
+        |WHERE b.doc_id % 5 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.doc_id % 5 <> 0
+        |                    AND sha256(c.text) = sha256(b.text))""".stripMargin,
+    // The bloom prefilter is an exact-result optimization (no false
+    // negatives + anti-join verify), so the SAME SQL gates it.
+    "dedup_incremental_bloom" ->
       """SELECT b.doc_id, sha256(b.text) AS text_hash
         |FROM documents b
         |WHERE b.doc_id % 5 = 0
