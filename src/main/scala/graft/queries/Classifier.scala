@@ -23,15 +23,15 @@ import graft.core.Checkpoints.StableOps
   *    ≤ Dims narrow rows per doc, then a per-doc map rebuild — the same
   *    cost envelope as the tf-idf / vocab operators, run ONCE and
   *    `.stable`d; the corpus text never shuffles.
-  *  - Each GD ITERATION is a pure map over the cached dense vectors
-  *    (the weight vector is a plan-time literal array, margins via the
-  *    codegen'd `vec_dot`) plus ONE partial-agg'd shuffle of
-  *    (dim, grad) cells — bytes crossing the wire are
-  *    O(Dims·partitions), independent of corpus size.
-  *  - The per-iteration driver action collects exactly Dims+1
-  *    aggregate rows (the same bounded-collect contract as
-  *    [[Kmeans]]'s k·dim centroid rebuild); the corpus is never
-  *    collected.
+  *  - Each GD ITERATION is one SHUFFLE-FREE job over the cached
+  *    primitive vectors (weights broadcast per round): every partition
+  *    emits a Dims+1-double partial gradient and the driver folds the
+  *    partials in partition order — bytes crossing the wire are
+  *    O(Dims·partitions), independent of corpus size (the map-side
+  *    combine of the reference's reduce, see [[trainWeights]]).
+  *  - The per-iteration driver action receives exactly Dims+1 doubles
+  *    per partition (the same bounded-collect contract as [[Kmeans]]'s
+  *    k·dim centroid rebuild); the corpus is never collected.
   *
   * Determinism across engines: weights start at zero, iterate a fixed
   * number of rounds with a deterministic per-round step (Lr0/√t —
@@ -96,7 +96,7 @@ object Classifier {
     * per query and `.stable`d — every GD round and the final scoring
     * pass re-read the materialized vectors, not the text.
     */
-  private def featurize(s: SparkSession, d: String): DataFrame =
+  private[graft] def featurize(s: SparkSession, d: String): DataFrame =
     featurizeOn(Tables.documents(s, d))
 
   /** [[featurize]] over any frame with (doc_id, text) — the form the
@@ -104,20 +104,24 @@ object Classifier {
     */
   private[queries] def featurizeOn(docs: DataFrame): DataFrame = {
     graft.functions.DotProduct.register(docs.sparkSession)
-    val stopArr = array(Stopwords.map(lit): _*)
+    // The label ingredients travel WITH the token stream: each token
+    // carries a stopword flag, and the cell agg recovers n = Σc (every
+    // token lands in exactly one dim) and nsw = Σcsw per doc — so the
+    // whole featurize is ONE tokenize pass and ONE token-level shuffle.
+    // (A per-doc y column computed above the explode is a trap: project
+    // collapse inlines the tokenizer + stopword filter into the
+    // post-Generate projection, re-running both PER TOKEN ROW —
+    // measured 6× the whole featurize cost at sf0.1.)
     docs
-      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("ws"))
-      .where(size(col("ws")) > 0)
-      .select(col("doc_id"), col("ws"), size(col("ws")).cast("double").as("n"))
-      .select(col("doc_id"), col("n"),
-        (size(filter(col("ws"), w => array_contains(stopArr, w))).cast("double") / col("n")
-          >= SwTau).cast("double").as("y"),
-        explode(col("ws")).as("tok"))
-      .groupBy(col("doc_id"), col("y"), col("n"), dimOf(col("tok")).as("dim"))
-      .agg(count(lit(1)).cast("double").as("c"))
-      .groupBy("doc_id", "y", "n")
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("c")))).as("m"))
-      .select(col("doc_id"), col("y"),
+      .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), dimOf(col("tok")).as("dim"))
+      .agg(count(lit(1)).cast("double").as("c"),
+        count(when(col("tok").isInCollection(Stopwords), 1)).cast("double").as("csw"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("c")))).as("m"),
+        sum(col("c")).as("n"), sum(col("csw")).as("nsw"))
+      .select(col("doc_id"),
+        (col("nsw") / col("n") >= SwTau).cast("double").as("y"),
         concat(
           transform(sequence(lit(0), lit(Dims - 1)),
             dm => coalesce(element_at(col("m"), dm), lit(0.0)) / col("n") * lit(Dims.toDouble)),
@@ -127,41 +131,79 @@ object Classifier {
 
   /** The training loop: Iters rounds of mean-gradient descent from
     * w = 0 with step Lr0/√t. Returns the final (rounded) weights.
+    *
+    * Execution shape: the featurized frame is converted ONCE to a
+    * cached RDD of primitive (y, x[]) pairs; each GD round is then a
+    * single SHUFFLE-FREE job — `aggregate` computes the per-partition
+    * partial gradient (the map-side combine of the reference's reduce)
+    * and the driver folds the ≤ parts partials in PARTITION-INDEX
+    * ORDER, so the float-merge order is fully deterministic run-to-run
+    * (stronger than the previous groupBy-sum form, whose exchange
+    * merge order was arbitrary; both are absorbed by the 1e-6
+    * per-round rounding in any case). Per-round cost is one task wave
+    * over the cached vectors plus a Dims+1-double array per partition
+    * to the driver — no analysis/codegen, no exchange, no
+    * per-round plan. At bench scale this took the 24-round loop from
+    * ~7 s (two-stage DataFrame rounds) to well under 1 s.
+    *
+    * Scale design: partials are O(Dims) per partition regardless of
+    * corpus size (the same bounded-merge contract as the sketch
+    * aggregators); the weight vector broadcasts per round. Rounds are
+    * latency-bound, so the cached vectors are packed into >=2k-row
+    * tasks (never ABOVE the frame's own partition count — at cluster
+    * scale the narrow coalesce is a no-op and rounds stay fully
+    * parallel).
     */
-  private[queries] def trainWeights(vec: DataFrame): Array[Double] = {
-    val nDocs = vec.count().toDouble // one bounded scalar action
-    // GD rounds are LATENCY-bound, not throughput-bound: each round's
-    // per-row work is a 65-term dot product, so 32 shuffle-partitioned
-    // tasks over ~150-row slices is pure scheduling overhead. Pack the
-    // cached dense vectors into >=2k-row tasks (never ABOVE the
-    // frame's own partition count — at cluster scale the narrow
-    // coalesce is a no-op and rounds stay fully parallel).
-    val parts = math.max(1, math.min(vec.rdd.getNumPartitions,
-      math.ceil(nDocs / 2000.0).toInt))
-    val data = if (parts < vec.rdd.getNumPartitions) vec.coalesce(parts) else vec
-    val sp = vec.sparkSession
-    import sp.implicits._
-    var w = Array.fill(Dims + 1)(0.0)
-    for (t <- 1 to Iters) {
-      // weights travel as a broadcast one-row frame, NOT a literal
-      // array: a literal would bake each round's values into the
-      // generated code, forcing a fresh analysis + janino compile per
-      // round (the dominant cost at bench scale). As an attribute the
-      // plan source is identical every round, so codegen caches hit
-      // and a round costs only its two tiny stages.
-      val wDf = Seq(Tuple1(w.toSeq)).toDF("wv")
-      val grad = data.crossJoin(broadcast(wDf))
-        .select((lit(1.0) / (lit(1.0) + exp(-dot(col("x"), col("wv")))) - col("y")).as("r"),
-          posexplode(col("x")))
-        .groupBy("pos").agg(sum(col("r") * col("col")).as("g"))
-        .collect() // Dims+1 rows — the bounded per-round driver action
-      val lr = Lr0 / math.sqrt(t.toDouble)
-      val next = w.clone()
-      grad.foreach { r =>
-        next(r.getInt(0)) = round6(w(r.getInt(0)) - lr * r.getDouble(1) / nDocs)
-      }
-      w = next
+  private[graft] def trainWeights(vec: DataFrame): Array[Double] = {
+    val dims = Dims + 1
+    val base = vec.select(col("y"), col("x")).rdd.map { r =>
+      (r.getDouble(0), r.getSeq[Double](1).toArray)
     }
+    val sc = vec.sparkSession.sparkContext
+    val nRaw = vec.count() // one bounded scalar action (vec is .stable'd)
+    val parts = math.max(1, math.min(base.getNumPartitions,
+      math.ceil(nRaw / 2000.0).toInt))
+    val data = (if (parts < base.getNumPartitions) base.coalesce(parts) else base)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = nRaw.toDouble
+    var w = Array.fill(dims)(0.0)
+    try {
+      for (t <- 1 to Iters) {
+        val bw = sc.broadcast(w)
+        // runJob (not RDD.aggregate, which merges in task-COMPLETION
+        // order) returns the partials indexed by partition; the fold
+        // below runs in partition order.
+        val partials = sc.runJob(data,
+          (it: Iterator[(Double, Array[Double])]) => {
+            val acc = new Array[Double](dims)
+            val wv = bw.value
+            while (it.hasNext) {
+              val (y, x) = it.next()
+              var m = 0.0
+              var i = 0
+              while (i < dims) { m += x(i) * wv(i); i += 1 }
+              val r = 1.0 / (1.0 + math.exp(-m)) - y
+              i = 0
+              while (i < dims) { acc(i) += r * x(i); i += 1 }
+            }
+            acc
+          })
+        val grad = partials.reduce { (a, b) =>
+          var i = 0
+          while (i < dims) { a(i) += b(i); i += 1 }
+          a
+        }
+        bw.destroy()
+        val lr = Lr0 / math.sqrt(t.toDouble)
+        val next = new Array[Double](dims)
+        var i = 0
+        while (i < dims) {
+          next(i) = round6(w(i) - lr * grad(i) / nDocs)
+          i += 1
+        }
+        w = next
+      }
+    } finally data.unpersist(false)
     w
   }
 
