@@ -482,7 +482,68 @@ object Cluster {
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
+  /** Peel rounds for [[kcoreOf]]. FIXED (no convergence test) so the
+    * loop unrolls identically in both engines — the oracle runs the
+    * same 8 rounds; KcoreSpec checks empirical convergence at test SF.
+    */
+  val KcoreRounds = 8
+
+  /** k for the registered [[kcore]] entry: 2-cores of the near-dup
+    * graph = the cyclic duplication neighborhoods (trees/chains of
+    * borderline pairs peel away; template-family cliques survive) —
+    * the "dense duplication hotspot" census a curation pass reviews.
+    */
+  val KcoreK = 2
+
+  /** K-core decomposition by iterative peeling: drop nodes with
+    * degree < k, restrict edges to survivors, repeat `rounds` times.
+    * Output: surviving nodes with their within-core degree.
+    *
+    * Scale design: each round is one degree aggregation plus two
+    * id-only joins (8-byte keys — document text never enters), all
+    * hash-partitioned on node id; rounds are checkpointed via
+    * [[graft.core.Checkpoints]] so lineage stays flat (reliable
+    * `checkpoint()` when spark.graft.checkpointDir is set, the same
+    * contract as the CC/PageRank loops). Work is edge-linear per
+    * round with a FIXED round count — no driver-side convergence
+    * action at all, unlike value-iteration loops.
+    */
+  def kcoreOf(edges: DataFrame, k: Int = KcoreK,
+      rounds: Int = KcoreRounds): DataFrame = {
+    var sym = edges
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionAll(edges
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .stable
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("src")
+      val next = sym
+        .join(keep, "src")
+        .join(keep.select(col("src").as("dst")), "dst")
+        .select("src", "dst")
+        .stable
+      sym.unpersist(false)
+      sym = next
+    }
+    val out = sym.groupBy("src").agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("doc_id"), col("core_deg")).stable
+    sym.unpersist(false)
+    out
+  }
+
+  /** Registered form: 2-core of the same >= 0.6 near-dup graph the
+    * cluster/triangle family consumes (quadratic oracle edge producer
+    * by design; swap in Dedup.minhashScored for the linear scale path
+    * exactly as in dedupClusterMinhash).
+    */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    kcoreOf(Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kcore" -> kcore,
     "triangle_count" -> triangleCount,
     "triangle_count_minhash" -> triangleCountMinhash,
     "dedup_cluster" -> dedupCluster,
@@ -495,6 +556,50 @@ object Cluster {
     "pagerank" -> pagerank)
 
   def oracleSql: Map[String, String] = Map(
+    "kcore" -> {
+      // Fixed 8 peel rounds unrolled over the same near-dup edge CTEs
+      // the pagerank/triangle oracles build. Pure integer arithmetic —
+      // degree counts and id joins — so the hash gate is exact.
+      // MATERIALIZED on every e_i: each is referenced twice in the
+      // next round (degree + restriction) — without it DuckDB inlines
+      // the chain and scan count doubles per round.
+      val rounds = (1 to KcoreRounds).map { i =>
+        s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $KcoreK),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.src, e.dst FROM e${i - 1} e
+           |  JOIN k$i a ON a.src = e.src
+           |  JOIN k$i b ON b.src = e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |      generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |    ELSE [] END AS shingles
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0) AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+         |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+         |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+         |pairs AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+         |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+         |e0 AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM scored
+         |  UNION ALL SELECT doc_b, doc_a FROM scored),
+         |$rounds
+         |SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM e$KcoreRounds GROUP BY src""".stripMargin
+    },
     "pagerank" -> {
       // 10 damped rounds unrolled as chained CTEs over the same
       // near-dup edge set the triangle/cluster oracles build. The

@@ -298,6 +298,34 @@ class ClusterSpec extends SparkSuite {
     assert(mh === ngram)
   }
 
+  test("kcore ≡ sequential peel reference; peel converged at test SF") {
+    val edges = Dedup.ngramScored(
+        graft.core.Tables.documents(spark, sfDir))
+      .filter(col("jac") >= 0.6)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    var sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    for (_ <- 1 to Cluster.KcoreRounds) {
+      val keep = sym.groupBy(_._1).collect {
+        case (n, es) if es.size >= Cluster.KcoreK => n
+      }.toSet
+      sym = sym.filter { case (s, t) => keep(s) && keep(t) }
+    }
+    val ref = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val got = Cluster.kcore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === ref)
+    assert(got.nonEmpty, "near-dup graph at sf0.001 should have a 2-core")
+    // the fixed 8 rounds reached the fixpoint here: min degree >= k
+    assert(ref.values.forall(_ >= Cluster.KcoreK))
+    // synthetic shape check: peeling drops something on a path + clique mix
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 4L), // path: fully peels
+      (10L, 11L), (11L, 12L), (12L, 10L)) // triangle: survives intact
+    val core = Cluster.kcoreOf(mixed.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(core === Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
+  }
+
   test("spark.graft.checkpointDir switches lineage truncation to reliable checkpoint()") {
     // a path graph forces several contraction rounds through .stable
     val edges = (0L until 12L).map(i => (i, i + 1))
