@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** Similarity search over the `embeddings` table ([EXT]):
   * brute-force cosine top-k as the exact baseline, random-hyperplane
@@ -55,6 +56,92 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** MMR balance: score = MmrLam·rel − MmrOneMinusLam·max-sim-to-selected.
+    * BOTH constants are explicit literals (1−0.7 ≠ 0.3 in IEEE double —
+    * computing the complement would desync the oracle).
+    */
+  val MmrLam = 0.7
+  val MmrOneMinusLam = 0.3
+  /** Candidate pool per query (top-C by relevance) and selections. */
+  val MmrPool = 40
+  val MmrK = 10
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98):
+    * for each query, fetch the top-[[MmrPool]] candidates by cosine,
+    * then greedily select [[MmrK]] maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    * diversity-aware retrieval pass a RAG pipeline runs after ANN.
+    *
+    * Scale design: the candidate pool is a top-C window per query
+    * (one corpus scan, broadcast query side — same envelope as
+    * [[annCosine]]); the candidate-pair sim matrix is C²·|queries|
+    * rows, BOUNDED by the pool constant, built once and `.stable`d.
+    * Each greedy round is one anti-join + max-agg + argmax window over
+    * those bounded frames, with an 8-row driver collect (|queries|
+    * rows — the same bounded-action contract as Kmeans/BPE). The
+    * corpus is scanned exactly once regardless of K.
+    *
+    * Determinism across engines: relevance and pair sims are raw
+    * doubles — DuckDB's list_dot_product sums left-to-right exactly
+    * like the native DotProduct loop, so both engines see identical
+    * IEEE values (the ann_cosine hash-match already certifies this);
+    * the greedy arithmetic is then identical literal-times-identical-
+    * double, and ties break on vec_id in both.
+    */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("rel"),
+        col("v"), col("nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("vec_id").asc)
+    val cand = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= MmrPool)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("v"), col("nrm"))
+      .stable
+    val sims = cand.as("a").join(cand.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.query_id").as("query_id"), col("a.vec_id").as("cand_id"),
+        col("b.vec_id").as("sel_id"),
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .stable
+    val candSlim = cand.select("query_id", "vec_id", "rel")
+    var selected = Vector.empty[(Long, Long, Int)] // (query_id, vec_id, rank)
+    for (r <- 1 to MmrK) {
+      val pick =
+        if (r == 1)
+          candSlim
+            .withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1).select("query_id", "vec_id")
+        else {
+          val selNow = selected.toDF("query_id", "sel_id", "rank")
+          val pen = sims
+            .join(selNow.select("query_id", "sel_id"), Seq("query_id", "sel_id"))
+            .groupBy(col("query_id"), col("cand_id").as("vec_id"))
+            .agg(max(col("sim")).as("pen"))
+          candSlim
+            .join(selNow.select(col("query_id"), col("sel_id").as("vec_id")),
+              Seq("query_id", "vec_id"), "left_anti")
+            .join(pen, Seq("query_id", "vec_id"))
+            .select(col("query_id"), col("vec_id"),
+              (lit(MmrLam) * col("rel") - lit(MmrOneMinusLam) * col("pen")).as("mmr"))
+            .withColumn("rk", row_number().over(Window.partitionBy("query_id")
+              .orderBy(col("mmr").desc, col("vec_id").asc)))
+            .filter(col("rk") === 1).select("query_id", "vec_id")
+        }
+      selected ++= pick.collect().map(row => (row.getLong(0), row.getLong(1), r))
+    }
+    cand.unpersist(false)
+    sims.unpersist(false)
+    selected.toDF("query_id", "neighbor_id", "rank")
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
   // 4 LSH tables × 8 random hyperplanes (deterministic pseudo-random
@@ -514,6 +601,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine" -> annCosine,
+    "mmr_rerank" -> mmrRerank,
     "decontaminate_embedding" -> decontaminateEmbedding,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -739,6 +827,65 @@ object Similarity {
         |    round(list_dot_product(c.v, q.v) / (c.nrm * q.nrm), 6) AS cos_sim
         |  FROM e c JOIN e q ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
         |WHERE rn <= 5""".stripMargin,
+    "mmr_rerank" -> {
+      // K greedy selections unrolled as chained CTEs. Arithmetic
+      // mirrors mmrRerank term by term: raw-double rel/sims
+      // (list_dot_product ≡ the native DotProduct loop — certified by
+      // the ann_cosine hash match), explicit 0.7/0.3 literals, vec_id
+      // tie-break. sel_i MATERIALIZED: referenced by the anti-join,
+      // the penalty join, and sel_{i+1}.
+      val rounds = (2 to MmrK).map { i =>
+        s"""pick$i AS (
+           |  SELECT query_id, vec_id, $i AS rank FROM (
+           |    SELECT c.query_id, c.vec_id,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY $MmrLam * c.rel - $MmrOneMinusLam * p.pen DESC,
+           |                 c.vec_id) AS rk
+           |    FROM cand c
+           |    JOIN (SELECT s.query_id, s.cand_id, max(s.sim) AS pen
+           |          FROM sims s JOIN sel${i - 1} t
+           |            ON t.query_id = s.query_id AND t.vec_id = s.sel_id
+           |          GROUP BY s.query_id, s.cand_id) p
+           |      ON p.query_id = c.query_id AND p.cand_id = c.vec_id
+           |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+           |                      WHERE x.query_id = c.query_id
+           |                        AND x.vec_id = c.vec_id))
+           |  WHERE rk = 1),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM pick$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v, nrm FROM e WHERE vec_id < 8),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, vec_id, rel, v, nrm FROM (
+         |    SELECT q.query_id, c.vec_id,
+         |      list_dot_product(c.v, q.v) / (c.nrm * q.nrm) AS rel,
+         |      c.v, c.nrm,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY list_dot_product(c.v, q.v) / (c.nrm * q.nrm) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM e c JOIN q ON c.vec_id <> q.query_id)
+         |  WHERE rn <= $MmrPool),
+         |sims AS MATERIALIZED (
+         |  SELECT a.query_id, a.vec_id AS cand_id, b.vec_id AS sel_id,
+         |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |  FROM cand a JOIN cand b
+         |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT query_id, vec_id, 1 AS rank FROM (
+         |    SELECT query_id, vec_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY rel DESC, vec_id) AS rk
+         |    FROM cand) WHERE rk = 1),
+         |$rounds
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank,
+         |       vec_id AS neighbor_id
+         |FROM sel$MmrK""".stripMargin
+    },
     "dedup_incremental_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

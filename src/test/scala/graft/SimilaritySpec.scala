@@ -190,4 +190,49 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(_.getLong(0)).toSet
     assert(loose === Set(10L, 11L))
   }
+
+  test("mmr_rerank ≡ sequential greedy MMR reference; diversity-shifted vs pure top-k") {
+    // sequential reference over collected embeddings (bounded at sf0.001)
+    val embs = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var da = 0.0; var db = 0.0; var ab = 0.0; var i = 0
+      while (i < a.length) { ab += a(i) * b(i); da += a(i) * a(i); db += b(i) * b(i); i += 1 }
+      ab / (math.sqrt(da) * math.sqrt(db))
+    }
+    val ref = (0L until 8L).flatMap { qid =>
+      val qv = embs(qid)
+      val cand = embs.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(v, qv), v) }
+        .sortBy { case (id, rel, _) => (-rel, id) }
+        .take(Similarity.MmrPool)
+      var sel = Vector.empty[(Long, Array[Double])]
+      (1 to Similarity.MmrK).map { r =>
+        val pick =
+          if (r == 1) cand.head
+          else cand.filterNot(c => sel.exists(_._1 == c._1))
+            .map { case (id, rel, v) =>
+              val pen = sel.map(s => cos(v, s._2)).max
+              (id, Similarity.MmrLam * rel - Similarity.MmrOneMinusLam * pen, v)
+            }
+            .sortBy { case (id, mmr, _) => (-mmr, id) }.head
+        sel :+= (pick._1, pick._3)
+        (qid, r, pick._1)
+      }
+    }.toSet
+    val got = Similarity.mmrRerank(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got === ref)
+    // MMR must actually diversify: at least one query's selection set
+    // differs from its pure relevance top-K
+    val topk = (0L until 8L).flatMap { qid =>
+      val qv = embs(qid)
+      embs.toSeq.filter(_._1 != qid).map { case (id, v) => (id, cos(v, qv)) }
+        .sortBy { case (id, rel) => (-rel, id) }
+        .take(Similarity.MmrK).map { case (id, _) => (qid, id) }
+    }.toSet
+    val gotPairs = got.map { case (q, _, n) => (q, n) }
+    assert(gotPairs !== topk, "MMR selections identical to pure top-k — no diversity effect")
+  }
 }
