@@ -296,7 +296,37 @@ object Corpus {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
   }
 
+  /** One-row corpus CENSUS — the dataset card a curation run records
+    * before/after every pipeline stage: doc/dup counts, language and
+    * source cardinalities, char/token volumes, exact distinct-token
+    * vocabulary, mean doc length.
+    *
+    * Scale design: three independent aggregations (doc-level, dup
+    * census on 32-byte digests, token-level), each map-side partial
+    * to ONE row (countDistinct rewrites to a two-stage expand-agg),
+    * cross-joined as 1-row frames. No step holds unbounded state;
+    * the token shuffle is the same cost class as `wc`.
+    */
+  def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(explode(toks(col("text"))).as("tok"))
+    val docAgg = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dupAgg = docs.groupBy(sha2(col("text"), 256)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n_dup_docs"))
+    val tokAgg = tok.agg(count(lit(1)).as("n_tokens"),
+      countDistinct(col("tok")).as("n_distinct_tokens"))
+    docAgg.crossJoin(dupAgg).crossJoin(tokAgg)
+      .select(col("n_docs"), col("n_dup_docs"), col("n_langs"), col("n_sources"),
+        col("n_chars"), col("n_tokens"), col("n_distinct_tokens"),
+        round(col("n_tokens").cast("double") / col("n_docs"), 4).as("avg_doc_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_stats" -> corpusStats,
     "quality_repetition" -> qualityRepetition,
     "snapshot_diff" -> snapshotDiff,
     "lm_score" -> lmScore,
@@ -340,6 +370,25 @@ object Corpus {
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_stats" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+        |                            x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |             CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |             CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |      FROM documents),
+        |dup AS (SELECT CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+        |        FROM (SELECT count(*) AS c FROM documents GROUP BY sha256(text))),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |             CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+        |      FROM tok)
+        |SELECT n_docs, n_dup_docs, n_langs, n_sources, n_chars,
+        |       n_tokens, n_distinct_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / n_docs, 4) AS avg_doc_tokens
+        |FROM d CROSS JOIN dup CROSS JOIN t""".stripMargin,
     "quality_repetition" ->
       s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS w FROM documents),
          |m AS (SELECT doc_id, len(w) AS n,

@@ -414,7 +414,25 @@ object TextOps {
         (floor(first("thr") * 10000 + 0.5) / 10000.0).as("p25"))
   }
 
+  /** Unicode canonicalization pass — NFC-normalize (native codegen'd
+    * [[graft.functions.NfcNormalize]], identity-fast-path for
+    * already-normalized text) + lowercase, with a changed flag. Runs
+    * BEFORE any hash-based dedup so canonically-equal byte sequences
+    * collide. Pure map over the scan: zero shuffles at any corpus
+    * size; DuckDB's nfc_normalize implements the same Unicode
+    * normalization, making the oracle exact.
+    */
+  def textNormalize(s: SparkSession, d: String): DataFrame = {
+    graft.functions.NfcNormalize.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        lower(graft.functions.NfcNormalize.nfcCol(col("text"))).as("norm_text"),
+        (lower(graft.functions.NfcNormalize.nfcCol(col("text"))) =!= col("text"))
+          .cast("int").as("changed"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_normalize" -> textNormalize,
     "stratified_sample" -> stratifiedSample,
     "quality_filter" -> qualityFilter,
     "sample_split" -> sampleSplit,
@@ -434,6 +452,11 @@ object TextOps {
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
   def oracleSql: Map[String, String] = Map(
+    "text_normalize" ->
+      """SELECT doc_id, lower(nfc_normalize(text)) AS norm_text,
+        |  CAST(CASE WHEN lower(nfc_normalize(text)) <> text
+        |       THEN 1 ELSE 0 END AS INTEGER) AS changed
+        |FROM documents""".stripMargin,
     "stratified_sample" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN (doc_id % 1000003) * 2654435761 % 100 <
