@@ -278,7 +278,64 @@ object Sketches {
         pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
   }
 
+  /** CMS grid shape for [[cmsFreq]]: 4 × 256 (ε = e/256 ≈ 1.1%·n
+    * overcount bound, δ = e^−4 ≈ 1.8%).
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-Min point-frequency estimates for the exact top-20 tokens,
+    * alongside their true counts — the frequency-sketch audit a
+    * pipeline runs before trusting CMS estimates downstream.
+    *
+    * TWO forms of the sketch exist deliberately:
+    * [[graft.functions.CountMinAggregator]] is the at-scale streaming
+    * form (one xxhash64 per arrival, Kirsch–Mitzenmacher row
+    * derivation, mergeable O(d·w) state — certified by CountMinSpec);
+    * THIS query is its declarative twin with md5-derived row slots
+    * (the mdUniform convention), whose grid arithmetic reproduces
+    * bit-for-bit in DuckDB — so unlike most approximate sketches the
+    * ESTIMATES themselves take the full hash gate: the oracle builds
+    * the same d×w grid and must produce identical n_est per token.
+    *
+    * Scale design: one vocabulary-collapse shuffle (token counts),
+    * then d·|vocab| narrow cell rows partial-agg'd down to the d·w
+    * grid — the grid, not the vocabulary, crosses the final exchange;
+    * probes join against d·w rows. The estimate NEVER undercounts
+    * (min over rows each ≥ the true slot mass).
+    */
+  def cmsFreq(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val counts = docs
+      .select(explode(Dedup.tokensCol(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    def slot(row: Int, tok: Column): Column =
+      pmod(conv(substring(md5(concat_ws(":", lit(row), tok)), 1, 12), 16, 10)
+        .cast("long"), lit(CmsWidth))
+    def rowSlots(tok: Column): Column = explode(array(
+      (0 until CmsDepth).map(i =>
+        struct(lit(i).as("row"), slot(i, tok).as("slot"))): _*))
+    val cells = counts
+      .select(col("c"), rowSlots(col("tok")).as("rs"))
+      .groupBy(col("rs.row").as("row"), col("rs.slot").as("slot"))
+      .agg(sum(col("c")).as("rc"))
+    // top-20 via sort+limit → TakeOrderedAndProject (per-partition
+    // heaps + driver merge of 20-row tops), not a single-task window
+    val probes = counts.orderBy(col("c").desc, col("tok").asc).limit(20)
+      .select(col("tok"), col("c").as("n_exact"))
+    probes
+      .select(col("tok"), col("n_exact"), rowSlots(col("tok")).as("rs"))
+      .select(col("tok"), col("n_exact"),
+        col("rs.row").as("row"), col("rs.slot").as("slot"))
+      .join(cells, Seq("row", "slot"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("rc")).as("n_est"))
+      .select(col("tok"), col("n_exact"), col("n_est"),
+        (col("n_est") - col("n_exact")).as("overcount"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cms_freq" -> cmsFreq,
     "quantile_sketch" -> quantileSketch,
     "audience_overlap" -> audienceOverlap,
     "audience_overlap_exact" -> audienceOverlapExact,
@@ -293,6 +350,34 @@ object Sketches {
     * plan, so it takes the full hash gate.
     */
   def oracleSql: Map[String, String] = Map(
+    // The md5-slot CMS reproduces bit-for-bit: same grid, same
+    // estimates — the sketch itself is under the hash gate.
+    "cms_freq" ->
+      s"""WITH tokc AS (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+         |                              x -> len(x) > 0)) AS tok
+         |    FROM documents)
+         |  GROUP BY tok),
+         |rs AS (SELECT CAST(unnest(generate_series(0, ${CmsDepth - 1})) AS INTEGER) AS row),
+         |cells AS MATERIALIZED (
+         |  SELECT rs.row,
+         |    CAST(('0x' || substr(md5(CAST(rs.row AS VARCHAR) || ':' || t.tok), 1, 12))::UBIGINT
+         |         % $CmsWidth AS BIGINT) AS slot,
+         |    sum(t.c) AS rc
+         |  FROM tokc t CROSS JOIN rs
+         |  GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT tok, c AS n_exact FROM tokc
+         |  ORDER BY c DESC, tok LIMIT 20)
+         |SELECT p.tok, p.n_exact,
+         |  CAST(min(ce.rc) AS BIGINT) AS n_est,
+         |  CAST(min(ce.rc) - p.n_exact AS BIGINT) AS overcount
+         |FROM probes p CROSS JOIN rs
+         |JOIN cells ce ON ce.row = rs.row
+         | AND ce.slot = CAST(('0x' || substr(md5(CAST(rs.row AS VARCHAR) || ':' || p.tok), 1, 12))::UBIGINT
+         |                    % $CmsWidth AS BIGINT)
+         |GROUP BY p.tok, p.n_exact""".stripMargin,
     "quantile_sketch" ->
       s"""WITH u AS (SELECT source,
          |  (CAST(('0x' || substr(md5('qsk:' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT
