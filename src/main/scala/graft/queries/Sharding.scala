@@ -129,13 +129,80 @@ object Sharding {
         min("w").as("min_band"), max("w").as("max_band"))
   }
 
+  /** Bucket = hilbert_d >> HShift. 2^20 = 4^10 index units: an ALIGNED
+    * 4^k block of the Hilbert index is exactly one recursive subsquare,
+    * so every bucket is an axis-aligned 1024×1024 cell (HilbertSpec
+    * asserts the bbox bound) — same pruning contract as
+    * [[zorderBucket]], with the better inter-bucket locality Hilbert
+    * is chosen for.
+    */
+  val HShift = 20
+
+  /** Hilbert-curve layout summary over orders on (o_custkey, order
+    * day) — [[zorderBucket]]'s companion using the native
+    * `hilbert_value` expression ([[graft.functions.HilbertValue]]:
+    * 16 rounds of constant integer arithmetic, codegen'd, map-only).
+    * Same one-shuffle layout-census plan shape; the 16-round recursion
+    * unrolls as chained CTEs in the DuckDB oracle, so the index is
+    * hash-gated exactly.
+    */
+  def hilbertBucket(s: SparkSession, d: String): DataFrame = {
+    graft.functions.HilbertValue.register(s)
+    Tables.orders(s, d)
+      .select(col("o_custkey").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("y"))
+      .select(shiftright(call_function("hilbert_value", col("x"), col("y")), HShift)
+        .as("bucket"), col("x"), col("y"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_cust"), max("x").as("max_cust"),
+        min("y").as("min_day"), max("y").as("max_day"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_pack" -> shardPack,
     "pack_sequences" -> packSequences,
     "zorder_bucket" -> zorderBucket,
-    "zorder3_bucket" -> zorder3Bucket)
+    "zorder3_bucket" -> zorder3Bucket,
+    "hilbert_bucket" -> hilbertBucket)
 
   def oracleSql: Map[String, String] = Map(
+    "hilbert_bucket" -> {
+      // The 16-round xy2d recursion unrolled: each CTE computes the
+      // quadrant digit (d += s²·((3rx)⊕ry)) and the reflect/swap
+      // rotation from the PREVIOUS round's (x, y) — all constant
+      // integer arithmetic, so the hash gate is exact. Single-linear
+      // CTE chain (each h_i read once) — no MATERIALIZED needed.
+      val rounds = (0 until 16).map { i =>
+        val s = 1L << (15 - i)
+        val ss = s * s
+        s"""h${i + 1} AS (
+           |  SELECT x0, y0,
+           |    d + $ss * xor(3 * CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END,
+           |                  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END) AS d,
+           |    CASE WHEN (y & $s) = 0
+           |         THEN (CASE WHEN (x & $s) > 0 THEN 65535 - y ELSE y END)
+           |         ELSE x END AS x,
+           |    CASE WHEN (y & $s) = 0
+           |         THEN (CASE WHEN (x & $s) > 0 THEN 65535 - x ELSE x END)
+           |         ELSE y END AS y
+           |  FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (
+         |  SELECT o_custkey AS x0,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |                   CAST(o_orderdate AS DATE)) AS BIGINT) AS y0
+         |  FROM orders),
+         |h0 AS (SELECT x0, y0, x0 & 65535 AS x, y0 & 65535 AS y,
+         |              CAST(0 AS BIGINT) AS d
+         |       FROM b),
+         |$rounds
+         |SELECT d >> $HShift AS bucket, count(*) AS n,
+         |  min(x0) AS min_cust, max(x0) AS max_cust,
+         |  min(y0) AS min_day, max(y0) AS max_day
+         |FROM h16 GROUP BY 1""".stripMargin
+    },
     "shard_pack" ->
       """WITH idx AS (
         |  SELECT doc_id, n_chars,
