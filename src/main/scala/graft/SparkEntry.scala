@@ -57,5 +57,7 @@ object SparkEntry {
     "bm25_terms", "zorder_bucket", "pipeline_curate_minhash",
     "dedup_incremental_embedding_lsh", "lang_id", "audience_overlap_exact",
     "chunk_text", "vocab_coverage", "pipeline_pretrain_minhash",
-    "classifier_predict")
+    "classifier_predict",
+    "dedup_incremental_bloom", "cms_freq", "mmr_rerank", "corpus_stats",
+    "text_normalize", "hilbert_bucket", "kcore")
 }
