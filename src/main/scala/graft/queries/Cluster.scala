@@ -542,8 +542,18 @@ object Cluster {
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
+  /** The linear scale form of [[kcore]]: identical peel over
+    * MinHash+LSH verified edges — the standard quadratic-oracle /
+    * minhash-scale-path pairing of this module.
+    */
+  def kcoreMinhash(s: SparkSession, d: String): DataFrame =
+    kcoreOf(Dedup.minhashScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kcore" -> kcore,
+    "kcore_minhash" -> kcoreMinhash,
     "triangle_count" -> triangleCount,
     "triangle_count_minhash" -> triangleCountMinhash,
     "dedup_cluster" -> dedupCluster,

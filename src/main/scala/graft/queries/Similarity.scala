@@ -78,10 +78,10 @@ object Similarity {
     * (one corpus scan, broadcast query side — same envelope as
     * [[annCosine]]); the candidate-pair sim matrix is C²·|queries|
     * rows, BOUNDED by the pool constant, built once and `.stable`d.
-    * Each greedy round is one anti-join + max-agg + argmax window over
-    * those bounded frames, with an 8-row driver collect (|queries|
-    * rows — the same bounded-action contract as Kmeans/BPE). The
-    * corpus is scanned exactly once regardless of K.
+    * Both bounded frames then collect once and the K greedy rounds run
+    * in-JVM (the same bounded-driver-action contract as Kmeans's k·dim
+    * rebuild — scheduling K jobs over constant-size frames would be
+    * pure latency). The corpus is scanned exactly once regardless of K.
     *
     * Determinism across engines: relevance and pair sims are raw
     * doubles — DuckDB's list_dot_product sums left-to-right exactly
@@ -112,35 +112,36 @@ object Similarity {
         col("b.vec_id").as("sel_id"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
       .stable
-    val candSlim = cand.select("query_id", "vec_id", "rel")
-    var selected = Vector.empty[(Long, Long, Int)] // (query_id, vec_id, rank)
-    for (r <- 1 to MmrK) {
-      val pick =
-        if (r == 1)
-          candSlim
-            .withColumn("rk", row_number().over(w))
-            .filter(col("rk") === 1).select("query_id", "vec_id")
-        else {
-          val selNow = selected.toDF("query_id", "sel_id", "rank")
-          val pen = sims
-            .join(selNow.select("query_id", "sel_id"), Seq("query_id", "sel_id"))
-            .groupBy(col("query_id"), col("cand_id").as("vec_id"))
-            .agg(max(col("sim")).as("pen"))
-          candSlim
-            .join(selNow.select(col("query_id"), col("sel_id").as("vec_id")),
-              Seq("query_id", "vec_id"), "left_anti")
-            .join(pen, Seq("query_id", "vec_id"))
-            .select(col("query_id"), col("vec_id"),
-              (lit(MmrLam) * col("rel") - lit(MmrOneMinusLam) * col("pen")).as("mmr"))
-            .withColumn("rk", row_number().over(Window.partitionBy("query_id")
-              .orderBy(col("mmr").desc, col("vec_id").asc)))
-            .filter(col("rk") === 1).select("query_id", "vec_id")
-        }
-      selected ++= pick.collect().map(row => (row.getLong(0), row.getLong(1), r))
-    }
+    // The greedy selection runs over POOL-BOUNDED state — |queries| ·
+    // MmrPool rel rows and |queries| · MmrPool² sim rows, constants
+    // independent of corpus size — so both frames collect ONCE (the
+    // same bounded-driver-action contract as Kmeans's k·dim rebuild)
+    // and the K rounds are in-JVM argmax scans instead of K scheduled
+    // jobs over tiny frames. The distributed work (corpus scan, top-C
+    // window, sim matrix) is unchanged.
+    val relRows = cand.select("query_id", "vec_id", "rel").collect()
+      .map(row => (row.getLong(0), row.getLong(1), row.getDouble(2)))
+    val simRows = sims.collect()
+      .map(row => ((row.getLong(0), row.getLong(1), row.getLong(2)), row.getDouble(3)))
+      .toMap
     cand.unpersist(false)
     sims.unpersist(false)
-    selected.toDF("query_id", "neighbor_id", "rank")
+    val selected = relRows.groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+      val pool = rows.map { case (_, id, rel) => (id, rel) }
+        .sortBy { case (id, rel) => (-rel, id) }
+      var sel = Vector.empty[Long]
+      (1 to MmrK).map { r =>
+        val pick =
+          if (r == 1) pool.head._1
+          else pool.filterNot(c => sel.contains(c._1)).map { case (id, rel) =>
+            val pen = sel.map(sid => simRows((qid, id, sid))).max
+            (id, MmrLam * rel - MmrOneMinusLam * pen)
+          }.minBy { case (id, mmr) => (-mmr, id) }._1
+        sel :+= pick
+        (qid, r, pick)
+      }
+    }
+    selected.toDF("query_id", "rank", "neighbor_id")
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 

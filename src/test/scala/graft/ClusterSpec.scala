@@ -326,6 +326,14 @@ class ClusterSpec extends SparkSuite {
     assert(core === Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
   }
 
+  test("kcore_minhash ≡ ngram-edged kcore on sf0.001") {
+    val ngram = Cluster.kcore(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Cluster.kcoreMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === ngram)
+  }
+
   test("spark.graft.checkpointDir switches lineage truncation to reliable checkpoint()") {
     // a path graph forces several contraction rounds through .stable
     val edges = (0L until 12L).map(i => (i, i + 1))

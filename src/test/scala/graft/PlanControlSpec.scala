@@ -151,4 +151,31 @@ class PlanControlSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"verify pass must broadcast the candidate set:\n$plan")
   }
+
+  test("text_normalize is a pure map: zero exchanges, native expr in codegen span") {
+    val plan = finalPlan(graft.queries.TextOps.textNormalize(spark, sfDir))
+    assert(!plan.contains("Exchange"), s"normalize must not shuffle:\n$plan")
+    assert(plan.contains("nfc_normalize"), s"native expression missing:\n$plan")
+    // "*(n)" prefixes are WholeStageCodegen stages in this rendering
+    assert(plan.contains("*(1) Project"), s"must stay codegen'd:\n$plan")
+  }
+
+  test("hilbert_bucket: one aggregation exchange, hilbert_value inside the scan projection") {
+    val plan = finalPlan(graft.queries.Sharding.hilbertBucket(spark, sfDir))
+    assert(plan.split("Exchange").length - 1 <= 1, s"layout census is one shuffle:\n$plan")
+    assert(plan.contains("hilbert_value"), s"native expression missing:\n$plan")
+    assert(!plan.contains("Join"), s"census must be join-free:\n$plan")
+  }
+
+  test("dedup_incremental_bloom: probe split feeds only maybes to the exact anti-join") {
+    // the probe itself runs inside the .stable'd (checkpointed) frame —
+    // BloomSpec certifies its codegen; here we guard the downstream
+    // shape: the NOT-maybe branch bypasses the join entirely and only
+    // the maybe branch reaches the LeftAnti verify.
+    val df = graft.queries.Dedup.dedupIncrementalBloom(spark, sfDir)
+    val plan = execPlan(df)
+    assert(plan.contains("NOT maybe"), s"bloom-negative bypass branch missing:\n$plan")
+    assert(plan.contains("LeftAnti"), s"exact anti-join verify missing:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"plan:\n$plan")
+  }
 }
