@@ -55,6 +55,29 @@ object StreamingOps {
       .withWatermark("tsm", "10 minutes")
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming INCREMENTAL ingest dedup — the streaming face of
+    * Dedup.dedupIncremental: a continuously-arriving document stream
+    * anti-joined against the standing corpus's digest set (stream-
+    * static left anti join; the static side re-plans per micro-batch,
+    * so a corpus refresh is picked up without restarting the query).
+    * Emits only stream docs whose exact text is NOT in the corpus —
+    * the first gate of a continuously-fed pipeline, append mode,
+    * stateless (the corpus IS the state).
+    *
+    * Scale: both sides reduce to 32-byte digests before the join, as
+    * in batch; at 100 TB the static side stays a shuffle-side hash
+    * build (or a bloom-prefilter per dedupIncrementalBloom) — the
+    * stream never holds corpus state.
+    */
+  def incrementalNewStream(docStream: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes =
+      corpus.select(sha2(col("text"), 256).as("text_hash")).distinct()
+    docStream
+      .select(col("doc_id"), sha2(col("text"), 256).as("text_hash"))
+      .join(corpusHashes, Seq("text_hash"), "left_anti")
+      .select(col("doc_id"), col("text_hash"))
+  }
+
   /** Streaming heavy-hitter candidates: the SAME mergeable Misra-Gries
     * state the batch path uses, run as a streaming global aggregation —
     * Spark keeps the (counters, n) buffer as query state and merges

@@ -121,6 +121,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static anti-join incremental dedup ≡ batch dedup_incremental") {
+    // stream = the batch slice (doc_id % 5 == 0), static = the corpus;
+    // fed over two micro-batches, the emitted set must equal the batch
+    // operator's output exactly.
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchRows = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = graft.queries.Dedup.dedupIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val mem = MemoryStream[(Long, String)](spark)
+    val df = StreamingOps.incrementalNewStream(
+      mem.toDF().toDF("doc_id", "text"), corpus)
+    val name = s"incr_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = batchRows.splitAt(batchRows.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dim") {
     val mem = MemoryStream[(Timestamp, Long, String, Double)](spark)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
