@@ -139,6 +139,64 @@ object Corpus {
         r4(avg(-log(col("cnt").cast("double") / col("total")))).as("avg_nll"))
   }
 
+  /** Interpolation weight of [[lmScoreBigram]]:
+    * p(w₂|w₁) = LmLam·cb/cc + (1−LmLam)·cu/N. BOTH constants are
+    * explicit literals (0.25, not 1−0.75 — IEEE-identical here, but
+    * the explicit-pair convention keeps every oracle mirror honest).
+    */
+  val LmLam = 0.75
+  val LmOneMinusLam = 0.25
+
+  /** Adjacent-bigram struct array of a token-array ATTRIBUTE (same
+    * materialized-attribute contract as [[spansFromTokens]] — the
+    * multi-reference lambda body stops project collapse from inlining
+    * the tokenizer per element).
+    */
+  def bigramsFromTokens(ws: Column): Column =
+    when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Bigram LM perplexity-proxy scoring — the order-2 upgrade of
+    * [[lmScore]] (CCNet with the corpus as its own LM): per-doc mean
+    * NLL under an interpolated bigram model,
+    * p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N. Repetitive/
+    * templated text scores low, token-salad scores high — a sharper
+    * quality signal than unigram NLL because it sees word ORDER.
+    *
+    * Scale design: one bigram explode (linear in tokens), bigram/
+    * context/unigram counts are vocabulary-cardinality partial-agg'd
+    * shuffles, and the scoring joins run on the same token keys — AQE
+    * size-picks broadcast exactly as in [[lmScore]] (no forced
+    * broadcast of an unbounded aggregate). N travels as a broadcast
+    * 1-row frame.
+    */
+  def lmScoreBigram(s: SparkSession, d: String): DataFrame =
+    lmScoreBigramOn(Tables.documents(s, d))
+
+  def lmScoreBigramOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("ws"))
+    val bi = base
+      .select(col("doc_id"), explode(bigramsFromTokens(col("ws"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val uni = base.select(explode(col("ws")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = uni.agg(sum("cu").cast("double").as("n"))
+    val ub = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = bi.groupBy("w1").agg(count(lit(1)).as("cc"))
+    bi
+      .join(ub, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(uni.withColumnRenamed("tok", "w2"), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r4(avg(-log(lit(LmLam) * col("cb").cast("double") / col("cc")
+          + lit(LmOneMinusLam) * col("cu").cast("double") / col("n"))))
+          .as("avg_nll2"))
+  }
+
   // 20-token windows — the span length of Lee et al.'s exact-substring
   // dedup (50 BPE tokens ≈ 20-25 words; 20 keeps short docs in play).
   private val SpanLen = 20
@@ -330,6 +388,7 @@ object Corpus {
     "quality_repetition" -> qualityRepetition,
     "snapshot_diff" -> snapshotDiff,
     "lm_score" -> lmScore,
+    "lm_score_bigram" -> lmScoreBigram,
     "dedup_spans" -> dedupSpans,
     "drift_psi" -> driftPsi,
     "source_mix" -> sourceMix,
@@ -417,6 +476,27 @@ object Corpus {
          |  floor(avg(-ln(CAST(cnt AS DOUBLE) / total)) * 10000 + 0.5) / 10000.0 AS avg_nll
          |FROM t JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id""".stripMargin,
+    "lm_score_bigram" ->
+      s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents),
+         |u AS (SELECT unnest(ws) AS tok FROM t),
+         |uc AS (SELECT tok, count(*) AS cu FROM u GROUP BY 1),
+         |nn AS (SELECT CAST(sum(cu) AS DOUBLE) AS n FROM uc),
+         |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |       FROM (SELECT doc_id, ws,
+         |               unnest(generate_series(1, len(ws) - 1)) AS i
+         |             FROM t WHERE len(ws) >= 2)),
+         |ub AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         |ctx AS (SELECT w1, count(*) AS cc FROM bi GROUP BY 1)
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         |  floor(avg(-ln($LmLam * CAST(cb AS DOUBLE) / cc
+         |                + $LmOneMinusLam * CAST(cu AS DOUBLE) / nn.n))
+         |        * 10000 + 0.5) / 10000.0 AS avg_nll2
+         |FROM bi b
+         |JOIN ub USING (w1, w2)
+         |JOIN ctx USING (w1)
+         |JOIN uc ON uc.tok = b.w2
+         |CROSS JOIN nn
+         |GROUP BY b.doc_id""".stripMargin,
     "dedup_spans" ->
       s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS w FROM documents),
          |sp AS (SELECT doc_id,

@@ -90,4 +90,41 @@ class CorpusSpec extends SparkSuite {
     assert(psi("c") > 1.0, s"shifted psi=${psi("c")}")
     assert(psi("c") > psi("a"), s"shifted ${psi("c")} vs in-dist ${psi("a")}")
   }
+
+  test("lm_score_bigram ≡ sequential reference; sees word order unigram NLL cannot") {
+    // planted: same unigram profile, different bigram orderliness
+    val docs = Seq(
+      (1L, "x y x y x y x y x y"),   // perfectly predictable bigrams
+      (2L, "x x y y x y y x x y"),   // same tokens, scrambled order
+      (3L, "a b c d e f g h i j")    // all-distinct token salad
+    ).toDF("doc_id", "text")
+    val got = Corpus.lmScoreBigramOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // sequential reference with the identical formula + rounding
+    val tokss = Map(
+      1L -> "x y x y x y x y x y".split(" ").toSeq,
+      2L -> "x x y y x y y x x y".split(" ").toSeq,
+      3L -> "a b c d e f g h i j".split(" ").toSeq)
+    val uni = tokss.values.flatten.groupBy(identity).map { case (t, v) => t -> v.size }
+    val n = uni.values.sum.toDouble
+    val allBi = tokss.values.flatMap(ws => ws.zip(ws.tail)).toSeq
+    val cb = allBi.groupBy(identity).map { case (b, v) => b -> v.size }
+    val cc = allBi.groupBy(_._1).map { case (w, v) => w -> v.size }
+    val ref = tokss.map { case (id, ws) =>
+      val bis = ws.zip(ws.tail)
+      val nll = bis.map { case (w1, w2) =>
+        -math.log(Corpus.LmLam * cb((w1, w2)).toDouble / cc(w1)
+          + Corpus.LmOneMinusLam * uni(w2).toDouble / n)
+      }.sum / bis.size
+      id -> (bis.size.toLong, math.floor(nll * 10000 + 0.5) / 10000.0)
+    }
+    assert(got === ref)
+    // order sensitivity: predictable < scrambled (same unigram counts —
+    // unigram NLL cannot separate these two docs, bigram NLL must)
+    assert(got(1L)._2 < got(2L)._2)
+    // (note: all-distinct doc 3 scores LOW here — singleton contexts
+    // have cb/cc = 1, the known corpus-as-its-own-LM artifact; a held-
+    // out LM would penalize it. The reference equality above covers it.)
+    assert(got(3L)._1 === 9L)
+  }
 }
