@@ -211,6 +211,44 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Multi-probe LSH (Lv et al., VLDB'07): each query probes its exact
+    * bucket PLUS the [[PlanesPerTable]] Hamming-1 sig flips per table —
+    * the recall of many more tables at the memory cost of 4 (the
+    * corpus is hashed and stored ONCE; only the tiny query side fans
+    * out ×9). A Hamming-1 flip is exactly "one hyperplane voted
+    * wrong", the dominant near-miss mode for near-threshold
+    * neighbors. Candidate volume grows by the probe count bound, not
+    * corpus size; everything else (bucket equi-join, exact verify,
+    * top-5) is [[annLsh]] verbatim — and the whole probe expansion is
+    * literal integer XOR, so the oracle extends the ann_lsh SQL with
+    * one unnest of the 9 masks.
+    */
+  def annLshMultiprobe(s: SparkSession, d: String): DataFrame = {
+    registerSigFunctions(s)
+    val all = vecs(s, d)
+    val buckets = all.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(call_function("hyperplane_sigs_ann", col("v"))))
+      .toDF("vec_id", "v", "nrm", "table_id", "sig")
+    val masks = 0 +: (0 until PlanesPerTable).map(1 << _)
+    val probes = buckets.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("table_id"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"))
+    val cand = buckets.as("c")
+      .join(broadcast(probes).as("qq"),
+        col("c.table_id") === col("qq.table_id") && col("c.sig") === col("qq.sig") &&
+          col("c.vec_id") =!= col("qq.query_id"))
+      .select(col("qq.query_id"), col("c.vec_id").as("neighbor_id"),
+        col("c.v").as("v"), col("c.nrm").as("nrm"), col("qq.qv"), col("qq.qn"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Embedding-space decontamination: flag corpus vectors semantically
     * too close to any held-out eval vector — the semantic complement
     * of the n-gram `decontaminate` (paraphrased eval leakage has no
@@ -605,6 +643,7 @@ object Similarity {
     "mmr_rerank" -> mmrRerank,
     "decontaminate_embedding" -> decontaminateEmbedding,
     "ann_lsh" -> annLsh,
+    "ann_lsh_multiprobe" -> annLshMultiprobe,
     "ann_ivf" -> annIvf,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
@@ -815,6 +854,39 @@ object Similarity {
         |    round(cos, 6) AS cos_sim
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+    "ann_lsh_multiprobe" -> {
+      val maskList = (0 +: (0 until PlanesPerTable).map(1 << _)).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+        |           FROM embeddings),
+        |planes AS (SELECT ts.t AS t, ps.p AS p,
+        |             list_transform(generate_series(0, 63),
+        |               j -> sin(CAST((${AnnSeedBase} + ts.t * ${PlanesPerTable} + ps.p) * 64 + j + 1 AS DOUBLE))) AS pl
+        |           FROM generate_series(0, ${NumTables - 1}) ts(t), generate_series(0, ${PlanesPerTable - 1}) ps(p)),
+        |sigs AS (SELECT e.vec_id, planes.t AS table_id,
+        |           CAST(sum(CASE WHEN list_dot_product(e.v, planes.pl) > 0
+        |                    THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS sig
+        |         FROM e CROSS JOIN planes GROUP BY e.vec_id, planes.t),
+        |qpr AS (SELECT vec_id, table_id, xor(sig, CAST(m AS BIGINT)) AS sig
+        |        FROM sigs CROSS JOIN (SELECT unnest($maskList) AS m)
+        |        WHERE vec_id < 8),
+        |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |         FROM qpr q JOIN sigs c
+        |           ON c.table_id = q.table_id AND c.sig = q.sig
+        |          AND c.vec_id <> q.vec_id),
+        |scored AS (SELECT cand.query_id, cand.neighbor_id,
+        |             list_dot_product(ec.v, eq.v) / (ec.nrm * eq.nrm) AS cos
+        |           FROM cand JOIN e ec ON ec.vec_id = cand.neighbor_id
+        |                     JOIN e eq ON eq.vec_id = cand.query_id)
+        |SELECT query_id, neighbor_id, rn, cos_sim FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rn,
+        |    round(cos, 6) AS cos_sim
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin
+    },
     "ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

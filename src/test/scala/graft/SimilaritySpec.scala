@@ -30,6 +30,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall > 0.0, s"LSH recall should be positive, got $recall (hits=${hits.size})")
   }
 
+  test("multi-probe LSH: recall ≥ single-probe; probe-9 expansion, no extra tables") {
+    val exact = Similarity.annCosine(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = Similarity.annLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = Similarity.annLshMultiprobe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rSingle = single.intersect(exact).size.toDouble / exact.size
+    val rMulti = multi.intersect(exact).size.toDouble / exact.size
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti must not trail single-probe $rSingle")
+    assert(multi.nonEmpty)
+    // exact-bucket hits are a subset of the probe set by construction:
+    // every single-probe TOP-5 that multi-probe misses must have been
+    // displaced by a >= cosine candidate, never lost
+    val multiByQ = Similarity.annLshMultiprobe(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getDouble(3)).min).toMap
+    Similarity.annLsh(spark, sfDir).collect().foreach { r =>
+      val q = r.getLong(0)
+      if (!multi.contains((q, r.getLong(1))))
+        assert(multiByQ(q) >= r.getDouble(3),
+          s"query $q lost ${r.getLong(1)} to a weaker candidate")
+    }
+  }
+
   test("annIvf: 5 neighbors per query, recall ≥ 0.6 vs exact") {
     val exact = Similarity.annCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
