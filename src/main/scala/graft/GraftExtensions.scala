@@ -25,6 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: lambda-form dot products compile to the native
     // kernel (see graft.plans.DotProductRewrite for the soundness note).
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+    // Planner strategy: the whole-operator as-of join (custom
+    // LogicalPlan + SparkPlan — graft.plans.AsofJoin).
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

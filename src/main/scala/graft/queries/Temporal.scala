@@ -83,14 +83,58 @@ object Temporal {
       .distinct()
   }
 
+  /** [[joinAsof]]'s semantics through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.AsofJoinExec]] via the injected planner strategy):
+    * SMJ-shaped exchanges+sorts, then one streaming merge pass per
+    * partition with O(1) state — no union materialization, no window
+    * buffer. Identical output ⇒ the same DuckDB oracle gates the
+    * custom operator end to end.
+    */
+  def joinAsofExec(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_click"),
+        col("ts").as("cts"))
+    graft.plans.AsofJoin.asof(purchases, clicks,
+        "user_id", "c_user", "pts", "cts")
+      .select(col("purchase_id"), col("user_id"),
+        expr(s"pts DIV $NanosPerSec").as("purchase_s"),
+        col("c_click").as("click_id"),
+        expr(s"(pts - cts) DIV $NanosPerSec").as("gap_s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof,
+    "join_asof_exec" -> joinAsofExec,
     "join_range" -> joinRange)
 
   def oracleSql: Map[String, String] = Map(
     // Same union + carry-forward formulation so semantics (incl. the
     // at-equal-ts ordering) match by construction.
     "join_asof" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side
+        |            ROWS UNBOUNDED PRECEDING) AS asof_click,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side
+        |            ROWS UNBOUNDED PRECEDING) AS asof_ts
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS purchase_s,
+        |  asof_click AS click_id,
+        |  CAST(floor(epoch(ts - asof_ts)) AS BIGINT) AS gap_s
+        |FROM w WHERE side = 1""".stripMargin,
+    // the custom physical operator computes the same relation — one
+    // oracle text, two execution paths under the gate
+    "join_asof_exec" ->
       """WITH u AS (
         |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
         |  UNION ALL

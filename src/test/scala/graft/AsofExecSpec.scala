@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.AsofJoin
+import graft.queries.Temporal
+
+/** The custom as-of join physical operator: planted-shape semantics
+  * (no-match nulls, equal-ts inclusion, key isolation, candidate
+  * supersession), equality with the union+window formulation on real
+  * data, and the plan contract (AsofJoinExec node, SMJ-shaped
+  * exchanges+sorts, no Window / BNLJ / union).
+  */
+class AsofExecSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("planted shapes: latest at-or-before per key, nulls when no prior row") {
+    val trades = Seq(
+      (1L, 100L, "t1"), (1L, 200L, "t2"), (1L, 50L, "t0"),
+      (2L, 100L, "t3"), // user 2 has no quotes at all
+      (3L, 100L, "t4")  // user 3's quotes are all later
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 60L, "q60"), (1L, 100L, "q100"), (1L, 150L, "q150"),
+      (3L, 500L, "qlate")
+    ).toDF("qk", "qts", "quote")
+    val got = AsofJoin.asof(trades, quotes, "k", "qk", "ts", "qts")
+      .select("k", "ts", "trade", "quote")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 50L, "t0", null),      // before any quote
+      (1L, 100L, "t1", "q100"),   // equal ts matches (at-or-before)
+      (1L, 200L, "t2", "q150"),   // latest prior, superseding q60/q100
+      (2L, 100L, "t3", null),     // key with no right rows
+      (3L, 100L, "t4", null)))    // right rows exist but all later
+  }
+
+  test("join_asof_exec ≡ join_asof (union+window form) on sf0.001") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))
+      }.toSet
+    val window = canon(Temporal.joinAsof(spark, sfDir))
+    val exec = canon(Temporal.joinAsofExec(spark, sfDir))
+    assert(exec === window)
+    assert(exec.nonEmpty)
+  }
+
+  test("plan contract: AsofJoinExec with SMJ-shaped requirements, no Window/union/BNLJ") {
+    val df = Temporal.joinAsofExec(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing:\n$plan") // nodeName strips Exec
+    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
+    assert(!plan.contains("Union"), s"union crept back in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ:\n$plan")
+    // EnsureRequirements supplied per-side exchanges and (key, ts) sorts
+    assert(plan.split("Exchange").length - 1 >= 2, s"expected both sides shuffled:\n$plan")
+    assert(plan.split("Sort ").length - 1 >= 2, s"expected both sides sorted:\n$plan")
+  }
+}
