@@ -59,5 +59,7 @@ object SparkEntry {
     "chunk_text", "vocab_coverage", "pipeline_pretrain_minhash",
     "classifier_predict",
     "dedup_incremental_bloom", "cms_freq", "mmr_rerank", "corpus_stats",
-    "text_normalize", "hilbert_bucket", "kcore")
+    "text_normalize", "hilbert_bucket", "kcore",
+    "lm_score_bigram", "ann_lsh_multiprobe", "join_asof_exec",
+    "unigram_encode")
 }
