@@ -48,6 +48,46 @@ class AsofExecSpec extends SparkSuite {
     assert(exec.nonEmpty)
   }
 
+  test("bucketed inputs elide the exchanges: co-located as-of, same result") {
+    val trades = Seq.tabulate(100)(i => (i.toLong % 7, i.toLong * 10, s"t$i"))
+      .toDF("k", "ts", "trade")
+    val quotes = Seq.tabulate(50)(i => (i.toLong % 7, i.toLong * 21, s"q$i"))
+      .toDF("qk", "qts", "quote")
+    def write(name: String, df: org.apache.spark.sql.DataFrame,
+        key: String, ts: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val stale = new java.io.File(s"$wh/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stale)
+        }
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .bucketBy(4, key).sortBy(key, ts).saveAsTable(name)
+      }
+    write("asof_left_bkt", trades, "k", "ts")
+    write("asof_right_bkt", quotes, "qk", "qts")
+    val df = graft.plans.AsofJoin.asof(
+      spark.table("asof_left_bkt"), spark.table("asof_right_bkt"),
+      "k", "qk", "ts", "qts")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(5)) null else r.getString(5))).toSet
+    val plan = df.queryExecution.executedPlan.toString
+    val idx = plan.indexOf("AsofJoin")
+    assert(idx >= 0, plan)
+    assert(!plan.substring(idx).contains("Exchange"),
+      s"bucketed as-of must read co-located buckets, not shuffle:\n$plan")
+    // identical relation to the unbucketed path (which does shuffle)
+    val plain = graft.plans.AsofJoin.asof(trades, quotes, "k", "qk", "ts", "qts")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(5)) null else r.getString(5))).toSet
+    assert(got === plain)
+    assert(got.nonEmpty)
+  }
+
   test("plan contract: AsofJoinExec with SMJ-shaped requirements, no Window/union/BNLJ") {
     val df = Temporal.joinAsofExec(spark, sfDir)
     df.collect()
