@@ -28,13 +28,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Determinism contract: keys and timestamps are non-null primitives
   * (the row copied as the running candidate is bounded O(1) state);
-  * among equal (key, ts) right rows the LAST in sort order wins — the
-  * same tie class as the window form's last().
+  * among equal (key, ts) right rows the LAST in sort order wins for
+  * backward, the FIRST for forward — the same tie classes as the
+  * window forms' last()/first(). `forward = true` flips the direction:
+  * EARLIEST right row with rightTs >= leftTs (next-event attribution)
+  * — the same merge pass peeking the head instead of keeping a
+  * running candidate.
   */
 case class AsofJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -49,8 +54,8 @@ case class AsofJoinPlan(
   */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -58,7 +63,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -104,20 +110,40 @@ case class AsofJoinExec(
         val k = lkB.eval(lRow)
         val t = ltB.eval(lRow)
         var advance = true
-        while (advance && rBuf.hasNext) {
-          val hk = rkB.eval(rBuf.head)
-          val cmp = keyOrdering.compare(hk, k)
-          if (cmp < 0) {
-            rBuf.next() // stale key, discard
-          } else if (cmp == 0 && tsOrdering.compare(rtB.eval(rBuf.head), t) <= 0) {
-            matchRow = rBuf.next().copy() // O(1) running candidate
-            matchKey = k
-          } else advance = false
+        if (forward) {
+          // discard right rows that can match neither this left row
+          // (needs rts >= t) nor any later one (their ts only grows);
+          // the surviving head is PEEKED, never consumed - it may also
+          // be the match for the next left row.
+          while (advance && rBuf.hasNext) {
+            val hk = rkB.eval(rBuf.head)
+            val cmp = keyOrdering.compare(hk, k)
+            if (cmp < 0 ||
+                (cmp == 0 && tsOrdering.compare(rtB.eval(rBuf.head), t) < 0)) {
+              rBuf.next()
+            } else advance = false
+          }
+          val m =
+            if (rBuf.hasNext && keyOrdering.compare(rkB.eval(rBuf.head), k) == 0)
+              rBuf.head
+            else nullRight
+          project(joiner(lRow, m))
+        } else {
+          while (advance && rBuf.hasNext) {
+            val hk = rkB.eval(rBuf.head)
+            val cmp = keyOrdering.compare(hk, k)
+            if (cmp < 0) {
+              rBuf.next() // stale key, discard
+            } else if (cmp == 0 && tsOrdering.compare(rtB.eval(rBuf.head), t) <= 0) {
+              matchRow = rBuf.next().copy() // O(1) running candidate
+              matchKey = k
+            } else advance = false
+          }
+          val m =
+            if (matchRow != null && keyOrdering.compare(matchKey, k) == 0) matchRow
+            else nullRight
+          project(joiner(lRow, m))
         }
-        val m =
-          if (matchRow != null && keyOrdering.compare(matchKey, k) == 0) matchRow
-          else nullRight
-        project(joiner(lRow, m))
       }
     }
   }
@@ -132,7 +158,8 @@ object AsofJoin {
     */
   def asof(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      forward: Boolean = false): DataFrame = {
     val spark = leftDf.sparkSession
     val lPlan = GraftColumnBridge.logicalPlan(leftDf)
     val rPlan = GraftColumnBridge.logicalPlan(rightDf)
@@ -142,6 +169,6 @@ object AsofJoin {
           s"column $name not found in ${plan.output.map(_.name)}"))
     GraftColumnBridge.ofRows(spark, AsofJoinPlan(lPlan, rPlan,
       resolve(leftKey, lPlan), resolve(rightKey, rPlan),
-      resolve(leftTs, lPlan), resolve(rightTs, rPlan)))
+      resolve(leftTs, lPlan), resolve(rightTs, rPlan), forward))
   }
 }

@@ -105,9 +105,31 @@ object Temporal {
         expr(s"(pts - cts) DIV $NanosPerSec").as("gap_s"))
   }
 
+  /** FORWARD as-of through the custom operator: each click attributed
+    * to the same user's EARLIEST purchase at-or-after it (next-event
+    * conversion attribution) — the direction flip of [[joinAsofExec]],
+    * same merge pass peeking the sorted right head instead of keeping
+    * a trailing candidate.
+    */
+  def joinAsofFwd(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_purchase"),
+        col("ts").as("pts"))
+    graft.plans.AsofJoin.asof(clicks, purchases,
+        "user_id", "p_user", "cts", "pts", forward = true)
+      .select(col("click_id"), col("user_id"),
+        expr(s"cts DIV $NanosPerSec").as("click_s"),
+        col("p_purchase").as("purchase_id"),
+        expr(s"(pts - cts) DIV $NanosPerSec").as("delay_s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof,
     "join_asof_exec" -> joinAsofExec,
+    "join_asof_fwd" -> joinAsofFwd,
     "join_range" -> joinRange)
 
   def oracleSql: Map[String, String] = Map(
@@ -152,6 +174,28 @@ object Temporal {
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS purchase_s,
         |  asof_click AS click_id,
         |  CAST(floor(epoch(ts - asof_ts)) AS BIGINT) AS gap_s
+        |FROM w WHERE side = 1""".stripMargin,
+    // forward direction: walk the timeline DESC carrying the last-seen
+    // purchase — in descending order that is the EARLIEST purchase at
+    // or after each click (equal ts: purchase first via side asc).
+    "join_asof_fwd" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, side
+        |            ROWS UNBOUNDED PRECEDING) AS next_purchase,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, side
+        |            ROWS UNBOUNDED PRECEDING) AS next_ts
+        |  FROM u)
+        |SELECT event_id AS click_id, user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS click_s,
+        |  next_purchase AS purchase_id,
+        |  CAST(floor(epoch(next_ts - ts)) AS BIGINT) AS delay_s
         |FROM w WHERE side = 1""".stripMargin,
     "join_range" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

@@ -48,6 +48,27 @@ class AsofExecSpec extends SparkSuite {
     assert(exec.nonEmpty)
   }
 
+  test("forward direction: earliest at-or-after per key; nulls when none follows") {
+    val trades = Seq(
+      (1L, 50L, "t0"), (1L, 100L, "t1"), (1L, 200L, "t2"),
+      (2L, 100L, "t3"), (3L, 100L, "t4")
+    ).toDF("k", "ts", "trade")
+    val quotes = Seq(
+      (1L, 60L, "q60"), (1L, 100L, "q100"), (1L, 150L, "q150"),
+      (3L, 500L, "qlate")
+    ).toDF("qk", "qts", "quote")
+    val got = AsofJoin.asof(trades, quotes, "k", "qk", "ts", "qts", forward = true)
+      .select("k", "ts", "trade", "quote")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(got === Set(
+      (1L, 50L, "t0", "q60"),     // earliest at-or-after
+      (1L, 100L, "t1", "q100"),   // equal ts matches
+      (1L, 200L, "t2", null),     // nothing follows for this key
+      (2L, 100L, "t3", null),     // key with no right rows
+      (3L, 100L, "t4", "qlate")))
+  }
+
   test("bucketed inputs elide the exchanges: co-located as-of, same result") {
     val trades = Seq.tabulate(100)(i => (i.toLong % 7, i.toLong * 10, s"t$i"))
       .toDF("k", "ts", "trade")
