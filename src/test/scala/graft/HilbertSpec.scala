@@ -30,6 +30,17 @@ class HilbertSpec extends SparkSuite {
     }
   }
 
+  test("full-width 16-bit round-trip on random points; index stays in [0, 2^32)") {
+    val rnd = new scala.util.Random(20260813)
+    (1 to 5000).foreach { _ =>
+      val x = rnd.nextInt(1 << 16).toLong
+      val y = rnd.nextInt(1 << 16).toLong
+      val d = HilbertValue.xy2d(16, x, y)
+      assert(d >= 0L && d < (1L << 32), s"($x,$y) -> $d out of range")
+      assert(HilbertValue.d2xy(16, d) === ((x, y)), s"round-trip failed at ($x,$y)")
+    }
+  }
+
   test("hilbert_value expression under codegen ≡ kernel; null propagates; masks high bits") {
     import spark.implicits._
     HilbertValue.register(spark)
