@@ -39,7 +39,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("minhash_buckets"),
       new ExpressionInfo(classOf[MinHashBuckets].getName, "minhash_buckets"),
-      exprs => MinHashBuckets(exprs.head, 48, 8)))
+      exprs => MinHashBuckets(exprs.head,
+        graft.queries.Dedup.NumHashes, graft.queries.Dedup.Bands)))
     // the two hyperplane-LSH families (params mirror queries/Similarity:
     // ANN = 4 tables × 8 bits from seed 0; dedup = 6 × 12 from seed 1000)
     ext.injectFunction((

@@ -1,25 +1,31 @@
 package graft.functions
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 
 /** Native Catalyst expression computing MinHash band buckets for a
   * shingle set in one compiled pass: array<string> → array<long> of
   * `bands` LSH bucket keys.
   *
   * Semantics: numHashes universal hashes h_j(x) = ((2j+1)·m(x) + b_j)
-  * mod P over murmur3 shingle hashes m; bucket b = polynomial mix of
-  * that band's signature rows. Identical to the declarative
-  * zip_with/aggregate formulation in graft.queries.Dedup (spec-checked
-  * against it), but ~50× faster: higher-order functions evaluate
-  * interpreted with per-element array allocation, while this loop is
-  * plain JVM code over primitive arrays — at 100 TB the signature pass
-  * dominates near-dedup, so it must run at memory bandwidth, not at
-  * expression-interpreter speed.
+  * mod P over md5-derived shingle hashes m(x) = (first 48 bits of
+  * md5(x)) mod P; bucket for band b = the polynomial fold
+  * acc := (acc·31 + sig) mod P over that band's signature rows,
+  * seeded with b+1. Every step is plain integer arithmetic on values
+  * < 2^36, so the WHOLE pipeline — shingle hash included — reproduces
+  * verbatim in DuckDB SQL (`('0x' || substr(md5(x),1,12))::UBIGINT`),
+  * which is what puts the MinHash operator family under the driver's
+  * independent-oracle gate rather than spec-only evidence. md5 costs
+  * ~3× murmur3 per shingle but the signature pass stays memory-bound;
+  * the loop below is plain JVM code over primitive arrays, ~50× the
+  * interpreted higher-order-function formulation — at 100 TB the
+  * signature pass dominates near-dedup, so it must run at memory
+  * bandwidth, not at expression-interpreter speed.
   */
 case class MinHashBuckets(
     child: Expression,
@@ -35,17 +41,24 @@ case class MinHashBuckets(
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val md = MinHashBuckets.digest.get()
     val n = arr.numElements()
     val mins = Array.fill(numHashes)(P)
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      val m = (Murmur3_x86_32.hashUnsafeBytes(
-        s.getBaseObject, s.getBaseOffset, s.numBytes, 42) & 0x7FFFFFFF).toLong
+      md.reset()
+      val d = md.digest(s.getBytes)
+      // first 6 md5 bytes big-endian = hex chars 1..12 — the exact
+      // value ('0x' || substr(md5(x),1,12))::UBIGINT parses in DuckDB
+      var v = 0L
+      var b = 0
+      while (b < 6) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+      val m = v % P
       var j = 0
       while (j < numHashes) {
-        val v = ((2L * j + 1) * m + addends(j)) % P
-        if (v < mins(j)) mins(j) = v
+        val h = ((2L * j + 1) * m + addends(j)) % P
+        if (h < mins(j)) mins(j) = h
         j += 1
       }
       i += 1
@@ -53,10 +66,10 @@ case class MinHashBuckets(
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var acc = 1125899906842597L
+      var acc = b + 1L
       var k = 0
-      while (k < rowsPerBand) { acc = acc * 31 + mins(b * rowsPerBand + k); k += 1 }
-      out(b) = acc ^ b
+      while (k < rowsPerBand) { acc = (acc * 31 + mins(b * rowsPerBand + k)) % P; k += 1 }
+      out(b) = acc
       b += 1
     }
     new GenericArrayData(out)
@@ -69,11 +82,20 @@ case class MinHashBuckets(
 }
 
 object MinHashBuckets {
+  /** MessageDigest is stateful and not thread-safe; one per executor
+    * thread (expression instances can be shared across local-mode
+    * tasks).
+    */
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** Registers `minhash_buckets(arr)` for use via expr()/SQL (Spark 4
     * removed the public Column-from-Expression constructor; the
     * function registry is the supported route).
     */
-  def register(spark: SparkSession, numHashes: Int = 48, bands: Int = 8): Unit =
+  def register(spark: SparkSession,
+      numHashes: Int = graft.queries.Dedup.NumHashes,
+      bands: Int = graft.queries.Dedup.Bands): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_buckets",
       exprs => MinHashBuckets(exprs.head, numHashes, bands),

@@ -193,7 +193,8 @@ object Cluster {
     * (identical docs ⇒ identical signatures ⇒ same band buckets);
     * borderline pairs follow the LSH S-curve, so the cluster set is
     * spec-checked against the ngram-edged ground truth (ClusterSpec)
-    * rather than SQL-oracled. Rows-only for the driver.
+    * AND SQL-oracled outright — the md5/mod-P signature chain
+    * reproduces bit-for-bit in DuckDB (Dedup.minhashBucketsSql).
     */
   def dedupClusterMinhash(s: SparkSession, d: String): DataFrame =
     clustersOf(Dedup.minhashScored(Tables.documents(s, d))
@@ -230,8 +231,9 @@ object Cluster {
     * MinHash+LSH candidate edges (cost ∝ corpus + true near-dups,
     * never n²) → linear-round connected components → one-join keep.
     * Keep-set equality with the ngram-edged form is spec-checked
-    * (ClusterSpec) on sf0.001 and planted corpora; rows-only for the
-    * driver (murmur3-specific signatures aren't SQL-expressible).
+    * (ClusterSpec) on sf0.001 and planted corpora, AND the operator
+    * sits under its own DuckDB hash gate (the md5/mod-P signature
+    * chain reproduces in SQL — see Dedup.minhashBucketsSql).
     */
   def dedupKeepMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -297,8 +299,8 @@ object Cluster {
     * MinHash+LSH verified edges — linear candidate generation, same
     * exact-verified Jaccard weights, so where LSH recall is complete
     * the keep set is identical to the ngram-edged form (spec-checked
-    * on sf0.001 and planted corpora). Rows-only for the driver
-    * (murmur3 signatures aren't SQL-expressible).
+    * on sf0.001 and planted corpora); also under its own DuckDB hash
+    * gate via the md5/mod-P signature chain.
     */
   def dedupKeepCentralMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
@@ -365,9 +367,9 @@ object Cluster {
 
   /** Registered PageRank: centrality over the symmetrized near-dup
     * graph (ngram edges >= 0.6), ranks rounded to 6 decimals so float
-    * reassociation across runs cannot wobble the output. Rows-only for
-    * the driver (an iterative fixpoint isn't one SQL statement DuckDB
-    * evaluates the same way); PagerankSpec asserts equality with a
+    * reassociation across runs cannot wobble the output. Under the
+    * DuckDB gate (10 damped rounds unrolled as chained CTEs in the
+    * oracle); PagerankSpec additionally asserts equality with a
     * local power iteration, dangling handling, and mass conservation.
     */
   def pagerank(s: SparkSession, d: String): DataFrame = {
@@ -565,7 +567,90 @@ object Cluster {
     "split_leakfree" -> splitLeakfree,
     "pagerank" -> pagerank)
 
-  def oracleSql: Map[String, String] = Map(
+  // ---- Shared suffixes for the MinHash-twin oracles -----------------
+  // The md5/mod-P signature chain (Dedup.minhashEdgesSql) reproduces
+  // minhashScored bit-for-bit in DuckDB, so each twin's oracle is the
+  // SAME graph suffix as its ngram sibling, composed by concatenation
+  // (the ngram originals keep their standalone literals below).
+  private val ccSymSql =
+    """e AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+      |      UNION ALL
+      |      SELECT doc_b AS src, doc_a AS dst FROM scored),
+      |cc AS (
+      |  SELECT DISTINCT src AS node, src AS label FROM e
+      |  UNION
+      |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
+      |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+      |sz AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)""".stripMargin
+
+  private def minhashOracles: Map[String, String] = {
+    val edges06 = Dedup.minhashEdgesSql(Some(0.6))
+    val kcoreRoundsSql = (1 to KcoreRounds).map { i =>
+      s"""k$i AS (SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $KcoreK),
+         |e$i AS MATERIALIZED (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  JOIN k$i a ON a.src = e.src
+         |  JOIN k$i b ON b.src = e.dst)""".stripMargin
+    }.mkString(",\n")
+    Map(
+      "dedup_cluster_minhash" ->
+        ("WITH RECURSIVE " + edges06 + ",\n" + ccSymSql + "\n" +
+          """SELECT node AS doc_id, cluster_id, n_docs
+            |FROM lab JOIN sz USING (cluster_id)""".stripMargin),
+      "dedup_keep_minhash" ->
+        ("WITH RECURSIVE " + edges06 + ",\n" + ccSymSql + "\n" +
+          """SELECT d.doc_id, coalesce(sz.n_docs, 1) AS cluster_size
+            |FROM documents d
+            |LEFT JOIN lab ON lab.node = d.doc_id
+            |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+            |WHERE lab.node IS NULL OR lab.node = lab.cluster_id""".stripMargin),
+      "dedup_keep_central_minhash" ->
+        ("WITH RECURSIVE " + edges06 + ",\n" + ccSymSql + ",\n" +
+          """str AS (
+            |  SELECT node, sum(jac) AS strength FROM (
+            |    SELECT doc_a AS node, jac FROM scored
+            |    UNION ALL
+            |    SELECT doc_b AS node, jac FROM scored)
+            |  GROUP BY node),
+            |rk AS (
+            |  SELECT lab.node, lab.cluster_id,
+            |    row_number() OVER (PARTITION BY lab.cluster_id
+            |      ORDER BY round(str.strength, 6) DESC, lab.node ASC) AS r
+            |  FROM lab JOIN str ON str.node = lab.node),
+            |surv AS (SELECT cluster_id, node AS survivor FROM rk WHERE r = 1)
+            |SELECT d.doc_id, coalesce(sz.n_docs, 1) AS cluster_size
+            |FROM documents d
+            |LEFT JOIN lab ON lab.node = d.doc_id
+            |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+            |LEFT JOIN surv ON surv.cluster_id = lab.cluster_id
+            |WHERE lab.node IS NULL OR d.doc_id = surv.survivor""".stripMargin),
+      "kcore_minhash" ->
+        ("WITH " + edges06 + ",\n" +
+          """e0 AS MATERIALIZED (
+            |  SELECT doc_a AS src, doc_b AS dst FROM scored
+            |  UNION ALL SELECT doc_b, doc_a FROM scored),
+            |""".stripMargin + kcoreRoundsSql + "\n" +
+          s"""SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
+             |FROM e$KcoreRounds GROUP BY src""".stripMargin),
+      "triangle_count_minhash" ->
+        ("WITH " + edges06 + ",\n" +
+          """deg AS (SELECT n, count(*) AS d FROM (
+            |          SELECT doc_a AS n FROM scored
+            |          UNION ALL SELECT doc_b FROM scored) GROUP BY n),
+            |tri AS (SELECT count(*) AS n_triangles
+            |        FROM scored e1
+            |        JOIN scored e2 ON e1.doc_b = e2.doc_a
+            |        JOIN scored e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+            |st AS (SELECT count(*) AS n_edges FROM scored),
+            |wt AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+            |SELECT n_edges, n_wedges, n_triangles,
+            |  round(CASE WHEN n_wedges > 0
+            |             THEN n_triangles * 3.0 / n_wedges ELSE 0.0 END, 6)
+            |    AS clustering_coeff
+            |FROM st CROSS JOIN wt CROSS JOIN tri""".stripMargin))
+  }
+
+  def oracleSql: Map[String, String] = minhashOracles ++ Map(
     "kcore" -> {
       // Fixed 8 peel rounds unrolled over the same near-dup edge CTEs
       // the pagerank/triangle oracles build. Pure integer arithmetic —

@@ -138,38 +138,52 @@ object Dedup {
   val HotShingleCap = 128
 
   // MinHash parameters: 48 universal hashes h_i(x) = (a_i x + b_i) mod P
-  // over murmur3 shingle hashes, banded 8 × r6. P = 2^31-1 (prime);
-  // a_i odd so the family is well-spread. Deterministic → stable results.
+  // over md5-derived shingle hashes (first 48 md5 bits mod P — the one
+  // hash family both Spark and DuckDB compute bit-identically, which is
+  // what puts this operator family under the driver oracle), banded
+  // 16 × r3. The S-curve midpoint (1/b)^(1/r) = 16^-(1/3) ≈ 0.40 sits
+  // well under the 0.6 jac threshold every consumer applies, so true
+  // near-dups are found with near-certainty (a 0.68-jac pair misses
+  // with p ≈ (1-0.68³)¹⁶ ≈ 0.002; the old 8×6 layout put the midpoint
+  // at 0.71 and missed ~29% of such pairs) while distant pairs rarely
+  // surface — and every candidate is exact-Jaccard-verified anyway, so
+  // extra candidates cost time, never correctness. P = 2^31-1 (prime);
+  // a_i odd so the family is well-spread. Deterministic → stable.
   private val P = 2147483647L
-  private val NumHashes = 48
-  private val Bands = 8
-  private val RowsPerBand = 6
+  private[graft] val NumHashes = 48
+  private[graft] val Bands = 16
+  private[graft] val RowsPerBand = 3
   private val hashA = array(Array.tabulate(NumHashes)(i => lit(2L * i + 1)).toIndexedSeq: _*)
   private val hashB = array(Array.tabulate(NumHashes)(i => lit((2654435761L * (i + 1)) % P)).toIndexedSeq: _*)
 
-  /** 8 band-bucket keys per doc in ONE pass over the shingle set:
+  /** Bands band-bucket keys per doc in ONE pass over the shingle set:
     * aggregate(shingle-hashes, [P]*48, running zip_with min, finish =
-    * hash each 6-row band slice). The merge and finish lambdas only
-    * touch bound lambda variables — nothing is re-evaluated per
-    * iteration (the trap that made the first cut O(48x) slower).
+    * per band the polynomial fold acc := (acc·31 + sig) mod P seeded
+    * with band+1 — all arithmetic < 2^36, so DuckDB reproduces it with
+    * plain BIGINT ops. The merge and finish lambdas only touch bound
+    * lambda variables — nothing is re-evaluated per iteration (the
+    * trap that made the first cut O(48x) slower).
     */
   def minhashBuckets(sh: Column): Column = {
-    val hs = transform(sh, x => hash(x).cast("long").bitwiseAND(lit(0x7FFFFFFFL)))
+    val hs = transform(sh,
+      x => conv(substring(md5(x), 1, 12), 16, 10).cast("long") % P)
     aggregate(hs,
       array_repeat(lit(P), NumHashes),
       (acc, h) => zip_with(acc,
         zip_with(hashA, hashB, (a, b) => (a * h + b) % P),
         (x, y) => least(x, y)),
       acc => transform(sequence(lit(0), lit(Bands - 1)),
-        b => hash(slice(acc, b * RowsPerBand + 1, lit(RowsPerBand)), b)))
+        b => aggregate(slice(acc, b * RowsPerBand + 1, lit(RowsPerBand)),
+          b.cast("long") + 1, (a, x) => (a * 31 + x) % P)))
   }
 
   /** MinHash + LSH banding near-dedup — the scale path: per doc compute
-    * a 48-int signature (one pass over shingles), hash 8 bands of 6
+    * a 48-int signature (one pass over shingles), hash 16 bands of 3
     * rows into bucket keys, shuffle on (band, bucket); only docs
     * sharing a band bucket are paired, then verified with exact Jaccard
     * on their shingle sets. Cost ∝ docs + true-candidate pairs — never
-    * n². Not DuckDB-oracle-able (murmur3-specific); spec'd by
+    * n². Under the DuckDB hash gate (the md5/mod-P signature chain
+    * reproduces in SQL — see [[minhashBucketsSql]]) AND spec'd by
     * DedupSpec against [[dedupNgram]] ground truth.
     */
   def dedupMinhash(s: SparkSession, d: String): DataFrame = {
@@ -208,7 +222,7 @@ object Dedup {
     // push `isnotnull(bks) AND size(bks)>0` through the projection into
     // the scan, re-evaluating the whole signature chain 3× per row; the
     // outer variant skips those inferred filters and is identical here
-    // (bks is always a non-null 8-element array for non-empty sh).
+    // (bks is always a non-null Bands-element array for non-empty sh).
     val bands = docs
       .select(col("doc_id"), col("sh"), expr("minhash_buckets(sh)").as("bks"))
       .select(col("doc_id"), posexplode_outer(col("bks")))
@@ -540,17 +554,23 @@ object Dedup {
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
   }
 
-  /** 64-bit SimHash per document: per word, xxhash64; per bit, sum ±1
-    * weighted by occurrences; simhash bit i = sign of sum. Emitted as
-    * the signed long plus candidate pairs within Hamming ≤ 12, found by
-    * 4×16-bit chunk collision (pigeonhole: Hamming ≤ 3 guarantees a
-    * chunk match; larger radii are best-effort). Word-frequency-driven,
-    * so near-identical docs collide. Not oracle-able (xxhash64).
+  /** 63-bit SimHash per document: per word, an md5-derived hash
+    * (hi = first-32-md5-bits mod 2^31, lo = next 32 bits,
+    * h = hi·2^32 + lo — always positive, so BOTH engines stay inside
+    * signed-BIGINT arithmetic and the operator sits under the DuckDB
+    * oracle); per bit, sum ±1 weighted by occurrences; simhash bit
+    * i = sign of sum. Emitted as the non-negative long plus candidate
+    * pairs within Hamming ≤ 12, found by 4×16-bit chunk collision
+    * (pigeonhole: Hamming ≤ 3 guarantees a chunk match; larger radii
+    * are best-effort). Word-frequency-driven, so near-identical docs
+    * collide.
     */
   def simhashSql(textCol: String): String = {
-    val hs = s"transform(filter(split($textCol, '[^\\\\p{L}]+'), w -> length(w) > 0), w -> xxhash64(w))"
+    val hs = s"transform(filter(split($textCol, '[^\\\\p{L}]+'), w -> length(w) > 0)," +
+      " w -> CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT) % 2147483648L" +
+      " * 4294967296L + CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT))"
     s"""aggregate($hs,
-       |  array_repeat(CAST(0 AS BIGINT), 64),
+       |  array_repeat(CAST(0 AS BIGINT), 63),
        |  (acc, h) -> transform(acc, (a, i) -> a + IF((h >> i) & 1 = 1, 1L, -1L)),
        |  acc -> aggregate(transform(acc, (a, i) -> IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), 0L)),
        |                   CAST(0 AS BIGINT), (s, x) -> s + x))""".stripMargin
@@ -560,7 +580,7 @@ object Dedup {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), expr(simhashSql("text")).as("simhash"))
     // posexplode_outer: keeps InferFiltersFromGenerate from substituting
-    // the 64-bit simhash aggregate into a pushed-down scan filter (the
+    // the 63-bit simhash aggregate into a pushed-down scan filter (the
     // chunk array is built from literals and simhash — never null/empty).
     val chunks = docs.select(col("doc_id"), col("simhash"),
       posexplode_outer(array((0 until 4).map(c =>
@@ -607,11 +627,157 @@ object Dedup {
     "join_similarity" -> dedupSimilarityJoin,
     "decontaminate" -> decontaminate)
 
+  // ---- DuckDB oracle fragments for the MinHash family ---------------
+  // The whole signature pipeline is md5-derived + mod-P integer
+  // arithmetic (see minhashBuckets), so DuckDB reproduces every bucket
+  // bit-for-bit and the entire family sits under the driver's hash
+  // gate. These fragments are COMPOSED by string concatenation (never
+  // nested stripMargin — an embedded line starting with '|' would be
+  // eaten by an outer stripMargin).
+
+  /** `sh(doc_id, shingles)` CTE text over a doc-shaped relation —
+    * the same 3-gram letters-only distinct shingle definition every
+    * dedup oracle inlines.
+    */
+  private[queries] def shSqlOver(src: String): String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+       |      generate_series(1, len(w) - 2),
+       |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+       |    ELSE [] END AS shingles
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0) AS w
+       |        FROM $src))""".stripMargin
+
+  /** CTE chain `shm, mh, sig, bkt` — md5 shingle hashes → NumHashes-row
+    * minimum signature → Bands polynomial band buckets per doc,
+    * assuming a `sh(doc_id, shingles)` CTE is in scope. Constants
+    * mirror [[minhashBuckets]] exactly: m = first-48-md5-bits mod P,
+    * h_j = ((2j+1)m + (2654435761(j+1) mod P)) mod P, bucket_b =
+    * ((b+1)·31^r + Σ_k sig_{rb+k}·31^(r-1-k)) mod P (the closed form
+    * of the seeded ·31 fold; DuckDB sums in HUGEINT so nothing wraps).
+    */
+  private[queries] def minhashBucketsSql: String = {
+    def pow31(e: Int): Long = Seq.fill(e)(31L).product
+    val powCase = (0 until RowsPerBand - 1)
+      .map(k => s"WHEN $k THEN ${pow31(RowsPerBand - 1 - k)}")
+      .mkString(" ")
+    s"""shm AS MATERIALIZED (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+       |mh AS (SELECT doc_id,
+       |         CAST(('0x' || substr(md5(sg), 1, 12))::UBIGINT % 2147483647 AS BIGINT) AS m
+       |       FROM (SELECT doc_id, unnest(shingles) AS sg FROM shm)),
+       |sig AS (SELECT doc_id, js.j,
+       |          min(((2 * js.j + 1) * m + (2654435761 * (js.j + 1)) % 2147483647)
+       |              % 2147483647) AS mn
+       |        FROM mh CROSS JOIN (SELECT unnest(generate_series(0, ${NumHashes - 1})) AS j) js
+       |        GROUP BY doc_id, js.j),
+       |bkt AS MATERIALIZED (
+       |  SELECT doc_id, band,
+       |    CAST(((band + 1) * ${pow31(RowsPerBand)} +
+       |          sum(mn * (CASE j % $RowsPerBand $powCase
+       |                    ELSE 1 END))) % 2147483647 AS BIGINT) AS bucket
+       |  FROM (SELECT doc_id, j // $RowsPerBand AS band, j, mn FROM sig)
+       |  GROUP BY doc_id, band)""".stripMargin
+  }
+
+  /** CTE chain `mcand, scored(doc_a, doc_b, jac)` — in-bucket candidate
+    * pairs verified with exact Jaccard, reproducing [[minhashScored]];
+    * assumes `shm` and `bkt` in scope. `threshold` appends the jac
+    * gate the cluster-family consumers apply.
+    */
+  private[queries] def minhashScoredSql(threshold: Option[Double] = None): String = {
+    val thr = threshold.map(t => s"\n  WHERE jac >= $t").getOrElse("")
+    s"""mcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM bkt x JOIN bkt y
+       |            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+       |scored AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+       |      / (len(a.shingles) + len(b.shingles)
+       |         - len(list_intersect(a.shingles, b.shingles))) AS jac
+       |  FROM mcand
+       |  JOIN shm a ON a.doc_id = doc_a
+       |  JOIN shm b ON b.doc_id = doc_b$thr)""".stripMargin
+  }
+
+  /** Full edge-producer prefix `sh … scored` over `documents` — the
+    * composable head of every minhash-family oracle (cluster, keep,
+    * kcore, triangle twins append their own suffixes).
+    */
+  private[queries] def minhashEdgesSql(threshold: Option[Double]): String =
+    shSqlOver("documents") + ",\n" + minhashBucketsSql + ",\n" +
+      minhashScoredSql(threshold)
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash" ->
+      ("WITH " + minhashEdgesSql(None) + "\n" +
+        """SELECT doc_a, doc_b, round(jac, 4) AS jac FROM scored
+          |ORDER BY jac DESC, doc_a, doc_b LIMIT 50""".stripMargin),
+    "dedup_incremental_minhash" ->
+      ("WITH " + shSqlOver("documents") + ",\n" + minhashBucketsSql + ",\n" +
+        """exact_new AS (
+          |  SELECT b.doc_id, sha256(b.text) AS text_hash
+          |  FROM documents b
+          |  WHERE b.doc_id % 5 = 0
+          |    AND NOT EXISTS (SELECT 1 FROM documents c
+          |                    WHERE c.doc_id % 5 <> 0
+          |                      AND sha256(c.text) = sha256(b.text))),
+          |bb AS (SELECT bkt.doc_id, band, bucket
+          |       FROM bkt JOIN exact_new USING (doc_id)),
+          |cb AS (SELECT doc_id, band, bucket FROM bkt WHERE doc_id % 5 <> 0),
+          |xc AS (SELECT DISTINCT bb.doc_id, cb.doc_id AS dup_of
+          |       FROM bb JOIN cb ON bb.band = cb.band AND bb.bucket = cb.bucket),
+          |near AS (
+          |  SELECT DISTINCT xc.doc_id
+          |  FROM xc
+          |  JOIN shm a ON a.doc_id = xc.doc_id
+          |  JOIN shm b ON b.doc_id = xc.dup_of
+          |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          |        / (len(a.shingles) + len(b.shingles)
+          |           - len(list_intersect(a.shingles, b.shingles))) >= 0.6)
+          |SELECT doc_id, text_hash FROM exact_new
+          |WHERE doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin),
     "dedup_exact" ->
       """SELECT sha256(text) AS text_hash, count(*) AS n_copies,
         |  min(doc_id) AS keeper
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    // 63-bit md5-derived simhash (see simhashSql): per-word
+    // h = (first32 mod 2^31)·2^32 + next32, ±1 per bit, sign →
+    // simhash; candidates via 4×16-bit chunk collision. Docs with no
+    // words get simhash 0 (the Spark aggregate over an empty array),
+    // hence the LEFT JOIN re-attach.
+    "dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+        |                       x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |wh AS (SELECT doc_id,
+        |         CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT % 2147483648 AS BIGINT)
+        |           * 4294967296
+        |         + CAST(('0x' || substr(md5(w), 9, 8))::UBIGINT AS BIGINT) AS h
+        |       FROM words),
+        |bits AS (SELECT doc_id, i.i,
+        |           sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i) i
+        |         GROUP BY doc_id, i.i),
+        |sim AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END)
+        |               AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |sim0 AS (SELECT d.doc_id, coalesce(sim.simhash, 0) AS simhash
+        |         FROM documents d LEFT JOIN sim USING (doc_id)),
+        |ch AS (SELECT doc_id, simhash, c.c AS chunk,
+        |         (simhash >> (c.c * 16)) & 65535 AS ckey
+        |       FROM sim0 CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |           x.simhash AS ha, y.simhash AS hb
+        |         FROM ch x JOIN ch y
+        |           ON x.chunk = y.chunk AND x.ckey = y.ckey AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 12
+        |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin,
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id,

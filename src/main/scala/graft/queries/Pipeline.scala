@@ -377,6 +377,60 @@ object Pipeline {
   private def modelChainSql =
     s"$chainPrefixSql,\n$s1ModelSql,\n$chainSuffixSql"
 
+  // The post-edge tail of chainSuffixSql (dedup keep → decontam →
+  // split), shared verbatim by the minhash-edged chain below — only
+  // the producer of `scored(doc_a, doc_b)` differs between the
+  // quadratic oracle baseline and the linear MinHash path.
+  private val ccSplitTailSql =
+    s"""e AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+         |      UNION ALL
+         |      SELECT doc_b AS src, doc_a AS dst FROM scored),
+         |cc AS (
+         |  SELECT DISTINCT src AS node, src AS label FROM e
+         |  UNION
+         |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
+         |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+         |s2 AS (SELECT s1.doc_id, s1.lang, s1.text FROM s1
+         |       LEFT JOIN lab ON lab.node = s1.doc_id
+         |       WHERE lab.cluster_id IS NULL OR lab.cluster_id = s1.doc_id),
+         |bsh AS (
+         |  SELECT DISTINCT unnest(shingles) AS shingle FROM (
+         |    SELECT CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |        generate_series(1, len(w) - 2),
+         |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |      ELSE [] END AS shingles
+         |    FROM (SELECT $tokSqlDuck AS w FROM documents WHERE doc_id < 20))),
+         |contam AS (
+         |  SELECT DISTINCT ex2.doc_id FROM (
+         |    SELECT s2.doc_id, unnest(sh.shingles) AS shingle
+         |    FROM s2 JOIN sh ON sh.doc_id = s2.doc_id) ex2
+         |  JOIN bsh USING (shingle)),
+         |s3 AS (SELECT doc_id FROM s2
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+         |keyed AS (
+         |  SELECT s3.doc_id, coalesce(lab.cluster_id, s3.doc_id) AS k
+         |  FROM s3 LEFT JOIN lab ON lab.node = s3.doc_id),
+         |splits AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (k % 1000003) * 2654435761 % 100 < 90 THEN 'train'
+         |         WHEN (k % 1000003) * 2654435761 % 100 < 95 THEN 'validation'
+         |         ELSE 'test' END AS split
+         |  FROM keyed)""".stripMargin
+
+  // MinHash-edged suffix: same sh/keep/decontam/split chain, edges
+  // from the md5/mod-P signature pipeline (Dedup fragments reproduce
+  // minhashScored bit-for-bit — see Dedup.minhashBucketsSql). Composed
+  // by concatenation, never nested stripMargin.
+  private def chainSuffixMinhashSql: String =
+    Dedup.shSqlOver("s1") + ",\n" + Dedup.minhashBucketsSql + ",\n" +
+      Dedup.minhashScoredSql(Some(0.6)) + ",\n" + ccSplitTailSql
+
+  private def minhashChainSql =
+    s"$chainPrefixSql,\n$s1HeuristicSql,\n$chainSuffixMinhashSql"
+
+  private def modelMinhashChainSql =
+    s"$chainPrefixSql,\n$s1ModelSql,\n$chainSuffixMinhashSql"
+
   private val censusSql =
     """SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
       |UNION ALL SELECT '1_quality', count(*) FROM s1
@@ -385,6 +439,13 @@ object Pipeline {
       |UNION ALL SELECT '4_' || split, count(*) FROM splits GROUP BY split""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_curate_minhash" ->
+      ("WITH RECURSIVE\n" + minhashChainSql + "\n" + censusSql),
+    "pipeline_curate_model_minhash" ->
+      ("WITH RECURSIVE\n" + modelMinhashChainSql + "\n" + censusSql),
+    "pipeline_pretrain_minhash" ->
+      ("WITH RECURSIVE\n" + minhashChainSql + ",\n" + pretrainTailSql +
+        "\n" + pretrainCensusSql),
     "pipeline_curate" ->
       s"""WITH RECURSIVE
          |$chainSql

@@ -34,12 +34,16 @@ class DedupSpec extends SparkSuite {
     graft.functions.MinHashBuckets.register(spark)
     val sh = corpus.filter(col("doc_id") < 3)
       .select(col("doc_id"), expr("word_shingles(text)").as("sh"))
-    // Declarative twin restricted to signatures (band mixing differs in
-    // constants, so compare the invariant: equal shingle sets ⇒ equal
-    // buckets; different sets ⇒ (almost surely) different buckets.
     val buckets = sh.select(col("doc_id"), expr("minhash_buckets(sh)").as("b"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(buckets(0L).size === 8)
+    // The declarative md5/mod-P formulation shares every constant with
+    // the native expression — buckets must be IDENTICAL, not just
+    // collision-compatible (this is also what makes the DuckDB oracle
+    // chain a bit-for-bit mirror).
+    val declarative = sh.select(col("doc_id"), Dedup.minhashBuckets(col("sh")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(buckets === declarative)
+    assert(buckets(0L).size === Dedup.Bands)
     assert(buckets(0L) !== buckets(2L))
     // near-dup docs share most shingles → at least one band collides
     assert(buckets(0L).zip(buckets(1L)).count { case (a, b) => a == b } >= 1)

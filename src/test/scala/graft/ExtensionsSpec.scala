@@ -24,7 +24,7 @@ class ExtensionsSpec extends SparkSuite {
       .collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getInt(1) === 2)
-    assert(r.getInt(2) === 8)
+    assert(r.getInt(2) === graft.queries.Dedup.Bands)
   }
 
   test("optimizer rule rewrites the lambda dot-product to the native kernel") {
