@@ -35,20 +35,51 @@ object Tables {
     * wall-clock semantics are needed — never `/` (double loses bits
     * above 2^53).
     */
+  /** STRUCTURAL probe for the TIMESTAMP(NANOS) testdata generation:
+    * read the parquet footer's logical type for `ts` directly instead
+    * of try-catch-and-match-the-exception-text (error messages aren't
+    * a stable API across Spark versions, and retry-on-message can mask
+    * unrelated failures that merely mention NANOS).
+    */
+  private def tsIsNanos(s: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return false
+    val st = fs.getFileStatus(p)
+    val file =
+      if (st.isFile) Some(p)
+      else fs.listStatus(p).map(_.getPath).find(_.getName.endsWith(".parquet"))
+    file.exists { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        reader.getFooter.getFileMetaData.getSchema.getFields.asScala.exists {
+          fld => fld.getName == "ts" && (fld.getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          })
+        }
+      } finally reader.close()
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
-    // The legacy nanos flag is only set when the file actually carries
-    // TIMESTAMP(NANOS) (the read fails loudly without it); it must then
-    // STAY set — executor-side schema conversion re-reads it at action
-    // time — so the session-wide effect is taken only on that
-    // generation, never on the micros/NTZ path.
-    val df =
-      try t(s, d, "events")
-      catch {
-        case e: Exception if e.getMessage != null &&
-            e.getMessage.toUpperCase.contains("NANOS") =>
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          t(s, d, "events")
-      }
+    // The legacy nanos flag is only set when the footer actually says
+    // TIMESTAMP(NANOS) (Spark's vectorized reader rejects nanos
+    // without it); it must then STAY set — executor-side schema
+    // conversion re-reads it at action time — so the session-wide
+    // effect is taken only on that generation, never on the
+    // micros/NTZ path.
+    if (tsIsNanos(s, s"$d/events.parquet")) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    }
+    val df = t(s, d, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
       case org.apache.spark.sql.types.TimestampNTZType =>

@@ -347,7 +347,14 @@ object Dedup {
     val batch = docs.filter(col("doc_id") % 5 === 0)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val n = corpus.count() // bounded: one scalar, sizes the filter
-    val numBits = math.max(1024L, ((n * 96L / 10L + 63L) / 64L) * 64L).toInt
+    // Sizing stays in Long, clamped to the largest word-aligned filter
+    // a JVM long[] can hold: past ~223M corpus keys the per-key bit
+    // budget (and so the FPR) degrades gracefully instead of the Int
+    // wrap mis-sizing (or crashing) the build; correctness never
+    // depends on the FPR — the anti-join verify is exact either way.
+    val maxBits = (Int.MaxValue.toLong / 64L) * 64L
+    val numBits =
+      math.min(maxBits, math.max(1024L, ((n * 96L / 10L + 63L) / 64L) * 64L)).toInt
     val k = 7
     val words = corpus
       .select(xxhash64(sha2(col("text"), 256)).as("h")).as[Long]

@@ -130,7 +130,11 @@ object Similarity {
       val pool = rows.map { case (_, id, rel) => (id, rel) }
         .sortBy { case (id, rel) => (-rel, id) }
       var sel = Vector.empty[Long]
-      (1 to MmrK).map { r =>
+      // bound ranks by the pool: a heavily-filtered query with fewer
+      // than MmrK candidates emits a shorter ranking instead of
+      // minBy-ing an empty remainder (the SQL oracle's per-round CTEs
+      // likewise emit no row once the remainder is empty)
+      (1 to math.min(MmrK, pool.size)).map { r =>
         val pick =
           if (r == 1) pool.head._1
           else pool.filterNot(c => sel.contains(c._1)).map { case (id, rel) =>

@@ -126,10 +126,34 @@ object Temporal {
         expr(s"(pts - cts) DIV $NanosPerSec").as("delay_s"))
   }
 
+  /** [[joinAsofExec]] with a MAX-STALENESS TOLERANCE: a purchase only
+    * attributes to a click within the last hour — the bound real
+    * event attribution always carries (an ad click from last week must
+    * not claim today's purchase). Same custom operator, same merge
+    * pass; the candidate is discarded at emit time when older than the
+    * tolerance, so purchases with only stale clicks keep NULLs.
+    */
+  def joinAsofTol(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("pts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("c_click"),
+        col("ts").as("cts"))
+    graft.plans.AsofJoin.asof(purchases, clicks,
+        "user_id", "c_user", "pts", "cts",
+        tolerance = Some(3600L * NanosPerSec))
+      .select(col("purchase_id"), col("user_id"),
+        expr(s"pts DIV $NanosPerSec").as("purchase_s"),
+        col("c_click").as("click_id"),
+        expr(s"(pts - cts) DIV $NanosPerSec").as("gap_s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof,
     "join_asof_exec" -> joinAsofExec,
     "join_asof_fwd" -> joinAsofFwd,
+    "join_asof_tol" -> joinAsofTol,
     "join_range" -> joinRange)
 
   def oracleSql: Map[String, String] = Map(
@@ -196,6 +220,33 @@ object Temporal {
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS click_s,
         |  next_purchase AS purchase_id,
         |  CAST(floor(epoch(next_ts - ts)) AS BIGINT) AS delay_s
+        |FROM w WHERE side = 1""".stripMargin,
+    // tolerance: the carry-forward candidate is nulled when older than
+    // 1 h. epoch_ns keeps the boundary compare in exact integer
+    // nanoseconds — the same `pts - cts <= 3600e9` the operator does —
+    // so no interval/µs truncation can flip a boundary pair.
+    "join_asof_tol" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side
+        |            ROWS UNBOUNDED PRECEDING) AS asof_click,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side
+        |            ROWS UNBOUNDED PRECEDING) AS asof_ts
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS purchase_s,
+        |  CASE WHEN asof_ts IS NOT NULL
+        |        AND epoch_ns(ts) - epoch_ns(asof_ts) <= 3600000000000
+        |       THEN asof_click END AS click_id,
+        |  CASE WHEN asof_ts IS NOT NULL
+        |        AND epoch_ns(ts) - epoch_ns(asof_ts) <= 3600000000000
+        |       THEN CAST(floor(epoch(ts - asof_ts)) AS BIGINT) END AS gap_s
         |FROM w WHERE side = 1""".stripMargin,
     "join_range" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
