@@ -244,6 +244,68 @@ object Corpus {
           .otherwise(lit(0.0)).as("dup_span_frac"))
   }
 
+  /** The REWRITE face of [[dedupSpans]] — the deliverable
+    * exact-substring dedup actually ships: the corpus with duplicated
+    * 20-token spans EXCISED, first occurrence kept. Contract: a span
+    * seen in >1 document keeps the occurrence(s) in its minimum
+    * doc_id; in every other document the span's token positions are
+    * removed (overlapping removals union), and each cleaned document
+    * is re-emitted as its surviving tokens in order. Documents with no
+    * duplicated spans pass through token-identical.
+    *
+    * All arithmetic is integer position algebra on exact strings, so
+    * the operator sits under the DuckDB hash gate.
+    *
+    * Scale design: same single span-group shuffle as the detector
+    * (spans group corpus-wide, only >1-doc spans re-expand), plus a
+    * covered-position explode bounded by 20·|dup windows| and one
+    * doc-keyed anti-join — linear in corpus + true duplication, no
+    * doc pair ever materialized. The cleaned text re-assembles
+    * per-doc via sort_array over (pos, token) structs — deterministic
+    * merge-order-independent output.
+    */
+  def dedupSpansApply(s: SparkSession, d: String): DataFrame =
+    dedupSpansApplyOn(Tables.documents(s, d))
+
+  /** Core of [[dedupSpansApply]] over any (doc_id, text) frame (spec
+    * tests feed planted corpora here).
+    */
+  def dedupSpansApplyOn(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+    // every window occurrence WITH its 1-based start position (the
+    // detector dedups per doc; the rewrite needs each occurrence)
+    val win = base.filter(size(col("ws")) >= SpanLen)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (SpanLen - 1)),
+        i => struct(i.as("p"),
+          concat_ws(" ", slice(col("ws"), i, lit(SpanLen))).as("span")))).as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.span").as("span"))
+    val own = win.groupBy("span")
+      .agg(min("doc_id").as("keeper"), countDistinct("doc_id").as("nd"))
+    val rem = win.join(own, "span")
+      .filter(col("nd") > 1 && col("doc_id") =!= col("keeper"))
+      .select(col("doc_id"), col("p"))
+    val cov = rem
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SpanLen - 1))).as("pos"))
+      .distinct()
+    val poss = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val agg = poss.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          st => st("tok")), " ").as("text_clean"))
+    base.select(col("doc_id"), size(col("ws")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Source-mixture weighting: per-source token counts and the
     * sampling weight that equalizes each source's share of the token
     * budget (uniform target mix — the standard "don't let one crawl
@@ -390,6 +452,7 @@ object Corpus {
     "lm_score" -> lmScore,
     "lm_score_bigram" -> lmScoreBigram,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_apply" -> dedupSpansApply,
     "drift_psi" -> driftPsi,
     "source_mix" -> sourceMix,
     "mix_temperature" -> mixTemperature)
@@ -514,6 +577,33 @@ object Corpus {
          |    floor(CAST(coalesce(n_dup, 0) AS DOUBLE) / len(spans) * 10000 + 0.5) / 10000.0
          |  ELSE 0.0 END AS dup_span_frac
          |FROM sp LEFT JOIN dd ON sp.doc_id = dd.doc_id""".stripMargin,
+    // the rewrite: every window occurrence (NOT per-doc distinct — the
+    // excision needs positions), keeper = min doc_id per >1-doc span,
+    // covered positions union, anti-join, ordered re-assembly
+    "dedup_spans_apply" ->
+      s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents),
+         |win AS (SELECT doc_id, p, array_to_string(ws[p:p+19], ' ') AS span
+         |        FROM (SELECT doc_id, ws,
+         |                unnest(generate_series(1, len(ws) - 19)) AS p
+         |              FROM t WHERE len(ws) >= 20)),
+         |own AS (SELECT span, min(doc_id) AS keeper,
+         |          count(DISTINCT doc_id) AS nd
+         |        FROM win GROUP BY span),
+         |rem AS (SELECT w.doc_id, w.p FROM win w JOIN own o ON o.span = w.span
+         |        WHERE o.nd > 1 AND w.doc_id <> o.keeper),
+         |cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 19)) AS pos
+         |        FROM rem),
+         |poss AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+         |         FROM t WHERE len(ws) > 0),
+         |kept AS (SELECT p.doc_id, p.pos, p.ws[p.pos] AS tok
+         |         FROM poss p ANTI JOIN cov c USING (doc_id, pos)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY pos) AS text_clean
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ws) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(a.text_clean, '') AS text_clean
+         |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "snapshot_diff" ->
       """WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
         |new AS (

@@ -200,24 +200,40 @@ object Embeddings {
     * the same IEEE value identically; constant dimensions quantize to
     * 0. Scalar (vec_id, dim, q) rows per the registry contract.
     */
-  def embedQuantize(s: SparkSession, d: String): DataFrame = {
-    val all = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  /** Per-dimension (lo, hi) quantization rails as plan-time literal
+    * arrays (dim-bounded collect — the embedNormalize pattern); None
+    * on an empty corpus. Shared by [[embedQuantize]] and the
+    * quantized ANN serving path ([[Similarity.annQuantized]]) so the
+    * compression pass and the search that consumes it can never train
+    * different rails.
+    */
+  private[queries] def quantRailsOf(all: DataFrame): Option[(Column, Column)] = {
     val stats = all
       .select(posexplode(col("v")))
       .groupBy("pos")
       .agg(min("col").as("lo"), max("col").as("hi"))
       .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
-    if (stats.isEmpty) { // empty corpus: typed empty frame, not array() analysis errors
+    if (stats.isEmpty) None
+    else {
+      val dim = stats.keys.max + 1
+      Some((
+        array((0 until dim).map(i =>
+          lit(stats.getOrElse(i, (0.0, 0.0))._1)).toIndexedSeq: _*),
+        array((0 until dim).map(i =>
+          lit(stats.getOrElse(i, (0.0, 0.0))._2)).toIndexedSeq: _*)))
+    }
+  }
+
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rails = quantRailsOf(all)
+    if (rails.isEmpty) { // empty corpus: typed empty frame, not array() analysis errors
       val sess = s
       import sess.implicits._
       return Seq.empty[(Long, Long, Int)].toDF("vec_id", "dim", "q")
     }
-    val dim = stats.keys.max + 1
-    val loLit = array((0 until dim).map(i =>
-      lit(stats.getOrElse(i, (0.0, 0.0))._1)).toIndexedSeq: _*)
-    val hiLit = array((0 until dim).map(i =>
-      lit(stats.getOrElse(i, (0.0, 0.0))._2)).toIndexedSeq: _*)
+    val (loLit, hiLit) = rails.get
     all.select(col("vec_id"), posexplode(col("v")))
       .select(col("vec_id"), col("pos").cast("long").as("dim"),
         {

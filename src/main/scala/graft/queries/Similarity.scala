@@ -58,6 +58,65 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Top-5 cosine search over the INT8-QUANTIZED vectors — the serving
+    * path [[Embeddings.embedQuantize]]'s compression feeds: score on
+    * q = floor((x−lo)/(hi−lo)·255+0.5)−128 (the same rails, via the
+    * shared trainer), with per-query recall@5 against the exact float
+    * ranking reported alongside. This is the memory/recall trade an
+    * ANN index ships: 4-8× smaller vectors, integer dot products.
+    *
+    * Exactness contract: quantized components are small integers
+    * carried in doubles, so every dot product is integer-EXACT in
+    * both engines (≤ 128²·dim ≪ 2^53) and the operator sits under the
+    * DuckDB hash gate — ties in the coarse quantized cosine break on
+    * neighbor_id identically.
+    *
+    * Scale design: identical envelope to [[annCosine]] (tiny query
+    * side broadcast, one corpus scan, per-query top-k window) plus the
+    * dim-bounded rails collect; the recall join touches 5·|queries|
+    * rows. At serving scale the quantized corpus is the resident set —
+    * the float vectors are only read by the recall audit.
+    */
+  def annQuantized(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rails = Embeddings.quantRailsOf(all)
+    if (rails.isEmpty) {
+      val sess = s
+      import sess.implicits._
+      return Seq.empty[(Long, Long, Int, Double, Double)]
+        .toDF("query_id", "neighbor_id", "rn", "cos_q", "recall_at5")
+    }
+    val (loLit, hiLit) = rails.get
+    val qvCol = transform(col("v"), (x, idx) => {
+      val i = (idx + 1).cast("int")
+      val lo = element_at(loLit, i)
+      val hi = element_at(hiLit, i)
+      when(hi > lo, floor((x - lo) / (hi - lo) * 255 + lit(0.5)) - 128)
+        .otherwise(lit(0.0))
+    })
+    val qall = all.select(col("vec_id"), qvCol.as("qv"))
+      .withColumn("nrm", sqrt(dot(col("qv"), col("qv"))))
+    val q = qall.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("qv").as("qqv"), col("nrm").as("qn"))
+    val scored = qall.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        when(col("nrm") > 0 && col("qn") > 0,
+          dot(col("qv"), col("qqv")) / (col("nrm") * col("qn")))
+          .otherwise(lit(0.0)).as("cosq"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosq").desc, col("neighbor_id").asc)
+    val top5 = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+    val exact5 = annCosine(s, d).select(col("query_id"), col("neighbor_id"))
+    val recall = top5.select("query_id", "neighbor_id")
+      .join(exact5, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    top5.join(recall, Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("cosq"), 6).as("cos_q"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / 5).as("recall_at5"))
+  }
+
   /** MMR balance: score = MmrLam·rel − MmrOneMinusLam·max-sim-to-selected.
     * BOTH constants are explicit literals (1−0.7 ≠ 0.3 in IEEE double —
     * computing the complement would desync the oracle).
@@ -644,6 +703,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine" -> annCosine,
+    "ann_quantized" -> annQuantized,
     "mmr_rerank" -> mmrRerank,
     "decontaminate_embedding" -> decontaminateEmbedding,
     "ann_lsh" -> annLsh,
@@ -891,6 +951,56 @@ object Similarity {
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin
     },
+    // quantized serving path: rails trained in SQL exactly like the
+    // embed_quantize oracle, integer-exact dot products in doubles,
+    // recall@5 vs the exact float ranking joined per query
+    "ann_quantized" ->
+      """WITH dims AS (
+        |  SELECT unnest(generate_series(1,
+        |    (SELECT CAST(max(len(embedding)) AS INTEGER) FROM embeddings))) AS i),
+        |st AS (
+        |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+        |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+        |  FROM embeddings, dims WHERE i <= len(embedding) GROUP BY i),
+        |qrows AS (
+        |  SELECT vec_id, st.i,
+        |    CASE WHEN hi > lo
+        |         THEN floor((CAST(embedding[st.i] AS DOUBLE) - lo)
+        |                    / (hi - lo) * 255 + 0.5) - 128
+        |         ELSE 0.0 END AS q
+        |  FROM embeddings JOIN st ON st.i <= len(embedding)),
+        |qvt AS (SELECT vec_id, list(q ORDER BY i) AS qv FROM qrows GROUP BY vec_id),
+        |e AS (SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS nrm FROM qvt),
+        |sc AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CASE WHEN c.nrm > 0 AND q.nrm > 0
+        |         THEN list_dot_product(c.qv, q.qv) / (c.nrm * q.nrm)
+        |         ELSE 0.0 END AS cosq
+        |  FROM e c JOIN e q ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+        |t5 AS (
+        |  SELECT query_id, neighbor_id, rn, cosq FROM (
+        |    SELECT query_id, neighbor_id, cosq,
+        |      CAST(row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosq DESC, neighbor_id) AS INTEGER) AS rn
+        |    FROM sc) WHERE rn <= 5),
+        |ef AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                               CAST(embedding AS DOUBLE[]))) AS nrm
+        |       FROM embeddings),
+        |x5 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_dot_product(c.v, q.v) / (c.nrm * q.nrm) DESC,
+        |                 c.vec_id) AS rn
+        |    FROM ef c JOIN ef q ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |  WHERE rn <= 5),
+        |rc AS (SELECT t5.query_id, count(*) AS hits
+        |       FROM t5 JOIN x5 USING (query_id, neighbor_id)
+        |       GROUP BY t5.query_id)
+        |SELECT t5.query_id, t5.neighbor_id, t5.rn, round(t5.cosq, 6) AS cos_q,
+        |  CAST(coalesce(rc.hits, 0) AS DOUBLE) / 5 AS recall_at5
+        |FROM t5 LEFT JOIN rc ON rc.query_id = t5.query_id""".stripMargin,
     "ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -54,6 +54,40 @@ class CorpusSpec extends SparkSuite {
     assert(viaRegistry === viaOn)
   }
 
+  test("dedup_spans_apply: planted dup span excised from the later doc, keeper intact") {
+    // 25-token shared span planted into two otherwise-distinct docs;
+    // a third doc has no duplication and must pass through identically
+    // letters only — the tokenizer splits on non-letters, so a digit
+    // suffix would collapse every span word to the same token
+    val span = ('a' to 'y').map(c => s"shared$c").mkString(" ")
+    val aTail = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bHead = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val docs = Seq(
+      (1L, s"$span $aTail"),   // keeper (min doc_id) — unchanged
+      (5L, s"$bHead $span"),   // later doc — span tokens excised
+      (9L, "totally unrelated words that never repeat anywhere else today")
+    ).toDF("doc_id", "text")
+    val got = Corpus.dedupSpansApplyOn(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getString(3)))).toMap
+    // keeper: all 35 tokens kept, text unchanged
+    assert(got(1L) === ((35, 35L, s"$span $aTail")))
+    // later doc: every window covering span tokens is a dup window →
+    // the span's 25 tokens go; the 10-token bHead prefix survives
+    // (windows starting in bHead extend into the span and differ from
+    // the keeper's windows, so only exact shared windows are removed —
+    // those are the windows fully inside the span occurrence)
+    // later doc: the dup windows are exactly the 6 20-token windows
+    // fully inside the shared span (windows straddling bHead differ
+    // from the keeper's), and their covered-position union is the
+    // whole 25-token span occurrence (pos 11..35) — so the cleaned doc
+    // is precisely the 10-token bHead prefix
+    assert(got(5L) === ((35, 10L, bHead)))
+    // untouched doc passes through token-identical
+    assert(got(9L) === ((9, 9L,
+      "totally unrelated words that never repeat anywhere else today")))
+  }
+
   test("drift_psi: PSI >= 0 for every source; all sources covered") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val nSources = docs.select("source").distinct().count()

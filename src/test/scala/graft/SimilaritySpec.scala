@@ -18,6 +18,25 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("annQuantized: 5 ranked neighbors per query; recall@5 vs exact float bounded below") {
+    val rows = Similarity.annQuantized(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4)))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet === (0L until 8L).toSet)
+    byQuery.values.foreach { qr =>
+      assert(qr.map(_._3).sorted.toSeq === (1 to 5), "exactly ranks 1..5 per query")
+      assert(qr.forall(r => r._4 >= -1.0001 && r._4 <= 1.0001), "cos_q in [-1,1]")
+      assert(qr.map(_._5).distinct.size === 1, "recall is per-query constant")
+    }
+    val recalls = byQuery.values.map(_.head._5).toSeq
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // int8 quantization must preserve most of the exact ranking — the
+    // whole point of the compression/recall trade
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 $mean too low — quantization destroyed the ranking")
+  }
+
   test("annLsh returns a subset ranking consistent with exact cosine") {
     val exact = Similarity.annCosine(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
