@@ -61,5 +61,6 @@ object SparkEntry {
     "dedup_incremental_bloom", "cms_freq", "mmr_rerank", "corpus_stats",
     "text_normalize", "hilbert_bucket", "kcore",
     "lm_score_bigram", "ann_lsh_multiprobe", "join_asof_exec",
-    "join_asof_fwd", "unigram_encode")
+    "join_asof_fwd", "unigram_encode",
+    "join_asof_tol", "dedup_spans_apply", "ann_quantized")
 }
