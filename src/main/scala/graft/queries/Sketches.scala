@@ -198,9 +198,15 @@ object Sketches {
   def audienceOverlapOn(events: DataFrame, k: Int): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
+    // md5-derived uniform hash in (0,1) — the quantile_sketch trick:
+    // (first 48 md5 bits + 0.5) / 2^48 reproduces bit-for-bit in
+    // DuckDB, so BOTH overlap modes (θ-estimate and exact sub-k) sit
+    // under the driver oracle; 48-bit granularity keeps collision
+    // probability ~n²/2⁴⁹ — negligible and hash-deterministic.
     val sk = events
       .select(col("event_type"),
-        (xxhash64(col("user_id")) / lit(1.8446744073709552e19) + lit(0.5)).as("h"))
+        ((conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 12),
+          16, 10).cast("long").cast("double") + 0.5) / 281474976710656.0).as("h"))
       .as[(String, Double)]
       .groupByKey(_._1).mapValues(_._2)
       .agg(graft.functions.KmvAggregator.sketch(k).name("sk"))
@@ -344,10 +350,11 @@ object Sketches {
     "heavy_hitters_mg" -> heavyHittersMg,
     "hll_merge" -> hllMerge)
 
-  /** approx_distinct / hll_merge are approximate — no SQL oracle by
-    * design (rows-only check); accuracy is spec-asserted in
-    * SketchesSpec. heavy_hitters is exact despite its sketch-shaped
-    * plan, so it takes the full hash gate.
+  /** approx_distinct / hll_merge are approximate HLL demos — no SQL
+    * oracle by design (rows-only check); accuracy is spec-asserted in
+    * SketchesSpec. Everything else — including the KMV θ-ESTIMATES
+    * (audience_overlap) and the CMS estimates — is hash-deterministic
+    * via md5-derived hashes and takes the full gate.
     */
   def oracleSql: Map[String, String] = Map(
     // The md5-slot CMS reproduces bit-for-bit: same grid, same
@@ -395,6 +402,42 @@ object Sketches {
          |  vals[CAST(ceil(0.9 * len(vals)) AS INTEGER)] AS p90,
          |  vals[CAST(ceil(0.99 * len(vals)) AS INTEGER)] AS p99
          |FROM g""".stripMargin,
+    // θ-estimate mode under the hash gate: the md5-derived uniform
+    // hashes reproduce bit-for-bit, so the bottom-k sketches, θ, and
+    // every estimate are the SAME IEEE doubles in both engines.
+    "audience_overlap" ->
+      s"""WITH uh AS (
+         |  SELECT DISTINCT event_type,
+         |    (CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT
+         |          AS DOUBLE) + 0.5) / 281474976710656.0 AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |      FROM uh),
+         |sk AS (SELECT event_type, list(h ORDER BY h) AS sk
+         |       FROM r WHERE rn <= $KmvK GROUP BY event_type),
+         |p AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    list_sort(list_distinct(a.sk || b.sk))[1:$KmvK] AS m,
+         |    a.sk AS ska, b.sk AS skb
+         |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |q AS (
+         |  SELECT type_a, type_b, ska, skb, m,
+         |    CASE WHEN len(m) = $KmvK THEN m[$KmvK] ELSE 1.0 END AS theta,
+         |    len(m) = $KmvK AS isfull
+         |  FROM p),
+         |e AS (
+         |  SELECT type_a, type_b, theta,
+         |    CAST(len(list_filter(list_intersect(ska, skb), x -> x < theta))
+         |         AS DOUBLE) AS inter_raw,
+         |    CASE WHEN isfull THEN ${(KmvK - 1).toDouble} / theta
+         |         ELSE CAST(len(m) AS DOUBLE) END AS est_u
+         |  FROM q)
+         |SELECT type_a, type_b,
+         |  floor(est_u * 10000 + 0.5) / 10000.0 AS est_union,
+         |  floor(inter_raw / theta * 10000 + 0.5) / 10000.0 AS est_overlap,
+         |  floor((inter_raw / theta) / est_u * 10000 + 0.5) / 10000.0 AS est_jaccard
+         |FROM e""".stripMargin,
     "audience_overlap_exact" ->
       """WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
         |c AS (SELECT event_type, count(*) AS n FROM u GROUP BY event_type),
