@@ -78,6 +78,62 @@ object StreamingOps {
       .select(col("doc_id"), col("text_hash"))
   }
 
+  /** Streaming NEAR-dup match stream — the MinHash+LSH face of
+    * [[incrementalNewStream]]: each arriving document is signature-
+    * banded in-row (the same md5/mod-P `minhash_buckets` chain the
+    * batch path uses), candidate corpus docs come from a stream-static
+    * equi-join on (band, bucket), and each candidate is exact-Jaccard
+    * verified against the corpus shingle sets. Emits one row per
+    * VERIFIED match (doc_id, dup_of, jac >= tau) — the alert/routing
+    * stream a continuously-fed curation pipeline consumes (the
+    * keep/drop gate itself composes this with the exact-path anti
+    * join). Append mode and fully STATELESS: every operator is a
+    * per-row map or a stream-static join, so there is no watermark,
+    * no state store, and a corpus refresh re-plans into the next
+    * micro-batch.
+    *
+    * The docStream must carry an ingest timestamp `tsm`: a pair found
+    * in several bands would re-emit per band, and a streaming DISTINCT
+    * is stateful — the watermark bounds that dedup state to the
+    * 10-minute ingest horizon instead of growing forever (the same
+    * contract as [[dedupStream]]).
+    *
+    * Scale: the stream never holds corpus state; the static bucket
+    * and shingle tables are the SAME digests the batch operator
+    * shuffles, computed once per micro-batch plan (persist the corpus
+    * frames across batches on a real cluster). Per-row cost is the
+    * O(shingles) signature pass + candidate fan-out ∝ true near-dups;
+    * the only state store is the watermark-bounded pair dedup.
+    */
+  def nearDupMatchesStream(docStream: DataFrame, corpus: DataFrame,
+      tau: Double): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.WordShingles.register(s)
+    graft.functions.MinHashBuckets.register(s)
+    val corpusSh = corpus
+      .select(col("doc_id").as("dup_of"), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val corpusBands = corpusSh
+      .select(col("dup_of"), posexplode_outer(expr("minhash_buckets(sh)")))
+      .toDF("dup_of", "band", "bucket")
+    docStream
+      .withWatermark("tsm", "10 minutes")
+      .select(col("doc_id"), col("tsm"), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("tsm"), col("sh").as("sa"),
+        posexplode_outer(expr("minhash_buckets(sh)")))
+      .toDF("doc_id", "tsm", "sa", "band", "bucket")
+      .join(corpusBands, Seq("band", "bucket"))
+      .join(corpusSh.select(col("dup_of"), col("sh").as("sb")), "dup_of")
+      .select(col("doc_id"), col("tsm"), col("dup_of"),
+        (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          (size(col("sa")) + size(col("sb")) -
+            size(array_intersect(col("sa"), col("sb"))))).as("jac"))
+      .filter(col("jac") >= tau)
+      .dropDuplicatesWithinWatermark("doc_id", "dup_of")
+      .select(col("doc_id"), col("dup_of"), col("jac"))
+  }
+
   /** Streaming heavy-hitter candidates: the SAME mergeable Misra-Gries
     * state the batch path uses, run as a streaming global aggregation —
     * Spark keeps the (counters, n) buffer as query state and merges

@@ -149,6 +149,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup matches ≡ batch minhashCrossScored; duplicates collapsed; unrelated silent") {
+    // stream = the incremental batch slice, static corpus = the rest;
+    // the emitted verified (doc_id, dup_of, jac >= 0.6) match set must
+    // equal the batch cross-side MinHash operator's, across two
+    // micro-batches, with the per-band re-emissions deduped by the
+    // watermarked pair dedup.
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val batchRows = docs.filter(col("doc_id") % 5 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = graft.queries.Dedup.minhashCrossScored(
+        docs.filter(col("doc_id") % 5 === 0), corpus)
+      .filter(col("jac") >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = MemoryStream[(Long, String, Timestamp)](spark)
+    val df = StreamingOps.nearDupMatchesStream(
+      mem.toDF().toDF("doc_id", "text", "tsm"), corpus, tau = 0.6)
+    val name = s"ndup_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val timed = batchRows.zipWithIndex.map { case ((id, t), i) => (id, t, ts(i % 5)) }
+      val (b1, b2) = timed.splitAt(timed.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length === rows.toSet.size, "pair dedup must collapse per-band re-emissions")
+      assert(rows.toSet === expected)
+      assert(rows.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events with a broadcast dim") {
     val mem = MemoryStream[(Timestamp, Long, String, Double)](spark)
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
