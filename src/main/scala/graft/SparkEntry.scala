@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Embeddings, EventOps, Kmeans, Parity, Pipeline, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Unigram}
+import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Unigram}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,7 @@ object SparkEntry {
       Sketches.queries ++ Skew.queries ++ Formats.queries ++ Multimodal.queries ++
       Cluster.queries ++ Sharding.queries ++ Corpus.queries ++ Tokenize.queries ++
       Kmeans.queries ++ Embeddings.queries ++ Pipeline.queries ++ Curation.queries ++
-      Classifier.queries ++ Unigram.queries
+      Classifier.queries ++ Unigram.queries ++ Pq.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -38,7 +38,8 @@ object SparkEntry {
       Temporal.oracleSql ++ Sketches.oracleSql ++ Skew.oracleSql ++ Formats.oracleSql ++
       Multimodal.oracleSql ++ Cluster.oracleSql ++ Sharding.oracleSql ++ Corpus.oracleSql ++
       Tokenize.oracleSql ++ Kmeans.oracleSql ++ Embeddings.oracleSql ++
-      Pipeline.oracleSql ++ Curation.oracleSql ++ Classifier.oracleSql ++ Unigram.oracleSql
+      Pipeline.oracleSql ++ Curation.oracleSql ++ Classifier.oracleSql ++
+      Unigram.oracleSql ++ Pq.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative
     * subset (scan-agg, fact-fact join, window, text, dedup paths).
@@ -62,5 +63,5 @@ object SparkEntry {
     "text_normalize", "hilbert_bucket", "kcore",
     "lm_score_bigram", "ann_lsh_multiprobe", "join_asof_exec",
     "join_asof_fwd", "unigram_encode",
-    "join_asof_tol", "dedup_spans_apply", "ann_quantized")
+    "join_asof_tol", "dedup_spans_apply", "ann_quantized", "ann_pq")
 }

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+
+/** Product-quantization ANN ([EXT]) — the codebook-compressed serving
+  * path (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011). The 64-dim unit vector is split into
+  * [[SubM]] = 4 subspaces of [[SubDim]] = 16 dims; each subspace gets
+  * its own [[Ks]] = 16-centroid codebook (Lloyd on a deterministic
+  * sample), so a vector compresses to 4 codes = 4 bytes — 64× smaller
+  * than the float64 original. Search is asymmetric distance
+  * computation (ADC): the query stays float, each subspace contributes
+  * dot(q_m, codebook_m[code_m]) via a per-query 4×16 lookup table, and
+  * the corpus scan does 4 table lookups + 3 adds per vector instead of
+  * 64 multiply-adds over 512 bytes.
+  *
+  * Scale design: training collects one [[PqTrainCap]]-vector sample
+  * (bounded O(cap·dim) driver state — the IVF trainer's contract);
+  * codebooks and the per-query LUTs are plan-time literals, so
+  * ENCODING is a pure map (argmin over 16 literal centroids per
+  * subspace, inside codegen — no join, no shuffle) and SCORING is one
+  * corpus scan with a broadcast 8-row query side + per-query top-k
+  * window. At serving scale the 4-byte codes are the resident set; the
+  * float vectors are only read by the recall audit. Compose with the
+  * IVF cell routing (ann_ivf) for the classic IVF-PQ index.
+  *
+  * Determinism: seeds are the first Ks sample subvectors, fixed
+  * rounds, argmin ties to the smallest cell id — the same contract as
+  * [[Kmeans]], so the whole trainer unrolls into DuckDB CTEs and the
+  * discrete codes + rounded ADC scores hash-match across engines
+  * (assignment/ranking margins sit orders of magnitude above the
+  * ~1e-15 float-sum merge-order noise).
+  */
+object Pq {
+
+  /** Subspace count × subspace width = the 64-dim embedding layout. */
+  val SubM = 4
+  val SubDim = 16
+  /** Centroids per subspace codebook (4-bit codes). */
+  val Ks = 16
+  /** Lloyd rounds per subspace. */
+  val PqIters = 3
+  /** Training sample: vectors with vec_id < cap (deterministic — never
+    * rand(); retries must see the same codebook).
+    */
+  val PqTrainCap = 512
+  /** Query set (vec_id < QueryCap) and result depth, shared with the
+    * other ANN entries so recall is comparable across index types.
+    */
+  val QueryCap = 8
+  val TopK = 5
+
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.DotProduct.dotCol(a, b)
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** argmin_c ||c||² − 2·x·c with ties to the smallest cell — the
+    * exact formula the SQL twin ranks by (the ||x||² term is constant
+    * per row).
+    */
+  private def nearestSeq(cents: Array[Array[Double]], x: Array[Double]): Int = {
+    var best = 0
+    var bestD = dotArr(cents(0), cents(0)) - 2.0 * dotArr(x, cents(0))
+    var c = 1
+    while (c < cents.length) {
+      val dd = dotArr(cents(c), cents(c)) - 2.0 * dotArr(x, cents(c))
+      if (dd < bestD) { best = c; bestD = dd }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace Lloyd over the collected sample (rows in vec_id
+    * order). Empty cells keep their previous centroid.
+    */
+  private def trainCodebooks(sample: Array[Array[Double]]): Array[Array[Array[Double]]] =
+    Array.tabulate(SubM) { m =>
+      val sub = sample.map(v => v.slice(m * SubDim, (m + 1) * SubDim))
+      var cents = sub.take(Ks).map(_.clone())
+      for (_ <- 1 to PqIters) {
+        val sums = Array.fill(Ks, SubDim)(0.0)
+        val cnts = Array.fill(Ks)(0L)
+        sub.foreach { x =>
+          val c = nearestSeq(cents, x)
+          cnts(c) += 1
+          var i = 0; while (i < SubDim) { sums(c)(i) += x(i); i += 1 }
+        }
+        cents = Array.tabulate(Ks) { c =>
+          if (cnts(c) == 0) cents(c)
+          else Array.tabulate(SubDim)(i => sums(c)(i) / cnts(c))
+        }
+      }
+      cents
+    }
+
+  /** Nearest-codebook-entry expression over literal centroids —
+    * Kmeans.nearestCell's struct-least, per subspace.
+    */
+  private def codeCol(sub: Column, cents: Array[Array[Double]]): Column = {
+    val scored = cents.zipWithIndex.map { case (cv, i) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(sub, array(cv.map(lit).toIndexedSeq: _*))).as("d"),
+        lit(i).as("cell"))
+    }
+    least(scored.toIndexedSeq: _*).getField("cell")
+  }
+
+  private def subCol(u: Column, m: Int): Column =
+    slice(u, m * SubDim + 1, SubDim)
+
+  /** PQ top-k over any (vec_id, v: array<double>) frame; exact5 is the
+    * float-exact ranking to audit recall against (query_id,
+    * neighbor_id rows).
+    */
+  def annPqOn(emb: DataFrame, exact5: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.DotProduct.register(s)
+    // unit vectors: ADC inner product ≡ cosine ranking
+    val unit = emb
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("u", when(col("nrm") > 0,
+        transform(col("v"), x => x / col("nrm"))).otherwise(col("v")))
+      .select("vec_id", "u")
+    val sample = unit.filter(col("vec_id") < PqTrainCap)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toArray) // bounded cap·dim driver state
+    val books = trainCodebooks(sample)
+    // encode: one map over the corpus — SubM argmins over literal books
+    val codes = unit.select(
+      col("vec_id") +: (0 until SubM).map(m =>
+        codeCol(subCol(col("u"), m), books(m)).as(s"cd$m")): _*)
+    // per-query LUTs: dot(q_m, book_m[c]) for every cell, as literal-
+    // centroid expressions over the broadcast query rows
+    val q = unit.filter(col("vec_id") < QueryCap)
+      .select(col("vec_id").as("query_id") +: (0 until SubM).map(m =>
+        array((0 until Ks).map(c =>
+          dot(subCol(col("u"), m), array(books(m)(c).map(lit).toIndexedSeq: _*))): _*)
+          .as(s"lut$m")): _*)
+    val score = (0 until SubM).map(m =>
+      element_at(col(s"lut$m"), col(s"cd$m") + 1)).reduceLeft(_ + _)
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    val recall = top.select("query_id", "neighbor_id")
+      .join(exact5, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    top.join(recall, Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("score"), 6).as("score_pq"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall_at5"))
+  }
+
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    annPqOn(emb, Similarity.annCosine(s, d).select("query_id", "neighbor_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq" -> annPq)
+
+  def oracleSql: Map[String, String] = Map(
+    "ann_pq" -> {
+      def lo(m: Int) = m * SubDim + 1
+      def hi(m: Int) = (m + 1) * SubDim
+      // per-subspace trainer: seeds = first Ks sample subvectors;
+      // each round assigns by ||c||²−2xc (ties to smallest cell) and
+      // recomputes means, empty cells keeping their centroid — the
+      // Kmeans oracle's unroll, once per subspace
+      def subChain(m: Int): String = {
+        def assign(name: String, src: String, prev: String) =
+          s"""$name AS (
+             |  SELECT vec_id, cell FROM (
+             |    SELECT t.vec_id, c.cell,
+             |      row_number() OVER (PARTITION BY t.vec_id
+             |        ORDER BY list_dot_product(c.cv, c.cv)
+             |                 - 2 * list_dot_product(t.x, c.cv), c.cell) AS rn
+             |    FROM $src t CROSS JOIN $prev c)
+             |  WHERE rn = 1)""".stripMargin
+        val rounds = (1 to PqIters).map { r =>
+          s"""${assign(s"a${m}_$r", s"s$m", s"c${m}_${r - 1}")},
+             |m${m}_$r AS (
+             |  SELECT a.cell, d.i, sum(t.x[d.i]) AS sv, count(*) AS n
+             |  FROM a${m}_$r a JOIN s$m t ON t.vec_id = a.vec_id
+             |  CROSS JOIN sdims d GROUP BY a.cell, d.i),
+             |c${m}_$r AS (
+             |  SELECT prev.cell, coalesce(mm.cv, prev.cv) AS cv
+             |  FROM c${m}_${r - 1} prev LEFT JOIN
+             |    (SELECT cell, list(sv / n ORDER BY i) AS cv
+             |     FROM m${m}_$r GROUP BY cell) mm ON mm.cell = prev.cell)""".stripMargin
+        }.mkString(",\n")
+        s"""s$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM samp),
+           |c${m}_0 AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+           |         x AS cv
+           |  FROM (SELECT vec_id, x FROM s$m ORDER BY vec_id LIMIT $Ks)),
+           |$rounds,
+           |${assign(s"enc$m", s"corp$m", s"c${m}_$PqIters")}""".stripMargin
+      }
+      val subChains = (0 until SubM).map(subChain).mkString(",\n")
+      val corpSlices = (0 until SubM).map(m =>
+        s"corp$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM u)").mkString(",\n")
+      val codeJoin = (0 until SubM).map(m =>
+        s"JOIN enc$m e$m ON e$m.vec_id = u.vec_id").mkString(" ")
+      val lutJoin = (0 until SubM).map(m =>
+        s"JOIN c${m}_$PqIters k$m ON k$m.cell = c.cd$m").mkString(" ")
+      val scoreExpr = (0 until SubM).map(m =>
+        s"list_dot_product(q.u[${lo(m)}:${hi(m)}], k$m.cv)").mkString("\n     + ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+         |           FROM embeddings),
+         |u AS (SELECT vec_id,
+         |        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+         |             ELSE v END AS u
+         |      FROM e),
+         |samp AS (SELECT vec_id, u FROM u WHERE vec_id < $PqTrainCap),
+         |sdims AS (SELECT unnest(generate_series(1, $SubDim)) AS i),
+         |$corpSlices,
+         |$subChains,
+         |codes AS (SELECT u.vec_id, ${(0 until SubM).map(m => s"e$m.cell AS cd$m").mkString(", ")}
+         |          FROM u $codeJoin),
+         |q AS (SELECT vec_id, u FROM u WHERE vec_id < $QueryCap),
+         |sc AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    $scoreExpr AS score
+         |  FROM codes c CROSS JOIN q $lutJoin
+         |  WHERE c.vec_id <> q.vec_id),
+         |top AS (
+         |  SELECT query_id, neighbor_id, rn, round(score, 6) AS score_pq FROM (
+         |    SELECT query_id, neighbor_id, score,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
+         |    FROM sc)
+         |  WHERE rn <= $TopK),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY eq.vec_id
+         |        ORDER BY list_dot_product(ec.v, eq.v) / (ec.nrm * eq.nrm) DESC,
+         |                 ec.vec_id) AS rn
+         |    FROM e ec JOIN e eq ON eq.vec_id < $QueryCap AND ec.vec_id <> eq.vec_id)
+         |  WHERE rn <= $TopK),
+         |rec AS (
+         |  SELECT t.query_id, count(*) AS hits
+         |  FROM top t JOIN ex ON ex.query_id = t.query_id
+         |            AND ex.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT t.query_id, t.neighbor_id, t.rn, t.score_pq,
+         |  CAST(coalesce(rec.hits, 0) AS DOUBLE) / $TopK AS recall_at5
+         |FROM top t LEFT JOIN rec USING (query_id)""".stripMargin
+    })
+}

@@ -11,45 +11,131 @@ import graft.functions.MisraGriesAggregator
   * instead of exact distinct's shuffle of every key.
   *
   * `hll_merge` demonstrates the canonical warehouse pattern: sketches
-  * are built per fine-grained cell (event_type × day — in production,
-  * per partition/file at ingest), persisted, then MERGED later with
-  * `hll_union_agg` to answer coarser rollups without rescanning raw
-  * data. The merge is associative — exactly the partial-aggregation
-  * shape Spark's hash aggregate exploits.
+  * (register tables) are built per fine-grained cell (event_type ×
+  * day — in production, per partition/file at ingest), persisted, then
+  * MERGED later by register-wise max to answer coarser rollups without
+  * rescanning raw data. The merge is associative — exactly the
+  * partial-aggregation shape Spark's hash aggregate exploits.
   *
-  * Approximation ⇒ not DuckDB-hash-matchable: these entries omit
-  * `oracleSql` (driver records rows-only), and SketchesSpec asserts
+  * Every sketch here — registers AND estimates — is built over
+  * md5-derived hashes, so the full family reproduces bit-for-bit in
+  * DuckDB and takes the hash gate; SketchesSpec additionally asserts
   * the estimates land within the sketches' published error bounds of
   * the exact answers.
   */
 object Sketches {
 
-  /** Per event_type: HLL distinct users (rsd 2%), approximate value
-    * percentiles, plus exact row count for scale context.
+  /** HLL register count m = 2^8. rsd = 1.04/sqrt(256) ≈ 6.5% — sized
+    * so the whole register table stays SQL-unrollable for the oracle;
+    * production would raise p (the plan shape is p-independent).
     */
-  def approxDistinct(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(
-        count(lit(1)).as("n"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        approx_percentile(col("value"), lit(0.5), lit(1000)).as("p50_value"),
-        approx_percentile(col("value"), lit(0.99), lit(1000)).as("p99_value"))
+  val HllM = 256
 
-  /** Two-level sketch rollup: build Datasketches HLL per
-    * (event_type, day), union-merge to event_type, estimate. The
-    * day-level sketch build and the merge are separate aggregations —
-    * at scale the first runs at ingest, the second at query time.
+  /** alpha_m · m² for m=256 — the exact same double both engines
+    * produce from this literal formula (÷256 and ×65536 are exact
+    * power-of-two ops; the single 0.7213/(1+…) division rounds
+    * identically under IEEE 754).
+    */
+  private val HllAlphaM2: Double = (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+
+  /** md5-derived 48-bit hash of the user key — the same
+    * DuckDB-reproducible construction as the MinHash / CMS / KMV
+    * sketches (`('0x' || substr(md5(x),1,12))::UBIGINT`).
+    */
+  private def hllHash(c: Column): Column =
+    conv(substring(md5(concat(lit("hll:"), c.cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+
+  /** (register index, rank) of one hash: j = low 8 bits, rho = 1 +
+    * leading-zero count of the remaining 40-bit window ∈ [1, 41].
+    * Bit-length is computed by OR-smearing + bit_count — pure integer
+    * ops with identical semantics in Spark and DuckDB (no float log2
+    * whose last-ulp could differ between libms). w = 0 smears to 0 →
+    * bit_count 0 → rho 41, the correct all-zeros rank.
+    */
+  private def hllRegRho(h: Column): (Column, Column) = {
+    val j = pmod(h, lit(HllM))
+    val w0 = shiftrightunsigned(h, 8)
+    val s = Seq(1, 2, 4, 8, 16, 32).foldLeft(w0) { (w, k) =>
+      w.bitwiseOR(shiftrightunsigned(w, k))
+    }
+    (j, lit(41) - bit_count(s))
+  }
+
+  /** Register table (groupKeys..., j, m_j) for one grouping — the
+    * mergeable sketch state: ≤ m rows per group, built by one
+    * map-side-combinable max aggregation. Union of sketches is
+    * register-wise max — re-aggregate this table at any coarser
+    * grouping with max(m_j).
+    */
+  private def hllRegisters(in: DataFrame, keyCol: Column,
+      groupKeys: Seq[String]): DataFrame = {
+    val (j, rho) = hllRegRho(hllHash(keyCol))
+    in.select(groupKeys.map(col) :+ j.as("j") :+ rho.as("rho"): _*)
+      .groupBy((groupKeys :+ "j").map(col): _*)
+      .agg(max("rho").as("m_j"))
+  }
+
+  /** Cardinality estimate per group from a register table. The raw
+    * estimator alpha·m²/Z is bit-deterministic: Z sums exact powers of
+    * two spanning < 53 bits of exponent, so the double sum is exact in
+    * any order; the linear-counting branch (ln over ≤ m rational
+    * inputs) is the one float op, guarded by the final
+    * round-to-integer. Estimates are BIGINT counts.
+    */
+  private def hllEstimate(regs: DataFrame, groupKeys: Seq[String],
+      outName: String): DataFrame =
+    regs.groupBy(groupKeys.map(col): _*)
+      .agg(count(lit(1)).as("m_present"),
+        expr("sum(1.0 / cast(shiftleft(cast(1 as bigint), m_j) as double))")
+          .as("z_present"))
+      .withColumn("v_zero", lit(HllM.toLong) - col("m_present"))
+      .withColumn("raw_est",
+        lit(HllAlphaM2) / (col("z_present") + col("v_zero").cast("double")))
+      .withColumn("est",
+        when(col("raw_est") <= lit(2.5 * HllM) && col("v_zero") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("raw_est")))
+      .select(groupKeys.map(col) :+
+        floor(col("est") + lit(0.5)).cast("long").as(outName): _*)
+
+  /** Per event_type: exact row count, deterministic-HLL distinct
+    * users, and the exact distinct count alongside — the error is part
+    * of the output contract. The md5-register HLL replaces the
+    * Datasketches `approx_count_distinct` demo so the ENTIRE sketch —
+    * registers and estimate — sits under the DuckDB hash gate
+    * (`hll_sketch_agg`/`approx_count_distinct` remain the drop-in
+    * production alternates; the plan shape is identical).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val est = hllEstimate(
+      hllRegisters(ev, col("user_id"), Seq("event_type")),
+      Seq("event_type"), "approx_users")
+    ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("exact_users"))
+      .join(est, "event_type")
+      .select("event_type", "n", "approx_users", "exact_users")
+  }
+
+  /** Two-level sketch rollup: build the register table per
+    * (event_type, day) — the sketch a production ingest job would
+    * persist, ≤ 256 rows per cell — then union-merge to event_type by
+    * register-wise max and estimate. Build and merge are separate
+    * aggregations: at scale the first runs at ingest, the second at
+    * query time without rescanning raw data. max is associative, so
+    * merge-then-estimate ≡ one sketch over all rows (spec-asserted).
     */
   def hllMerge(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
-      .withColumn("day", expr("ts DIV 86400000000000"))
-      .groupBy("event_type", "day")
-      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-    daily
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_days"),
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("merged_users"))
+    val daily = hllRegisters(
+      Tables.events(s, d).withColumn("day", expr("ts DIV 86400000000000")),
+      col("user_id"), Seq("event_type", "day"))
+    val merged = daily.groupBy("event_type", "j").agg(max("m_j").as("m_j"))
+    daily.select("event_type", "day").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      .join(hllEstimate(merged, Seq("event_type"), "merged_users"), "event_type")
+      .select("event_type", "n_days", "merged_users")
   }
 
   /** Global-count threshold for [[heavyHitters]]; mirrored in the
@@ -350,13 +436,70 @@ object Sketches {
     "heavy_hitters_mg" -> heavyHittersMg,
     "hll_merge" -> hllMerge)
 
-  /** approx_distinct / hll_merge are approximate HLL demos — no SQL
-    * oracle by design (rows-only check); accuracy is spec-asserted in
-    * SketchesSpec. Everything else — including the KMV θ-ESTIMATES
-    * (audience_overlap) and the CMS estimates — is hash-deterministic
-    * via md5-derived hashes and takes the full gate.
+  /** DuckDB twin of [[hllRegisters]] + [[hllEstimate]]: the md5/smear/
+    * bit_count register chain and the rational raw estimator reproduce
+    * bit-for-bit (see the determinism notes on the Scala side), so the
+    * HLL family takes the full hash gate like the CMS/KMV sketches.
+    * `keys` = comma-joined group columns present in CTE `src`.
+    */
+  private def hllChainSql(src: String, keys: String): String =
+    s"""hh AS (SELECT $keys,
+       |  CAST(('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT
+       |       AS BIGINT) AS h
+       |  FROM $src),
+       |hb AS (SELECT $keys, h % 256 AS j, h // 256 AS w FROM hh),
+       |hs1 AS (SELECT $keys, j, w | (w >> 1) AS w FROM hb),
+       |hs2 AS (SELECT $keys, j, w | (w >> 2) AS w FROM hs1),
+       |hs4 AS (SELECT $keys, j, w | (w >> 4) AS w FROM hs2),
+       |hs8 AS (SELECT $keys, j, w | (w >> 8) AS w FROM hs4),
+       |hs16 AS (SELECT $keys, j, w | (w >> 16) AS w FROM hs8),
+       |hs32 AS (SELECT $keys, j, w | (w >> 32) AS w FROM hs16),
+       |hreg AS (SELECT $keys, j, max(41 - bit_count(w)) AS m_j
+       |         FROM hs32 GROUP BY ALL)""".stripMargin
+
+  /** Estimate tail over a register CTE grouped to `keys`: emits
+    * ($keys, $outName BIGINT).
+    */
+  private def hllEstSql(regSrc: String, keys: String, outName: String): String =
+    s"""he AS (SELECT $keys, count(*) AS m_present,
+       |  sum(1.0 / CAST((1::BIGINT << m_j) AS DOUBLE)) AS z_present
+       |  FROM $regSrc GROUP BY ALL),
+       |hz AS (SELECT $keys, 256 - m_present AS v_zero,
+       |  ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+       |    / (z_present + CAST(256 - m_present AS DOUBLE)) AS raw_est
+       |  FROM he),
+       |hf AS (SELECT $keys,
+       |  CAST(floor(CASE WHEN raw_est <= 640.0 AND v_zero > 0
+       |    THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+       |    ELSE raw_est END + 0.5) AS BIGINT) AS $outName
+       |  FROM hz)""".stripMargin
+
+  /** The whole sketch surface — including the HLL register tables and
+    * estimates, the KMV θ-ESTIMATES (audience_overlap) and the CMS
+    * estimates — is hash-deterministic via md5-derived hashes and
+    * takes the full gate.
     */
   def oracleSql: Map[String, String] = Map(
+    "approx_distinct" ->
+      s"""WITH ${hllChainSql("events", "event_type")},
+         |${hllEstSql("hreg", "event_type", "approx_users")},
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |       FROM events GROUP BY 1)
+         |SELECT ex.event_type, ex.n, hf.approx_users, ex.exact_users
+         |FROM ex JOIN hf USING (event_type)""".stripMargin,
+    "hll_merge" ->
+      s"""WITH ev AS (SELECT event_type,
+         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+         |  user_id FROM events),
+         |${hllChainSql("ev", "event_type, day")},
+         |hmerged AS (SELECT event_type, j, max(m_j) AS m_j
+         |            FROM hreg GROUP BY 1, 2),
+         |${hllEstSql("hmerged", "event_type", "merged_users")},
+         |nd AS (SELECT event_type, CAST(count(DISTINCT day) AS BIGINT) AS n_days
+         |       FROM hreg GROUP BY 1)
+         |SELECT nd.event_type, nd.n_days, hf.merged_users
+         |FROM nd JOIN hf USING (event_type)""".stripMargin,
     // The md5-slot CMS reproduces bit-for-bit: same grid, same
     // estimates — the sketch itself is under the hash gate.
     "cms_freq" ->
