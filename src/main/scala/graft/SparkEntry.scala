@@ -63,5 +63,6 @@ object SparkEntry {
     "text_normalize", "hilbert_bucket", "kcore",
     "lm_score_bigram", "ann_lsh_multiprobe", "join_asof_exec",
     "join_asof_fwd", "unigram_encode",
-    "join_asof_tol", "dedup_spans_apply", "ann_quantized", "ann_pq")
+    "join_asof_tol", "dedup_spans_apply", "ann_quantized", "ann_pq",
+    "search_bm25")
 }

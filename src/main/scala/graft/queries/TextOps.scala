@@ -209,6 +209,68 @@ object TextOps {
         round(col("score"), 6).as("bm25"), col("rk"))
   }
 
+  /** Query docs for [[searchBm25]] (doc_id < cap are the "queries",
+    * held out of the searched corpus) and the result depth.
+    */
+  val SearchQueryDocs = 5
+  val SearchTopK = 10
+
+  /** Full-text top-k retrieval ([EXT]): each held-out query doc's
+    * distinct-term bag is scored against every corpus doc by BM25
+    * (k1 = 1.2, b = 0.75 — [[bm25Terms]]'s constants) and the top-10
+    * docs per query are returned — the "more-like-this" /
+    * related-documents query a retrieval pipeline serves, composed
+    * from the same inverted-index statistics bm25_terms exposes.
+    *
+    * Scale design: the query side is a tiny broadcast term bag; the
+    * score join is an inverted-index probe (only postings of query
+    * terms survive), and the df/dl statistics are the same
+    * full-corpus windows bm25_terms already pays — at serving scale
+    * both are precomputed once per index build, so the per-query cost
+    * is |postings(query terms)|, never corpus-wide.
+    *
+    * Determinism across engines: the ONE transcendental (ln in idf)
+    * is floor-quantized at 1e-6 immediately, every later op is plain
+    * IEEE arithmetic on identical inputs, and each per-term
+    * contribution is floor-quantized to an int64 at 1e-9 BEFORE the
+    * per-doc sum — integer sums are order-independent, so the ranking
+    * (sint DESC, doc_id) carries zero float-merge-order risk. The
+    * reported score is the exact integer sum rescaled.
+    */
+  def searchBm25On(docs: DataFrame): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= SearchQueryDocs)
+    val qterms = docs.filter(col("doc_id") < SearchQueryDocs)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(toks(col("text")))).as("term"))
+    val tf = corpus
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("n_td"))
+    // map-only 1-row stats — see bm25Terms' exchange-reuse note
+    val stats = corpus.select(size(toks(col("text"))).as("dl"))
+      .agg(sum("dl").cast("double").as("total_tok"), count(lit(1)).as("n_docs"))
+    val contrib = tf.crossJoin(broadcast(stats))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .withColumn("dl", sum("n_td").over(Window.partitionBy("doc_id")))
+      .withColumn("idf",
+        floor(log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+          + lit(1.0)) * lit(1e6) + lit(0.5)) / lit(1e6))
+      .withColumn("cint",
+        floor(col("idf") * (col("n_td") * lit(2.2)) /
+          (col("n_td") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / (col("total_tok") / col("n_docs"))))
+          * lit(1e9) + lit(0.5)).cast("long"))
+    val scored = contrib.join(broadcast(qterms), "term")
+      .groupBy("query_id", "doc_id").agg(sum("cint").as("sint"))
+    val w = Window.partitionBy("query_id").orderBy(col("sint").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= SearchTopK)
+      .select(col("query_id"), col("doc_id"), col("rk"),
+        round(col("sint") / lit(1e9), 6).as("score"))
+  }
+
+  def searchBm25(s: SparkSession, d: String): DataFrame =
+    searchBm25On(Tables.documents(s, d))
+
   /** PII masking: email and long-digit-run redaction via regexp_replace
     * (patterns chosen to mean the same thing in Java regex and RE2).
     * The corpus text has no PII, so the contact string under test is
@@ -443,6 +505,7 @@ object TextOps {
     "fingerprint" -> fingerprint,
     "tfidf_terms" -> tfidfTerms,
     "bm25_terms" -> bm25Terms,
+    "search_bm25" -> searchBm25,
     "sample_weighted" -> sampleWeighted,
     "dedup_url" -> dedupUrl,
     "pmi_bigrams" -> pmiBigrams,
@@ -452,6 +515,36 @@ object TextOps {
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
   def oracleSql: Map[String, String] = Map(
+    "search_bm25" ->
+      s"""WITH qd AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct($tokSqlDuck)) AS term
+         |  FROM documents WHERE doc_id < $SearchQueryDocs),
+         |t AS (SELECT doc_id, unnest($tokSqlDuck) AS term
+         |      FROM documents WHERE doc_id >= $SearchQueryDocs),
+         |tf AS (SELECT doc_id, term, count(*) AS n_td FROM t GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |dls AS (SELECT doc_id, sum(n_td) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(sum(len(ws)) AS DOUBLE) AS total_tok, count(*) AS n_docs
+         |       FROM (SELECT $tokSqlDuck AS ws FROM documents
+         |             WHERE doc_id >= $SearchQueryDocs)),
+         |c AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    CAST(floor(
+         |      (floor(ln((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         |             * 1000000.0 + 0.5) / 1000000.0)
+         |      * (tf.n_td * 2.2)
+         |      / (tf.n_td + 1.2 * (0.25 + 0.75 * dls.dl / (st.total_tok / st.n_docs)))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS cint
+         |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id) CROSS JOIN st),
+         |sc AS (SELECT q.query_id, c.doc_id, sum(c.cint) AS sint
+         |       FROM c JOIN qd q USING (term) GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rk, score FROM (
+         |  SELECT query_id, doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sint DESC, doc_id) AS INTEGER) AS rk,
+         |    round(CAST(sint AS DOUBLE) / 1000000000.0, 6) AS score
+         |  FROM sc)
+         |WHERE rk <= $SearchTopK""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id, lower(nfc_normalize(text)) AS norm_text,
         |  CAST(CASE WHEN lower(nfc_normalize(text)) <> text

@@ -75,4 +75,35 @@ class TextOpsSpec extends SparkSuite {
     assert(selMean > popMean,
       s"weighted sample mean $selMean not above population mean $popMean")
   }
+
+  test("search_bm25: planted rare-term overlap ranks the target doc first") {
+    import spark.implicits._
+    // query doc 0 shares the rare term "zyzzyva" only with doc 10;
+    // doc 11 shares only common filler; docs 12+ are unrelated noise.
+    val filler = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (0L, s"zyzzyva quokka $filler"),
+      (1L, "unrelated query about nothing shared"),
+      (2L, filler), (3L, "aa bb cc"), (4L, "dd ee ff"),
+      (10L, s"zyzzyva quokka appears here too with $filler"),
+      (11L, s"$filler $filler"),
+      (12L, "completely different content body"),
+      (13L, "another different body of text"),
+      (14L, "yet more distinct material here")).toDF("doc_id", "text")
+    val out = TextOps.searchBm25On(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val q0 = out.filter(_._1 == 0L).sortBy(_._3)
+    assert(q0.head._2 === 10L, s"expected doc 10 first for query 0, got ${q0.head}")
+    // ranks are 1..n with scores non-increasing
+    out.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq === (1 to sorted.length))
+      assert(sorted.sliding(2).forall(p => p.length < 2 || p(0)._4 >= p(1)._4))
+    }
+    // query docs never retrieved (held out of the corpus)
+    assert(out.forall(_._2 >= TextOps.SearchQueryDocs))
+    val again = TextOps.searchBm25On(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
 }
