@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.core.Checkpoints.StableOps
 
@@ -553,7 +554,74 @@ object Cluster {
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
+  /** Synchronous rounds for [[labelPropOf]] — fixed, so the output is
+    * deterministic (LPA can oscillate; a fixed round count pins it)
+    * and the loop unrolls into oracle CTEs.
+    */
+  val LpRounds = 4
+
+  /** Label-propagation community detection (Raghavan et al. 2007)
+    * over the near-dup graph: labels start as node ids; each round
+    * every node adopts the most frequent label among its neighbors,
+    * ties to the smallest label. Where connected components answer
+    * "what is transitively linked", LPA splits a component into
+    * densely-linked template families — the granularity a curation
+    * review actually wants for "which boilerplate family is this".
+    *
+    * Scale design: per round one edge-linear join (labels keyed by
+    * node id, 8-byte rows — text never moves) + one (node, label)
+    * count + one per-node argmax window; rounds are checkpointed via
+    * [[graft.core.Checkpoints]] exactly like the CC/kcore loops, with
+    * a FIXED round count — no driver-side convergence action.
+    * Determinism: counts are integers and ties break to the smallest
+    * label, so the whole loop is integer-exact under the hash gate.
+    */
+  def labelPropOf(edges: DataFrame, rounds: Int = LpRounds): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionAll(edges
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .stable
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).stable
+    val w = Window.partitionBy("src").orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to rounds) {
+      val next = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src", "label").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label"))
+        .stable
+      labels.unpersist(false)
+      labels = next
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    val out = labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("community"),
+        col("n_members")).stable
+    labels.unpersist(false)
+    sym.unpersist(false)
+    out
+  }
+
+  /** Registered form: communities of the >= 0.6 near-dup graph
+    * (quadratic oracle edge producer by design — the module's
+    * standard pairing; [[labelPropMinhash]] is the linear scale path).
+    */
+  def labelProp(s: SparkSession, d: String): DataFrame =
+    labelPropOf(Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
+  def labelPropMinhash(s: SparkSession, d: String): DataFrame =
+    labelPropOf(Dedup.minhashScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "label_prop" -> labelProp,
+    "label_prop_minhash" -> labelPropMinhash,
     "kcore" -> kcore,
     "kcore_minhash" -> kcoreMinhash,
     "triangle_count" -> triangleCount,
@@ -582,6 +650,33 @@ object Cluster {
       |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
       |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
       |sz AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)""".stripMargin
+
+  // LPA: e0 = symmetric edges; each round every node adopts its
+  // neighbors' plurality label (ties to the smallest) — integer
+  // counts + deterministic window, mirroring labelPropOf round for
+  // round. Shared verbatim by the ngram and minhash oracles.
+  private def lpChainSql: String = {
+    val rounds = (1 to LpRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT node, label FROM (
+         |    SELECT e.src AS node, l.label,
+         |      row_number() OVER (PARTITION BY e.src
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM e0 e JOIN l${i - 1} l ON l.node = e.dst
+         |    GROUP BY e.src, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM scored
+       |  UNION ALL SELECT doc_b, doc_a FROM scored),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e0),
+       |$rounds,
+       |lsz AS (SELECT label, count(*) AS n_members FROM l$LpRounds GROUP BY 1)""".stripMargin
+  }
+
+  private val lpSelectSql =
+    s"""SELECT l.node AS doc_id, l.label AS community,
+       |  CAST(lsz.n_members AS BIGINT) AS n_members
+       |FROM l$LpRounds l JOIN lsz USING (label)""".stripMargin
 
   private def minhashOracles: Map[String, String] = {
     val edges06 = Dedup.minhashEdgesSql(Some(0.6))
@@ -632,6 +727,8 @@ object Cluster {
             |""".stripMargin + kcoreRoundsSql + "\n" +
           s"""SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS core_deg
              |FROM e$KcoreRounds GROUP BY src""".stripMargin),
+      "label_prop_minhash" ->
+        ("WITH " + edges06 + ",\n" + lpChainSql + "\n" + lpSelectSql),
       "triangle_count_minhash" ->
         ("WITH " + edges06 + ",\n" +
           """deg AS (SELECT n, count(*) AS d FROM (
@@ -651,6 +748,31 @@ object Cluster {
   }
 
   def oracleSql: Map[String, String] = minhashOracles ++ Map(
+    "label_prop" ->
+      (s"""WITH sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+         |      generate_series(1, len(w) - 2),
+         |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         |    ELSE [] END AS shingles
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0) AS w
+         |        FROM documents)),
+         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+         |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+         |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+         |pairs AS (
+         |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+         |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_a, doc_b
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+         |""".stripMargin + lpChainSql + "\n" + lpSelectSql),
     "kcore" -> {
       // Fixed 8 peel rounds unrolled over the same near-dup edge CTEs
       // the pagerank/triangle oracles build. Pure integer arithmetic —

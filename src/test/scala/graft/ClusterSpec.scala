@@ -350,4 +350,51 @@ class ClusterSpec extends SparkSuite {
       assert(rddFiles(new java.io.File(dir)) > 0, s"no checkpoint files under $dir")
     } finally spark.conf.unset("spark.graft.checkpointDir")
   }
+
+  /** Sequential synchronous LPA reference: plurality neighbor label,
+    * ties to the smallest, fixed rounds — labelPropOf's contract.
+    */
+  private def lpaRef(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var labels = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(labels).view.mapValues(_.size).toMap
+        val maxC = counts.values.max
+        n -> counts.collect { case (l, c) if c == maxC => l }.min
+      }
+    }
+    labels
+  }
+
+  test("label_prop ≡ sequential synchronous LPA; cliques collapse to min-id communities") {
+    import spark.implicits._
+    // two triangles joined by one weak bridge: LPA keeps them as two
+    // communities (the bridge never reaches plurality), where CC would
+    // merge them into one component — the operator's reason to exist
+    val planted = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (3L, 10L))
+    val got = Cluster.labelPropOf(planted.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === lpaRef(planted, Cluster.LpRounds))
+    assert(got.values.toSet.size === 2, s"expected 2 communities, got $got")
+    // real-graph equivalence at sf0.001
+    val edges = Dedup.ngramScored(graft.core.Tables.documents(spark, sfDir))
+      .filter(col("jac") >= 0.6).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = lpaRef(edges, Cluster.LpRounds)
+    val real = Cluster.labelProp(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(real === ref)
+    assert(real.nonEmpty)
+  }
+
+  test("label_prop_minhash ≡ ngram-edged label_prop on sf0.001") {
+    val ngram = Cluster.labelProp(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mh = Cluster.labelPropMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(mh === ngram)
+  }
 }
