@@ -308,6 +308,50 @@ object Cluster {
     dedupKeepCentralFrom(docs, Dedup.minhashScored(docs).filter(col("jac") >= 0.6))
   }
 
+  /** Policy-driven survivor selection: keep each cluster's doc from
+    * the HIGHEST-PRIORITY source (numeric source rank ascending —
+    * "prefer the curated mirror over the crawl copy"), ties to min
+    * doc_id. The survivor-selection policy is the third member of the
+    * keep family (min-id [[dedupKeepFrom]], medoid
+    * [[dedupKeepCentralFrom]], source-priority here) — real pipelines
+    * choose per corpus. Integer rank + id ordering ⇒ fully
+    * deterministic, no float anywhere.
+    *
+    * Scale design: identical envelope to [[dedupKeepCentralFrom]]
+    * minus the strength agg — one window over one row per CLUSTERED
+    * doc, joins carry (id, small-int) rows only.
+    */
+  def dedupKeepPriorityFrom(documents: DataFrame, edges: DataFrame): DataFrame = {
+    val clusters = clustersOf(edges)
+    val srcRank = regexp_replace(col("source"), "[^0-9]", "").cast("int")
+    val surv = clusters
+      .join(documents.select(col("doc_id"), srcRank.as("src_rank")), "doc_id")
+      .withColumn("rk", row_number().over(Window.partitionBy("cluster_id")
+        .orderBy(col("src_rank").asc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("survivor"))
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(surv, Seq("cluster_id"), "left")
+      .filter(col("cluster_id").isNull || col("doc_id") === col("survivor"))
+      .select(col("doc_id"), coalesce(col("n_docs"), lit(1L)).as("cluster_size"))
+  }
+
+  /** Registered form over the ngram oracle edges; [[dedupKeepPriorityMinhash]]
+    * is the linear scale path, per the module's standard pairing.
+    */
+  def dedupKeepPriority(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupKeepPriorityFrom(docs, Dedup.ngramScored(docs)
+      .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
+  }
+
+  def dedupKeepPriorityMinhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupKeepPriorityFrom(docs, Dedup.minhashScored(docs)
+      .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
+  }
+
   /** PageRank over a DIRECTED edge list (undirected graphs: symmetrize
     * before calling) — the centrality signal web-scale corpus
     * pipelines use for page-level quality weighting. Fixed-iteration
@@ -622,6 +666,8 @@ object Cluster {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "label_prop" -> labelProp,
     "label_prop_minhash" -> labelPropMinhash,
+    "dedup_keep_priority" -> dedupKeepPriority,
+    "dedup_keep_priority_minhash" -> dedupKeepPriorityMinhash,
     "kcore" -> kcore,
     "kcore_minhash" -> kcoreMinhash,
     "triangle_count" -> triangleCount,
@@ -650,6 +696,55 @@ object Cluster {
       |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
       |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
       |sz AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY 1)""".stripMargin
+
+  // The quadratic ngram >= 0.6 edge chain (tokens → 3-shingles → df-
+  // capped inverted self-join → Jaccard threshold), ending in
+  // `scored(doc_a, doc_b)` — the oracle-baseline edge producer shared
+  // by the newer graph entries (the older oracles keep their
+  // standalone literals).
+  private val ngramScoredSqlLit =
+    """sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+      |      generate_series(1, len(w) - 2),
+      |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+      |    ELSE [] END AS shingles
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+      |        FROM documents)),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+      |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+      |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+      |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+      |pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+      |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_a, doc_b
+      |  FROM pairs
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6)""".stripMargin
+
+  // Source-priority survivor pick over the CC label table (lab/sz from
+  // ccSymSql): numeric source rank ascending, ties to min node.
+  private val keepPriorityTailSql =
+    """pri AS (
+      |  SELECT lab.node, lab.cluster_id,
+      |    row_number() OVER (PARTITION BY lab.cluster_id
+      |      ORDER BY CAST(regexp_replace(d.source, '[^0-9]', '', 'g') AS INTEGER),
+      |               lab.node) AS r
+      |  FROM lab JOIN documents d ON d.doc_id = lab.node),
+      |surv AS (SELECT cluster_id, node AS survivor FROM pri WHERE r = 1)""".stripMargin
+
+  private val keepPrioritySelectSql =
+    """SELECT d.doc_id, coalesce(sz.n_docs, 1) AS cluster_size
+      |FROM documents d
+      |LEFT JOIN lab ON lab.node = d.doc_id
+      |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+      |LEFT JOIN surv ON surv.cluster_id = lab.cluster_id
+      |WHERE lab.node IS NULL OR d.doc_id = surv.survivor""".stripMargin
 
   // LPA: e0 = symmetric edges; each round every node adopts its
   // neighbors' plurality label (ties to the smallest) — integer
@@ -729,6 +824,9 @@ object Cluster {
              |FROM e$KcoreRounds GROUP BY src""".stripMargin),
       "label_prop_minhash" ->
         ("WITH " + edges06 + ",\n" + lpChainSql + "\n" + lpSelectSql),
+      "dedup_keep_priority_minhash" ->
+        ("WITH RECURSIVE " + edges06 + ",\n" + ccSymSql + ",\n" +
+          keepPriorityTailSql + "\n" + keepPrioritySelectSql),
       "triangle_count_minhash" ->
         ("WITH " + edges06 + ",\n" +
           """deg AS (SELECT n, count(*) AS d FROM (
@@ -748,6 +846,9 @@ object Cluster {
   }
 
   def oracleSql: Map[String, String] = minhashOracles ++ Map(
+    "dedup_keep_priority" ->
+      ("WITH RECURSIVE " + ngramScoredSqlLit + ",\n" + ccSymSql + ",\n" +
+        keepPriorityTailSql + "\n" + keepPrioritySelectSql),
     "label_prop" ->
       (s"""WITH sh AS (
          |  SELECT doc_id,

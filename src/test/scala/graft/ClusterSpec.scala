@@ -390,6 +390,33 @@ class ClusterSpec extends SparkSuite {
     assert(real.nonEmpty)
   }
 
+  test("dedup_keep_priority keeps the highest-priority source, not the min id") {
+    import spark.implicits._
+    // cluster {10, 11, 12}: min id 10 is src5; 11 is src2 (highest
+    // priority) → survivor must be 11. Singleton 20 survives as-is.
+    val docs = Seq((10L, "src5"), (11L, "src2"), (12L, "src9"), (20L, "src0"))
+      .toDF("doc_id", "source")
+    val edges = Seq((10L, 11L), (11L, 12L)).toDF("doc_a", "doc_b")
+    val got = Cluster.dedupKeepPriorityFrom(docs, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(11L -> 3L, 20L -> 1L))
+    // priority ties (same source rank) break to min doc_id
+    val tied = Seq((10L, "src3"), (11L, "src3"), (20L, "src0"))
+      .toDF("doc_id", "source")
+    val got2 = Cluster.dedupKeepPriorityFrom(tied,
+        Seq((10L, 11L)).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got2 === Map(10L -> 2L, 20L -> 1L))
+  }
+
+  test("dedup_keep_priority_minhash ≡ ngram-edged form on sf0.001") {
+    val ngram = Cluster.dedupKeepPriority(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Cluster.dedupKeepPriorityMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh === ngram && mh.nonEmpty)
+  }
+
   test("label_prop_minhash ≡ ngram-edged label_prop on sf0.001") {
     val ngram = Cluster.labelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
