@@ -313,6 +313,59 @@ object Corpus {
     * under-represented (up-sample / repeat epochs); sample_rate caps
     * at 1 for the down-sampling-only regime.
     */
+  /** Segment width (whitespace words) for [[dedupParagraph]] — the
+    * sub-document dedup granularity.
+    */
+  val ParaSegLen = 20
+
+  /** CCNet-style segment-level dedup ([EXT], Wenzek et al. 2020):
+    * split each doc into fixed [[ParaSegLen]]-word segments (the
+    * "paragraphs" of this corpus — its text carries no newlines),
+    * drop every segment whose identical text occurred earlier in the
+    * corpus (first occurrence by (doc_id, seg_idx) wins), and emit
+    * the REASSEMBLED cleaned text plus the per-doc census. Where
+    * dedup_spans_apply excises Lee-et-al. verbatim char spans found by
+    * suffix matching, this is the hash-bucket form: cheaper (one
+    * shuffle of segment digests, no positional matching) and the
+    * standard first pass over web crawls.
+    *
+    * Scale design: segments shuffle as (digest, doc_id, seg_idx) —
+    * the segment TEXT stays in the doc-partitioned frame and is never
+    * shuffled; the winner table is a partial-agg'd min-struct groupBy
+    * (no window over a possibly-mega-dup segment group), and
+    * reassembly is a per-doc sort_array over kept indexes. All
+    * integer/string ops — fully deterministic under the hash gate.
+    */
+  def dedupParagraphOn(documents: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val segArr = transform(
+      sequence(lit(0), (ceil(size(col("ws")) / lit(ParaSegLen.toDouble)) - 1).cast("int")),
+      i => array_join(slice(col("ws"), i * ParaSegLen + 1, lit(ParaSegLen)), " "))
+    val segs = documents
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+    // first occurrence of each segment text: min (doc_id, seg_idx) —
+    // mergeable agg over the digest, never a per-segment window
+    val winners = segs
+      .groupBy(md5(col("seg")).as("dig"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"))).as("w"))
+      .select(col("dig"), col("w.doc_id").as("wdoc"), col("w.seg_idx").as("wseg"))
+    segs
+      .join(winners, md5(col("seg")) === col("dig"))
+      .withColumn("kept",
+        (col("doc_id") === col("wdoc")) && (col("seg_idx") === col("wseg")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(sort_array(
+            collect_list(when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          st => st.getField("seg")), " ").as("clean_text"))
+  }
+
+  def dedupParagraph(s: SparkSession, d: String): DataFrame =
+    dedupParagraphOn(Tables.documents(s, d))
+
   def sourceMix(s: SparkSession, d: String): DataFrame = {
     val perSource = Tables.documents(s, d)
       .select(col("source"), size(toks(col("text"))).as("ntok"))
@@ -453,6 +506,7 @@ object Corpus {
     "lm_score_bigram" -> lmScoreBigram,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_apply" -> dedupSpansApply,
+    "dedup_paragraph" -> dedupParagraph,
     "drift_psi" -> driftPsi,
     "source_mix" -> sourceMix,
     "mix_temperature" -> mixTemperature)
@@ -492,6 +546,32 @@ object Corpus {
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      s"""WITH wsrc AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws
+         |  FROM documents),
+         |segs AS (
+         |  SELECT doc_id,
+         |    CAST(unnest(generate_series(0,
+         |      CAST(ceil(len(ws) / $ParaSegLen.0) AS INTEGER) - 1)) AS INTEGER) AS seg_idx,
+         |    ws
+         |  FROM wsrc WHERE len(ws) > 0),
+         |segt AS (
+         |  SELECT doc_id, seg_idx,
+         |    array_to_string(
+         |      ws[seg_idx * $ParaSegLen + 1 : seg_idx * $ParaSegLen + $ParaSegLen],
+         |      ' ') AS seg
+         |  FROM segs),
+         |rk AS (
+         |  SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+         |  FROM segt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(array_to_string(list(seg ORDER BY seg_idx)
+         |    FILTER (WHERE rn = 1), ' '), '') AS clean_text
+         |FROM rk GROUP BY doc_id""".stripMargin,
     "corpus_stats" ->
       """WITH tok AS (
         |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),

@@ -161,4 +161,26 @@ class CorpusSpec extends SparkSuite {
     // out LM would penalize it. The reference equality above covers it.)
     assert(got(3L)._1 === 9L)
   }
+
+  test("dedup_paragraph drops repeated segments, keeps first occurrence, reassembles") {
+    import spark.implicits._
+    // 20-word segments: segA repeated verbatim in doc 2; segC unique.
+    def seg(w: String) = (1 to graft.queries.Corpus.ParaSegLen).map(i => s"$w$i").mkString(" ")
+    val (a, b, c) = (seg("a"), seg("b"), seg("c"))
+    val docs = Seq(
+      (1L, s"$a $b"),     // both segments first occurrences
+      (2L, s"$a $c"),     // segment a is a dup; c survives
+      (3L, a)             // entire doc is a dup → clean_text empty
+    ).toDF("doc_id", "text")
+    val got = graft.queries.Corpus.dedupParagraphOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((2L, 2L, s"$a $b")))
+    assert(got(2L) === ((2L, 1L, c)))
+    assert(got(3L) === ((1L, 0L, "")))
+    // a short trailing segment is its own unit, not merged
+    val tail = graft.queries.Corpus.dedupParagraphOn(
+        Seq((7L, s"$a extra words")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
+    assert(tail === ((2L, 2L, s"$a extra words")))
+  }
 }
