@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Registry-wide physical-plan lint — the scale contract, enforced
+  * mechanically: every registered query's plan is built at sf0.001 and
+  * scanned for the anti-patterns that kill a 100 TB run. A new
+  * operator that sneaks in an accidental cartesian product or an
+  * unbroadcast nested-loop join fails CI here, not on the cluster.
+  */
+class PlanLintSpec extends SparkSuite {
+
+  /** Queries whose plans legitimately contain a broadcast
+    * nested-loop join: non-equi joins BY DESIGN with one side
+    * broadcast-tiny (ANN query-set × corpus scoring, 1-row literal
+    * stats frames attached corpus-wide, deliberate small×small
+    * cross joins, probe-set expansions). Each is bounded: the
+    * broadcast side is O(queries)/O(1), never a second fact table.
+    */
+  private val nonEquiOk: Set[String] = Set(
+    // ANN family: 8-row query side broadcast against the corpus scan
+    "ann_cosine", "ann_quantized", "ann_pq", "ann_lsh", "ann_lsh_multiprobe",
+    "ann_ivf", "mmr_rerank", "semdedup",
+    // deliberate cross/cartesian demos and 1-row scalar attachments
+    "join_cross", "join_lateral", "text_stats", "corpus_stats",
+    "drift_psi", "snapshot_diff", "source_mix", "mix_temperature",
+    "histogram_bucket", "date_spine", "vocab_coverage",
+    // incremental dedup: tiny batch side vs corpus, non-equi verify
+    "dedup_embedding", "dedup_incremental_embedding",
+    "decontaminate_embedding",
+    // stats/threshold scalar frames (1 row) joined without keys
+    "bm25_terms", "search_bm25", "tfidf_terms", "quality_filter",
+    "cap_source_tokens", "mix_epochs", "curriculum_order", "shuffle_order",
+    "sample_split", "stratified_sample", "sample_weighted",
+    "quantile_sketch", "heavy_hitters", "heavy_hitters_mg",
+    "pagerank", "triangle_count", "triangle_count_minhash",
+    "pipeline_curate", "pipeline_curate_minhash", "pipeline_curate_model",
+    "pipeline_curate_model_minhash", "pipeline_pretrain",
+    "pipeline_pretrain_minhash", "pipeline_pretrain_model",
+    "lm_score", "lm_score_bigram", "unigram_train", "unigram_encode",
+    "classifier_train", "classifier_predict", "pca_top", "pca_topk",
+    "embed_project", "embed_quantize", "events_retention", "recursive_cte",
+    "dedup_ngram", "dedup_spans", "dedup_spans_apply", "join_similarity",
+    // KMV audience overlap: the pairwise join is over k-capped sketch
+    // rows (bottom-k signatures), never raw user sets
+    "audience_overlap", "audience_overlap_exact",
+    // 1-row scalar frames (funnel step totals, PMI grand totals)
+    "events_funnel", "pmi_bigrams")
+
+  private lazy val plans: Map[String, String] = {
+    val s = spark
+    SparkEntry.queries.map { case (name, fn) =>
+      val txt =
+        try fn(s, sfDir).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLAN_BUILD_FAILED: ${e.getMessage}" }
+      name -> txt
+    }
+  }
+
+  test("every registered query plans without error") {
+    val failed = plans.collect { case (n, p) if p.startsWith("PLAN_BUILD_FAILED") => n }
+    assert(failed.isEmpty, s"plan build failed for: $failed")
+  }
+
+  test("no CartesianProduct anywhere in the registry") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("CartesianProduct") => n
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"cartesian products (unbounded at scale) in: $offenders")
+  }
+
+  test("BroadcastNestedLoopJoin only where a bounded side is by-design") {
+    val offenders = plans.collect {
+      case (n, p) if p.contains("BroadcastNestedLoopJoin") && !nonEquiOk(n) => n
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"unreviewed non-equi joins in: $offenders — add to nonEquiOk ONLY " +
+        "after confirming the broadcast side is O(1)/O(queries)")
+  }
+
+  test("no ShuffledHashJoin/SortMergeJoin against a dimension table in the TPC-H heads") {
+    // the dim joins must broadcast — a shuffled dim join at 100 TB
+    // moves the fact table for nothing
+    Seq("q3_top_revenue", "q5_region_revenue").foreach { q =>
+      assert(plans(q).contains("BroadcastHashJoin"),
+        s"$q lost its broadcast dim join:\n${plans(q).take(2000)}")
+    }
+  }
+
+  test("partition pruning reaches the partitioned scan") {
+    val p = plans("partitioned_scan")
+    assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
+      s"partitioned_scan has no partition filters:\n${p.take(2000)}")
+  }
+
+  test("rank-based top-k pushes down as WindowGroupLimit") {
+    assert(plans("topk_per_group").contains("WindowGroupLimit"),
+      "topk_per_group no longer benefits from rank-limit pushdown")
+  }
+
+  test("parquet scans prune columns: wc reads only the text column") {
+    val p = plans("wc")
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { s =>
+      assert(!s.contains("lang") && !s.contains("source") && !s.contains("n_chars"),
+        s"wc reads columns it does not use: $s")
+    }
+  }
+}
