@@ -165,98 +165,243 @@ object Pq {
     annPqOn(emb, Similarity.annCosine(s, d).select("query_id", "neighbor_id"))
   }
 
+  /** IVF-PQ — the composed billion-scale serving index (FAISS's
+    * default layout, Jégou et al. §IV): the coarse IVF quantizer
+    * routes each query to its [[Similarity.NProbe]] nearest cells and
+    * ADC scoring runs only over the PQ codes of those cells' inverted
+    * lists — cost per query is (NProbe/NCells) of the corpus × 4 table
+    * lookups per vector, over a resident set of 4-byte codes.
+    *
+    * This variant encodes the raw unit vector, not the IVF residual
+    * (residual encoding needs per-cell LUTs — NProbe× the LUT work for
+    * moderate recall gain; the non-residual form is the standard
+    * memory-optimal baseline and keeps the codebook shared across
+    * cells). Routing reuses the exact ann_ivf coarse quantizer
+    * (plan-time literal centroids — map-only assignment), codes reuse
+    * the ann_pq codebooks, so the composition adds ZERO new shuffles:
+    * one broadcast of the O(queries·NProbe) probe table and the
+    * per-query top-k window, same as ann_ivf.
+    *
+    * Determinism: both trainers are the already-oracle-certified
+    * deterministic chains; scoring is LUT lookups on literal
+    * codebooks — the whole composition unrolls in SQL.
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val raw = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = Similarity.trainCentroids(raw)
+    val unit = raw
+      .withColumn("u", when(col("nrm") > 0,
+        transform(col("v"), x => x / col("nrm"))).otherwise(col("v")))
+    val sample = unit.filter(col("vec_id") < PqTrainCap)
+      .orderBy("vec_id").select("vec_id", "u").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val books = trainCodebooks(sample)
+    // inverted lists: (cell_id, codes) per vector — one map, no joins
+    val assigned = unit.select(
+      col("vec_id") +:
+        Similarity.bestCellCol(col("v"), col("nrm"), cents).as("cell_id") +:
+        (0 until SubM).map(m =>
+          codeCol(subCol(col("u"), m), books(m)).as(s"cd$m")): _*)
+    // probe table: queries × NProbe cells, with per-query LUTs
+    val probes = unit.filter(col("vec_id") < QueryCap)
+      .select(
+        col("vec_id").as("query_id") +:
+          explode(Similarity.probeCellsCol(col("v"), col("nrm"), cents)).as("cell_id") +:
+          (0 until SubM).map(m =>
+            array((0 until Ks).map(c =>
+              dot(subCol(col("u"), m), array(books(m)(c).map(lit).toIndexedSeq: _*))): _*)
+              .as(s"lut$m")): _*)
+    val score = (0 until SubM).map(m =>
+      element_at(col(s"lut$m"), col(s"cd$m") + 1)).reduceLeft(_ + _)
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    val exact5 = Similarity.annCosine(s, d).select("query_id", "neighbor_id")
+    val recall = top.select("query_id", "neighbor_id")
+      .join(exact5, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    top.join(recall, Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("score"), 6).as("score_pq"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall_at5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_pq" -> annPq)
+    "ann_pq" -> annPq,
+    "ann_ivfpq" -> annIvfPq)
+
+  // ---- shared DuckDB oracle fragments ----
+
+  private def lo(m: Int) = m * SubDim + 1
+  private def hi(m: Int) = (m + 1) * SubDim
+
+  private def pqAssignSql(name: String, src: String, prev: String) =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT t.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY t.vec_id
+       |        ORDER BY list_dot_product(c.cv, c.cv)
+       |                 - 2 * list_dot_product(t.x, c.cv), c.cell) AS rn
+       |    FROM $src t CROSS JOIN $prev c)
+       |  WHERE rn = 1)""".stripMargin
+
+  // per-subspace trainer: seeds = first Ks sample subvectors; each
+  // round assigns by ||c||²−2xc (ties to smallest cell) and recomputes
+  // means, empty cells keeping their centroid — the Kmeans oracle's
+  // unroll, once per subspace
+  private def pqSubChain(m: Int): String = {
+    val rounds = (1 to PqIters).map { r =>
+      s"""${pqAssignSql(s"a${m}_$r", s"s$m", s"c${m}_${r - 1}")},
+         |m${m}_$r AS (
+         |  SELECT a.cell, d.i, sum(t.x[d.i]) AS sv, count(*) AS n
+         |  FROM a${m}_$r a JOIN s$m t ON t.vec_id = a.vec_id
+         |  CROSS JOIN sdims d GROUP BY a.cell, d.i),
+         |c${m}_$r AS (
+         |  SELECT prev.cell, coalesce(mm.cv, prev.cv) AS cv
+         |  FROM c${m}_${r - 1} prev LEFT JOIN
+         |    (SELECT cell, list(sv / n ORDER BY i) AS cv
+         |     FROM m${m}_$r GROUP BY cell) mm ON mm.cell = prev.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""s$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM samp),
+       |c${m}_0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         x AS cv
+       |  FROM (SELECT vec_id, x FROM s$m ORDER BY vec_id LIMIT $Ks)),
+       |$rounds,
+       |${pqAssignSql(s"enc$m", s"corp$m", s"c${m}_$PqIters")}""".stripMargin
+  }
+
+  /** e (raw + norm), u (unit), samp, the 4 codebook chains, the codes
+    * table, and q (unit queries) — everything shared by the flat-PQ
+    * and IVF-PQ oracles.
+    */
+  private def pqPrefixSql: String = {
+    val corpSlices = (0 until SubM).map(m =>
+      s"corp$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM u)").mkString(",\n")
+    val subChains = (0 until SubM).map(pqSubChain).mkString(",\n")
+    val codeJoin = (0 until SubM).map(m =>
+      s"JOIN enc$m e$m ON e$m.vec_id = u.vec_id").mkString(" ")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+       |           FROM embeddings),
+       |u AS (SELECT vec_id,
+       |        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+       |             ELSE v END AS u
+       |      FROM e),
+       |samp AS (SELECT vec_id, u FROM u WHERE vec_id < $PqTrainCap),
+       |sdims AS (SELECT unnest(generate_series(1, $SubDim)) AS i),
+       |$corpSlices,
+       |$subChains,
+       |codes AS (SELECT u.vec_id, ${(0 until SubM).map(m => s"e$m.cell AS cd$m").mkString(", ")}
+       |          FROM u $codeJoin),
+       |q AS (SELECT vec_id, u FROM u WHERE vec_id < $QueryCap)""".stripMargin
+  }
+
+  private def pqLutJoin = (0 until SubM).map(m =>
+    s"JOIN c${m}_$PqIters k$m ON k$m.cell = c.cd$m").mkString(" ")
+
+  private def pqScoreExpr = (0 until SubM).map(m =>
+    s"list_dot_product(q.u[${lo(m)}:${hi(m)}], k$m.cv)").mkString("\n     + ")
+
+  /** top-k ranking of `sc`, exact float top-k, recall join, final
+    * select — shared tail of both PQ oracles.
+    */
+  private def pqTailSql: String =
+    s"""top AS (
+       |  SELECT query_id, neighbor_id, rn, round(score, 6) AS score_pq FROM (
+       |    SELECT query_id, neighbor_id, score,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
+       |    FROM sc)
+       |  WHERE rn <= $TopK),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY eq.vec_id
+       |        ORDER BY list_dot_product(ec.v, eq.v) / (ec.nrm * eq.nrm) DESC,
+       |                 ec.vec_id) AS rn
+       |    FROM e ec JOIN e eq ON eq.vec_id < $QueryCap AND ec.vec_id <> eq.vec_id)
+       |  WHERE rn <= $TopK),
+       |rec AS (
+       |  SELECT t.query_id, count(*) AS hits
+       |  FROM top t JOIN ex ON ex.query_id = t.query_id
+       |            AND ex.neighbor_id = t.neighbor_id
+       |  GROUP BY 1)
+       |SELECT t.query_id, t.neighbor_id, t.rn, t.score_pq,
+       |  CAST(coalesce(rec.hits, 0) AS DOUBLE) / $TopK AS recall_at5
+       |FROM top t LEFT JOIN rec USING (query_id)""".stripMargin
+
+  /** The ann_ivf coarse-quantizer chain verbatim (seeds = first
+    * NCells, one Lloyd refinement over the vec_id < 2048 sample,
+    * cosine assignment with ties to the smallest cell) plus the
+    * NProbe probe table — reads the shared `e`.
+    */
+  private def ivfChainSql: String =
+    s"""dims AS (
+       |  SELECT unnest(generate_series(1,
+       |    (SELECT CAST(max(len(v)) AS INTEGER) FROM e))) AS i),
+       |sample AS (SELECT * FROM e WHERE vec_id < 2048),
+       |seeds AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         v, nrm
+       |  FROM sample WHERE vec_id < ${Similarity.NCells}),
+       |sassign AS (
+       |  SELECT vec_id, v, cell FROM (
+       |    SELECT sa.vec_id, sa.v, sd.cell,
+       |      row_number() OVER (PARTITION BY sa.vec_id
+       |        ORDER BY list_dot_product(sa.v, sd.v) / (sa.nrm * sd.nrm) DESC,
+       |                 sd.cell) AS rn
+       |    FROM sample sa CROSS JOIN seeds sd)
+       |  WHERE rn = 1),
+       |centn AS (
+       |  SELECT cell, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+       |    SELECT cell, list(s / n ORDER BY i) AS cv FROM (
+       |      SELECT sa.cell, d.i, sum(sa.v[d.i]) AS s, count(*) AS n
+       |      FROM sassign sa CROSS JOIN dims d WHERE d.i <= len(sa.v)
+       |      GROUP BY sa.cell, d.i)
+       |    GROUP BY cell)),
+       |assigned AS (
+       |  SELECT vec_id, cell AS cell_id FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+       |                 c.cell) AS rn
+       |    FROM e CROSS JOIN centn c)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cell_id FROM (
+       |    SELECT e.vec_id, c.cell AS cell_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+       |                 c.cell) AS rn
+       |    FROM e CROSS JOIN centn c WHERE e.vec_id < $QueryCap)
+       |  WHERE rn <= ${Similarity.NProbe})""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "ann_pq" -> {
-      def lo(m: Int) = m * SubDim + 1
-      def hi(m: Int) = (m + 1) * SubDim
-      // per-subspace trainer: seeds = first Ks sample subvectors;
-      // each round assigns by ||c||²−2xc (ties to smallest cell) and
-      // recomputes means, empty cells keeping their centroid — the
-      // Kmeans oracle's unroll, once per subspace
-      def subChain(m: Int): String = {
-        def assign(name: String, src: String, prev: String) =
-          s"""$name AS (
-             |  SELECT vec_id, cell FROM (
-             |    SELECT t.vec_id, c.cell,
-             |      row_number() OVER (PARTITION BY t.vec_id
-             |        ORDER BY list_dot_product(c.cv, c.cv)
-             |                 - 2 * list_dot_product(t.x, c.cv), c.cell) AS rn
-             |    FROM $src t CROSS JOIN $prev c)
-             |  WHERE rn = 1)""".stripMargin
-        val rounds = (1 to PqIters).map { r =>
-          s"""${assign(s"a${m}_$r", s"s$m", s"c${m}_${r - 1}")},
-             |m${m}_$r AS (
-             |  SELECT a.cell, d.i, sum(t.x[d.i]) AS sv, count(*) AS n
-             |  FROM a${m}_$r a JOIN s$m t ON t.vec_id = a.vec_id
-             |  CROSS JOIN sdims d GROUP BY a.cell, d.i),
-             |c${m}_$r AS (
-             |  SELECT prev.cell, coalesce(mm.cv, prev.cv) AS cv
-             |  FROM c${m}_${r - 1} prev LEFT JOIN
-             |    (SELECT cell, list(sv / n ORDER BY i) AS cv
-             |     FROM m${m}_$r GROUP BY cell) mm ON mm.cell = prev.cell)""".stripMargin
-        }.mkString(",\n")
-        s"""s$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM samp),
-           |c${m}_0 AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-           |         x AS cv
-           |  FROM (SELECT vec_id, x FROM s$m ORDER BY vec_id LIMIT $Ks)),
-           |$rounds,
-           |${assign(s"enc$m", s"corp$m", s"c${m}_$PqIters")}""".stripMargin
-      }
-      val subChains = (0 until SubM).map(subChain).mkString(",\n")
-      val corpSlices = (0 until SubM).map(m =>
-        s"corp$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM u)").mkString(",\n")
-      val codeJoin = (0 until SubM).map(m =>
-        s"JOIN enc$m e$m ON e$m.vec_id = u.vec_id").mkString(" ")
-      val lutJoin = (0 until SubM).map(m =>
-        s"JOIN c${m}_$PqIters k$m ON k$m.cell = c.cd$m").mkString(" ")
-      val scoreExpr = (0 until SubM).map(m =>
-        s"list_dot_product(q.u[${lo(m)}:${hi(m)}], k$m.cv)").mkString("\n     + ")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-         |                                   CAST(embedding AS DOUBLE[]))) AS nrm
-         |           FROM embeddings),
-         |u AS (SELECT vec_id,
-         |        CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
-         |             ELSE v END AS u
-         |      FROM e),
-         |samp AS (SELECT vec_id, u FROM u WHERE vec_id < $PqTrainCap),
-         |sdims AS (SELECT unnest(generate_series(1, $SubDim)) AS i),
-         |$corpSlices,
-         |$subChains,
-         |codes AS (SELECT u.vec_id, ${(0 until SubM).map(m => s"e$m.cell AS cd$m").mkString(", ")}
-         |          FROM u $codeJoin),
-         |q AS (SELECT vec_id, u FROM u WHERE vec_id < $QueryCap),
+    "ann_pq" ->
+      s"""WITH $pqPrefixSql,
          |sc AS (
          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    $scoreExpr AS score
-         |  FROM codes c CROSS JOIN q $lutJoin
+         |    $pqScoreExpr AS score
+         |  FROM codes c CROSS JOIN q $pqLutJoin
          |  WHERE c.vec_id <> q.vec_id),
-         |top AS (
-         |  SELECT query_id, neighbor_id, rn, round(score, 6) AS score_pq FROM (
-         |    SELECT query_id, neighbor_id, score,
-         |      CAST(row_number() OVER (PARTITION BY query_id
-         |        ORDER BY score DESC, neighbor_id) AS INTEGER) AS rn
-         |    FROM sc)
-         |  WHERE rn <= $TopK),
-         |ex AS (
-         |  SELECT query_id, neighbor_id FROM (
-         |    SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
-         |      row_number() OVER (PARTITION BY eq.vec_id
-         |        ORDER BY list_dot_product(ec.v, eq.v) / (ec.nrm * eq.nrm) DESC,
-         |                 ec.vec_id) AS rn
-         |    FROM e ec JOIN e eq ON eq.vec_id < $QueryCap AND ec.vec_id <> eq.vec_id)
-         |  WHERE rn <= $TopK),
-         |rec AS (
-         |  SELECT t.query_id, count(*) AS hits
-         |  FROM top t JOIN ex ON ex.query_id = t.query_id
-         |            AND ex.neighbor_id = t.neighbor_id
-         |  GROUP BY 1)
-         |SELECT t.query_id, t.neighbor_id, t.rn, t.score_pq,
-         |  CAST(coalesce(rec.hits, 0) AS DOUBLE) / $TopK AS recall_at5
-         |FROM top t LEFT JOIN rec USING (query_id)""".stripMargin
-    })
+         |$pqTailSql""".stripMargin,
+    "ann_ivfpq" ->
+      s"""WITH $pqPrefixSql,
+         |$ivfChainSql,
+         |sc AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    $pqScoreExpr AS score
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+         |  JOIN codes c ON c.vec_id = a.vec_id
+         |  JOIN q ON q.vec_id = p.query_id
+         |  $pqLutJoin),
+         |$pqTailSql""".stripMargin)
 }

@@ -350,8 +350,8 @@ object Similarity {
   }
 
   // IVF parameters: 16 coarse cells, queries probe the 2 nearest.
-  private val NCells = 16
-  private val NProbe = 2
+  private[queries] val NCells = 16
+  private[queries] val NProbe = 2
 
   /** Coarse quantizer: deterministic seeds (vec_id < NCells) refined by
     * one Lloyd iteration over a BOUNDED deterministic training set
@@ -367,7 +367,7 @@ object Similarity {
     */
   private val TrainCap = 2048
 
-  private def trainCentroids(all: DataFrame,
+  private[queries] def trainCentroids(all: DataFrame,
       nCells: Int = NCells): Array[(Array[Double], Double)] = {
     val sample = all.filter(col("vec_id") < TrainCap)
       .select(col("vec_id"), col("v"), col("nrm"))
@@ -409,7 +409,7 @@ object Similarity {
     * `greatest` over per-cell (cos, -cell_id) structs, ties to the
     * smallest cell_id (same order `max_by(struct(cos, -cell_id))` used).
     */
-  private def bestCellCol(v: Column, nrm: Column,
+  private[queries] def bestCellCol(v: Column, nrm: Column,
       cents: Array[(Array[Double], Double)]): Column = {
     val scored = cents.zipWithIndex.map { case ((cv, cn), i) =>
       struct((dot(v, array(cv.map(lit).toIndexedSeq: _*)) / (nrm * lit(cn))).as("ccos"),
@@ -421,7 +421,7 @@ object Similarity {
   /** The NProbe nearest cell ids, map-only like [[bestCellCol]]:
     * array_sort on (-cos, cell_id) structs, slice NProbe.
     */
-  private def probeCellsCol(v: Column, nrm: Column,
+  private[queries] def probeCellsCol(v: Column, nrm: Column,
       cents: Array[(Array[Double], Double)]): Column = {
     val scored = cents.zipWithIndex.map { case ((cv, cn), i) =>
       struct((-(dot(v, array(cv.map(lit).toIndexedSeq: _*)) / (nrm * lit(cn)))).as("negcos"),

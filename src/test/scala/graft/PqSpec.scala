@@ -23,6 +23,30 @@ class PqSpec extends SparkSuite {
     assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
   }
 
+  test("ann_ivfpq: bounded per-query results, scores from the shared codebooks, deterministic") {
+    val ivfpq = Pq.annIvfPq(spark, sfDir).collect()
+    assert(ivfpq.nonEmpty)
+    val byQ = ivfpq.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      // probing NProbe cells can yield fewer than TopK candidates,
+      // never more; ranks stay dense from 1
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(2)).sorted.toSeq === (1 to rows.length))
+      rows.foreach(r => assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    }
+    // same codebooks as flat PQ: any (query, neighbor) pair present in
+    // both rankings carries the IDENTICAL ADC score
+    val flat = Pq.annPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivfpq.foreach { r =>
+      flat.get((r.getLong(0), r.getLong(1))).foreach { s =>
+        assert(s === r.getDouble(3), s"ADC score mismatch for ${(r.getLong(0), r.getLong(1))}")
+      }
+    }
+    val again = Pq.annIvfPq(spark, sfDir).collect()
+    assert(ivfpq.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("ann_pq recovers exact neighbors on a planted clustered corpus") {
     import spark.implicits._
     // 8 well-separated centers in R^64; 40 points each, tiny jitter.
