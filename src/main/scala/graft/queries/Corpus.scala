@@ -197,6 +197,55 @@ object Corpus {
           .as("avg_nll2"))
   }
 
+  /** Absolute discount for [[lmScoreKn]] (Kneser-Ney's canonical
+    * D = 0.75; a literal in both engines).
+    */
+  val KnD = 0.75
+
+  /** Interpolated Kneser-Ney bigram scoring ([EXT], Kneser & Ney '95;
+    * Chen & Goodman '98 eq. 4.25) — the smoothing upgrade of
+    * [[lmScoreBigram]]: instead of backing off to RAW unigram
+    * frequency, the lower-order term is the CONTINUATION probability
+    * N1+(·w)/N1+(··) (in how many distinct contexts does w appear?),
+    * so boilerplate tokens that are frequent but context-locked
+    * ("Francisco" after "San") stop inflating unseen-context scores —
+    * the difference that made KN the standard n-gram smoother.
+    * p(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·) + D/c(w₁·)·N1+(w₁·)·Pcont(w₂).
+    *
+    * Scale design: identical envelope to [[lmScoreBigram]] — one
+    * bigram explode, vocabulary/bigram-TYPE-cardinality partial-agg'd
+    * counts (the continuation counts are one extra groupBy over the
+    * bigram-type table, strictly smaller than the token stream), and
+    * token-keyed scoring joins AQE size-picks. Float surface: the
+    * per-doc avg under r4 — the bigram entry's accepted class.
+    */
+  def lmScoreKn(s: SparkSession, d: String): DataFrame =
+    lmScoreKnOn(Tables.documents(s, d))
+
+  def lmScoreKnOn(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("ws"))
+    val bi = base
+      .select(col("doc_id"), explode(bigramsFromTokens(col("ws"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ub = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = bi.groupBy("w1").agg(count(lit(1)).as("cc"))
+    val fwd = ub.groupBy("w1").agg(count(lit(1)).as("n1f")) // N1+(w1·)
+    val back = ub.groupBy("w2").agg(count(lit(1)).as("n1b")) // N1+(·w2)
+    val btypes = ub.agg(count(lit(1)).cast("double").as("bt")) // N1+(··)
+    bi
+      .join(ub, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(fwd, Seq("w1"))
+      .join(back, Seq("w2"))
+      .crossJoin(broadcast(btypes))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        r4(avg(-log(
+          greatest(col("cb").cast("double") - lit(KnD), lit(0.0)) / col("cc")
+            + lit(KnD) / col("cc") * col("n1f") * (col("n1b") / col("bt")))))
+          .as("avg_nll_kn"))
+  }
+
   // 20-token windows — the span length of Lee et al.'s exact-substring
   // dedup (50 BPE tokens ≈ 20-25 words; 20 keeps short docs in play).
   private val SpanLen = 20
@@ -504,6 +553,7 @@ object Corpus {
     "snapshot_diff" -> snapshotDiff,
     "lm_score" -> lmScore,
     "lm_score_bigram" -> lmScoreBigram,
+    "lm_score_kn" -> lmScoreKn,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_apply" -> dedupSpansApply,
     "dedup_paragraph" -> dedupParagraph,
@@ -639,6 +689,29 @@ object Corpus {
          |JOIN ctx USING (w1)
          |JOIN uc ON uc.tok = b.w2
          |CROSS JOIN nn
+         |GROUP BY b.doc_id""".stripMargin,
+    "lm_score_kn" ->
+      s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents),
+         |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+         |       FROM (SELECT doc_id, ws,
+         |               unnest(generate_series(1, len(ws) - 1)) AS i
+         |             FROM t WHERE len(ws) >= 2)),
+         |ub AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         |ctx AS (SELECT w1, count(*) AS cc FROM bi GROUP BY 1),
+         |fwd AS (SELECT w1, count(*) AS n1f FROM ub GROUP BY 1),
+         |back AS (SELECT w2, count(*) AS n1b FROM ub GROUP BY 1),
+         |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM ub)
+         |SELECT b.doc_id, count(*) AS n_bigrams,
+         |  floor(avg(-ln(
+         |    greatest(CAST(cb AS DOUBLE) - $KnD, 0.0) / cc
+         |    + $KnD / cc * n1f * (n1b / bt.bt)))
+         |        * 10000 + 0.5) / 10000.0 AS avg_nll_kn
+         |FROM bi b
+         |JOIN ub USING (w1, w2)
+         |JOIN ctx USING (w1)
+         |JOIN fwd USING (w1)
+         |JOIN back USING (w2)
+         |CROSS JOIN bt
          |GROUP BY b.doc_id""".stripMargin,
     "dedup_spans" ->
       s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS w FROM documents),

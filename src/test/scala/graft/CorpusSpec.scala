@@ -162,6 +162,47 @@ class CorpusSpec extends SparkSuite {
     assert(got(3L)._1 === 9L)
   }
 
+  test("lm_score_kn ≡ sequential Kneser-Ney reference; continuation beats raw frequency") {
+    import spark.implicits._
+    // "francisco" is FREQUENT but context-locked (only ever follows
+    // "san"); "cat" is rarer but appears after two distinct contexts.
+    val docs = Seq(
+      (1L, "san francisco san francisco san francisco bay area"),
+      (2L, "the cat sat on the mat a cat ran"),
+      (3L, "alpha beta gamma delta alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    val got = graft.queries.Corpus.lmScoreKnOn(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // sequential reference
+    val toks = Map(
+      1L -> "san francisco san francisco san francisco bay area",
+      2L -> "the cat sat on the mat a cat ran",
+      3L -> "alpha beta gamma delta alpha beta gamma epsilon")
+      .view.mapValues(_.split(" ").toSeq).toMap
+    val allBis = toks.toSeq.sortBy(_._1).flatMap { case (id, ws) =>
+      ws.sliding(2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val cb = allBis.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cc = allBis.groupBy(_._2._1).view.mapValues(_.size.toLong).toMap
+    val n1f = cb.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = cb.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bt = cb.size.toDouble
+    val D = graft.queries.Corpus.KnD
+    val ref = toks.map { case (id, ws) =>
+      val bis = ws.sliding(2).map(p => (p(0), p(1))).toSeq
+      val nll = bis.map { b =>
+        -math.log(math.max(cb(b).toDouble - D, 0.0) / cc(b._1)
+          + D / cc(b._1) * n1f(b._1) * (n1b(b._2) / bt))
+      }
+      id -> ((bis.size.toLong,
+        math.floor(nll.sum / nll.size * 10000 + 0.5) / 10000.0))
+    }
+    assert(got === ref)
+    // KN's continuation probability: "francisco" (freq 3, one context)
+    // must carry LOWER Pcont than "cat" (freq 2, two contexts)
+    assert(n1b(("francisco")) < n1b(("cat")))
+  }
+
   test("dedup_paragraph drops repeated segments, keeps first occurrence, reassembles") {
     import spark.implicits._
     // 20-word segments: segA repeated verbatim in doc 2; segC unique.
