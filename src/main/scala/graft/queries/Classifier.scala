@@ -87,7 +87,7 @@ object Classifier {
   /** Feature id of a token: 24 md5 bits mod Dims (the mdUniform /
     * shard-key convention — deterministic in any engine with md5).
     */
-  private def dimOf(tok: Column): Column =
+  private[graft] def dimOf(tok: Column): Column =
     pmod(conv(substring(md5(tok), 1, 6), 16, 10).cast("long"), lit(Dims)).cast("int")
 
   /** (doc_id, y, x: dense Dims+1-vector) for every doc with ≥1 letter
@@ -239,9 +239,31 @@ object Classifier {
     out
   }
 
+  /** Batch-path twin of the streaming model gate
+    * ([[graft.streaming.StreamingOps.modelGateStream]]): margin-score
+    * every doc with the trained weights and route accept/reject at
+    * margin >= 0 — the registry entry that puts the WHOLE
+    * train→score→gate chain under one DuckDB hash gate; the streaming
+    * form reproduces the identical scores row-for-row
+    * (StreamingSpec).
+    */
+  def modelGate(s: SparkSession, d: String): DataFrame = {
+    val vec = featurize(s, d)
+    val w = trainWeights(vec)
+    val wl = array(w.map(lit).toIndexedSeq: _*)
+    val out = vec
+      .select(col("doc_id"),
+        (floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+      .withColumn("accept", (col("score") >= 0).cast("int"))
+      .stable
+    vec.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "classifier_train" -> classifierTrain,
-    "classifier_predict" -> classifierPredict)
+    "classifier_predict" -> classifierPredict,
+    "model_gate_stream" -> modelGate)
 
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
@@ -307,5 +329,14 @@ object Classifier {
          |SELECT CAST(y AS INTEGER) AS label,
          |       CAST(CASE WHEN m > 0 THEN 1 ELSE 0 END AS INTEGER) AS pred,
          |       count(*) AS n_docs
-         |FROM sc GROUP BY y, pred""".stripMargin)
+         |FROM sc GROUP BY y, pred""".stripMargin,
+    "model_gate_stream" ->
+      s"""WITH
+         |$chainSql,
+         |smod AS (SELECT d.doc_id, floor(sum(d.x * w.w) * 1e6 + 0.5) / 1e6 AS score
+         |         FROM dd d JOIN $finalWeightsCte w USING (dim)
+         |         GROUP BY d.doc_id)
+         |SELECT doc_id, score,
+         |  CAST(CASE WHEN score >= 0 THEN 1 ELSE 0 END AS INTEGER) AS accept
+         |FROM smod""".stripMargin)
 }

@@ -134,6 +134,44 @@ object StreamingOps {
       .select(col("doc_id"), col("dup_of"), col("jac"))
   }
 
+  /** Model-gated streaming ingest: score each arriving document with
+    * the BATCH-trained hashed-BoW classifier and route accept/reject
+    * at margin >= 0 — the "distilled quality filter in front of the
+    * ingest firehose" a production pipeline runs. The weights are a
+    * plan-time literal array (train batch-side with
+    * [[graft.queries.Classifier]], broadcast by value): the stream
+    * holds NO model state, so the query is stateless append mode and
+    * a model refresh is a plan swap, not a state migration.
+    *
+    * The featurize here is IN-ROW (token-dim histogram via
+    * higher-order functions — O(Dims·tokens) per row, map-only)
+    * instead of batch featurize's token-level shuffle: a streaming
+    * groupBy(doc) would be a stateful aggregation for no reason when
+    * the whole vector fits in one row's evaluation. Arithmetic is
+    * ingredient-for-ingredient the batch chain ([[graft.queries
+    * .Classifier.featurizeOn]]): same md5 dim hash, same tf·Dims
+    * scaling, same bias slot, same 1e-6 margin rounding — so scores
+    * are bit-identical to the oracle-gated batch twin
+    * (`model_gate_stream` in the registry; equality is
+    * StreamingSpec-asserted row-for-row).
+    */
+  def modelGateStream(docStream: DataFrame, weights: Array[Double]): DataFrame = {
+    val dims = graft.queries.Classifier.Dims
+    val wl = array(weights.toIndexedSeq.map(lit): _*)
+    docStream
+      .withColumn("ws", graft.queries.Dedup.tokensCol(col("text")))
+      .filter(size(col("ws")) > 0)
+      .withColumn("x", concat(
+        transform(sequence(lit(0), lit(dims - 1)), dm =>
+          size(filter(col("ws"), t => graft.queries.Classifier.dimOf(t) === dm))
+            .cast("double") / size(col("ws")) * lit(dims.toDouble)),
+        array(lit(1.0))))
+      .select(col("doc_id"),
+        (floor(graft.functions.DotProduct.dotCol(col("x"), wl) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("score"))
+      .withColumn("accept", (col("score") >= 0).cast("int"))
+  }
+
   /** Streaming heavy-hitter candidates: the SAME mergeable Misra-Gries
     * state the batch path uses, run as a streaming global aggregation —
     * Spark keeps the (counters, n) buffer as query state and merges

@@ -44,8 +44,11 @@ class PlanLintSpec extends SparkSuite {
     // KMV audience overlap: the pairwise join is over k-capped sketch
     // rows (bottom-k signatures), never raw user sets
     "audience_overlap", "audience_overlap_exact",
-    // 1-row scalar frames (funnel step totals, PMI grand totals)
-    "events_funnel", "pmi_bigrams")
+    // 1-row scalar frames (funnel step totals, PMI / bigram-type totals)
+    "events_funnel", "pmi_bigrams", "lm_score_kn",
+    // IVF-PQ: probe table is O(queries·NProbe) broadcast; the non-equi
+    // node is the exact-recall audit's broadcast query side
+    "ann_ivfpq")
 
   private lazy val plans: Map[String, String] = {
     val s = spark

@@ -487,4 +487,31 @@ class StreamingSpec extends SparkSuite {
       assert(verified === exact && exact === Set("needle"))
     } finally q.stop()
   }
+
+  test("streaming model gate ≡ batch model_gate_stream scores, row for row") {
+    val expected = graft.queries.Classifier.modelGate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    val vec = graft.queries.Classifier.featurize(spark, sfDir)
+    val w = graft.queries.Classifier.trainWeights(vec)
+    vec.unpersist(false)
+    val docRows = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val mem = MemoryStream[(Long, String)](spark)
+    val df = StreamingOps.modelGateStream(
+      mem.toDF().toDF("doc_id", "text"), w)
+    val name = s"gate_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = docRows.splitAt(docRows.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(got === expected)
+      assert(got.exists(_._3 == 1) && got.exists(_._3 == 0),
+        "gate should route both ways on this corpus")
+    } finally q.stop()
+  }
 }
