@@ -149,14 +149,66 @@ object Temporal {
         expr(s"(pts - cts) DIV $NanosPerSec").as("gap_s"))
   }
 
+  /** Third as-of execution path: per-key SORTED HISTORY ARRAYS + an
+    * in-row lookup — the ENRICHMENT form. Each user's click history
+    * collapses into one sorted array row; a purchase then resolves its
+    * at-or-before click with a pure in-row filter + tail pick (ANSI-
+    * safe size-indexed element_at), so after the single equi-join
+    * there is no window, no union, no custom operator — and the plan
+    * is STREAM-COMPOSABLE: with a streaming purchase side this is a
+    * stateless stream-static equi-join
+    * ([[graft.streaming.StreamingOps.asofEnrichStream]]), the only
+    * as-of form Structured Streaming runs without a state store.
+    *
+    * Contract: right-side per-key histories must fit a row (rates
+    * tables, slowly-changing dims, per-user histories — the
+    * enrichment cases); for fact-fact as-of use join_asof /
+    * AsofJoinExec. Ties at equal click ts resolve to the max click_id
+    * (the sorted array's tail), deterministic by construction.
+    */
+  def asofLookupOn(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val hist = clicks
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("click_id")))).as("hist"))
+    purchases
+      .join(hist, Seq("user_id"), "left")
+      .withColumn("pref",
+        filter(col("hist"), h => h.getField("ts") <= col("ts")))
+      .withColumn("m",
+        when(size(col("pref")) > 0, element_at(col("pref"), size(col("pref")))))
+      .select(
+        col("purchase_id"),
+        col("user_id"),
+        expr(s"ts DIV $NanosPerSec").as("purchase_s"),
+        col("m.click_id").as("click_id"),
+        expr(s"(ts - m.ts) DIV $NanosPerSec").as("gap_s"))
+  }
+
+  /** Registered batch form of [[asofLookupOn]] over the events split —
+    * the same relation as join_asof through the lookup plan, under the
+    * identical oracle text (one SQL, three execution paths).
+    */
+  def joinAsofLookup(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    asofLookupOn(
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id")),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_asof" -> joinAsof,
     "join_asof_exec" -> joinAsofExec,
     "join_asof_fwd" -> joinAsofFwd,
     "join_asof_tol" -> joinAsofTol,
+    "join_asof_lookup" -> joinAsofLookup,
     "join_range" -> joinRange)
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleBase + ("join_asof_lookup" -> oracleBase("join_asof"))
+
+  private val oracleBase: Map[String, String] = Map(
     // Same union + carry-forward formulation so semantics (incl. the
     // at-equal-ts ordering) match by construction.
     "join_asof" ->

@@ -172,6 +172,18 @@ object StreamingOps {
       .withColumn("accept", (col("score") >= 0).cast("int"))
   }
 
+  /** Streaming as-of enrichment: each arriving purchase resolves its
+    * most recent at-or-before click from the STATIC per-user sorted
+    * history arrays — [[graft.queries.Temporal.asofLookupOn]] run with
+    * a streaming left side. Stateless append mode: the only join is a
+    * stream-static equi-join on user_id and the lookup itself is
+    * in-row, so no state store, no watermark, and a history refresh
+    * re-plans into the next micro-batch — the only as-of form
+    * Structured Streaming can run without custom stateful operators.
+    */
+  def asofEnrichStream(purchaseStream: DataFrame, clicks: DataFrame): DataFrame =
+    graft.queries.Temporal.asofLookupOn(purchaseStream, clicks)
+
   /** Streaming heavy-hitter candidates: the SAME mergeable Misra-Gries
     * state the batch path uses, run as a streaming global aggregation —
     * Spark keeps the (counters, n) buffer as query state and merges

@@ -488,6 +488,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment ≡ batch join_asof, across micro-batches") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val expected = graft.queries.Temporal.joinAsof(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString), Option(r.get(4)).map(_.toString))).toSet
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    val df = StreamingOps.asofEnrichStream(
+      mem.toDF().toDF("user_id", "ts", "purchase_id"), clicks)
+    val name = s"asof_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = purchases.splitAt(purchases.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.toString), Option(r.get(4)).map(_.toString))).toSet
+      assert(got === expected)
+      assert(got.exists(_._4.isEmpty) || got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming model gate ≡ batch model_gate_stream scores, row for row") {
     val expected = graft.queries.Classifier.modelGate(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
