@@ -353,21 +353,36 @@ object Sketches {
     * O(k) state per group; map-side partial aggregation; rank error
     * O(1/√k). Sources smaller than k answer exactly.
     */
-  def quantileSketch(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The sketch + quantile-pick core over prepared (source, h, ntok)
+    * rows — shared verbatim by the batch query and the streaming
+    * complete-mode twin ([[graft.streaming.StreamingOps
+    * .quantileStream]]): hash-order membership makes the sample — and
+    * hence every estimate — independent of how rows arrive, so the
+    * stream equals the batch EXACTLY at every trigger that has seen
+    * the same rows.
+    */
+  private[graft] def quantileOf(
+      rows: org.apache.spark.sql.Dataset[(String, Double, Long)]): DataFrame = {
+    val sess = rows.sparkSession
+    import sess.implicits._
     val pick = (q: Double) =>
       element_at(col("vals"), ceil(lit(q) * size(col("vals"))).cast("int"))
-    Tables.documents(s, d)
-      .select(col("source"),
-        ((conv(substring(md5(concat(lit("qsk:"), col("doc_id").cast("string"))), 1, 12),
-          16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)).as("h"),
-        size(Dedup.tokensCol(col("text"))).cast("long").as("ntok"))
-      .as[(String, Double, Long)]
+    rows
       .groupByKey(_._1).mapValues(t => (t._2, t._3))
       .agg(graft.functions.QuantileSketchAggregator.sketch(QuantK).name("vals"))
       .toDF("source", "vals")
       .select(col("source"), size(col("vals")).as("n_sample"),
         pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+  }
+
+  def quantileSketch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    quantileOf(Tables.documents(s, d)
+      .select(col("source"),
+        ((conv(substring(md5(concat(lit("qsk:"), col("doc_id").cast("string"))), 1, 12),
+          16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)).as("h"),
+        size(Dedup.tokensCol(col("text"))).cast("long").as("ntok"))
+      .as[(String, Double, Long)])
   }
 
   /** CMS grid shape for [[cmsFreq]]: 4 × 256 (ε = e/256 ≈ 1.1%·n

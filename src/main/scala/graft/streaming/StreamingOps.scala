@@ -172,6 +172,20 @@ object StreamingOps {
       .withColumn("accept", (col("score") >= 0).cast("int"))
   }
 
+  /** Streaming per-source quantile estimates: the SAME mergeable
+    * bottom-k-by-hash sketch the batch quantile_sketch query uses,
+    * run as a streaming complete-mode typed aggregation — Spark keeps
+    * the O(k) (h, v) buffer per source as query state and merges each
+    * micro-batch's partials with the identical rule that combines
+    * map-side partials in batch. Because sample membership depends
+    * only on hash ORDER (never arrival order), every trigger's output
+    * is EXACTLY the batch answer over the rows seen so far — the
+    * property ingestion-order-dependent sketches (t-digest/KLL)
+    * cannot offer a stream.
+    */
+  def quantileStream(rows: org.apache.spark.sql.Dataset[(String, Double, Long)]): DataFrame =
+    graft.queries.Sketches.quantileOf(rows)
+
   /** Streaming as-of enrichment: each arriving purchase resolves its
     * most recent at-or-before click from the STATIC per-user sorted
     * history arrays — [[graft.queries.Temporal.asofLookupOn]] run with

@@ -488,6 +488,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch ≡ batch at every trigger (hash-order membership)") {
+    import spark.implicits._
+    val prep = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        ((conv(substring(md5(concat(lit("qsk:"), col("doc_id").cast("string"))), 1, 12),
+          16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)).as("h"),
+        size(graft.queries.Dedup.tokensCol(col("text"))).cast("long").as("ntok"))
+      .as[(String, Double, Long)]
+      .collect().toSeq
+    val expected = graft.queries.Sketches.quantileSketch(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val mem = MemoryStream[(String, Double, Long)](spark)
+    val df = StreamingOps.quantileStream(mem.toDS())
+    val name = s"quant_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = prep.splitAt(prep.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got === expected)
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment ≡ batch join_asof, across micro-batches") {
     val ev = graft.core.Tables.events(spark, sfDir)
     val clicks = ev.filter(col("event_type") === "click")
