@@ -198,7 +198,7 @@ object Cluster {
     * reproduces bit-for-bit in DuckDB (Dedup.minhashBucketsSql).
     */
   def dedupClusterMinhash(s: SparkSession, d: String): DataFrame =
-    clustersOf(Dedup.minhashScored(Tables.documents(s, d))
+    clustersOf(Dedup.minhashScored(Tables.documents(s, d), 0.6)
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
@@ -238,7 +238,7 @@ object Cluster {
     */
   def dedupKeepMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    dedupKeepFrom(docs, Dedup.minhashScored(docs)
+    dedupKeepFrom(docs, Dedup.minhashScored(docs, 0.6)
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
   }
@@ -305,7 +305,7 @@ object Cluster {
     */
   def dedupKeepCentralMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    dedupKeepCentralFrom(docs, Dedup.minhashScored(docs).filter(col("jac") >= 0.6))
+    dedupKeepCentralFrom(docs, Dedup.minhashScored(docs, 0.6).filter(col("jac") >= 0.6))
   }
 
   /** Policy-driven survivor selection: keep each cluster's doc from
@@ -348,7 +348,7 @@ object Cluster {
 
   def dedupKeepPriorityMinhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    dedupKeepPriorityFrom(docs, Dedup.minhashScored(docs)
+    dedupKeepPriorityFrom(docs, Dedup.minhashScored(docs, 0.6)
       .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
   }
 
@@ -525,7 +525,7 @@ object Cluster {
     * minhash-scale-path pairing of this module).
     */
   def triangleCountMinhash(s: SparkSession, d: String): DataFrame =
-    triangleCountOf(Dedup.minhashScored(Tables.documents(s, d))
+    triangleCountOf(Dedup.minhashScored(Tables.documents(s, d), 0.6)
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
@@ -594,7 +594,7 @@ object Cluster {
     * minhash-scale-path pairing of this module.
     */
   def kcoreMinhash(s: SparkSession, d: String): DataFrame =
-    kcoreOf(Dedup.minhashScored(Tables.documents(s, d))
+    kcoreOf(Dedup.minhashScored(Tables.documents(s, d), 0.6)
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
@@ -659,7 +659,7 @@ object Cluster {
       .select(col("doc_a"), col("doc_b")))
 
   def labelPropMinhash(s: SparkSession, d: String): DataFrame =
-    labelPropOf(Dedup.minhashScored(Tables.documents(s, d))
+    labelPropOf(Dedup.minhashScored(Tables.documents(s, d), 0.6)
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 

@@ -207,7 +207,21 @@ object Dedup {
     * double. No orderBy/limit: downstream consumers (clustering) need
     * every edge, and the sort would be a pointless global stage.
     */
-  def minhashScored(documents: DataFrame): DataFrame = {
+  def minhashScored(documents: DataFrame): DataFrame =
+    minhashScored(documents, 0.0)
+
+  /** `minJac` > 0 enables the size-ratio candidate prune: J(A,B) <=
+    * min(|A|,|B|)/max(|A|,|B|), so a pair whose shingle-set sizes are
+    * more skewed than the threshold can never verify — it is dropped
+    * BEFORE the shingle-fetch joins and the exact-intersect pass, on
+    * (id, size) rows alone. Output is IDENTICAL to the unpruned form
+    * followed by `.filter(jac >= minJac)`'s candidate set (the prune
+    * removes only sub-threshold pairs), so every consumer oracle is
+    * unchanged; only the physical verify volume shrinks. Callers that
+    * need the full unthresholded edge list (dedup_minhash's top-50)
+    * use the 1-arg form.
+    */
+  def minhashScored(documents: DataFrame, minJac: Double): DataFrame = {
     val s = documents.sparkSession
     graft.functions.WordShingles.register(s)
     graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
@@ -224,24 +238,34 @@ object Dedup {
     // outer variant skips those inferred filters and is identical here
     // (bks is always a non-null Bands-element array for non-empty sh).
     val bands = docs
-      .select(col("doc_id"), col("sh"), expr("minhash_buckets(sh)").as("bks"))
-      .select(col("doc_id"), posexplode_outer(col("bks")))
-      .toDF("doc_id", "band", "bucket")
+      .select(col("doc_id"), size(col("sh")).as("n"), expr("minhash_buckets(sh)").as("bks"))
+      .select(col("doc_id"), col("n"), posexplode_outer(col("bks")))
+      .toDF("doc_id", "n", "band", "bucket")
     // Two-stage expansion (posexplode bucket, explode tail slice), same
     // as ngramScored: per-row memory stays O(k) for a k-doc bucket
     // instead of the O(k^2) array a single flatten-explode builds. Hot
     // buckets here = exact-duplicate mega-groups (identical docs share
     // all bands) — a real hazard at 100 TB, which is why pipelines run
     // dedup_exact first; this keeps the operator memory-safe either way.
-    val cand = bands
+    val cand0 = bands
       .groupBy("band", "bucket")
-      .agg(collect_list(col("doc_id")).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
-        b => struct(least(col("a"), b).as("doc_a"), greatest(col("a"), b).as("doc_b")))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+        b => struct(
+          least(col("a.doc_id"), b.getField("doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), b.getField("doc_id")).as("doc_b"),
+          least(col("a.n"), b.getField("n")).as("nmin"),
+          greatest(col("a.n"), b.getField("n")).as("nmax")))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.nmin").as("nmin"), col("p.nmax").as("nmax"))
       .distinct()
+    val cand =
+      if (minJac > 0.0)
+        cand0.filter(col("nmin").cast("double") >= lit(minJac) * col("nmax"))
+          .select("doc_a", "doc_b")
+      else cand0.select("doc_a", "doc_b")
     // Verify only the candidates: exact Jaccard runs on O(candidates)
     // pairs, never O(corpus^2). Two joins fetch the two sides' shingle
     // sets; both hash-partition the SAME docs subplan by doc_id, so

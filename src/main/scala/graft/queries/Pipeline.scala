@@ -45,7 +45,7 @@ object Pipeline {
     */
   def pipelineCurateMinhash(s: SparkSession, d: String): DataFrame =
     pipelineCurateWith(s, d,
-      docs => Dedup.minhashScored(docs)
+      docs => Dedup.minhashScored(docs, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
 
   /** The shared stage chain: corpus, quality survivors (stabled),
@@ -231,7 +231,7 @@ object Pipeline {
 
   def pipelinePretrainMinhash(s: SparkSession, d: String): DataFrame =
     pipelinePretrainWith(s, d,
-      docs => Dedup.minhashScored(docs)
+      docs => Dedup.minhashScored(docs, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")))
 
   /** The full stack: model-gated stage 1 + shard materialization — the
@@ -263,7 +263,7 @@ object Pipeline {
     */
   def pipelineCurateModelMinhash(s: SparkSession, d: String): DataFrame =
     pipelineCurateWith(s, d,
-      docs => Dedup.minhashScored(docs)
+      docs => Dedup.minhashScored(docs, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       modelKeptIds)
 
