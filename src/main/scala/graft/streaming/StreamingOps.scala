@@ -268,6 +268,26 @@ object StreamingOps {
       }
   }
 
+  /** The same running-count operator on Spark 4's transformWithState
+    * API ([[RunningCountProcessor]]) — the successor of
+    * mapGroupsWithState: typed named-state handles (ValueState /
+    * ListState / MapState) instead of one opaque blob, explicit
+    * TimeMode, per-state TTL, and schema-evolvable state. Requires the
+    * RocksDB state-store provider (set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * RocksDBStateStoreProvider on the query's session). Update mode;
+    * output equals [[runningCounts]] trigger-for-trigger
+    * (StreamingSpec).
+    */
+  def runningCountsTws(events: Dataset[(Long, Double)]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, start_s: Long, n: Long, sum_val: Double)
 
@@ -488,5 +508,35 @@ object StreamingOps {
           state.update(s)
           out.iterator
       }
+  }
+}
+
+/** transformWithState processor for
+  * [[StreamingOps.runningCountsTws]]: one named ValueState[Long] per
+  * user. Top-level class (not an inner/anonymous one) so the
+  * serialized processor carries no outer reference.
+  */
+class RunningCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Double), StreamingOps.UserCount] {
+  @transient private var countState:
+    org.apache.spark.sql.streaming.ValueState[Long] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    countState = getHandle.getValueState[Long]("count",
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[StreamingOps.UserCount] = {
+    val n = (if (countState.exists()) countState.get() else 0L) + rows.size
+    countState.update(n)
+    Iterator.single(StreamingOps.UserCount(key, n))
   }
 }

@@ -263,6 +263,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running counts ≡ mapGroupsWithState twin (RocksDB store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Double)](spark)
+    val ds = StreamingOps.runningCountsTws(mem.toDS())
+    val name = s"tws_${System.nanoTime()}"
+    val q = ds.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Seq((1L, 1.0), (1L, 2.0), (2L, 3.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 4.0)))
+      q.processAllAvailable()
+      val last = spark.table(name).collect()
+        .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.map(_.getLong(1)).max }
+      // identical to the mapGroupsWithState twin's expected state
+      assert(last === Map(1L -> 3L, 2L -> 1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel emits each stage once, across batches, in order") {
     val mem = MemoryStream[(Timestamp, Long, String)](spark)
     val ds = StreamingOps.funnelStages(
