@@ -110,48 +110,118 @@ object Kmeans {
   def kmeans(s: SparkSession, d: String): DataFrame =
     kmeansAssignOn(vecs(s, d))
 
+  /** Minimum in-cell count for a token to qualify as a topic label. */
+  val TopicMinCount = 3L
+  /** Labels per cell. */
+  val TopicTopN = 3
+
+  /** Cluster labeling ([EXT]): per kmeans cell, the [[TopicTopN]] most
+    * DISTINCTIVE tokens of its member documents by lift —
+    * (tf within cell) / (tf across all clustered docs) — the
+    * "what is this cluster about" census an embedding-space corpus
+    * partition ships with. Composes two certified chains: the kmeans
+    * assignment (vec_id ≡ doc_id links embeddings to documents) and
+    * the corpus tokenizer.
+    *
+    * Determinism: lift is a ratio of two single divisions over exact
+    * integer counts — no float summation anywhere — so ranking
+    * (lift DESC, token ASC) is bit-identical across engines.
+    * Scale: one token-cardinality (cell, token) count shuffle; the
+    * per-cell argmax window runs over qualified (count >=
+    * [[TopicMinCount]]) tokens only.
+    */
+  def clusterTopics(s: SparkSession, d: String): DataFrame = {
+    val cells = kmeansAssignOn(vecs(s, d))
+    val toks = Tables.documents(s, d)
+      .join(cells, col("doc_id") === col("vec_id"))
+      .select(col("cell"), explode(Dedup.tokensCol(col("text"))).as("tok"))
+    val ct = toks.groupBy("cell", "tok").agg(count(lit(1)).as("c"))
+    val cellTot = ct.groupBy("cell").agg(sum("c").as("nc"))
+    val tokTot = ct.groupBy("tok").agg(sum("c").as("cg"))
+    val tot = ct.agg(sum("c").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("lift").desc, col("tok").asc)
+    ct.join(cellTot, "cell").join(tokTot, "tok").crossJoin(broadcast(tot))
+      .filter(col("c") >= TopicMinCount)
+      .withColumn("lift",
+        (col("c").cast("double") / col("nc")) / (col("cg").cast("double") / col("n")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopicTopN)
+      .select(col("cell"), col("rank"), col("tok"),
+        round(col("lift"), 4).as("lift"), col("c").as("n_in_cell"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "kmeans" -> kmeans)
+    "kmeans" -> kmeans,
+    "cluster_topics" -> clusterTopics)
+
+  // assignment CTE against centroid table c$prev: argmin of
+  // ||c||² − 2·v·c with ties to the smallest cell — exactly
+  // nearestCell's (d, cell) struct-least
+  private def assignSql(name: String, prev: Int) =
+    s"""$name AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_dot_product(c.cv, c.cv)
+       |                 - 2 * list_dot_product(e.v, c.cv), c.cell) AS rn
+       |    FROM e CROSS JOIN c$prev c)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** The full deterministic Lloyd unroll ending in `afinal(vec_id,
+    * cell)` — shared by the kmeans oracle and the composed
+    * cluster-labeling oracle.
+    */
+  private def kmeansChainSql: String = {
+    // per-round update: per-(cell, dim) mean over members; an empty
+    // cell keeps its previous centroid (the left-join coalesce)
+    val rounds = (1 to Iters).map { i =>
+      s"""${assignSql(s"a$i", i - 1)},
+         |m$i AS (
+         |  SELECT a.cell, d.i, sum(e.v[d.i]) AS s, count(*) AS n
+         |  FROM a$i a JOIN e ON e.vec_id = a.vec_id
+         |  CROSS JOIN dims d WHERE d.i <= len(e.v)
+         |  GROUP BY a.cell, d.i),
+         |c$i AS (
+         |  SELECT prev.cell, coalesce(mm.cv, prev.cv) AS cv
+         |  FROM c${i - 1} prev LEFT JOIN
+         |    (SELECT cell, list(s / n ORDER BY i) AS cv
+         |     FROM m$i GROUP BY cell) mm ON mm.cell = prev.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |dims AS (
+       |  SELECT unnest(generate_series(1,
+       |    (SELECT CAST(max(len(v)) AS INTEGER) FROM e))) AS i),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         v AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),
+       |$rounds,
+       |${assignSql("afinal", Iters)}""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
-    "kmeans" -> {
-      // assignment CTE against centroid table c$prev: argmin of
-      // ||c||² − 2·v·c with ties to the smallest cell — exactly
-      // nearestCell's (d, cell) struct-least
-      def assign(name: String, prev: Int) =
-        s"""$name AS (
-           |  SELECT vec_id, cell FROM (
-           |    SELECT e.vec_id, c.cell,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY list_dot_product(c.cv, c.cv)
-           |                 - 2 * list_dot_product(e.v, c.cv), c.cell) AS rn
-           |    FROM e CROSS JOIN c$prev c)
-           |  WHERE rn = 1)""".stripMargin
-      // per-round update: per-(cell, dim) mean over members; an empty
-      // cell keeps its previous centroid (the left-join coalesce)
-      val rounds = (1 to Iters).map { i =>
-        s"""${assign(s"a$i", i - 1)},
-           |m$i AS (
-           |  SELECT a.cell, d.i, sum(e.v[d.i]) AS s, count(*) AS n
-           |  FROM a$i a JOIN e ON e.vec_id = a.vec_id
-           |  CROSS JOIN dims d WHERE d.i <= len(e.v)
-           |  GROUP BY a.cell, d.i),
-           |c$i AS (
-           |  SELECT prev.cell, coalesce(mm.cv, prev.cv) AS cv
-           |  FROM c${i - 1} prev LEFT JOIN
-           |    (SELECT cell, list(s / n ORDER BY i) AS cv
-           |     FROM m$i GROUP BY cell) mm ON mm.cell = prev.cell)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |dims AS (
-         |  SELECT unnest(generate_series(1,
-         |    (SELECT CAST(max(len(v)) AS INTEGER) FROM e))) AS i),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-         |         v AS cv
-         |  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT $K)),
-         |$rounds,
-         |${assign("afinal", Iters)}
-         |SELECT vec_id, cell FROM afinal""".stripMargin
-    })
+    "kmeans" ->
+      s"""WITH $kmeansChainSql
+         |SELECT vec_id, cell FROM afinal""".stripMargin,
+    "cluster_topics" ->
+      s"""WITH $kmeansChainSql,
+         |tk AS (SELECT a.cell, unnest(list_filter(
+         |         string_split_regex(d.text, '[^\\p{L}]+'), x -> len(x) > 0)) AS tok
+         |       FROM documents d JOIN afinal a ON a.vec_id = d.doc_id),
+         |ct AS (SELECT cell, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |cellTot AS (SELECT cell, sum(c) AS nc FROM ct GROUP BY 1),
+         |tokTot AS (SELECT tok, sum(c) AS cg FROM ct GROUP BY 1),
+         |tot AS (SELECT sum(c) AS n FROM ct),
+         |lifted AS (
+         |  SELECT ct.cell, ct.tok, ct.c,
+         |    (CAST(ct.c AS DOUBLE) / cellTot.nc) / (CAST(tokTot.cg AS DOUBLE) / tot.n) AS lift
+         |  FROM ct JOIN cellTot USING (cell) JOIN tokTot USING (tok) CROSS JOIN tot
+         |  WHERE ct.c >= $TopicMinCount)
+         |SELECT cell, rank, tok, round(lift, 4) AS lift, c AS n_in_cell FROM (
+         |  SELECT cell, tok, c, lift,
+         |    CAST(row_number() OVER (PARTITION BY cell
+         |      ORDER BY lift DESC, tok) AS INTEGER) AS rank
+         |  FROM lifted)
+         |WHERE rank <= $TopicTopN""".stripMargin)
 }

@@ -98,4 +98,39 @@ class KmeansSpec extends SparkSuite {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assignment stage shuffles:\n$plan")
   }
+
+  test("cluster_topics: ≤3 dense-ranked labels per cell, lift ratio correct, deterministic") {
+    val rows = Kmeans.clusterTopics(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= Kmeans.TopicTopN)
+      assert(g.map(_._2).sorted.toSeq === (1 to g.length))
+      // within a cell, rank order follows (lift desc, tok asc)
+      val sorted = g.sortBy(_._2)
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        val (a, b) = (p(0), p(1))
+        assert(a._4 > b._4 || (a._4 == b._4 && a._3 < b._3))
+      }
+    }
+    assert(rows.forall(_._5 >= Kmeans.TopicMinCount))
+    // reference lift for one emitted row, recomputed from raw counts
+    val cells = Kmeans.kmeansAssignOn(
+      graft.core.Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+    val toks = graft.core.Tables.documents(spark, sfDir)
+      .join(cells, col("doc_id") === col("vec_id"))
+      .select(col("cell"), explode(graft.queries.Dedup.tokensCol(col("text"))).as("tok"))
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    val (cell0, _, tok0, lift0, c0) = rows.head
+    val cIn = toks.count(t => t._1 == cell0 && t._2 == tok0).toDouble
+    val nc = toks.count(_._1 == cell0).toDouble
+    val cg = toks.count(_._2 == tok0).toDouble
+    val n = toks.length.toDouble
+    assert(c0 === cIn.toLong)
+    assert(math.abs((cIn / nc) / (cg / n) - lift0) < 1e-4 + 1e-9)
+    val again = Kmeans.clusterTopics(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.sorted.toSeq === again.sorted.toSeq)
+  }
 }
