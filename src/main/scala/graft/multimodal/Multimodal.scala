@@ -269,15 +269,107 @@ object Multimodal {
       round(avg("frame_bytes"), 4).as("avg_frame_bytes"))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint of a decodable
+    * image: deterministic integer average-pooling of the grayscale
+    * into an 8×8 grid (no Graphics2D scaling — its filtering is
+    * platform-dependent), then one bit per cell: above-grid-mean.
+    * Re-encodes of the same pixels and global brightness shifts map
+    * to the SAME hash (mean shifts with the cells); different content
+    * diverges — the standard first-pass image near-dup key.
+    */
+  def aHash(payload: Array[Byte]): Option[Long] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val sums = new Array[Long](64); val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = y * 8 / h; var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val gray = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            val c = cy * 8 + x * 8 / w
+            sums(c) += gray; counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val avgs = Array.tabulate(64)(i =>
+          if (counts(i) == 0) 0L else sums(i) / counts(i))
+        val mean = avgs.sum / 64
+        var bits = 0L; var i = 0
+        while (i < 64) { if (avgs(i) > mean) bits |= (1L << i); i += 1 }
+        Some(bits)
+      }
+    } catch { case _: Throwable => None }
+
+  private def md5Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map(x => f"${x & 0xFF}%02x").mkString
+
+  /** Content key for image dedup: perceptual aHash when the payload
+    * decodes, raw md5 otherwise — so re-encoded/brightness-shifted
+    * copies of a real image collide while undecodable payloads fall
+    * back to exact-byte identity.
+    */
+  def imageKeyOf(payload: Array[Byte]): String =
+    aHash(payload).map(b => f"ahash:$b%016x").getOrElse("raw:" + md5Hex(payload))
+
+  /** Image-dedup census over the media corpus's image rows ([EXT]):
+    * how many image payloads, how many decoded to a perceptual hash,
+    * distinct content keys, and docs that share a key with an earlier
+    * doc (the removable duplicates). The synthetic corpus's payloads
+    * are text bytes (never decodable), so the registry row certifies
+    * the raw-md5 path under the oracle; the REAL aHash path —
+    * duplicate collapse across re-encode and brightness shift on
+    * actual PNGs — is MultimodalSpec's planted test.
+    *
+    * Scale: one narrow decode/hash pass (payload bytes never shuffle),
+    * then key-cardinality aggregation of 16-byte keys.
+    */
+  def multimodalPhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val keys = synthesize(graft.core.Tables.documents(s, d))
+      .filter(_.media_type == "image")
+      .map { r =>
+        val ah = aHash(r.payload)
+        (ah.map(b => f"ahash:$b%016x").getOrElse("raw:" + md5Hex(r.payload)),
+          r.doc_id, if (ah.isDefined) 1L else 0L)
+      }
+      .toDF("key", "doc_id", "decoded")
+    keys.agg(
+      count(lit(1)).as("n_images"),
+      sum(col("decoded")).as("n_decoded"),
+      countDistinct(col("key")).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col("key"))).as("n_dup_docs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_stats" -> multimodalStats,
-    "multimodal_frames" -> multimodalFrames)
+    "multimodal_frames" -> multimodalFrames,
+    "multimodal_phash" -> multimodalPhash)
 
   /** multimodal_stats stays rows-only (decode stub not SQL-portable);
     * the frame sampler's arithmetic IS expressible — integer slice math
     * over length(text).
     */
   def oracleSql: Map[String, String] = Map(
+    // text payloads never decode as images, so every key takes the
+    // raw-md5 fallback — exactly what this SQL mirrors; if a payload
+    // ever decoded, the n_decoded column would flag it loudly
+    "multimodal_phash" ->
+      """WITH k AS (
+        |  SELECT 'raw:' || md5(text) AS key, doc_id
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT count(*) AS n_images,
+        |  CAST(0 AS BIGINT) AS n_decoded,
+        |  count(DISTINCT key) AS n_distinct,
+        |  count(*) - count(DISTINCT key) AS n_dup_docs
+        |FROM k""".stripMargin,
     "multimodal_frames" ->
       """WITH m AS (
         |  SELECT doc_id,

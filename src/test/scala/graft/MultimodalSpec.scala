@@ -196,4 +196,47 @@ class MultimodalSpec extends SparkSuite {
       Map("img" -> 84, "aud" -> 100, "vid" -> 300))
     assert(feats.forall(_.embedding.length === 8))
   }
+
+  private def pngBytes(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("aHash collapses re-encodes and brightness shifts, separates distinct content") {
+    // half-black half-white pattern: strong cell contrast
+    def pat(x: Int, y: Int): Int = if (x < 16) 0x000000 else 0xFFFFFF
+    val a1 = pngBytes(32, 32, pat)
+    val a2 = pngBytes(32, 32, pat) // fresh encode, same pixels
+    // global brightness shift: +40 on every channel
+    val a3 = pngBytes(32, 32, (x, y) =>
+      if (x < 16) 0x282828 else 0xFFFFFF)
+    // genuinely different content: horizontal split instead of vertical
+    val b = pngBytes(32, 32, (x, y) => if (y < 16) 0x000000 else 0xFFFFFF)
+    val Seq(h1, h2, h3, hb) = Seq(a1, a2, a3, b).map(Multimodal.aHash)
+    assert(h1.isDefined && hb.isDefined)
+    assert(h1 === h2, "re-encode of identical pixels must hash equal")
+    assert(h1 === h3, "global brightness shift must hash equal (mean-relative bits)")
+    assert(h1 !== hb, "different content must diverge")
+    // undecodable payloads fall back to raw md5 keys
+    val k1 = Multimodal.imageKeyOf("not an image".getBytes("UTF-8"))
+    val k2 = Multimodal.imageKeyOf("not an image".getBytes("UTF-8"))
+    val k3 = Multimodal.imageKeyOf("different".getBytes("UTF-8"))
+    assert(k1.startsWith("raw:"))
+    assert(k1 === k2)
+    assert(k1 !== k3)
+    assert(Multimodal.imageKeyOf(a1).startsWith("ahash:"))
+  }
+
+  test("multimodal_phash census counts images, decodes, and dup docs") {
+    val row = Multimodal.multimodalPhash(spark, sfDir).collect()(0)
+    val nImages = row.getLong(0)
+    assert(nImages > 0)
+    assert(row.getLong(1) === 0L, "text payloads must not decode as images")
+    assert(row.getLong(2) <= nImages)
+    assert(row.getLong(3) === nImages - row.getLong(2))
+  }
 }
