@@ -64,5 +64,6 @@ object SparkEntry {
     "lm_score_bigram", "ann_lsh_multiprobe", "join_asof_exec",
     "join_asof_fwd", "unigram_encode",
     "join_asof_tol", "dedup_spans_apply", "ann_quantized", "ann_pq",
-    "search_bm25", "label_prop_minhash", "dedup_paragraph", "ann_ivfpq")
+    "search_bm25", "label_prop_minhash", "dedup_paragraph", "ann_ivfpq",
+    "q7_nation_volume", "lm_score_kn", "cluster_topics")
 }

@@ -86,6 +86,27 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** TPC-H Q7-shaped volume shipping: revenue between a nation pair
+    * (both directions) per ship year. Two broadcast nation dims with
+    * disjoint aliases; the pair filter runs above the joins so the
+    * fact side streams through one pipeline.
+    */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val n1 = nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = nation(s, d).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one open order. */
   def joinSemi(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).filter(col("o_orderstatus") === "O")
@@ -281,6 +302,7 @@ object Relational {
     "q1_pricing" -> q1Pricing,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_revenue" -> q5RegionRevenue,
+    "q7_nation_volume" -> q7NationVolume,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "agg_distinct" -> aggDistinct,
@@ -339,6 +361,17 @@ object Relational {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation n1, nation n2
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,

@@ -172,6 +172,49 @@ object StreamingOps {
       .withColumn("accept", (col("score") >= 0).cast("int"))
   }
 
+  /** Streaming EMBEDDING near-dup matches — the vector face of
+    * [[nearDupMatchesStream]], completing the streaming dedup triad
+    * (exact anti-join, MinHash text, hyperplane-LSH embeddings): each
+    * arriving vector is signature-banded in-row (the same
+    * deterministic sin-formula hyperplanes the batch path uses),
+    * candidates come from a stream-static equi-join on (table, sig),
+    * and each candidate is exact-cosine verified against the corpus.
+    * Emits one row per verified match (vec_id, dup_of, cos >= tau).
+    * Stateless except the watermark-bounded pair dedup (a pair found
+    * in several tables would re-emit per table); corpus state never
+    * enters the stream.
+    */
+  def embeddingMatchesStream(vecStream: DataFrame, corpus: DataFrame,
+      tau: Double): DataFrame = {
+    val s = corpus.sparkSession
+    graft.functions.DotProduct.register(s)
+    graft.queries.Similarity.registerSigFunctions(s)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct.dotCol(a, b)
+    val cvec = corpus
+      .select(col("vec_id").as("dup_of"), col("embedding").cast("array<double>").as("vb"))
+      .withColumn("nb", sqrt(dot(col("vb"), col("vb"))))
+      .filter(col("nb") > 0)
+    val cBuckets = cvec
+      .select(col("dup_of"), posexplode_outer(call_function("hyperplane_sigs_dedup", col("vb"))))
+      .toDF("dup_of", "table_id", "sig")
+    vecStream
+      .withWatermark("tsm", "10 minutes")
+      .select(col("vec_id"), col("tsm"), col("v").cast("array<double>").as("va"))
+      .withColumn("na", sqrt(dot(col("va"), col("va"))))
+      .filter(col("na") > 0)
+      .select(col("vec_id"), col("tsm"), col("va"), col("na"),
+        posexplode_outer(call_function("hyperplane_sigs_dedup", col("va"))))
+      .toDF("vec_id", "tsm", "va", "na", "table_id", "sig")
+      .join(cBuckets, Seq("table_id", "sig"))
+      .join(cvec, "dup_of")
+      .select(col("vec_id"), col("tsm"), col("dup_of"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .dropDuplicatesWithinWatermark("vec_id", "dup_of")
+      .select(col("vec_id"), col("dup_of"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Streaming per-source quantile estimates: the SAME mergeable
     * bottom-k-by-hash sketch the batch quantile_sketch query uses,
     * run as a streaming complete-mode typed aggregation — Spark keeps

@@ -515,6 +515,57 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming embedding near-dup matches ≡ batch LSH bucket-join + cosine verify") {
+    import spark.implicits._
+    val emb = graft.core.Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val streamRows = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), new Timestamp(1000L), r.getSeq[Double](1))).toSeq
+    val tau = 0.95
+    // batch expectation: same bucket-join + verify, computed directly
+    graft.queries.Similarity.registerSigFunctions(spark)
+    graft.functions.DotProduct.register(spark)
+    def prep(df: org.apache.spark.sql.DataFrame, idc: String) = df
+      .select(col("vec_id").as(idc), col("embedding").cast("array<double>").as(s"v_$idc"))
+      .withColumn(s"n_$idc", sqrt(graft.functions.DotProduct.dotCol(col(s"v_$idc"), col(s"v_$idc"))))
+      .filter(col(s"n_$idc") > 0)
+    val sSide = prep(emb.filter(col("vec_id") % 5 === 0), "a")
+      .select(col("a"), col("v_a"), col("n_a"),
+        posexplode_outer(call_function("hyperplane_sigs_dedup", col("v_a"))))
+      .toDF("a", "v_a", "n_a", "table_id", "sig")
+    val cSide = prep(corpus, "b")
+      .select(col("b"), col("v_b"), col("n_b"),
+        posexplode_outer(call_function("hyperplane_sigs_dedup", col("v_b"))))
+      .toDF("b", "v_b", "n_b", "table_id", "sig")
+    val expected = sSide.join(cSide, Seq("table_id", "sig"))
+      .select(col("a"), col("b"),
+        (graft.functions.DotProduct.dotCol(col("v_a"), col("v_b")) / (col("n_a") * col("n_b"))).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("a"), col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mem = MemoryStream[(Long, Timestamp, Seq[Double])](spark)
+    val df = StreamingOps.embeddingMatchesStream(
+      mem.toDF().toDF("vec_id", "tsm", "v"), corpus, tau)
+    val name = s"embm_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // plant an exact copy of a corpus vector: it MUST match its twin
+      val twin = corpus.select(col("vec_id"), col("embedding").cast("array<double>"))
+        .orderBy("vec_id").limit(1).collect()(0)
+      val planted = (999999L, new Timestamp(1000L), twin.getSeq[Double](1))
+      val (b1, b2) = streamRows.splitAt(streamRows.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2 :+ planted); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.contains((999999L, twin.getLong(0))),
+        "planted exact copy must match its corpus twin")
+      assert(got.filter(_._1 != 999999L) === expected)
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch ≡ batch at every trigger (hash-order membership)") {
     import spark.implicits._
     val prep = graft.core.Tables.documents(spark, sfDir)
