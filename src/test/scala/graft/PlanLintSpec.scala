@@ -44,8 +44,9 @@ class PlanLintSpec extends SparkSuite {
     // KMV audience overlap: the pairwise join is over k-capped sketch
     // rows (bottom-k signatures), never raw user sets
     "audience_overlap", "audience_overlap_exact",
-    // 1-row scalar frames (funnel step totals, PMI / bigram-type totals)
-    "events_funnel", "pmi_bigrams", "lm_score_kn",
+    // 1-row scalar frames (funnel step totals, PMI / bigram-type /
+    // token-grand totals)
+    "events_funnel", "pmi_bigrams", "lm_score_kn", "cluster_topics",
     // IVF-PQ: probe table is O(queries·NProbe) broadcast; the non-equi
     // node is the exact-recall audit's broadcast query side
     "ann_ivfpq")
