@@ -228,39 +228,7 @@ object Dedup {
     val docs = documents
       .select(col("doc_id"), expr("word_shingles(text)").as("sh"))
       .filter(size(col("sh")) > 0)
-    // Candidate pairs WITHOUT a self-join on the signature subtree:
-    // group doc_ids per (band, bucket) and expand in-bucket pairs with
-    // array lambdas — the shingle+signature chain is evaluated exactly
-    // once per document, and only buckets with >1 doc produce work.
-    // posexplode_OUTER: a plain posexplode makes InferFiltersFromGenerate
-    // push `isnotnull(bks) AND size(bks)>0` through the projection into
-    // the scan, re-evaluating the whole signature chain 3× per row; the
-    // outer variant skips those inferred filters and is identical here
-    // (bks is always a non-null Bands-element array for non-empty sh).
-    val bands = docs
-      .select(col("doc_id"), size(col("sh")).as("n"), expr("minhash_buckets(sh)").as("bks"))
-      .select(col("doc_id"), col("n"), posexplode_outer(col("bks")))
-      .toDF("doc_id", "n", "band", "bucket")
-    // Two-stage expansion (posexplode bucket, explode tail slice), same
-    // as ngramScored: per-row memory stays O(k) for a k-doc bucket
-    // instead of the O(k^2) array a single flatten-explode builds. Hot
-    // buckets here = exact-duplicate mega-groups (identical docs share
-    // all bands) — a real hazard at 100 TB, which is why pipelines run
-    // dedup_exact first; this keeps the operator memory-safe either way.
-    val cand0 = bands
-      .groupBy("band", "bucket")
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
-      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
-        b => struct(
-          least(col("a.doc_id"), b.getField("doc_id")).as("doc_a"),
-          greatest(col("a.doc_id"), b.getField("doc_id")).as("doc_b"),
-          least(col("a.n"), b.getField("n")).as("nmin"),
-          greatest(col("a.n"), b.getField("n")).as("nmax")))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.nmin").as("nmin"), col("p.nmax").as("nmax"))
-      .distinct()
+    val cand0 = minhashCandidateSizes(docs)
     val cand =
       if (minJac > 0.0)
         cand0.filter(col("nmin").cast("double") >= lit(minJac) * col("nmax"))
@@ -281,6 +249,87 @@ object Dedup {
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+  }
+
+  /** Distinct in-bucket candidate pairs `(doc_a, doc_b, nmin, nmax)`
+    * from the LSH band buckets — the pre-verification pair stream every
+    * minhash consumer refines. Input: `(doc_id, sh)` with non-empty
+    * shingle arrays.
+    */
+  private[queries] def minhashCandidateSizes(docs: DataFrame): DataFrame = {
+    // Candidate pairs WITHOUT a self-join on the signature subtree:
+    // group doc_ids per (band, bucket) and expand in-bucket pairs with
+    // array lambdas — the shingle+signature chain is evaluated exactly
+    // once per document, and only buckets with >1 doc produce work.
+    // posexplode_OUTER: a plain posexplode makes InferFiltersFromGenerate
+    // push `isnotnull(bks) AND size(bks)>0` through the projection into
+    // the scan, re-evaluating the whole signature chain 3× per row; the
+    // outer variant skips those inferred filters and is identical here
+    // (bks is always a non-null Bands-element array for non-empty sh).
+    val bands = docs
+      .select(col("doc_id"), size(col("sh")).as("n"), expr("minhash_buckets(sh)").as("bks"))
+      .select(col("doc_id"), col("n"), posexplode_outer(col("bks")))
+      .toDF("doc_id", "n", "band", "bucket")
+    // Two-stage expansion (posexplode bucket, explode tail slice), same
+    // as ngramScored: per-row memory stays O(k) for a k-doc bucket
+    // instead of the O(k^2) array a single flatten-explode builds. Hot
+    // buckets here = exact-duplicate mega-groups (identical docs share
+    // all bands) — a real hazard at 100 TB, which is why pipelines run
+    // dedup_exact first; this keeps the operator memory-safe either way.
+    bands
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+        b => struct(
+          least(col("a.doc_id"), b.getField("doc_id")).as("doc_a"),
+          greatest(col("a.doc_id"), b.getField("doc_id")).as("doc_b"),
+          least(col("a.n"), b.getField("n")).as("nmin"),
+          greatest(col("a.n"), b.getField("n")).as("nmax")))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.nmin").as("nmin"), col("p.nmax").as("nmax"))
+      .distinct()
+  }
+
+  /** LSH QUALITY AUDIT ([EXT] — "measure, don't guess"): one row
+    * quantifying how well the MinHash+LSH candidate generator covers
+    * exact near-dup ground truth at the jac ≥ 0.6 operating threshold
+    * every cluster/keep consumer applies. Columns: `n_truth` (exact
+    * capped-n-gram pairs at ≥ 0.6), `n_cand` (distinct pre-verify LSH
+    * candidate pairs), `n_hit` (truth pairs surfaced as candidates),
+    * `recall_pct` / `precision_pct` (hit share of truth / of
+    * candidates, 2-dp floor). Recall tells you whether the 16×3 band
+    * layout loses real duplicates; precision tells you how much exact
+    * verification work the buckets waste — the two dials an operator
+    * tunes before a 100 TB run.
+    *
+    * Scale design: both pair streams are the linear-ish producers the
+    * repo already ships (capped-df exact pairs as the audit baseline;
+    * LSH buckets for candidates — at 100 TB you'd run the audit on a
+    * sampled slice, which is a WHERE on doc_id). The comparison itself
+    * is one full-outer join on the pair key followed by a single
+    * global-agg row — no new shuffle class. Determinism: counts are
+    * integers; both engines divide the same small integers and floor
+    * at 2 dp, so the hash gate applies end to end.
+    */
+  def dedupEval(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
+    val docs = Tables.documents(s, d)
+    val tau = 0.6
+    val truth = ngramScored(docs).filter(col("jac") >= tau)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_t"))
+    val sh = docs.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cand = minhashCandidateSizes(sh)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_c"))
+    truth.join(cand, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum("in_t").as("n_truth"), sum("in_c").as("n_cand"),
+        sum(when(col("in_t") === 1 && col("in_c") === 1, 1L)).as("n_hit"))
+      .select(col("n_truth"), col("n_cand"), col("n_hit"),
+        (floor(col("n_hit") * 10000 / col("n_truth")) / lit(100.0)).as("recall_pct"),
+        (floor(col("n_hit") * 10000 / col("n_cand")) / lit(100.0)).as("precision_pct"))
   }
 
   /** Test-set DECONTAMINATION: flag corpus documents that share any
@@ -650,6 +699,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,
+    "dedup_eval" -> dedupEval,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_incremental" -> dedupIncremental,
@@ -745,6 +795,37 @@ object Dedup {
       ("WITH " + minhashEdgesSql(None) + "\n" +
         """SELECT doc_a, doc_b, round(jac, 4) AS jac FROM scored
           |ORDER BY jac DESC, doc_a, doc_b LIMIT 50""".stripMargin),
+    "dedup_eval" ->
+      ("WITH " + shSqlOver("documents") + ",\n" + minhashBucketsSql + ",\n" +
+        """mcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+          |          FROM bkt x JOIN bkt y
+          |            ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+          |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+          |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+          |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+          |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+          |pairs AS (
+          |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+          |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          |  GROUP BY 1, 2),
+          |truth AS (
+          |  SELECT doc_a, doc_b FROM pairs
+          |  JOIN sizes sa ON sa.doc_id = doc_a
+          |  JOIN sizes sb ON sb.doc_id = doc_b
+          |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+          |f AS (
+          |  SELECT coalesce(t.in_t, 0) AS in_t, coalesce(c.in_c, 0) AS in_c
+          |  FROM (SELECT doc_a, doc_b, 1 AS in_t FROM truth) t
+          |  FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_c FROM mcand) c
+          |    USING (doc_a, doc_b))
+          |SELECT CAST(sum(in_t) AS BIGINT) AS n_truth,
+          |  CAST(sum(in_c) AS BIGINT) AS n_cand,
+          |  CAST(sum(CASE WHEN in_t = 1 AND in_c = 1 THEN 1 END) AS BIGINT) AS n_hit,
+          |  floor(sum(CASE WHEN in_t = 1 AND in_c = 1 THEN 1 END) * 10000.0
+          |        / sum(in_t)) / 100.0 AS recall_pct,
+          |  floor(sum(CASE WHEN in_t = 1 AND in_c = 1 THEN 1 END) * 10000.0
+          |        / sum(in_c)) / 100.0 AS precision_pct
+          |FROM f""".stripMargin),
     "dedup_incremental_minhash" ->
       ("WITH " + shSqlOver("documents") + ",\n" + minhashBucketsSql + ",\n" +
         """exact_new AS (

@@ -58,6 +58,55 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rn"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** HYBRID RETRIEVAL ([EXT]): reciprocal-rank fusion (RRF, k = 60) of
+    * the BM25 lexical ranking ([[TextOps.searchBm25On]]) and the
+    * embedding-cosine semantic ranking over the SAME held-out query
+    * docs (doc_id < [[TextOps.SearchQueryDocs]]; the embedding of doc
+    * i is vec i) — the standard two-tower serving recipe: each system
+    * contributes floor(1e9 / (60 + rank)) for its top-10, scores add,
+    * and the fused top-10 is returned with both source ranks exposed.
+    * RRF needs no score normalization across systems, which is exactly
+    * why production search uses it over raw-score mixing.
+    *
+    * Scale design: both input rankings are top-k·|queries| frames (the
+    * corpus-side work is the two index probes the repo already pays —
+    * inverted-index postings for BM25, one broadcast-query corpus scan
+    * for cosine); the fusion itself is a full-outer join on (query,
+    * doc) over those tiny frames plus a per-query window — nothing
+    * here grows with the corpus beyond the underlying retrievers.
+    *
+    * Determinism: RRF contributions are floors of 1e9/(60+rk) — small
+    * exact integers — so fused scores are integer sums and the final
+    * (rrf DESC, doc_id) order carries no float risk; both source
+    * rankings are the already-hash-gated orderings of search_bm25 and
+    * ann_cosine.
+    */
+  def searchHybrid(s: SparkSession, d: String): DataFrame = {
+    val qn = TextOps.SearchQueryDocs
+    val lex = TextOps.searchBm25(s, d)
+      .select(col("query_id"), col("doc_id"), col("rk").as("lex_rk"))
+    val all = vecs(s, d)
+    val q = all.filter(col("vec_id") < qn)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wSem = Window.partitionBy("query_id").orderBy(col("cos").desc, col("doc_id").asc)
+    val sem = all.filter(col("vec_id") >= qn)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
+      .withColumn("sem_rk", row_number().over(wSem))
+      .filter(col("sem_rk") <= TextOps.SearchTopK)
+      .select(col("query_id"), col("doc_id"), col("sem_rk"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(floor(lit(1e9) / (lit(60) + col("lex_rk"))), lit(0L)) +
+          coalesce(floor(lit(1e9) / (lit(60) + col("sem_rk"))), lit(0L)))
+    val wf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(wf))
+      .filter(col("rk") <= TextOps.SearchTopK)
+      .select(col("query_id"), col("doc_id"), col("rk"), col("rrf"),
+        col("lex_rk"), col("sem_rk"))
+  }
+
   /** Top-5 cosine search over the INT8-QUANTIZED vectors — the serving
     * path [[Embeddings.embedQuantize]]'s compression feeds: score on
     * q = floor((x−lo)/(hi−lo)·255+0.5)−128 (the same rails, via the
@@ -703,6 +752,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine" -> annCosine,
+    "search_hybrid" -> searchHybrid,
     "ann_quantized" -> annQuantized,
     "mmr_rerank" -> mmrRerank,
     "decontaminate_embedding" -> decontaminateEmbedding,
@@ -716,6 +766,34 @@ object Similarity {
     "semdedup" -> semDedup)
 
   def oracleSql: Map[String, String] = Map(
+    "search_hybrid" ->
+      ("WITH " + TextOps.searchBm25SqlCtes + ",\n" +
+        s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |        sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |                              CAST(embedding AS DOUBLE[]))) AS nrm
+           |      FROM embeddings),
+           |semall AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+           |    CAST(row_number() OVER (PARTITION BY q.vec_id
+           |      ORDER BY list_dot_product(c.v, q.v) / (c.nrm * q.nrm) DESC,
+           |               c.vec_id) AS INTEGER) AS sem_rk
+           |  FROM e c JOIN e q
+           |    ON q.vec_id < ${TextOps.SearchQueryDocs}
+           |   AND c.vec_id >= ${TextOps.SearchQueryDocs}),
+           |sem AS (SELECT query_id, doc_id, sem_rk FROM semall
+           |        WHERE sem_rk <= ${TextOps.SearchTopK}),
+           |f AS (
+           |  SELECT query_id, doc_id, l.rk AS lex_rk, s.sem_rk,
+           |    CAST(coalesce(floor(1000000000.0 / (60 + l.rk)), 0) +
+           |         coalesce(floor(1000000000.0 / (60 + s.sem_rk)), 0) AS BIGINT) AS rrf
+           |  FROM lex l FULL OUTER JOIN sem s USING (query_id, doc_id))
+           |SELECT query_id, doc_id, rk, rrf, lex_rk, sem_rk FROM (
+           |  SELECT query_id, doc_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY rrf DESC, doc_id) AS INTEGER) AS rk,
+           |    rrf, lex_rk, sem_rk
+           |  FROM f)
+           |WHERE rk <= ${TextOps.SearchTopK}""".stripMargin),
     "decontaminate_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

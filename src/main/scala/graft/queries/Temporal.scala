@@ -149,6 +149,56 @@ object Temporal {
         expr(s"(pts - cts) DIV $NanosPerSec").as("gap_s"))
   }
 
+  /** NEAREST as-of: each purchase matched to the same user's click with
+    * the smallest |Δt| in EITHER direction (pandas merge_asof
+    * `direction='nearest'`) — the sensor-fusion/alignment form where
+    * "most recent" is wrong half the time. Completes the direction
+    * family: backward ([[joinAsof]]), forward ([[joinAsofFwd]]),
+    * nearest. Ties (equal gap both ways) resolve backward; the output
+    * carries the winning direction and the absolute gap (signed gaps
+    * would hit the trunc-vs-floor integer-division split between
+    * engines on negatives — abs sidesteps it by construction).
+    *
+    * Same scale envelope as [[joinAsof]]: union both sides tagged, ONE
+    * hash shuffle on user_id, one sort, and two frame-bounded window
+    * walks (carry-forward and carry-backward) — no inequality join, no
+    * replication, O(1) window state per row. A third sort key
+    * (event_id) pins tie order between equal-ts clicks so both engines
+    * walk identical sequences.
+    */
+  def joinAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("side"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("side"))
+    val ord = Seq(col("ts"), col("side"), col("event_id"))
+    val wb = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy("user_id").orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickId = when(col("side") === 0, col("event_id"))
+    val clickTs = when(col("side") === 0, col("ts"))
+    val matched = clicks.unionByName(purchases)
+      .withColumn("bid", last(clickId, ignoreNulls = true).over(wb))
+      .withColumn("bts", last(clickTs, ignoreNulls = true).over(wb))
+      .withColumn("fid", first(clickId, ignoreNulls = true).over(wf))
+      .withColumn("fts", first(clickTs, ignoreNulls = true).over(wf))
+      .filter(col("side") === 1)
+    val bgap = col("ts") - col("bts")
+    val fgap = col("fts") - col("ts")
+    val takeBack = col("bts").isNotNull && (col("fts").isNull || bgap <= fgap)
+    matched.select(
+      col("event_id").as("purchase_id"),
+      col("user_id"),
+      expr(s"ts DIV $NanosPerSec").as("purchase_s"),
+      when(takeBack, col("bid")).otherwise(col("fid")).as("click_id"),
+      expr(s"(CASE WHEN bts IS NOT NULL AND (fts IS NULL OR ts - bts <= fts - ts)" +
+        s" THEN ts - bts ELSE fts - ts END) DIV $NanosPerSec").as("gap_s"),
+      when(takeBack, lit("back"))
+        .otherwise(when(col("fts").isNotNull, lit("fwd"))).as("dir"))
+  }
+
   /** Third as-of execution path: per-key SORTED HISTORY ARRAYS + an
     * in-row lookup — the ENRICHMENT form. Each user's click history
     * collapses into one sorted array row; a purchase then resolves its
@@ -202,6 +252,7 @@ object Temporal {
     "join_asof_exec" -> joinAsofExec,
     "join_asof_fwd" -> joinAsofFwd,
     "join_asof_tol" -> joinAsofTol,
+    "join_asof_nearest" -> joinAsofNearest,
     "join_asof_lookup" -> joinAsofLookup,
     "join_range" -> joinRange)
 
@@ -250,6 +301,40 @@ object Temporal {
         |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS purchase_s,
         |  asof_click AS click_id,
         |  CAST(floor(epoch(ts - asof_ts)) AS BIGINT) AS gap_s
+        |FROM w WHERE side = 1""".stripMargin,
+    // nearest direction: both carry walks over one sorted pass, then
+    // the smaller absolute gap wins (tie → backward), mirroring
+    // joinAsofNearest's window pair and (ts, side, event_id) order.
+    "join_asof_nearest" ->
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS bid,
+        |    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS bts,
+        |    first_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fid,
+        |    first_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+        |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fts
+        |  FROM u)
+        |SELECT event_id AS purchase_id, user_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS purchase_s,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL OR ts - bts <= fts - ts)
+        |       THEN bid ELSE fid END AS click_id,
+        |  CAST(floor(epoch(
+        |    CASE WHEN bts IS NOT NULL AND (fts IS NULL OR ts - bts <= fts - ts)
+        |         THEN ts - bts ELSE fts - ts END)) AS BIGINT) AS gap_s,
+        |  CASE WHEN bts IS NOT NULL AND (fts IS NULL OR ts - bts <= fts - ts)
+        |         THEN 'back'
+        |       WHEN fts IS NOT NULL THEN 'fwd' END AS dir
         |FROM w WHERE side = 1""".stripMargin,
     // forward direction: walk the timeline DESC carrying the last-seen
     // purchase — in descending order that is the EARLIEST purchase at

@@ -514,37 +514,47 @@ object TextOps {
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
+  /** CTE chain ending in `lex(query_id, doc_id, rk, score)` — the full
+    * BM25 retrieval oracle as a composable prefix ([[searchBm25On]]'s
+    * integer-sum ranking), shared by `search_bm25` and the hybrid
+    * fusion oracle in [[Similarity]].
+    */
+  private[queries] def searchBm25SqlCtes: String =
+    s"""qd AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct($tokSqlDuck)) AS term
+       |  FROM documents WHERE doc_id < $SearchQueryDocs),
+       |t AS (SELECT doc_id, unnest($tokSqlDuck) AS term
+       |      FROM documents WHERE doc_id >= $SearchQueryDocs),
+       |tf AS (SELECT doc_id, term, count(*) AS n_td FROM t GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |dls AS (SELECT doc_id, sum(n_td) AS dl FROM tf GROUP BY 1),
+       |st AS (SELECT CAST(sum(len(ws)) AS DOUBLE) AS total_tok, count(*) AS n_docs
+       |       FROM (SELECT $tokSqlDuck AS ws FROM documents
+       |             WHERE doc_id >= $SearchQueryDocs)),
+       |c AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    CAST(floor(
+       |      (floor(ln((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+       |             * 1000000.0 + 0.5) / 1000000.0)
+       |      * (tf.n_td * 2.2)
+       |      / (tf.n_td + 1.2 * (0.25 + 0.75 * dls.dl / (st.total_tok / st.n_docs)))
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS cint
+       |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id) CROSS JOIN st),
+       |sc AS (SELECT q.query_id, c.doc_id, sum(c.cint) AS sint
+       |       FROM c JOIN qd q USING (term) GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, doc_id, rk, score FROM (
+       |    SELECT query_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY query_id
+       |        ORDER BY sint DESC, doc_id) AS INTEGER) AS rk,
+       |      round(CAST(sint AS DOUBLE) / 1000000000.0, 6) AS score
+       |    FROM sc)
+       |  WHERE rk <= $SearchTopK)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "search_bm25" ->
-      s"""WITH qd AS (
-         |  SELECT doc_id AS query_id, unnest(list_distinct($tokSqlDuck)) AS term
-         |  FROM documents WHERE doc_id < $SearchQueryDocs),
-         |t AS (SELECT doc_id, unnest($tokSqlDuck) AS term
-         |      FROM documents WHERE doc_id >= $SearchQueryDocs),
-         |tf AS (SELECT doc_id, term, count(*) AS n_td FROM t GROUP BY 1, 2),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |dls AS (SELECT doc_id, sum(n_td) AS dl FROM tf GROUP BY 1),
-         |st AS (SELECT CAST(sum(len(ws)) AS DOUBLE) AS total_tok, count(*) AS n_docs
-         |       FROM (SELECT $tokSqlDuck AS ws FROM documents
-         |             WHERE doc_id >= $SearchQueryDocs)),
-         |c AS (
-         |  SELECT tf.doc_id, tf.term,
-         |    CAST(floor(
-         |      (floor(ln((st.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-         |             * 1000000.0 + 0.5) / 1000000.0)
-         |      * (tf.n_td * 2.2)
-         |      / (tf.n_td + 1.2 * (0.25 + 0.75 * dls.dl / (st.total_tok / st.n_docs)))
-         |      * 1000000000.0 + 0.5) AS BIGINT) AS cint
-         |  FROM tf JOIN dfreq USING (term) JOIN dls USING (doc_id) CROSS JOIN st),
-         |sc AS (SELECT q.query_id, c.doc_id, sum(c.cint) AS sint
-         |       FROM c JOIN qd q USING (term) GROUP BY 1, 2)
-         |SELECT query_id, doc_id, rk, score FROM (
-         |  SELECT query_id, doc_id,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY sint DESC, doc_id) AS INTEGER) AS rk,
-         |    round(CAST(sint AS DOUBLE) / 1000000000.0, 6) AS score
-         |  FROM sc)
-         |WHERE rk <= $SearchTopK""".stripMargin,
+      ("WITH " + searchBm25SqlCtes + "\n" +
+        "SELECT query_id, doc_id, rk, score FROM lex"),
     "text_normalize" ->
       """SELECT doc_id, lower(nfc_normalize(text)) AS norm_text,
         |  CAST(CASE WHEN lower(nfc_normalize(text)) <> text

@@ -233,6 +233,22 @@ class DedupSpec extends SparkSuite {
     assert(gotSf === truth && gotSf.nonEmpty)
   }
 
+  test("dedupEval: counts consistent, truth cross-checked, high recall at 0.6 (sf0.001)") {
+    val r = Dedup.dedupEval(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nTruth, nCand, nHit) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nHit <= nTruth && nHit <= nCand)
+    // truth count = independent exact recount at the same threshold
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val expTruth = Dedup.ngramScored(docs).filter(col("jac") >= 0.6).count()
+    assert(nTruth === expTruth && nTruth > 0)
+    // the 16×3 band layout has ~1.0 hit probability at jac ≥ 0.6 —
+    // the audit must report full recall on this corpus
+    assert(row.getDouble(3) === 100.0, s"recall ${row.getDouble(3)}")
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 100.0)
+  }
+
   test("dedupExact groups by content hash (registered query, sf0.001)") {
     val df = Dedup.dedupExact(spark, sfDir)
     val n = df.count()

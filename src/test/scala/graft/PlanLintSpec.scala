@@ -19,8 +19,9 @@ class PlanLintSpec extends SparkSuite {
     */
   private val nonEquiOk: Set[String] = Set(
     // ANN family: 8-row query side broadcast against the corpus scan
+    // (search_hybrid composes that scoring with the BM25 stats frame)
     "ann_cosine", "ann_quantized", "ann_pq", "ann_lsh", "ann_lsh_multiprobe",
-    "ann_ivf", "mmr_rerank", "semdedup",
+    "ann_ivf", "mmr_rerank", "semdedup", "search_hybrid",
     // deliberate cross/cartesian demos and 1-row scalar attachments
     "join_cross", "join_lateral", "text_stats", "corpus_stats",
     "drift_psi", "snapshot_diff", "source_mix", "mix_temperature",

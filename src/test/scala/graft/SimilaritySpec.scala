@@ -18,6 +18,55 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("searchHybrid ≡ RRF recomputed from the two source rankings") {
+    import graft.queries.TextOps
+    val qn = TextOps.SearchQueryDocs
+    val topK = TextOps.SearchTopK
+    def rrfC(rk: Int): Long = math.floor(1e9 / (60 + rk)).toLong
+
+    val lexRk = TextOps.searchBm25(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+
+    // semantic top-10 recomputed naively from collected vectors (same
+    // left-to-right double summation as the DotProduct expression)
+    val em = graft.core.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val corpus = em.filter(_._1 >= qn)
+    val semRk = em.filter(_._1 < qn).flatMap { case (qid, qv) =>
+      corpus.map { case (cid, cv) => (qid, cid, dot(cv, qv) / (nrm(cv) * nrm(qv))) }
+        .sortBy { case (_, cid, cos) => (-cos, cid) }
+        .take(topK).zipWithIndex
+        .map { case ((_, cid, _), i) => ((qid, cid), i + 1) }
+    }.toMap
+
+    val expected = (lexRk.keySet ++ semRk.keySet).groupBy(_._1).flatMap {
+      case (qid, keys) =>
+        keys.toSeq.map { k =>
+          val rrf = lexRk.get(k).map(rrfC).getOrElse(0L) +
+            semRk.get(k).map(rrfC).getOrElse(0L)
+          (k._2, rrf)
+        }.sortBy { case (did, rrf) => (-rrf, did) }.take(topK).zipWithIndex
+          .map { case ((did, rrf), i) =>
+            (qid, did) -> ((i + 1, rrf, lexRk.get((qid, did)), semRk.get((qid, did))))
+          }
+    }
+
+    val got = Similarity.searchHybrid(spark, sfDir).collect().map { r =>
+      (r.getLong(0), r.getLong(1)) -> ((r.getInt(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getInt(4)),
+        if (r.isNullAt(5)) None else Some(r.getInt(5))))
+    }.toMap
+
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("annQuantized: 5 ranked neighbors per query; recall@5 vs exact float bounded below") {
     val rows = Similarity.annQuantized(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),

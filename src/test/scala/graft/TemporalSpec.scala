@@ -62,6 +62,41 @@ class TemporalSpec extends SparkSuite {
     assert(got === naive)
   }
 
+  test("joinAsofNearest matches the naive min-|Δt| formulation") {
+    val rows = Temporal.joinAsofNearest(spark, sfDir).collect()
+    val got = rows.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val nNull = rows.count(_.isNullAt(3))
+
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    // Naive nearest: all same-user pairs, min by (|Δt|, back-first,
+    // then the window's tie order: back → max cid, fwd → min cid).
+    val naive = purchases.join(clicks, col("cu") === col("pu"))
+      .groupBy("pid")
+      .agg(min(struct(
+        abs(col("pts") - col("cts")).as("g"),
+        (col("cts") > col("pts")).cast("int").as("fwd"),
+        when(col("cts") > col("pts"), col("cid")).otherwise(-col("cid")).as("k"))).as("best"))
+      .select(col("pid"), abs(col("best.k")).as("cid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    assert(got === naive)
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    assert(nNull.toLong === nPurch - naive.size)
+    // dir/gap consistency: back gaps and fwd gaps are all non-negative
+    rows.filter(!_.isNullAt(4)).foreach(r => assert(r.getLong(4) >= 0))
+  }
+
+  test("joinAsofNearest plan: one shuffle family, no nested-loop join") {
+    val plan = Temporal.joinAsofNearest(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
