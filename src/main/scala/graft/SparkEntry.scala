@@ -66,5 +66,6 @@ object SparkEntry {
     "join_asof_tol", "dedup_spans_apply", "ann_quantized", "ann_pq",
     "search_bm25", "label_prop_minhash", "dedup_paragraph", "ann_ivfpq",
     "q7_nation_volume", "lm_score_kn", "cluster_topics",
-    "search_hybrid", "dedup_eval", "join_asof_nearest")
+    "search_hybrid", "dedup_eval", "join_asof_nearest",
+    "q9_profit", "scd2_history", "keywords_textrank")
 }

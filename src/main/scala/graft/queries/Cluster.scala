@@ -372,8 +372,12 @@ object Cluster {
     // Materialize the edge list ONCE — it feeds the node set, degrees,
     // the annotated join spine, and the dangling set; without this an
     // expensive producer (a near-dup candidate pipeline) re-runs for
-    // each derivation.
-    val e = edges.select(col(sc0).cast("long").as("src"), col(dc0).cast("long").as("dst"))
+    // each derivation. Numeric ids normalize to long; string nodes
+    // (e.g. the TextRank word graph) pass through untouched.
+    val keyT = edges.schema(sc0).dataType
+    def norm(c: org.apache.spark.sql.Column) =
+      if (keyT == org.apache.spark.sql.types.StringType) c else c.cast("long")
+    val e = edges.select(norm(col(sc0)).as("src"), norm(col(dc0)).as("dst"))
       .stable
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()

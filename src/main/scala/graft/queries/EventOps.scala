@@ -206,7 +206,40 @@ object EventOps {
       (floor(num / den * lit(1e4) + lit(0.5)) / lit(1e4)).as("ewma"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) HISTORY BUILD: fold a
+    * change stream into versioned dimension rows with validity
+    * intervals — the standard warehouse/feature-store operator for
+    * "what was this user's tier at time t" point-in-time joins (the
+    * training-serving-skew guard). Change feed = each user's purchase
+    * events; tracked attribute = spend tier (floor(value/50)).
+    * Consecutive equal tiers collapse (gaps-and-islands change
+    * detection via lag); each surviving change opens a version row
+    * `[effective_from, effective_to]` closed by the next change's
+    * start − 1, with the open row flagged `is_current`.
+    *
+    * Scale design: ONE hash shuffle on user_id + two frame-bounded
+    * window walks over per-user sorted runs — identical envelope to
+    * [[Temporal.joinAsof]]; no self-join, no driver state. The
+    * (ts, event_id) sort key pins same-second change order so both
+    * engines fold identical sequences.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val NanosPerSec = 1000000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    Tables.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts DIV $NanosPerSec").as("ts_s"),
+        col("event_id"), floor(col("value") / 50).cast("int").as("tier"))
+      .withColumn("prev_tier", lag("tier", 1).over(w))
+      .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .withColumn("effective_to", lead(col("ts_s"), 1).over(w) - 1)
+      .select(col("user_id"), col("tier"), col("ts_s").as("effective_from"),
+        col("effective_to"),
+        col("effective_to").isNull.cast("int").as("is_current"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scd2_history" -> scd2History,
     "events_ewma" -> eventsEwma,
     "events_anomaly" -> eventsAnomaly,
     "events_retention" -> eventsRetention,
@@ -219,6 +252,24 @@ object EventOps {
     "events_funnel" -> eventsFunnel)
 
   def oracleSql: Map[String, String] = Map(
+    "scd2_history" ->
+      """WITH pe AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+        |    event_id, CAST(floor(value / 50) AS INTEGER) AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |ch AS (
+        |  SELECT user_id, ts_s, event_id, tier FROM (
+        |    SELECT *, lag(tier) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS prev_tier
+        |    FROM pe)
+        |  WHERE prev_tier IS NULL OR tier <> prev_tier)
+        |SELECT user_id, tier, ts_s AS effective_from,
+        |  lead(ts_s) OVER w - 1 AS effective_to,
+        |  CAST(CASE WHEN lead(ts_s) OVER w IS NULL THEN 1 ELSE 0 END
+        |       AS INTEGER) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)""".stripMargin,
     "events_ewma" -> {
       val lags = (1 until EwmaWindow).map(k =>
         s"lag(c, $k) OVER tw AS l$k").mkString(",\n        |    ")

@@ -107,6 +107,34 @@ object Relational {
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
   }
 
+  /** TPC-H Q9-shaped head (product-type profit, adapted to the test
+    * schema: no partsupp table, so supply cost is proxied at 80% of
+    * p_retailprice): profit by supplier nation × order year for parts
+    * whose name contains 'widget'. The classic 5-way star: lineitem
+    * fact joined to two BROADCAST dims (filtered part, nation) and two
+    * key-partitioned fact-dims (orders, supplier), then a low-
+    * cardinality group-by. The part filter lands BEFORE the join, so
+    * the fact scan's join fan-in drops by the selectivity of the name
+    * predicate — the plan shape that survives a 100 TB fact table.
+    */
+  def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      // per-row profit floor-quantized to int64 micros BEFORE the sum:
+      // the subtraction makes this sum cancellation-heavy, so a raw
+      // double sum can flip the rounded cent with merge order — the
+      // integer sum is order-independent (searchBm25's trick)
+      .agg(round(sum(floor((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("p_retailprice") * lit(0.8) * col("l_quantity")) * lit(1e6) + lit(0.5)))
+        / lit(1e6), 2).as("profit"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one open order. */
   def joinSemi(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).filter(col("o_orderstatus") === "O")
@@ -303,6 +331,7 @@ object Relational {
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_revenue" -> q5RegionRevenue,
     "q7_nation_volume" -> q7NationVolume,
+    "q9_profit" -> q9Profit,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "agg_distinct" -> aggDistinct,
@@ -372,6 +401,16 @@ object Relational {
         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
         |GROUP BY 1, 2, 3""".stripMargin,
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+        |            - p_retailprice * 0.8 * l_quantity) * 1000000.0 + 0.5) AS BIGINT))
+        |        / 1000000.0, 2) AS profit
+        |FROM lineitem, part, orders, supplier, nation
+        |WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |  AND p_name LIKE '%widget%'
+        |GROUP BY 1, 2""".stripMargin,
     "join_semi" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')""".stripMargin,

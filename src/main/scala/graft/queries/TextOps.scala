@@ -325,6 +325,57 @@ object TextOps {
       .limit(20)
   }
 
+  /** TextRank parameters: co-occurrence window is adjacency (window 2,
+    * the [[pmiBigrams]] pair stream), words shorter than MinLen chars
+    * are dropped (stopword proxy — no language-specific list needed),
+    * edges need MinCo co-occurrences (noise floor), top-K reported.
+    */
+  val TextRankTopK = 20
+  val TextRankMinLen = 4
+  val TextRankMinCo = 5
+
+  /** TextRank KEYWORD EXTRACTION (Mihalcea & Tarau 2004): corpus-level
+    * salient terms = PageRank over the word co-occurrence graph
+    * (adjacent long-word pairs, symmetrized, min-support-gated). The
+    * unsupervised keyword/topic-term extractor a curation pipeline
+    * runs to label sources and audit domain mix — complementing
+    * [[tfidf_terms]] (per-doc) and [[pmiBigrams]] (phrases): TextRank
+    * finds globally central vocabulary, not merely frequent or locally
+    * associated words.
+    *
+    * Scale design: one tokenize pass → bigram count shuffle that
+    * collapses to co-occurrence-vocabulary cardinality (corpus-
+    * sublinear, like pmi_bigrams); the 10 damped PageRank rounds then
+    * run on that vocab-bounded graph via [[Cluster.pagerankOf]]
+    * (checkpointed, no driver convergence actions) — the corpus is
+    * never touched again. Final ordering on the 6-dp-rounded rank
+    * with a word tiebreak keeps the top-K cut deterministic.
+    */
+  def keywordsTextrank(s: SparkSession, d: String): DataFrame =
+    keywordsTextrankOn(Tables.documents(s, d))
+
+  /** Core TextRank pipeline over any (doc_id, text) DataFrame. */
+  def keywordsTextrankOn(documents: DataFrame): DataFrame = {
+    val base = documents.select(toks(col("text")).as("ws"))
+    val ws = col("ws")
+    val co = base.filter(size(ws) >= 2)
+      .select(explode(transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(length(col("w1")) >= TextRankMinLen &&
+        length(col("w2")) >= TextRankMinLen && col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= TextRankMinCo)
+    val sym = co.select(col("a").as("src"), col("b").as("dst"))
+      .union(co.select(col("b").as("src"), col("a").as("dst")))
+    Cluster.pagerankOf(sym)
+      .select(col("node").as("word"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word").asc)
+      .limit(TextRankTopK)
+  }
+
   /** URL-canonicalization dedup — the crawl-frontier / web-corpus step
     * that collapses surface URL variants before content ever downloads
     * or dedups: lowercase scheme+host, strip default ports (:80/:443),
@@ -509,7 +560,8 @@ object TextOps {
     "sample_weighted" -> sampleWeighted,
     "dedup_url" -> dedupUrl,
     "pmi_bigrams" -> pmiBigrams,
-    "pii_mask" -> piiMask)
+    "pii_mask" -> piiMask,
+    "keywords_textrank" -> keywordsTextrank)
 
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
@@ -552,6 +604,44 @@ object TextOps {
        |  WHERE rk <= $SearchTopK)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "keywords_textrank" -> {
+      // 10 damped rounds unrolled as chained CTEs — same term-by-term
+      // arithmetic as Cluster.pagerankOf / the pagerank oracle (the
+      // symmetrized word graph has no dangling nodes, so the dangling
+      // term is exactly 0.0 and is omitted).
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (
+           |  SELECT no.node,
+           |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.inr, 0.0) AS rank
+           |  FROM nodes no CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT s.dst AS node, sum(r.rank / d.outdeg) AS inr
+           |    FROM sym s JOIN r${i - 1} r ON r.node = s.src
+           |    JOIN deg d ON d.src = s.src
+           |    GROUP BY s.dst) c ON c.node = no.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT $tokSqlDuck AS w FROM documents),
+         |bi AS (SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+         |         i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS p
+         |       FROM t WHERE len(w) >= 2),
+         |pf AS (SELECT CASE WHEN p.w1 < p.w2 THEN p.w1 ELSE p.w2 END AS a,
+         |              CASE WHEN p.w1 < p.w2 THEN p.w2 ELSE p.w1 END AS b
+         |       FROM bi
+         |       WHERE len(p.w1) >= $TextRankMinLen AND len(p.w2) >= $TextRankMinLen
+         |         AND p.w1 <> p.w2),
+         |co AS (SELECT a, b FROM pf GROUP BY a, b
+         |       HAVING count(*) >= $TextRankMinCo),
+         |sym AS (SELECT a AS src, b AS dst FROM co
+         |        UNION ALL SELECT b, a FROM co),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+         |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+         |$rounds
+         |SELECT word, rank FROM
+         |  (SELECT node AS word, round(rank, 6) AS rank FROM r10)
+         |ORDER BY rank DESC, word LIMIT $TextRankTopK""".stripMargin
+    },
     "search_bm25" ->
       ("WITH " + searchBm25SqlCtes + "\n" +
         "SELECT query_id, doc_id, rk, score FROM lex"),

@@ -87,7 +87,7 @@ class PlanLintSpec extends SparkSuite {
   test("no ShuffledHashJoin/SortMergeJoin against a dimension table in the TPC-H heads") {
     // the dim joins must broadcast — a shuffled dim join at 100 TB
     // moves the fact table for nothing
-    Seq("q3_top_revenue", "q5_region_revenue").foreach { q =>
+    Seq("q3_top_revenue", "q5_region_revenue", "q9_profit").foreach { q =>
       assert(plans(q).contains("BroadcastHashJoin"),
         s"$q lost its broadcast dim join:\n${plans(q).take(2000)}")
     }

@@ -97,6 +97,43 @@ class TemporalSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("scd2History ≡ per-user Scala fold; intervals tile the timeline") {
+    val got = graft.queries.EventOps.scd2History(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4))).toSet
+
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts DIV 1000000000").as("ts_s"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = purchases.groupBy(_._1).flatMap { case (uid, evs) =>
+      val ordered = evs.sortBy(e => (e._2, e._3))
+        .map(e => (e._2, math.floor(e._4 / 50).toInt))
+      val changes = ordered.foldLeft(Vector.empty[(Long, Int)]) {
+        case (acc, (ts, tier)) =>
+          if (acc.nonEmpty && acc.last._2 == tier) acc else acc :+ ((ts, tier))
+      }
+      changes.zipWithIndex.map { case ((from, tier), i) =>
+        val to = if (i + 1 < changes.length) changes(i + 1)._1 - 1 else -1L
+        (uid, tier, from, to, if (to == -1L) 1 else 0)
+      }
+    }.toSet
+    assert(got === expected)
+
+    // exactly one open (is_current) version per user with purchases
+    val open = got.groupBy(_._1).map { case (_, vs) => vs.count(_._5 == 1) }
+    assert(open.forall(_ === 1))
+    // versions tile: each closed interval ends right before the next opens
+    got.groupBy(_._1).values.foreach { vs =>
+      val s = vs.toSeq.sortBy(_._3)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(a._4 === b._3 - 1)
+        case _ =>
+      }
+    }
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)

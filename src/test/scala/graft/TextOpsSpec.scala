@@ -106,4 +106,33 @@ class TextOpsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     assert(out.sorted.toSeq === again.sorted.toSeq)
   }
+
+  test("keywordsTextrank: hub word ranks first on a planted star graph") {
+    // hub 'central' co-occurs with 5 distinct spokes (each pair ×5 to
+    // clear MinCo); spokes touch only the hub → hub rank dominates
+    val spokes = Seq("alpha", "bravo", "carol", "delta", "excel")
+    val docs = (0 until 5).flatMap { rep =>
+      spokes.zipWithIndex.map { case (w, i) =>
+        ((rep * spokes.length + i).toLong, s"central $w")
+      }
+    }.toDF("doc_id", "text")
+    val out = TextOps.keywordsTextrankOn(docs).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.map(_._1).toSet === (spokes :+ "central").toSet)
+    assert(out.maxBy(_._2)._1 === "central")
+    // symmetric spokes get identical ranks; all ranks positive, sum ≈ 1
+    val spokeRanks = out.filter(_._1 != "central").map(_._2).distinct
+    assert(spokeRanks.length === 1)
+    assert(out.forall(_._2 > 0))
+    assert(math.abs(out.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("keywords_textrank registered query: top-20, long words only (sf0.001)") {
+    val rows = TextOps.keywordsTextrank(spark, sfDir).collect()
+    assert(rows.length === TextOps.TextRankTopK)
+    rows.foreach { r =>
+      assert(r.getString(0).length >= TextOps.TextRankMinLen)
+      assert(r.getDouble(1) > 0)
+    }
+  }
 }
