@@ -67,5 +67,6 @@ object SparkEntry {
     "search_bm25", "label_prop_minhash", "dedup_paragraph", "ann_ivfpq",
     "q7_nation_volume", "lm_score_kn", "cluster_topics",
     "search_hybrid", "dedup_eval", "join_asof_nearest",
-    "q9_profit", "scd2_history", "keywords_textrank")
+    "q9_profit", "scd2_history", "keywords_textrank",
+    "skew_diagnose", "join_pit", "dedup_containment")
 }

@@ -76,7 +76,16 @@ object Dedup {
     * [[Cluster.dedupCluster]] (threshold edges). Thresholding must use
     * the raw double so both engines compare the same IEEE value.
     */
-  def ngramScored(documents: DataFrame): DataFrame = {
+  def ngramScored(documents: DataFrame): DataFrame =
+    ngramScoredFull(documents)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+
+  /** [[ngramScored]] before the Jaccard projection: co-shingled pairs
+    * as (doc_a, doc_b, na, nb, common) — the shared frame Jaccard AND
+    * containment ([[dedupContainment]]) derive from.
+    */
+  def ngramScoredFull(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     graft.functions.WordShingles.register(s)
     val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
@@ -126,9 +135,33 @@ object Dedup {
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("common"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
   }
+
+  /** CONTAINMENT near-dup ([EXT]): pairs where the SMALLER document's
+    * shingle set is mostly inside the larger one — C(A,B) =
+    * |A∩B| / min(|A|,|B|) ≥ 0.8. This is the quote/excerpt/superset
+    * detector Jaccard structurally misses: a paragraph fully embedded
+    * in a 100× larger doc has jac ≈ 0.01 but containment 1.0, and
+    * MinHash-LSH (a Jaccard sketch) won't even surface the pair. The
+    * report carries both scores so the gap is visible. Top-50 by
+    * (containment, jac) with id tiebreaks — deterministic.
+    *
+    * Scale: shares [[ngramScoredFull]]'s capped-df pair producer
+    * (quadratic-by-contract oracle baseline, one corpus shingle
+    * shuffle); the 100 TB path for containment is bottom-k /
+    * size-stratified sketching, for which this exact form is the
+    * verification oracle — same contract as dedup_ngram vs minhash.
+    */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    ngramScoredFull(Tables.documents(s, d))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / least(col("na"), col("nb"))).as("cont"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .filter(col("cont") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("cont"), 4).as("cont"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("cont").desc, col("jac").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
 
   /** Max docs sharing a shingle before it is dropped from pair
     * expansion (df cap — see ngramScored). 128 keeps every true
@@ -700,6 +733,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_ngram" -> dedupNgram,
     "dedup_eval" -> dedupEval,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_incremental" -> dedupIncremental,
@@ -914,6 +948,32 @@ object Dedup {
         |JOIN sizes sa ON sa.doc_id = doc_a
         |JOIN sizes sb ON sb.doc_id = doc_b
         |ORDER BY jac DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "dedup_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+        |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / least(sa.nsh, sb.nsh), 4) AS cont,
+        |  round(CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common), 4) AS jac
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(common AS DOUBLE) / least(sa.nsh, sb.nsh) >= 0.8
+        |ORDER BY cont DESC, jac DESC, doc_a, doc_b LIMIT 50""".stripMargin,
     "join_similarity" ->
       """WITH sh AS (
         |  SELECT doc_id,

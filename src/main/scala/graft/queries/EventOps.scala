@@ -223,7 +223,11 @@ object EventOps {
     * (ts, event_id) sort key pins same-second change order so both
     * engines fold identical sequences.
     */
-  def scd2History(s: SparkSession, d: String): DataFrame = {
+  /** The surviving tier-change rows (user_id, ts_s, event_id, tier) —
+    * the version-open stream [[scd2History]] closes into intervals and
+    * [[joinPit]] carries forward.
+    */
+  private def scd2Changes(s: SparkSession, d: String): DataFrame = {
     val NanosPerSec = 1000000000L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
@@ -232,14 +236,55 @@ object EventOps {
         col("event_id"), floor(col("value") / 50).cast("int").as("tier"))
       .withColumn("prev_tier", lag("tier", 1).over(w))
       .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      .select("user_id", "ts_s", "event_id", "tier")
+  }
+
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    scd2Changes(s, d)
       .withColumn("effective_to", lead(col("ts_s"), 1).over(w) - 1)
       .select(col("user_id"), col("tier"), col("ts_s").as("effective_from"),
         col("effective_to"),
         col("effective_to").isNull.cast("int").as("is_current"))
   }
 
+  /** POINT-IN-TIME JOIN: each view event enriched with the SCD2 tier
+    * that was valid AT ITS TIMESTAMP — the feature-store lookup that
+    * guards against training-serving skew (training must see the
+    * feature value as of the event, never a later one; a plain
+    * dimension join silently leaks the future). Views before a user's
+    * first version keep NULL.
+    *
+    * Scale design: the naive form is an interval join (inequality,
+    * nested-loop at scale). This is the carry-forward union instead —
+    * tag version-opens side 0 and views side 1, ONE hash shuffle on
+    * user_id, one sorted walk carrying the latest tier ([[Temporal
+    * .joinAsof]]'s idiom; the version stream needs no interval closing
+    * at all). The spec proves equivalence to the explicit interval
+    * join against [[scd2History]].
+    */
+  def joinPit(s: SparkSession, d: String): DataFrame = {
+    val NanosPerSec = 1000000000L
+    val versions = scd2Changes(s, d).withColumn("side", lit(0))
+    val views = Tables.events(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), expr(s"ts DIV $NanosPerSec").as("ts_s"),
+        col("event_id"), lit(null).cast("int").as("tier"), lit(1).as("side"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_s"), col("side"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    versions.unionByName(views)
+      .withColumn("cur",
+        last(when(col("side") === 0, col("tier")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_s").as("event_s"),
+        col("cur").as("tier"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_history" -> scd2History,
+    "join_pit" -> joinPit,
     "events_ewma" -> eventsEwma,
     "events_anomaly" -> eventsAnomaly,
     "events_retention" -> eventsRetention,
@@ -252,6 +297,32 @@ object EventOps {
     "events_funnel" -> eventsFunnel)
 
   def oracleSql: Map[String, String] = Map(
+    "join_pit" ->
+      """WITH pe AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+        |    event_id, CAST(floor(value / 50) AS INTEGER) AS tier
+        |  FROM events WHERE event_type = 'purchase'),
+        |ch AS (
+        |  SELECT user_id, ts_s, event_id, tier FROM (
+        |    SELECT *, lag(tier) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id) AS prev_tier
+        |    FROM pe)
+        |  WHERE prev_tier IS NULL OR tier <> prev_tier),
+        |u AS (
+        |  SELECT user_id, ts_s, event_id, tier, 0 AS side FROM ch
+        |  UNION ALL
+        |  SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT),
+        |    event_id, CAST(NULL AS INTEGER), 1
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT *, last_value(CASE WHEN side = 0 THEN tier END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts_s, side, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS cur
+        |  FROM u)
+        |SELECT event_id, user_id, ts_s AS event_s, cur AS tier
+        |FROM w WHERE side = 1""".stripMargin,
     "scd2_history" ->
       """WITH pe AS (
         |  SELECT user_id,

@@ -60,9 +60,43 @@ object Skew {
         round(sum("sv"), 2).as("sum_value"))
   }
 
+  /** SKEW DIAGNOSIS — the pre-flight report an operator reads BEFORE
+    * choosing salting / AQE skew-join for a 100 TB run: the per-key
+    * row-count distribution of the event log's shuffle key (user_id)
+    * as one summary row — key count, total rows, the heaviest key and
+    * its count, mean, exact p50/p90/p99, and the max/mean skew ratio
+    * that decides whether a plain hash shuffle stragglers.
+    *
+    * Scale design: one partially-aggregated count shuffle to key
+    * cardinality, then a single global agg over the (bounded) per-key
+    * count table — the percentile state is that table, which is the
+    * same working set any skew analysis must touch. argmax rides the
+    * same agg as max(struct(c, -key)) — no second pass, deterministic
+    * min-key tiebreak. Exact interpolated percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the Advanced.scala
+    * precedent) keep the row under the hash gate.
+    */
+  def skewDiagnose(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.events(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+    c.agg(
+        count(lit(1)).as("n_keys"),
+        sum("c").as("n_rows"),
+        max(struct(col("c").as("c"), (-col("user_id")).as("nk"))).as("mx"),
+        expr("percentile(c, array(0.5, 0.9, 0.99))").as("ps"))
+      .select(
+        col("n_keys"), col("n_rows"),
+        col("mx.c").as("max_c"), (-col("mx.nk")).as("top_key"),
+        round(col("n_rows") / col("n_keys"), 4).as("mean_c"),
+        round(col("ps")(0), 4).as("p50_c"),
+        round(col("ps")(1), 4).as("p90_c"),
+        round(col("ps")(2), 4).as("p99_c"),
+        round(col("mx.c") / (col("n_rows") / col("n_keys")), 4).as("skew_ratio"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "join_salted" -> joinSalted,
-    "agg_salted" -> aggSalted)
+    "agg_salted" -> aggSalted,
+    "skew_diagnose" -> skewDiagnose)
 
   def oracleSql: Map[String, String] = Map(
     "join_salted" ->
@@ -74,5 +108,18 @@ object Skew {
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
         |  round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+    "skew_diagnose" ->
+      """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  max(c) AS max_c,
+        |  (SELECT user_id FROM c WHERE c = (SELECT max(c) FROM c)
+        |   ORDER BY user_id LIMIT 1) AS top_key,
+        |  round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS mean_c,
+        |  round(quantile_cont(c, 0.5), 4) AS p50_c,
+        |  round(quantile_cont(c, 0.9), 4) AS p90_c,
+        |  round(quantile_cont(c, 0.99), 4) AS p99_c,
+        |  round(max(c) / (CAST(sum(c) AS DOUBLE) / count(*)), 4) AS skew_ratio
+        |FROM c""".stripMargin)
 }

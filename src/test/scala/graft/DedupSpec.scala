@@ -249,6 +249,27 @@ class DedupSpec extends SparkSuite {
     assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 100.0)
   }
 
+  test("containment catches a planted excerpt that Jaccard misses") {
+    val small = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    // letters-only filler vocabulary (the tokenizer drops digits)
+    val filler = (0 until 120)
+      .map(i => ('a' + i % 26).toChar.toString * (3 + i / 26)).mkString(" ")
+    val planted = Seq(
+      (0L, small),                     // the excerpt
+      (1L, s"$small $filler"),         // superset: excerpt fully embedded
+      (2L, filler))                    // unrelated large doc
+      .toDF("doc_id", "text")
+    val full = Dedup.ngramScoredFull(planted)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / least(col("na"), col("nb"))).as("cont"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val (cont, jac) = full((0L, 1L))
+    assert(cont === 1.0, s"excerpt containment $cont")
+    assert(jac < 0.2, s"jaccard should be low for the size-skewed pair: $jac")
+  }
+
   test("dedupExact groups by content hash (registered query, sf0.001)") {
     val df = Dedup.dedupExact(spark, sfDir)
     val n = df.count()

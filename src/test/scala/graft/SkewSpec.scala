@@ -53,6 +53,25 @@ class SkewSpec extends SparkSuite {
     }
   }
 
+  test("skewDiagnose ≡ Scala recount of the per-key distribution") {
+    val row = graft.queries.Skew.skewDiagnose(spark, sfDir).collect().head
+    val counts = graft.core.Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getLong(0) === counts.length.toLong)
+    assert(row.getLong(1) === counts.map(_._2).sum)
+    val maxC = counts.map(_._2).max
+    assert(row.getLong(2) === maxC)
+    assert(row.getLong(3) === counts.filter(_._2 == maxC).map(_._1).min)
+    val mean = counts.map(_._2).sum.toDouble / counts.length
+    assert(math.abs(row.getDouble(4) - mean) < 1e-3)
+    assert(math.abs(row.getDouble(8) - maxC / mean) < 1e-3)
+    // percentiles ordered and bracketed by min/max
+    val (p50, p90, p99) = (row.getDouble(5), row.getDouble(6), row.getDouble(7))
+    assert(p50 <= p90 && p90 <= p99)
+    assert(p50 >= counts.map(_._2).min.toDouble && p99 <= maxC.toDouble)
+  }
+
   test("agg_salted: two-phase salted aggregation ≡ direct groupBy") {
     val salted = graft.queries.Skew.aggSalted(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap

@@ -134,6 +134,26 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("joinPit ≡ explicit interval join against scd2History; no leak from the future") {
+    val got = graft.queries.EventOps.joinPit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+
+    val versions = graft.queries.EventOps.scd2History(spark, sfDir)
+      .select(col("user_id").as("vu"), col("tier"),
+        col("effective_from"), col("effective_to"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts DIV 1000000000").as("s"), col("event_id"))
+    val naive = views.join(versions,
+        col("user_id") === col("vu") && col("effective_from") <= col("s") &&
+          (col("effective_to").isNull || col("s") <= col("effective_to")), "left")
+      .select(col("event_id"), col("tier"))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1))).toMap
+
+    assert(got === naive)
+    assert(got.nonEmpty && got.values.exists(_ >= 0))
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
