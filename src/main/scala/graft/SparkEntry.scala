@@ -68,5 +68,6 @@ object SparkEntry {
     "q7_nation_volume", "lm_score_kn", "cluster_topics",
     "search_hybrid", "dedup_eval", "join_asof_nearest",
     "q9_profit", "scd2_history", "keywords_textrank",
-    "skew_diagnose", "join_pit", "dedup_containment")
+    "skew_diagnose", "join_pit", "dedup_containment",
+    "dedup_containment_sketch", "join_pit_lookup")
 }

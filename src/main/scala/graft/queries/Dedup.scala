@@ -365,6 +365,68 @@ object Dedup {
         (floor(col("n_hit") * 10000 / col("n_cand")) / lit(100.0)).as("precision_pct"))
   }
 
+  /** Bottom-k sketch size and verify threshold for
+    * [[dedupContainmentSketch]].
+    */
+  private[graft] val ContainK = 32
+  private[graft] val ContainTau = 0.8
+
+  /** CONTAINMENT at scale — the bottom-k sketch path promised by
+    * [[dedupContainment]]'s contract: per doc keep the k = 32 SMALLEST
+    * md5 shingle hashes (a bottom-k/KMV sketch — membership depends
+    * only on the global hash ORDER, so sketches are deterministic
+    * across partitionings and engines); docs sharing any sketch hash
+    * become candidates (inverted index on the sketch, df-capped like
+    * every bucket expansion here); candidates verify with EXACT
+    * containment + Jaccard. Recall: a pair sharing m shingles is
+    * GUARANTEED a candidate when |B| − k < m (fewer than m hashes can
+    * miss B's bottom-k, so a shared one must land; in particular any
+    * doc within k of its superset's size); beyond that the shared
+    * MINIMUM hash has expected rank |B|/(m+1) in B, so a true excerpt
+    * (m ≈ |A|) surfaces with high probability unless the superset is
+    * ≫ k·|A| shingles — the regime where one raises k. DedupSpec
+    * asserts the guaranteed regime and sf0.001 equality with the
+    * exact form. Cost ∝ docs·k + true candidates — never n², and the
+    * corpus is shingled once.
+    */
+  def dedupContainmentSketch(s: SparkSession, d: String): DataFrame =
+    containmentSketchPairs(Tables.documents(s, d))
+
+  /** Core sketch-candidates-then-verify containment pipeline. */
+  def containmentSketchPairs(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    graft.functions.WordShingles.register(s)
+    val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sk = docs.select(col("doc_id"),
+      slice(array_sort(transform(col("sh"),
+        x => conv(substring(md5(x), 1, 12), 16, 10).cast("long"))), 1, ContainK).as("sk"))
+    val cand = sk.select(col("doc_id"), explode(col("sk")).as("h"))
+      .groupBy("h")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= HotShingleCap)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+        b => struct(least(col("a"), b).as("doc_a"),
+          greatest(col("a"), b).as("doc_b")))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sa"), col("sb"))).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / least(col("na"), col("nb"))).as("cont"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+      .filter(col("cont") >= ContainTau)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("cont"), 4).as("cont"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("cont").desc, col("jac").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+
   /** Test-set DECONTAMINATION: flag corpus documents that share any
     * word 3-gram with a benchmark/eval set — the n-gram-collision
     * filter a training pipeline runs before training so held-out
@@ -734,6 +796,7 @@ object Dedup {
     "dedup_ngram" -> dedupNgram,
     "dedup_eval" -> dedupEval,
     "dedup_containment" -> dedupContainment,
+    "dedup_containment_sketch" -> dedupContainmentSketch,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_incremental" -> dedupIncremental,
@@ -974,6 +1037,36 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE CAST(common AS DOUBLE) / least(sa.nsh, sb.nsh) >= 0.8
         |ORDER BY cont DESC, jac DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "dedup_containment_sketch" ->
+      ("WITH " + shSqlOver("documents") + ",\n" +
+        s"""shm AS (SELECT doc_id, shingles FROM sh WHERE len(shingles) > 0),
+           |hs AS (SELECT doc_id,
+           |         CAST(('0x' || substr(md5(sg), 1, 12))::UBIGINT AS BIGINT) AS h
+           |       FROM (SELECT doc_id, unnest(shingles) AS sg FROM shm)),
+           |sk AS (SELECT doc_id, h FROM (
+           |         SELECT doc_id, h,
+           |           row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+           |         FROM hs)
+           |       WHERE rn <= $ContainK),
+           |ok AS (SELECT h FROM sk GROUP BY h
+           |       HAVING count(*) > 1 AND count(*) <= $HotShingleCap),
+           |skf AS (SELECT sk.doc_id, sk.h FROM sk JOIN ok USING (h)),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM skf x JOIN skf y
+           |           ON x.h = y.h AND x.doc_id < y.doc_id),
+           |v AS (
+           |  SELECT doc_a, doc_b,
+           |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |      / least(len(a.shingles), len(b.shingles)) AS cont,
+           |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           |      / (len(a.shingles) + len(b.shingles)
+           |         - len(list_intersect(a.shingles, b.shingles))) AS jac
+           |  FROM cand
+           |  JOIN shm a ON a.doc_id = doc_a
+           |  JOIN shm b ON b.doc_id = doc_b)
+           |SELECT doc_a, doc_b, round(cont, 4) AS cont, round(jac, 4) AS jac
+           |FROM v WHERE cont >= $ContainTau
+           |ORDER BY cont DESC, jac DESC, doc_a, doc_b LIMIT 50""".stripMargin),
     "join_similarity" ->
       """WITH sh AS (
         |  SELECT doc_id,

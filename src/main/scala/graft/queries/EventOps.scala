@@ -227,7 +227,7 @@ object EventOps {
     * the version-open stream [[scd2History]] closes into intervals and
     * [[joinPit]] carries forward.
     */
-  private def scd2Changes(s: SparkSession, d: String): DataFrame = {
+  private[graft] def scd2Changes(s: SparkSession, d: String): DataFrame = {
     val NanosPerSec = 1000000000L
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
@@ -282,9 +282,45 @@ object EventOps {
         col("cur").as("tier"))
   }
 
+  /** In-row PIT lookup — the STREAM-COMPOSABLE execution path of
+    * [[joinPit]] ([[Temporal.asofLookupOn]]'s idiom applied to SCD2):
+    * each user's version changes collapse into ONE sorted array row;
+    * a view then resolves its as-of tier with a pure in-row filter +
+    * tail pick after a single equi-join. With a streaming view side
+    * this is a stateless stream-static join (StreamingOps
+    * .pitEnrichStream) — no state store, no watermark, and a version
+    * refresh re-plans into the next micro-batch. Contract: per-user
+    * version history fits a row (SCD2 histories are change-compressed
+    * by construction). `views` needs (user_id, s, event_id).
+    */
+  def pitLookupOn(views: DataFrame, changes: DataFrame): DataFrame = {
+    val hist = changes.groupBy("user_id")
+      .agg(sort_array(collect_list(
+        struct(col("ts_s"), col("event_id"), col("tier")))).as("h"))
+    views.join(hist, Seq("user_id"), "left")
+      .withColumn("cand", filter(col("h"), v => v("ts_s") <= col("s")))
+      .withColumn("m",
+        when(size(col("cand")) > 0, element_at(col("cand"), size(col("cand")))))
+      .select(col("event_id"), col("user_id"), col("s").as("event_s"),
+        col("m")("tier").as("tier"))
+  }
+
+  /** Registered batch form of [[pitLookupOn]] — the same relation as
+    * [[joinPit]] through the in-row lookup plan, under the identical
+    * oracle text (one SQL, two execution paths — the join_asof_lookup
+    * convention).
+    */
+  def joinPitLookup(s: SparkSession, d: String): DataFrame = {
+    val NanosPerSec = 1000000000L
+    val views = Tables.events(s, d).filter(col("event_type") === "view")
+      .select(col("user_id"), expr(s"ts DIV $NanosPerSec").as("s"), col("event_id"))
+    pitLookupOn(views, scd2Changes(s, d))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scd2_history" -> scd2History,
     "join_pit" -> joinPit,
+    "join_pit_lookup" -> joinPitLookup,
     "events_ewma" -> eventsEwma,
     "events_anomaly" -> eventsAnomaly,
     "events_retention" -> eventsRetention,
@@ -296,7 +332,10 @@ object EventOps {
     "events_session" -> eventsSession,
     "events_funnel" -> eventsFunnel)
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleBase + ("join_pit_lookup" -> oracleBase("join_pit"))
+
+  private val oracleBase: Map[String, String] = Map(
     "join_pit" ->
       """WITH pe AS (
         |  SELECT user_id,

@@ -241,6 +241,18 @@ object StreamingOps {
   def asofEnrichStream(purchaseStream: DataFrame, clicks: DataFrame): DataFrame =
     graft.queries.Temporal.asofLookupOn(purchaseStream, clicks)
 
+  /** Streaming point-in-time enrichment: each arriving view resolves
+    * the SCD2 tier valid at its timestamp from the STATIC per-user
+    * sorted version arrays — [[graft.queries.EventOps.pitLookupOn]]
+    * with a streaming view side. Stateless append mode (stream-static
+    * equi-join + in-row lookup): no state store, no watermark; a
+    * version-table refresh re-plans into the next micro-batch. The
+    * serving-time feature lookup matching the training-time join_pit —
+    * same code path ⇒ zero training-serving skew by construction.
+    */
+  def pitEnrichStream(viewStream: DataFrame, changes: DataFrame): DataFrame =
+    graft.queries.EventOps.pitLookupOn(viewStream, changes)
+
   /** Streaming heavy-hitter candidates: the SAME mergeable Misra-Gries
     * state the batch path uses, run as a streaming global aggregation —
     * Spark keeps the (counters, n) buffer as query state and merges

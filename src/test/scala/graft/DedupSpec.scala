@@ -270,6 +270,28 @@ class DedupSpec extends SparkSuite {
     assert(jac < 0.2, s"jaccard should be low for the size-skewed pair: $jac")
   }
 
+  test("containment sketch: guaranteed-regime planted excerpt + sf0.001 ≡ exact form") {
+    // |B| − k < m regime: superset has 38 shingles, sketch k = 32, the
+    // 8-shingle excerpt overlaps fully → a shared hash MUST land in
+    // both sketches, so the candidate is structural, not probabilistic
+    val small = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val filler = (0 until 30)
+      .map(i => ('a' + i % 26).toChar.toString * (3 + i / 26)).mkString(" ")
+    val planted = Seq((0L, small), (1L, s"$small $filler"), (2L, filler))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentSketchPairs(planted).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.contains((0L, 1L)) && got((0L, 1L)) === 1.0)
+
+    // real-corpus: sketch path reproduces the exact top-50 exactly
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val exact = Dedup.dedupContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val sketch = Dedup.containmentSketchPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(sketch === exact && sketch.nonEmpty)
+  }
+
   test("dedupExact groups by content hash (registered query, sf0.001)") {
     val df = Dedup.dedupExact(spark, sfDir)
     val n = df.count()

@@ -620,6 +620,33 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming PIT enrichment ≡ batch join_pit, across micro-batches") {
+    val expected = graft.queries.EventOps.joinPit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+    val views = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), expr("ts DIV 1000000000").as("s"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val changes = graft.queries.EventOps.scd2Changes(spark, sfDir)
+    val mem = MemoryStream[(Long, Long, Long)](spark)
+    val df = StreamingOps.pitEnrichStream(
+      mem.toDF().toDF("user_id", "s", "event_id"), changes)
+    val name = s"pit_${System.nanoTime()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (b1, b2) = views.splitAt(views.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))).toSet
+      assert(got === expected)
+      assert(got.exists(_._4 >= 0), "some view must resolve a tier")
+    } finally q.stop()
+  }
+
   test("streaming model gate ≡ batch model_gate_stream scores, row for row") {
     val expected = graft.queries.Classifier.modelGate(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
