@@ -69,5 +69,6 @@ object SparkEntry {
     "search_hybrid", "dedup_eval", "join_asof_nearest",
     "q9_profit", "scd2_history", "keywords_textrank",
     "skew_diagnose", "join_pit", "dedup_containment",
-    "dedup_containment_sketch", "join_pit_lookup")
+    "dedup_containment_sketch", "join_pit_lookup",
+    "boilerplate_detect", "boilerplate_strip")
 }

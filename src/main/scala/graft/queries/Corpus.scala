@@ -415,6 +415,83 @@ object Corpus {
   def dedupParagraph(s: SparkSession, d: String): DataFrame =
     dedupParagraphOn(Tables.documents(s, d))
 
+  /** Boilerplate thresholds: a segment is boilerplate within a source
+    * when it appears in ≥ MinDf docs AND ≥ Share of the source's docs.
+    */
+  val BoilMinDf = 5
+  val BoilShare = 0.10
+
+  /** Exactly [[ParaSegLen]] words, so the planted header occupies
+    * segment 0 of every doc and detection/stripping is exact — the
+    * corpus has no real boilerplate, so it is synthesized
+    * deterministically per source (the [[TextOps.piiMask]] convention;
+    * same construction in the oracle).
+    */
+  private def withHeader(documents: DataFrame): DataFrame =
+    documents.withColumn("text",
+      concat(lit("begin standard header for source "), col("source"),
+        lit(" repeated legal disclaimer text follows here with terms " +
+          "and conditions applying to every document "), col("text")))
+
+  /** (doc_id, source, seg_idx, seg) — [[dedupParagraphOn]]'s fixed
+    * 20-word segmentation, with the source riding along.
+    */
+  private def segmentsWithSource(documents: DataFrame): DataFrame = {
+    val ws = filter(split(col("text"), "\\s+"), w => length(w) > 0)
+    val segArr = transform(
+      sequence(lit(0), (ceil(size(col("ws")) / lit(ParaSegLen.toDouble)) - 1).cast("int")),
+      i => array_join(slice(col("ws"), i * ParaSegLen + 1, lit(ParaSegLen)), " "))
+    documents
+      .select(col("doc_id"), col("source"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), col("source"), posexplode(segArr).as(Seq("seg_idx", "seg")))
+  }
+
+  /** The boilerplate table (source, seg, n_docs, n_src_docs, share). */
+  private def boilerplateOf(segs: DataFrame): DataFrame = {
+    val df = segs.groupBy("source", "seg").agg(countDistinct("doc_id").as("n_docs"))
+    val tot = segs.groupBy("source").agg(countDistinct("doc_id").as("n_src_docs"))
+    df.join(tot, "source")
+      .filter(col("n_docs") >= BoilMinDf &&
+        col("n_docs").cast("double") >= lit(BoilShare) * col("n_src_docs"))
+  }
+
+  /** BOILERPLATE DETECTION ([EXT]): per-source segments that recur
+    * across ≥ 10% of the source's documents (min df 5) — the
+    * header/footer/disclaimer census a web-corpus pipeline runs per
+    * crawl source (CCNet/jusText's frequency intuition at segment
+    * granularity). Distinct from [[dedupParagraph]]: that dedups exact
+    * segments CORPUS-wide by first occurrence; this finds
+    * WITHIN-SOURCE structural repetition — the text that should be
+    * stripped from every doc, not kept once.
+    *
+    * Scale: segments shuffle once to (source, segment) cardinality
+    * with map-side partial aggs; the boilerplate table is tiny
+    * (high-df segments only) and broadcast-joins back in the strip.
+    */
+  def boilerplateDetect(s: SparkSession, d: String): DataFrame =
+    boilerplateOf(segmentsWithSource(withHeader(Tables.documents(s, d))))
+      .select(col("source"), col("seg"), col("n_docs"), col("n_src_docs"),
+        round(col("n_docs").cast("double") / col("n_src_docs"), 4).as("share"))
+
+  /** BOILERPLATE STRIP: the cleaned corpus with each source's
+    * boilerplate segments excised and text reassembled —
+    * [[dedupParagraphOn]]'s rewrite contract driven by
+    * [[boilerplateDetect]]'s table (broadcast to the segment stream).
+    */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val segs = segmentsWithSource(withHeader(Tables.documents(s, d)))
+    val boiler = boilerplateOf(segs).select(col("source"), col("seg"), lit(1).as("b"))
+    segs.join(broadcast(boiler), Seq("source", "seg"), "left")
+      .withColumn("kept", col("b").isNull)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(sort_array(
+            collect_list(when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          st => st.getField("seg")), " ").as("clean_text"))
+  }
+
   def sourceMix(s: SparkSession, d: String): DataFrame = {
     val perSource = Tables.documents(s, d)
       .select(col("source"), size(toks(col("text"))).as("ntok"))
@@ -557,6 +634,8 @@ object Corpus {
     "dedup_spans" -> dedupSpans,
     "dedup_spans_apply" -> dedupSpansApply,
     "dedup_paragraph" -> dedupParagraph,
+    "boilerplate_detect" -> boilerplateDetect,
+    "boilerplate_strip" -> boilerplateStrip,
     "drift_psi" -> driftPsi,
     "source_mix" -> sourceMix,
     "mix_temperature" -> mixTemperature)
@@ -595,7 +674,60 @@ object Corpus {
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
+  /** CTE chain `aug → wsrc → segs → segt(doc_id, source, seg_idx,
+    * seg) → boiler(source, seg, n_docs, n_src_docs)` — the planted-
+    * header segmentation + per-source df gate shared by both
+    * boilerplate oracles. Header text mirrors [[withHeader]] exactly.
+    */
+  private def boilerplateSqlCtes: String =
+    s"""aug AS (
+       |  SELECT doc_id, source,
+       |    'begin standard header for source ' || source ||
+       |    ' repeated legal disclaimer text follows here with terms and conditions applying to every document ' ||
+       |    text AS text
+       |  FROM documents),
+       |wsrc AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS ws
+       |  FROM aug),
+       |segs AS (
+       |  SELECT doc_id, source,
+       |    CAST(unnest(generate_series(0,
+       |      CAST(ceil(len(ws) / $ParaSegLen.0) AS INTEGER) - 1)) AS INTEGER) AS seg_idx,
+       |    ws
+       |  FROM wsrc WHERE len(ws) > 0),
+       |segt AS (
+       |  SELECT doc_id, source, seg_idx,
+       |    array_to_string(
+       |      ws[seg_idx * $ParaSegLen + 1 : seg_idx * $ParaSegLen + $ParaSegLen],
+       |      ' ') AS seg
+       |  FROM segs),
+       |sdf AS (SELECT source, seg, count(DISTINCT doc_id) AS n_docs
+       |        FROM segt GROUP BY 1, 2),
+       |tot AS (SELECT source, count(DISTINCT doc_id) AS n_src_docs
+       |        FROM segt GROUP BY 1),
+       |boiler AS (
+       |  SELECT source, seg, n_docs, n_src_docs
+       |  FROM sdf JOIN tot USING (source)
+       |  WHERE n_docs >= $BoilMinDf
+       |    AND CAST(n_docs AS DOUBLE) >= $BoilShare * n_src_docs)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "boilerplate_detect" ->
+      ("WITH " + boilerplateSqlCtes + "\n" +
+        """SELECT source, seg, CAST(n_docs AS BIGINT) AS n_docs,
+          |  CAST(n_src_docs AS BIGINT) AS n_src_docs,
+          |  round(CAST(n_docs AS DOUBLE) / n_src_docs, 4) AS share
+          |FROM boiler""".stripMargin),
+    "boilerplate_strip" ->
+      ("WITH " + boilerplateSqlCtes + "\n" +
+        """SELECT st.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+          |  CAST(sum(CASE WHEN b.seg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  coalesce(array_to_string(list(st.seg ORDER BY st.seg_idx)
+          |    FILTER (WHERE b.seg IS NULL), ' '), '') AS clean_text
+          |FROM segt st
+          |LEFT JOIN boiler b ON b.source = st.source AND b.seg = st.seg
+          |GROUP BY st.doc_id""".stripMargin),
     "dedup_paragraph" ->
       s"""WITH wsrc AS (
          |  SELECT doc_id,

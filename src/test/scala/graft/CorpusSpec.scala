@@ -203,6 +203,37 @@ class CorpusSpec extends SparkSuite {
     assert(n1b(("francisco")) < n1b(("cat")))
   }
 
+  test("boilerplate: planted per-source header detected with share 1.0 and stripped cleanly") {
+    val detect = Corpus.boilerplateDetect(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val sources = graft.core.Tables.documents(spark, sfDir)
+      .select("source").distinct().collect().map(_.getString(0)).toSet
+    // every source's planted header is detected at share 1.0
+    val headers = detect.filter(_._2.startsWith("begin standard header for source"))
+    assert(headers.map(_._1).toSet === sources)
+    headers.foreach { case (_, _, nDocs, nSrc, share) =>
+      assert(nDocs === nSrc && share === 1.0)
+    }
+    detect.foreach { case (_, _, nDocs, _, _) => assert(nDocs >= Corpus.BoilMinDf) }
+
+    val strip = Corpus.boilerplateStrip(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(strip.length === 500)
+    strip.foreach { case (_, nSegs, nKept, clean) =>
+      assert(nKept < nSegs, "the header segment must always be stripped")
+      assert(!clean.contains("standard header for source"))
+    }
+    // when ONLY the header was boilerplate, the rewrite restores the
+    // original document verbatim (single-space-normalized)
+    val orig = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split("\\s+").filter(_.nonEmpty).mkString(" ")))
+      .toMap
+    val exactOnes = strip.filter { case (_, nSegs, nKept, _) => nKept == nSegs - 1 }
+    assert(exactOnes.nonEmpty)
+    exactOnes.foreach { case (id, _, _, clean) => assert(clean === orig(id)) }
+  }
+
   test("dedup_paragraph drops repeated segments, keeps first occurrence, reassembles") {
     import spark.implicits._
     // 20-word segments: segA repeated verbatim in doc 2; segC unique.
