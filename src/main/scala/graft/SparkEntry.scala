@@ -70,5 +70,5 @@ object SparkEntry {
     "q9_profit", "scd2_history", "keywords_textrank",
     "skew_diagnose", "join_pit", "dedup_containment",
     "dedup_containment_sketch", "join_pit_lookup",
-    "boilerplate_detect", "boilerplate_strip")
+    "boilerplate_detect", "boilerplate_strip", "drift_embedding")
 }

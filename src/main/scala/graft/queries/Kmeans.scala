@@ -151,8 +151,48 @@ object Kmeans {
         round(col("lift"), 4).as("lift"), col("c").as("n_in_cell"))
   }
 
+  /** EMBEDDING DRIFT ([EXT]): population-stability-index monitoring in
+    * EMBEDDING space — assign every vector to its kmeans cell, split
+    * the corpus into two snapshots (vec_id parity — the
+    * dedup_incremental convention), and report each cell's share under
+    * both snapshots with its Laplace-smoothed PSI term ((p_a − p_b)·
+    * ln(p_a/p_b), the [[Corpus.driftPsi]] arithmetic over cells
+    * instead of length buckets). The "did the semantic mix of the
+    * crawl shift" monitor — length histograms can agree while topics
+    * move; cell shares catch that. Σ terms ≥ 0 = the headline PSI.
+    *
+    * Scale: composes the certified kmeans chain (bounded k·dim driver
+    * actions) with a k-cell count shuffle; everything after the
+    * assignment runs at cell cardinality.
+    */
+  def driftEmbedding(s: SparkSession, d: String): DataFrame = {
+    val assign = kmeansAssignOn(vecs(s, d))
+    val t = assign.select(col("cell"),
+      when(col("vec_id") % 2 === 0, "a").otherwise("b").as("snap"))
+    val cells = t.select("cell").distinct()
+    val snaps = s.createDataFrame(Seq(Tuple1("a"), Tuple1("b"))).toDF("snap")
+    val cnt = t.groupBy("cell", "snap").agg(count(lit(1)).as("c"))
+    val g = cells.crossJoin(broadcast(snaps))
+      .join(cnt, Seq("cell", "snap"), "left")
+      .select(col("cell"), col("snap"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = g.groupBy("snap").agg(sum("c").as("n"))
+    val kf = cells.agg(count(lit(1)).as("k"))
+    val p = g.join(tot, "snap").crossJoin(broadcast(kf))
+      .select(col("cell"), col("snap"), col("c"),
+        ((col("c") + lit(0.5)) / (col("n") + lit(0.5) * col("k"))).as("p"))
+    val pa = p.filter(col("snap") === "a")
+      .select(col("cell"), col("c").as("n_a"), col("p").as("pa"))
+    val pb = p.filter(col("snap") === "b")
+      .select(col("cell").as("cellb"), col("c").as("n_b"), col("p").as("pb"))
+    pa.join(pb, col("cell") === col("cellb"))
+      .select(col("cell"), col("n_a"), col("n_b"),
+        round(col("pa"), 6).as("p_a"), round(col("pb"), 6).as("p_b"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")), 6).as("psi_term"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kmeans" -> kmeans,
+    "drift_embedding" -> driftEmbedding,
     "cluster_topics" -> clusterTopics)
 
   // assignment CTE against centroid table c$prev: argmin of
@@ -204,6 +244,24 @@ object Kmeans {
     "kmeans" ->
       s"""WITH $kmeansChainSql
          |SELECT vec_id, cell FROM afinal""".stripMargin,
+    "drift_embedding" ->
+      s"""WITH $kmeansChainSql,
+         |t AS (SELECT cell, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS snap
+         |      FROM afinal),
+         |cells AS (SELECT DISTINCT cell FROM t),
+         |grid AS (SELECT cell, snap
+         |         FROM cells CROSS JOIN (SELECT unnest(['a', 'b']) AS snap)),
+         |cnt AS (SELECT cell, snap, count(*) AS c FROM t GROUP BY 1, 2),
+         |g AS (SELECT grid.cell, grid.snap, coalesce(cnt.c, 0) AS c
+         |      FROM grid LEFT JOIN cnt USING (cell, snap)),
+         |tot AS (SELECT snap, sum(c) AS n FROM g GROUP BY 1),
+         |kk AS (SELECT count(*) AS k FROM cells),
+         |p AS (SELECT cell, snap, c, (c + 0.5) / (n + 0.5 * k) AS p
+         |      FROM g JOIN tot USING (snap) CROSS JOIN kk)
+         |SELECT a.cell, CAST(a.c AS BIGINT) AS n_a, CAST(b.c AS BIGINT) AS n_b,
+         |  round(a.p, 6) AS p_a, round(b.p, 6) AS p_b,
+         |  round((a.p - b.p) * ln(a.p / b.p), 6) AS psi_term
+         |FROM p a JOIN p b ON a.cell = b.cell AND a.snap = 'a' AND b.snap = 'b'""".stripMargin,
     "cluster_topics" ->
       s"""WITH $kmeansChainSql,
          |tk AS (SELECT a.cell, unnest(list_filter(

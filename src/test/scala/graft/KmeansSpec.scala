@@ -99,6 +99,20 @@ class KmeansSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"assignment stage shuffles:\n$plan")
   }
 
+  test("driftEmbedding: complete cell grid, non-negative PSI terms, counts conserve") {
+    val rows = graft.queries.Kmeans.driftEmbedding(spark, sfDir).collect()
+    val assign = graft.queries.Kmeans.kmeans(spark, sfDir)
+    val nCells = assign.select("cell").distinct().count()
+    assert(rows.length.toLong === nCells)
+    // every vector lands in exactly one (cell, snapshot) count
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === assign.count())
+    // (p_a − p_b)·ln(p_a/p_b) has matching signs — each term ≥ 0
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= -1e-9, s"negative PSI term in $r")
+      assert(r.getDouble(3) > 0 && r.getDouble(4) > 0)
+    }
+  }
+
   test("cluster_topics: ≤3 dense-ranked labels per cell, lift ratio correct, deterministic") {
     val rows = Kmeans.clusterTopics(spark, sfDir).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getDouble(3), r.getLong(4)))

@@ -46,8 +46,9 @@ class PlanLintSpec extends SparkSuite {
     // rows (bottom-k signatures), never raw user sets
     "audience_overlap", "audience_overlap_exact",
     // 1-row scalar frames (funnel step totals, PMI / bigram-type /
-    // token-grand totals)
+    // token-grand totals, PSI cell-count/snap-literal frames)
     "events_funnel", "pmi_bigrams", "lm_score_kn", "cluster_topics",
+    "drift_embedding",
     // IVF-PQ: probe table is O(queries·NProbe) broadcast; the non-equi
     // node is the exact-recall audit's broadcast query side
     "ann_ivfpq")
