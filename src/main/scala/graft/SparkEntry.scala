@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Unigram}
+import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Unigram}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,7 @@ object SparkEntry {
       Sketches.queries ++ Skew.queries ++ Formats.queries ++ Multimodal.queries ++
       Cluster.queries ++ Sharding.queries ++ Corpus.queries ++ Tokenize.queries ++
       Kmeans.queries ++ Embeddings.queries ++ Pipeline.queries ++ Curation.queries ++
-      Classifier.queries ++ Unigram.queries ++ Pq.queries
+      Classifier.queries ++ Unigram.queries ++ Pq.queries ++ Dsir.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -39,7 +39,7 @@ object SparkEntry {
       Multimodal.oracleSql ++ Cluster.oracleSql ++ Sharding.oracleSql ++ Corpus.oracleSql ++
       Tokenize.oracleSql ++ Kmeans.oracleSql ++ Embeddings.oracleSql ++
       Pipeline.oracleSql ++ Curation.oracleSql ++ Classifier.oracleSql ++
-      Unigram.oracleSql ++ Pq.oracleSql
+      Unigram.oracleSql ++ Pq.oracleSql ++ Dsir.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative
     * subset (scan-agg, fact-fact join, window, text, dedup paths).
@@ -70,5 +70,6 @@ object SparkEntry {
     "q9_profit", "scd2_history", "keywords_textrank",
     "skew_diagnose", "join_pit", "dedup_containment",
     "dedup_containment_sketch", "join_pit_lookup",
-    "boilerplate_detect", "boilerplate_strip", "drift_embedding")
+    "boilerplate_detect", "boilerplate_strip", "drift_embedding",
+    "dsir_weights", "dsir_sample", "cdc_merge", "graph_bfs_minhash")
 }

@@ -667,7 +667,79 @@ object Cluster {
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
+  /** Round bound for [[bfsOf]] — fixed so the loop unrolls into
+    * oracle CTEs and the output is a pure function of the graph.
+    */
+  val BfsRounds = 4
+
+  /** Multi-source bounded BFS over the near-dup graph — the
+    * "contamination blast radius" query: starting from a flagged seed
+    * set (here: every `src0` document, standing in for a
+    * benchmark-contaminated source), label everything reachable
+    * within [[BfsRounds]] hops with its distance and nearest seed
+    * (min hops, ties to the smallest seed id). Span/benchmark
+    * decontamination drops the seeds themselves; this answers the
+    * follow-up a curation review actually asks — "what near-dups of
+    * the contaminated docs are still in the corpus?".
+    *
+    * Scale design: per round ONE edge-linear equi-join on 8-byte node
+    * ids (text never moves) + one per-node argmin window; the
+    * distance frame never exceeds |V| rows because each round
+    * re-deduplicates, and rounds are checkpointed like the CC/LPA
+    * loops with a FIXED round count — no driver-side convergence
+    * action. Integer hops + smallest-root tie-break ⇒ the whole loop
+    * is integer-exact under the hash gate.
+    */
+  def bfsOf(seeds: DataFrame, edges: DataFrame, rounds: Int = BfsRounds): DataFrame = {
+    val sym = edges
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .unionAll(edges
+        .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .stable
+    var dist = seeds
+      .select(col("doc_id").cast("long").as("node"),
+        lit(0).as("hops"), col("doc_id").cast("long").as("root"))
+      .stable
+    val w = Window.partitionBy("node").orderBy(col("hops"), col("root"))
+    for (_ <- 1 to rounds) {
+      val next = dist
+        .join(sym, dist("node") === sym("src"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"), col("root"))
+      val merged = dist.unionByName(next)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .drop("rn")
+        .stable
+      dist.unpersist(false)
+      dist = merged
+    }
+    val out = dist.select(col("node").as("doc_id"),
+      col("hops").cast("int").as("hops"), col("root"))
+    sym.unpersist(false)
+    out
+  }
+
+  /** Registered form: seeds = all `src0` docs, edges = the >= 0.6
+    * n-gram near-dup graph (quadratic oracle edge producer by design;
+    * [[graphBfsMinhash]] is the linear scale path).
+    */
+  def graphBfs(s: SparkSession, d: String): DataFrame =
+    bfsOf(
+      Tables.documents(s, d).filter(col("source") === "src0").select(col("doc_id")),
+      Dedup.ngramScored(Tables.documents(s, d))
+        .filter(col("jac") >= 0.6)
+        .select(col("doc_a"), col("doc_b")))
+
+  def graphBfsMinhash(s: SparkSession, d: String): DataFrame =
+    bfsOf(
+      Tables.documents(s, d).filter(col("source") === "src0").select(col("doc_id")),
+      Dedup.minhashScored(Tables.documents(s, d), 0.6)
+        .filter(col("jac") >= 0.6)
+        .select(col("doc_a"), col("doc_b")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs" -> graphBfs,
+    "graph_bfs_minhash" -> graphBfsMinhash,
     "label_prop" -> labelProp,
     "label_prop_minhash" -> labelPropMinhash,
     "dedup_keep_priority" -> dedupKeepPriority,
@@ -772,6 +844,33 @@ object Cluster {
        |lsz AS (SELECT label, count(*) AS n_members FROM l$LpRounds GROUP BY 1)""".stripMargin
   }
 
+  // Bounded multi-source BFS: d0 = src0 seeds, each round joins the
+  // settled set to the symmetric edges and re-deduplicates per node by
+  // (hops, root) — mirroring bfsOf round for round. Integer-exact.
+  private def bfsChainSql: String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, hops, root FROM (
+         |    SELECT node, hops, root,
+         |      row_number() OVER (PARTITION BY node ORDER BY hops, root) AS rn
+         |    FROM (SELECT node, hops, root FROM d${i - 1}
+         |          UNION ALL
+         |          SELECT e.dst AS node, p.hops + 1 AS hops, p.root
+         |          FROM d${i - 1} p JOIN e0 e ON e.src = p.node) u) z
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""e0 AS MATERIALIZED (
+       |  SELECT doc_a AS src, doc_b AS dst FROM scored
+       |  UNION ALL SELECT doc_b, doc_a FROM scored),
+       |d0 AS (SELECT doc_id AS node, 0 AS hops, doc_id AS root
+       |       FROM documents WHERE source = 'src0'),
+       |$rounds""".stripMargin
+  }
+
+  private def bfsSelectSql: String =
+    s"""SELECT node AS doc_id, CAST(hops AS INTEGER) AS hops, root
+       |FROM d$BfsRounds""".stripMargin
+
   private val lpSelectSql =
     s"""SELECT l.node AS doc_id, l.label AS community,
        |  CAST(lsz.n_members AS BIGINT) AS n_members
@@ -828,6 +927,8 @@ object Cluster {
              |FROM e$KcoreRounds GROUP BY src""".stripMargin),
       "label_prop_minhash" ->
         ("WITH " + edges06 + ",\n" + lpChainSql + "\n" + lpSelectSql),
+      "graph_bfs_minhash" ->
+        ("WITH " + edges06 + ",\n" + bfsChainSql + "\n" + bfsSelectSql),
       "dedup_keep_priority_minhash" ->
         ("WITH RECURSIVE " + edges06 + ",\n" + ccSymSql + ",\n" +
           keepPriorityTailSql + "\n" + keepPrioritySelectSql),
@@ -878,6 +979,8 @@ object Cluster {
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
          |""".stripMargin + lpChainSql + "\n" + lpSelectSql),
+    "graph_bfs" ->
+      ("WITH " + ngramScoredSqlLit + ",\n" + bfsChainSql + "\n" + bfsSelectSql),
     "kcore" -> {
       // Fixed 8 peel rounds unrolled over the same near-dup edge CTEs
       // the pagerank/triangle oracles build. Pure integer arithmetic —

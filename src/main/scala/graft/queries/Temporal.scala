@@ -247,7 +247,41 @@ object Temporal {
         .select(col("user_id"), col("ts"), col("event_id").as("click_id")))
   }
 
+  /** CDC changelog compaction (SCD1 latest-wins merge): the events
+    * stream read as a change log keyed by user — `error` rows are
+    * DELETE tombstones, everything else an upsert carrying `value` —
+    * materialized into the current snapshot. This is the MERGE/
+    * compaction step every CDC-fed lakehouse table needs: per key,
+    * the latest change by (ts, event_id) wins; a winning tombstone
+    * removes the key from the snapshot entirely.
+    *
+    * Scale design: ONE hash shuffle on the key + a per-key window
+    * (identical asymptotics to the sort-merge compaction Hudi/Delta
+    * run); no join, no global sort. The count/first aggregates ride
+    * the same shuffle. At 100 TB the changelog partitions by key and
+    * each key's history sorts locally — the canonical log-compaction
+    * plan.
+    */
+  def cdcMerge(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_changes", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1 && col("event_type") =!= "error")
+      .select(
+        col("user_id"),
+        col("event_id").as("last_event_id"),
+        col("event_type").as("last_type"),
+        col("value").as("last_value"),
+        expr(s"ts DIV $NanosPerSec").as("last_s"),
+        col("n_changes"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_merge" -> cdcMerge,
     "join_asof" -> joinAsof,
     "join_asof_exec" -> joinAsofExec,
     "join_asof_fwd" -> joinAsofFwd,
@@ -257,7 +291,23 @@ object Temporal {
     "join_range" -> joinRange)
 
   def oracleSql: Map[String, String] =
-    oracleBase + ("join_asof_lookup" -> oracleBase("join_asof"))
+    oracleBase +
+      ("join_asof_lookup" -> oracleBase("join_asof")) +
+      ("cdc_merge" ->
+        """WITH ranked AS (
+          |  SELECT user_id, ts, event_id, event_type, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn,
+          |    count(*) OVER (PARTITION BY user_id) AS n_changes
+          |  FROM events)
+          |SELECT user_id,
+          |  event_id AS last_event_id,
+          |  event_type AS last_type,
+          |  value AS last_value,
+          |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_s,
+          |  n_changes
+          |FROM ranked
+          |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     // Same union + carry-forward formulation so semantics (incl. the

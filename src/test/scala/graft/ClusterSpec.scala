@@ -417,6 +417,34 @@ class ClusterSpec extends SparkSuite {
     assert(mh === ngram && mh.nonEmpty)
   }
 
+  test("bfsOf: planted path graph gets exact hops and nearest roots") {
+    // 1-2-3-4-5-6 path plus isolated seed 9; seeds {1, 9}.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val seeds = Seq(1L, 9L).toDF("doc_id")
+    val got = Cluster.bfsOf(seeds, edges)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    // BfsRounds = 4 ⇒ node 6 (5 hops away) is NOT reached
+    assert(got === Map(
+      1L -> (0, 1L), 9L -> (0, 9L), 2L -> (1, 1L), 3L -> (2, 1L),
+      4L -> (3, 1L), 5L -> (4, 1L)))
+
+    // two seeds: min hops wins; equal hops tie to the smaller root
+    val got2 = Cluster.bfsOf(Seq(1L, 3L).toDF("doc_id"), edges)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    assert(got2(2L) === (1, 1L)) // 1 hop from both seeds → root ties to 1
+    assert(got2(4L) === (1, 3L))
+    assert(got2(6L) === (3, 3L))
+  }
+
+  test("graph_bfs_minhash ≡ ngram-edged graph_bfs on sf0.001") {
+    val ngram = Cluster.graphBfs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val mh = Cluster.graphBfsMinhash(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(mh === ngram && mh.nonEmpty)
+  }
+
   test("label_prop_minhash ≡ ngram-edged label_prop on sf0.001") {
     val ngram = Cluster.labelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

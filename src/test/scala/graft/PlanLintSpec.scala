@@ -51,7 +51,9 @@ class PlanLintSpec extends SparkSuite {
     "drift_embedding",
     // IVF-PQ: probe table is O(queries·NProbe) broadcast; the non-equi
     // node is the exact-recall audit's broadcast query side
-    "ann_ivfpq")
+    "ann_ivfpq",
+    // DSIR: 1-row totals frame attached to the NumBuckets-row λ build
+    "dsir_weights", "dsir_sample")
 
   private lazy val plans: Map[String, String] = {
     val s = spark

@@ -154,6 +154,30 @@ class TemporalSpec extends SparkSuite {
     assert(got.nonEmpty && got.values.exists(_ >= 0))
   }
 
+  test("cdcMerge: latest change wins, tombstoned keys vanish") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val byUser = ev.groupBy(_._1)
+    val expect = byUser.flatMap { case (u, rows) =>
+      val last = rows.maxBy(r => (r._2, r._3))
+      if (last._4 == "error") None
+      else Some(u -> (last._3, last._4, last._5, rows.length.toLong))
+    }
+    val got = Temporal.cdcMerge(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(5)))
+      .toMap
+    assert(got === expect)
+    // some user's history must actually end in a tombstone for the
+    // delete path to be exercised at this SF
+    assert(byUser.size > got.size)
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
