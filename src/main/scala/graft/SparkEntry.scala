@@ -71,5 +71,6 @@ object SparkEntry {
     "skew_diagnose", "join_pit", "dedup_containment",
     "dedup_containment_sketch", "join_pit_lookup",
     "boilerplate_detect", "boilerplate_strip", "drift_embedding",
-    "dsir_weights", "dsir_sample", "cdc_merge", "graph_bfs_minhash")
+    "dsir_weights", "dsir_sample", "cdc_merge", "graph_bfs_minhash",
+    "attribution_linear", "feature_rolling", "er_block")
 }

@@ -483,7 +483,40 @@ object Advanced {
       FROM anc GROUP BY root""")
   }
 
+  /** Blocked ENTITY RESOLUTION over part names: candidate pairs come
+    * from an equi-join on a blocking key (the name's last word — the
+    * "entity type"), then fuzzy-match by edit distance ≤ 2
+    * (`cold gear` ↔ `old gear`). The two-step is the standard ER
+    * recipe: blocking turns the O(n²) all-pairs comparison into
+    * within-block pairs, and the match predicate runs only on
+    * candidates.
+    *
+    * Scale design: the pair space is over DISTINCT names, not rows —
+    * the first aggregation collapses any corpus to its name
+    * vocabulary (bounded by the domain, not the data), carrying
+    * per-name row counts and canonical ids; the blocked self-join
+    * then runs on vocabulary cardinality. At 100 TB the collapse is
+    * one partial-agg'd shuffle and everything after is tiny.
+    */
+  def erBlock(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy("p_name")
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("canon_key"))
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"),
+      col("canon_key").as("canon_a"), col("block"))
+    val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"),
+      col("canon_key").as("canon_b"), col("block"))
+    a.join(b, "block")
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("n_a"), col("n_b"), col("canon_a"), col("canon_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_block" -> erBlock,
     "agg_regr" -> aggRegr,
     "join_lateral" -> joinLateral,
     "join_nullsafe" -> joinNullsafe,
@@ -519,6 +552,18 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "er_block" ->
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_parts, min(p_partkey) AS canon_key,
+        |    split_part(p_name, ' ', -1) AS block
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b,
+        |  a.canon_key AS canon_a, b.canon_key AS canon_b
+        |FROM names a JOIN names b
+        |  ON a.block = b.block AND a.p_name < b.p_name
+        | AND levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
     "map_hof" ->
       """WITH c AS (SELECT user_id, event_type, count(*) AS cnt
         |           FROM events GROUP BY 1, 2)

@@ -317,7 +317,34 @@ object EventOps {
     pitLookupOn(views, scd2Changes(s, d))
   }
 
+  /** Per-event ROLLING FEATURE FRAME — the feature-engineering pass a
+    * behavioral model trains on, computed with the three window-frame
+    * families over one per-user sort: gap to the previous event
+    * (lag), mean value over the 5 preceding events (ROWS frame — tie
+    * order pinned by event_id so the frame is deterministic), and
+    * event count in the trailing hour INCLUDING self (RANGE frame
+    * over the numeric event time). ONE hash shuffle on user_id; all
+    * three windows share the same sort.
+    */
+  def featureRolling(s: SparkSession, d: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val rows5 = byUser.rowsBetween(-5, -1)
+    val range1h = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"))
+      .rangeBetween(-3600L * 1000000000L, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .select(
+        col("event_id"), col("user_id"),
+        expr("(ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) DIV 1000000000")
+          .as("prev_gap_s"),
+        (floor(avg(col("value")).over(rows5) * 10000 + 0.5) / 10000.0).as("avg5"),
+        count(lit(1)).over(range1h).as("cnt_1h"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_rolling" -> featureRolling,
     "scd2_history" -> scd2History,
     "join_pit" -> joinPit,
     "join_pit_lookup" -> joinPitLookup,
@@ -333,7 +360,20 @@ object EventOps {
     "events_funnel" -> eventsFunnel)
 
   def oracleSql: Map[String, String] =
-    oracleBase + ("join_pit_lookup" -> oracleBase("join_pit"))
+    oracleBase +
+      ("join_pit_lookup" -> oracleBase("join_pit")) +
+      ("feature_rolling" ->
+        """SELECT event_id, user_id,
+          |  CAST(floor(epoch(ts - lag(ts) OVER
+          |    (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+          |    AS prev_gap_s,
+          |  floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) * 10000 + 0.5)
+          |    / 10000.0 AS avg5,
+          |  count(*) OVER (PARTITION BY user_id ORDER BY ts
+          |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |    AS cnt_1h
+          |FROM events""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "join_pit" ->

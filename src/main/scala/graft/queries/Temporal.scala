@@ -280,7 +280,44 @@ object Temporal {
         col("n_changes"))
   }
 
+  /** Multi-touch LINEAR attribution: each purchase's value is split
+    * equally across that user's clicks in the preceding hour
+    * (last-touch is [[joinAsof]]; this is the other standard
+    * attribution model). Per click: total credited revenue and the
+    * number of purchases it participated in.
+    *
+    * Scale design: the qualifying (click, purchase) pairs come from
+    * the SAME time-bucketed candidate equi-join as [[joinRange]]
+    * (purchase replicated into 2 buckets, exact band predicate last —
+    * candidates ∝ true matches, no inequality join operator); the
+    * per-purchase fan-out count rides a window on the pair stream and
+    * the per-click rollup is one partial-agg'd groupBy. value/k is a
+    * double ratio of exact inputs; the credit sum rounds half-up at
+    * 1e-4 (lm_score precedent).
+    */
+  def attributionLinear(s: SparkSession, d: String): DataFrame = {
+    val WindowNs = 3600L * NanosPerSec
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"),
+        expr(s"ts DIV $WindowNs").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("value"),
+        col("ts").as("pts"),
+        explode(array(expr(s"ts DIV $WindowNs") - 1, expr(s"ts DIV $WindowNs")))
+          .as("bucket"))
+    val pairs = clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("pts") >= col("cts") && col("pts") - col("cts") <= WindowNs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
+    pairs
+      .withColumn("k", count(lit(1)).over(Window.partitionBy("purchase_id")))
+      .groupBy("click_id", "user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        (floor(sum(col("value") / col("k")) * 10000 + 0.5) / 10000.0).as("credit"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "attribution_linear" -> attributionLinear,
     "cdc_merge" -> cdcMerge,
     "join_asof" -> joinAsof,
     "join_asof_exec" -> joinAsofExec,
@@ -307,7 +344,21 @@ object Temporal {
           |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_s,
           |  n_changes
           |FROM ranked
-          |WHERE rn = 1 AND event_type <> 'error'""".stripMargin)
+          |WHERE rn = 1 AND event_type <> 'error'""".stripMargin) +
+      ("attribution_linear" ->
+        """WITH pairs AS (
+          |  SELECT c.user_id, c.event_id AS click_id,
+          |         p.event_id AS purchase_id, p.value
+          |  FROM events c JOIN events p
+          |    ON c.user_id = p.user_id
+          |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+          |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+          |k AS (SELECT *, count(*) OVER (PARTITION BY purchase_id) AS k
+          |      FROM pairs)
+          |SELECT click_id, user_id,
+          |  count(*) AS n_purchases,
+          |  floor(sum(value / k) * 10000 + 0.5) / 10000.0 AS credit
+          |FROM k GROUP BY click_id, user_id""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     // Same union + carry-forward formulation so semantics (incl. the

@@ -178,6 +178,64 @@ class TemporalSpec extends SparkSuite {
     assert(byUser.size > got.size)
   }
 
+  test("attributionLinear ≡ naive inequality-join split; credit conserved") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+    val WindowNs = 3600L * 1000000000L
+    val clicks = ev.filter(_._4 == "click")
+    val purchases = ev.filter(_._4 == "purchase")
+    // naive: every (click, purchase) pair with 0 <= pts - cts <= 1h
+    val pairs = for {
+      c <- clicks; p <- purchases
+      if c._1 == p._1 && p._2 >= c._2 && p._2 - c._2 <= WindowNs
+    } yield (c._3, c._1, p._3, p._5)
+    val k = pairs.groupBy(_._3).view.mapValues(_.length).toMap
+    val expect = pairs.groupBy(x => (x._1, x._2)).map { case (key, ps) =>
+      val credit = ps.map(p => p._4 / k(p._3)).sum
+      key -> (ps.length.toLong, math.floor(credit * 10000 + 0.5) / 10000.0)
+    }
+    val got = Temporal.attributionLinear(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expect)
+    // conservation: attributed credit equals the value of every
+    // purchase that found at least one qualifying click
+    val attributed = got.values.map(_._2).sum
+    val reachable = purchases.filter(p => k.contains(p._3)).map(_._5).sum
+    assert(math.abs(attributed - reachable) < 1e-2)
+  }
+
+  test("featureRolling ≡ per-user Scala fold over sorted histories") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.zipWithIndex.map { case ((_, ts, id, _), i) =>
+        val gap = if (i == 0) None else Some((ts - sorted(i - 1)._2) / 1000000000L)
+        val prev5 = sorted.slice(math.max(0, i - 5), i).map(_._4)
+        val avg5 = if (prev5.isEmpty) None
+          else Some(math.floor(prev5.sum / prev5.length * 10000 + 0.5) / 10000.0)
+        val cnt = rows.count(r => r._2 <= ts && r._2 >= ts - 3600L * 1000000000L)
+        id -> (gap, avg5, cnt.toLong)
+      }
+    }.toMap
+    val out = graft.queries.EventOps.featureRolling(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getLong(4)))
+      .toMap
+    assert(out === expect)
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
