@@ -72,5 +72,6 @@ object SparkEntry {
     "dedup_containment_sketch", "join_pit_lookup",
     "boilerplate_detect", "boilerplate_strip", "drift_embedding",
     "dsir_weights", "dsir_sample", "cdc_merge", "graph_bfs_minhash",
-    "attribution_linear", "feature_rolling", "er_block")
+    "attribution_linear", "feature_rolling", "er_block",
+    "impute_locf", "anomaly_mad", "cdc_merge_stream")
 }

@@ -343,7 +343,55 @@ object EventOps {
         count(lit(1)).over(range1h).as("cnt_1h"))
   }
 
+  /** LOCF imputation (last observation carried forward): `error`
+    * events are treated as missing readings and backfilled from the
+    * user's most recent non-error value — the standard time-series
+    * imputation pass before feature extraction. One per-user window
+    * over one hash shuffle; a key with no prior observation stays
+    * NULL (no cross-user leakage). The carried value is copied, not
+    * computed, so the gate is exact.
+    */
+  def imputeLocf(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") =!= "error", col("value")).as("v_obs"))
+      .select(col("event_id"), col("user_id"),
+        last(col("v_obs"), ignoreNulls = true).over(w).as("value_filled"),
+        col("v_obs").isNull.cast("int").as("imputed"))
+  }
+
+  /** Robust anomaly profile per event_type: median + MAD (median
+    * absolute deviation) and the count of events outside
+    * median ± 3σ̂ where σ̂ = 1.4826·MAD — the outlier rule that, unlike
+    * events_anomaly's mean/stddev z-score, is itself immune to the
+    * outliers it hunts. Exact interpolated percentiles (Spark
+    * `percentile` ≡ DuckDB `quantile_cont`, the skew_diagnose
+    * precedent); two value-stream aggregation passes with the tiny
+    * per-type stats broadcast back.
+    */
+  def anomalyMad(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val stats = ev.join(broadcast(med), "event_type")
+      .groupBy("event_type")
+      .agg(max("med").as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"), 1L)
+          .otherwise(0L)).as("n_anomalies"),
+        (floor(max("med") * 10000 + 0.5) / 10000.0).as("med"),
+        (floor(max("mad") * 10000 + 0.5) / 10000.0).as("mad"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "impute_locf" -> imputeLocf,
+    "anomaly_mad" -> anomalyMad,
     "feature_rolling" -> featureRolling,
     "scd2_history" -> scd2History,
     "join_pit" -> joinPit,
@@ -373,7 +421,31 @@ object EventOps {
           |  count(*) OVER (PARTITION BY user_id ORDER BY ts
           |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
           |    AS cnt_1h
-          |FROM events""".stripMargin)
+          |FROM events""".stripMargin) +
+      ("impute_locf" ->
+        """SELECT event_id, user_id,
+          |  last_value(CASE WHEN event_type <> 'error' THEN value END
+          |    IGNORE NULLS) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+          |    AS value_filled,
+          |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS imputed
+          |FROM events""".stripMargin) +
+      ("anomaly_mad" ->
+        """WITH med AS (
+          |  SELECT event_type, quantile_cont(value, 0.5) AS med
+          |  FROM events GROUP BY 1),
+          |st AS (
+          |  SELECT e.event_type, max(m.med) AS med,
+          |    quantile_cont(abs(e.value - m.med), 0.5) AS mad
+          |  FROM events e JOIN med m USING (event_type)
+          |  GROUP BY e.event_type)
+          |SELECT e.event_type, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN abs(e.value - s.med) > 4.4478 * s.mad
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+          |  floor(max(s.med) * 10000 + 0.5) / 10000.0 AS med,
+          |  floor(max(s.mad) * 10000 + 0.5) / 10000.0 AS mad
+          |FROM events e JOIN st s USING (event_type)
+          |GROUP BY e.event_type""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "join_pit" ->

@@ -316,9 +316,30 @@ object Temporal {
         (floor(sum(col("value") / col("k")) * 10000 + 0.5) / 10000.0).as("credit"))
   }
 
+  /** The STREAMING CDC-compaction code path executed on batch rows —
+    * puts [[graft.streaming.StreamingOps.cdcCompactStream]] under the
+    * driver's DuckDB oracle gate (same contract as the
+    * events_*_stream twins): in batch execution each key's group is
+    * processed once, so the stateful latest-wins fold produces
+    * exactly [[cdcMerge]]'s snapshot; tombstone winners are filtered
+    * here as the batch operator's WHERE does.
+    */
+  def cdcMergeStream(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    val changes = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, Long, String, Double)]
+    graft.streaming.StreamingOps.cdcCompactStream(changes)
+      .toDF()
+      .filter(col("last_type") =!= "error")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution_linear" -> attributionLinear,
     "cdc_merge" -> cdcMerge,
+    "cdc_merge_stream" -> cdcMergeStream,
     "join_asof" -> joinAsof,
     "join_asof_exec" -> joinAsofExec,
     "join_asof_fwd" -> joinAsofFwd,
@@ -331,6 +352,21 @@ object Temporal {
     oracleBase +
       ("join_asof_lookup" -> oracleBase("join_asof")) +
       ("cdc_merge" ->
+        """WITH ranked AS (
+          |  SELECT user_id, ts, event_id, event_type, value,
+          |    row_number() OVER (PARTITION BY user_id
+          |      ORDER BY ts DESC, event_id DESC) AS rn,
+          |    count(*) OVER (PARTITION BY user_id) AS n_changes
+          |  FROM events)
+          |SELECT user_id,
+          |  event_id AS last_event_id,
+          |  event_type AS last_type,
+          |  value AS last_value,
+          |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS last_s,
+          |  n_changes
+          |FROM ranked
+          |WHERE rn = 1 AND event_type <> 'error'""".stripMargin) +
+      ("cdc_merge_stream" ->
         """WITH ranked AS (
           |  SELECT user_id, ts, event_id, event_type, value,
           |    row_number() OVER (PARTITION BY user_id

@@ -305,6 +305,45 @@ object StreamingOps {
         col("c.value").as("click_val"))
   }
 
+  final case class CdcState(ts: Long, eventId: Long, etype: String,
+    value: Double, n: Long)
+  final case class CdcOut(user_id: Long, last_event_id: Long,
+    last_type: String, last_value: Double, last_s: Long, n_changes: Long)
+
+  /** Streaming CDC compaction — the stateful twin of
+    * graft.queries.Temporal.cdcMerge: per-key latest-wins snapshot
+    * maintained across micro-batches with mapGroupsWithState. Each
+    * batch re-emits every touched key's refreshed snapshot row
+    * (Update mode), INCLUDING tombstone winners (`error` rows) so a
+    * downstream materializer can delete the key — the reader keeps
+    * the latest emission per key and drops `error` types, which is
+    * exactly the batch operator's output. State is O(1) per live key:
+    * the winning (ts, event_id, type, value) plus a change count.
+    *
+    * Input: (user_id, ts, event_id, event_type, value) tuples; ts is
+    * epoch-nanos (Tables.events convention).
+    */
+  def cdcCompactStream(
+      changes: Dataset[(Long, Long, Long, String, Double)]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_._1)
+      .mapGroupsWithState[CdcState, CdcOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L))
+          rows.foreach { case (_, ts, id, tpe, v) =>
+            st =
+              if (ts > st.ts || (ts == st.ts && id > st.eventId))
+                CdcState(ts, id, tpe, v, st.n + 1)
+              else st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          CdcOut(user, st.eventId, st.etype, st.value,
+            Math.floorDiv(st.ts, 1000000000L), st.n)
+      }
+  }
+
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via mapGroupsWithState: running event count per

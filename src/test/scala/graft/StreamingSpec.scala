@@ -246,6 +246,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming CDC compaction: latest wins across batches, tombstone emitted") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val ds = StreamingOps.cdcCompactStream(mem.toDS())
+    val name = s"cdc_${System.nanoTime()}"
+    val q = ds.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // (user, ts, event_id, type, value)
+      mem.addData(Seq((1L, 10L * 1000000000L, 100L, "click", 1.0),
+        (2L, 10L * 1000000000L, 101L, "view", 2.0)))
+      q.processAllAvailable()
+      // batch 2: user 1 upserts a newer value; user 2 gets a tombstone;
+      // an OLDER out-of-order change for user 1 must NOT win
+      mem.addData(Seq((1L, 30L * 1000000000L, 200L, "purchase", 7.0),
+        (1L, 20L * 1000000000L, 150L, "click", 5.0),
+        (2L, 40L * 1000000000L, 201L, "error", 0.0)))
+      q.processAllAvailable()
+      val latest = spark.table(name).collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rs) =>
+          val r = rs.maxBy(_.getLong(5)) // highest n_changes = latest emission
+          u -> (r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4), r.getLong(5))
+        }
+      assert(latest(1L) === (200L, "purchase", 7.0, 30L, 3L))
+      assert(latest(2L) === (201L, "error", 0.0, 40L, 2L)) // tombstone visible
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     val mem = MemoryStream[(Long, Double)](spark)
     val ds = StreamingOps.runningCounts(mem.toDS())

@@ -178,6 +178,18 @@ class TemporalSpec extends SparkSuite {
     assert(byUser.size > got.size)
   }
 
+  test("cdc_merge_stream (stateful code path on batch rows) ≡ cdcMerge") {
+    val batch = Temporal.cdcMerge(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val stream = Temporal.cdcMergeStream(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(stream === batch && stream.nonEmpty)
+  }
+
   test("attributionLinear ≡ naive inequality-join split; credit conserved") {
     val ev = graft.core.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"),
