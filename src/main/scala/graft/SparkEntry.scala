@@ -73,5 +73,6 @@ object SparkEntry {
     "boilerplate_detect", "boilerplate_strip", "drift_embedding",
     "dsir_weights", "dsir_sample", "cdc_merge", "graph_bfs_minhash",
     "attribution_linear", "feature_rolling", "er_block",
-    "impute_locf", "anomaly_mad", "cdc_merge_stream")
+    "impute_locf", "anomaly_mad", "cdc_merge_stream",
+    "search_phrase", "pipeline_curate_dsir_minhash")
 }

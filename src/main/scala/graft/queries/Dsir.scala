@@ -88,10 +88,13 @@ object Dsir {
     * off the raw double; the registered query rounds for the gate).
     * The exploded bucket stream feeds BOTH the distribution build and
     * the scoring join — checkpointed once so tokenize+md5 runs a
-    * single pass (the shared-stage-frame rule from Pipeline).
+    * single pass (the shared-stage-frame rule from Pipeline). Takes
+    * any (doc_id, lang, text) frame so composed pipelines
+    * (Pipeline.pipelineCurateDsir) can run the estimator over their
+    * own corpus stage.
     */
-  private def weightsOf(s: SparkSession, d: String): DataFrame = {
-    val ex = bucketStream(Tables.documents(s, d)).stable
+  def weightsOn(docs: DataFrame): DataFrame = {
+    val ex = bucketStream(docs).stable
     val out = ex.join(broadcast(lambdaTable(ex)), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"), sum("lam").as("w"))
@@ -105,7 +108,8 @@ object Dsir {
     * like the rest of the pool.
     */
   def dsirWeights(s: SparkSession, d: String): DataFrame =
-    weightsOf(s, d).select(col("doc_id"), col("n_grams"), r4(col("w")).as("dsir_w"))
+    weightsOn(Tables.documents(s, d))
+      .select(col("doc_id"), col("n_grams"), r4(col("w")).as("dsir_w"))
 
   /** Gumbel-top-k resampling: key = w − ln(−ln(u)) with u the md5
     * uniform of the doc id — equivalent to drawing [[SampleK]] docs
@@ -115,7 +119,7 @@ object Dsir {
   def dsirSample(s: SparkSession, d: String): DataFrame = {
     val u = (conv(substring(md5(concat(lit("dsir"), col("doc_id").cast("string"))), 1, 12),
       16, 10).cast("double") + lit(0.5)) / lit(281474976710656.0)
-    val keyed = weightsOf(s, d)
+    val keyed = weightsOn(Tables.documents(s, d))
       .select(col("doc_id"), (col("w") - log(-log(u))).as("gk"))
       .orderBy(col("gk").desc, col("doc_id"))
       .limit(SampleK)
@@ -133,46 +137,51 @@ object Dsir {
   private val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
-  // Shared CTE chain: gram stream → buckets → per-bucket counts → λ →
-  // per-doc weights. Mirrors the Spark plan stage for stage; the only
-  // float surface is the per-doc sum of ≤ NumBuckets-distinct λ terms,
-  // ~1e-13 noise under the 1e-4 half-up rounding (lm_score precedent).
-  private val weightsSqlDuck =
-    s"""w AS (SELECT doc_id, lang, $tokSqlDuck AS ws FROM documents),
-       |g AS (SELECT doc_id, lang,
+  // Shared CTE chain over an arbitrary (doc_id, lang, text) relation:
+  // gram stream → buckets → per-bucket counts → λ → per-doc weights,
+  // ending in `dwt(doc_id, n_grams, w)`. CTE names are d-prefixed so
+  // the chain composes into the Pipeline oracles without collisions.
+  // Mirrors the Spark plan stage for stage; the only float surface is
+  // the per-doc sum of ≤ NumBuckets-distinct λ terms, ~1e-13 noise
+  // under the 1e-4 half-up rounding (lm_score precedent).
+  private[queries] def weightsSqlOver(rel: String): String =
+    s"""dw AS (SELECT doc_id, lang, $tokSqlDuck AS ws FROM $rel),
+       |dg AS (SELECT doc_id, lang,
        |        list_concat(ws,
        |          CASE WHEN len(ws) >= 2 THEN list_transform(
        |            generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])
        |          ELSE [] END) AS gs
-       |      FROM w),
-       |ex AS (SELECT doc_id, lang,
+       |      FROM dw),
+       |dex AS (SELECT doc_id, lang,
        |         CAST(('0x' || substr(md5(unnest(gs)), 1, 12))::UBIGINT % $NumBuckets AS BIGINT) AS b
-       |       FROM g),
-       |cnt AS (SELECT b, count(*) AS cr,
+       |       FROM dg),
+       |dcnt AS (SELECT b, count(*) AS cr,
        |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-       |        FROM ex GROUP BY 1),
-       |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS totr,
-       |               CAST(sum(ct) AS BIGINT) AS tott FROM cnt),
-       |lam AS (SELECT b,
+       |        FROM dex GROUP BY 1),
+       |dtot AS (SELECT CAST(sum(cr) AS BIGINT) AS totr,
+       |               CAST(sum(ct) AS BIGINT) AS tott FROM dcnt),
+       |dlam AS (SELECT b,
        |          ln(CAST(ct AS DOUBLE) + 1.0) - ln(CAST(tott AS DOUBLE) + $NumBuckets)
        |          - ln(CAST(cr AS DOUBLE) + 1.0) + ln(CAST(totr AS DOUBLE) + $NumBuckets) AS lam
-       |        FROM cnt CROSS JOIN tot),
-       |wt AS (SELECT doc_id, count(*) AS n_grams, sum(lam) AS w
-       |       FROM ex JOIN lam USING (b) GROUP BY doc_id)""".stripMargin
+       |        FROM dcnt CROSS JOIN dtot),
+       |dwt AS (SELECT doc_id, count(*) AS n_grams, sum(lam) AS w
+       |       FROM dex JOIN dlam USING (b) GROUP BY doc_id)""".stripMargin
+
+  private def weightsSqlDuck: String = weightsSqlOver("documents")
 
   def oracleSql: Map[String, String] = Map(
     "dsir_weights" ->
       s"""WITH $weightsSqlDuck
          |SELECT doc_id, n_grams,
          |  floor(w * 10000 + 0.5) / 10000.0 AS dsir_w
-         |FROM wt""".stripMargin,
+         |FROM dwt""".stripMargin,
     "dsir_sample" ->
       s"""WITH $weightsSqlDuck,
          |keyed AS (
          |  SELECT doc_id,
          |    w - ln(-ln((CAST(('0x' || substr(md5('dsir' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT AS DOUBLE) + 0.5)
          |                / 281474976710656.0)) AS gk
-         |  FROM wt),
+         |  FROM dwt),
          |topk AS (SELECT doc_id, gk FROM keyed ORDER BY gk DESC, doc_id LIMIT $SampleK)
          |SELECT doc_id,
          |  floor(gk * 10000 + 0.5) / 10000.0 AS gumbel_key,

@@ -97,6 +97,25 @@ object Pipeline {
     kept
   }
 
+  /** DSIR gate: importance weights from [[Dsir.weightsOn]] over the
+    * corpus being curated (target = its own `en` slice), floor-rounded
+    * at 1e-6 BEFORE the per-lang p25 quantile (the model gate's
+    * convention — raw weights carry ~1e-13 sum-order noise). Docs
+    * with no tokenizable grams carry no weight and are dropped by the
+    * inner join — the gate's contract, mirrored in the oracle. Third
+    * scorer in the A/B family: heuristic composite, trained
+    * classifier margin, and now distribution-matching importance.
+    */
+  private def dsirKeptIds(corpus: DataFrame): DataFrame =
+    Dsir.weightsOn(corpus)
+      .select(col("doc_id"),
+        (floor(col("w") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+      .join(corpus.select("doc_id", "lang"), "doc_id")
+      .withColumn("thr", expr("percentile(score, 0.25)")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      .filter(col("score") >= col("thr"))
+      .select("doc_id")
+
   private def curateStages(s: SparkSession, d: String,
       edgeProducer: DataFrame => DataFrame,
       keptIdsOf: DataFrame => DataFrame = heuristicKeptIds): Stages = {
@@ -267,7 +286,25 @@ object Pipeline {
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       modelKeptIds)
 
+  /** DSIR-gated curation (quadratic ngram oracle baseline). */
+  def pipelineCurateDsir(s: SparkSession, d: String): DataFrame =
+    pipelineCurateWith(s, d,
+      docs => Dedup.ngramScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
+      dsirKeptIds)
+
+  /** DSIR-gated curation over the linear MinHash+LSH edge path — the
+    * 100 TB form of the distribution-matched pipeline.
+    */
+  def pipelineCurateDsirMinhash(s: SparkSession, d: String): DataFrame =
+    pipelineCurateWith(s, d,
+      docs => Dedup.minhashScored(docs, 0.6)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
+      dsirKeptIds)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curate_dsir" -> pipelineCurateDsir,
+    "pipeline_curate_dsir_minhash" -> pipelineCurateDsirMinhash,
     "pipeline_curate" -> pipelineCurate,
     "pipeline_curate_minhash" -> pipelineCurateMinhash,
     "pipeline_curate_model" -> pipelineCurateModel,
@@ -313,6 +350,20 @@ object Pipeline {
          |         FROM sml GROUP BY lang),
          |s1 AS (SELECT sml.doc_id, sml.lang, sml.text FROM sml
          |       JOIN mthr USING (lang) WHERE score >= thr)""".stripMargin
+
+  // DSIR importance gate over t0 (Dsir.weightsSqlOver's d-prefixed
+  // chain, ending in dwt), weights floor-rounded at 1e-6 before the
+  // per-lang p25 quantile exactly like the Spark side. Gram-less docs
+  // drop at the inner join, matching dsirKeptIds' contract.
+  private def s1DsirSql =
+    s"""${Dsir.weightsSqlOver("t0")},
+       |dsl AS (SELECT t0.doc_id, t0.lang, t0.text,
+       |          floor(dwt.w * 1e6 + 0.5) / 1e6 AS score
+       |        FROM t0 JOIN dwt USING (doc_id)),
+       |dthr AS (SELECT lang, quantile_cont(score, 0.25) AS thr
+       |         FROM dsl GROUP BY lang),
+       |s1 AS (SELECT dsl.doc_id, dsl.lang, dsl.text FROM dsl
+       |       JOIN dthr USING (lang) WHERE score >= thr)""".stripMargin
 
   private val chainSuffixSql =
     s"""sh AS (
@@ -431,6 +482,12 @@ object Pipeline {
   private def modelMinhashChainSql =
     s"$chainPrefixSql,\n$s1ModelSql,\n$chainSuffixMinhashSql"
 
+  private def dsirChainSql =
+    s"$chainPrefixSql,\n$s1DsirSql,\n$chainSuffixSql"
+
+  private def dsirMinhashChainSql =
+    s"$chainPrefixSql,\n$s1DsirSql,\n$chainSuffixMinhashSql"
+
   private val censusSql =
     """SELECT '0_corpus' AS stage, count(*) AS n_docs FROM t0
       |UNION ALL SELECT '1_quality', count(*) FROM s1
@@ -439,6 +496,10 @@ object Pipeline {
       |UNION ALL SELECT '4_' || split, count(*) FROM splits GROUP BY split""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_curate_dsir" ->
+      ("WITH RECURSIVE\n" + dsirChainSql + "\n" + censusSql),
+    "pipeline_curate_dsir_minhash" ->
+      ("WITH RECURSIVE\n" + dsirMinhashChainSql + "\n" + censusSql),
     "pipeline_curate_minhash" ->
       ("WITH RECURSIVE\n" + minhashChainSql + "\n" + censusSql),
     "pipeline_curate_model_minhash" ->

@@ -271,6 +271,50 @@ object TextOps {
   def searchBm25(s: SparkSession, d: String): DataFrame =
     searchBm25On(Tables.documents(s, d))
 
+  /** Positional-index PHRASE search: exact consecutive-word match via
+    * the classic positional inverted index — each query doc's leading
+    * 3-token phrase is located in the corpus by joining the
+    * (doc, term, pos) postings on (doc, pos+1) and (doc, pos+2).
+    * This is the query class bag-of-words BM25 structurally cannot
+    * answer (term adjacency), and the join-on-adjacent-positions plan
+    * is how every search engine runs it.
+    *
+    * Scale design: the index is one token-linear posexplode; the
+    * first-term join prunes to |postings(w1)| candidates (broadcast
+    * query side, same contract as search_bm25), and the two follow-up
+    * joins are equi-joins on (doc_id, pos) — candidate volume ∝
+    * postings of the rarest prefix term, never corpus-wide. Integer
+    * positions ⇒ exact under the hash gate.
+    */
+  def searchPhraseOn(docs: DataFrame): DataFrame = {
+    val corpus = docs.filter(col("doc_id") >= SearchQueryDocs)
+    val phrases = docs.filter(col("doc_id") < SearchQueryDocs)
+      .select(col("doc_id").as("query_id"), toks(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("query_id"),
+        element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"),
+        element_at(col("ws"), 3).as("w3"))
+    val idx = corpus.select(col("doc_id"),
+      posexplode(toks(col("text"))).as(Seq("pos", "term")))
+    val m1 = idx.join(broadcast(phrases), col("term") === col("w1"))
+      .select(col("query_id"), col("doc_id"), col("pos"), col("w2"), col("w3"))
+    val idx2 = idx.select(col("doc_id").as("d2"), col("pos").as("p2"),
+      col("term").as("t2"))
+    val idx3 = idx.select(col("doc_id").as("d3"), col("pos").as("p3"),
+      col("term").as("t3"))
+    m1
+      .join(idx2, col("d2") === col("doc_id") && col("t2") === col("w2") &&
+        col("p2") === col("pos") + 1)
+      .join(idx3, col("d3") === col("doc_id") && col("t3") === col("w3") &&
+        col("p3") === col("pos") + 2)
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"), min("pos").cast("int").as("first_pos"))
+  }
+
+  def searchPhrase(s: SparkSession, d: String): DataFrame =
+    searchPhraseOn(Tables.documents(s, d))
+
   /** PII masking: email and long-digit-run redaction via regexp_replace
     * (patterns chosen to mean the same thing in Java regex and RE2).
     * The corpus text has no PII, so the contact string under test is
@@ -557,6 +601,7 @@ object TextOps {
     "tfidf_terms" -> tfidfTerms,
     "bm25_terms" -> bm25Terms,
     "search_bm25" -> searchBm25,
+    "search_phrase" -> searchPhrase,
     "sample_weighted" -> sampleWeighted,
     "dedup_url" -> dedupUrl,
     "pmi_bigrams" -> pmiBigrams,
@@ -645,6 +690,24 @@ object TextOps {
     "search_bm25" ->
       ("WITH " + searchBm25SqlCtes + "\n" +
         "SELECT query_id, doc_id, rk, score FROM lex"),
+    "search_phrase" ->
+      s"""WITH c AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents
+         |           WHERE doc_id >= $SearchQueryDocs),
+         |idx AS (SELECT doc_id, unnest(ws) AS term,
+         |          unnest(generate_series(0, len(ws) - 1)) AS pos FROM c),
+         |ph AS (SELECT doc_id AS query_id, ws[1] AS w1, ws[2] AS w2, ws[3] AS w3
+         |       FROM (SELECT doc_id, $tokSqlDuck AS ws FROM documents
+         |             WHERE doc_id < $SearchQueryDocs)
+         |       WHERE len(ws) >= 3)
+         |SELECT p.query_id, i1.doc_id,
+         |  count(*) AS n_hits, CAST(min(i1.pos) AS INTEGER) AS first_pos
+         |FROM ph p
+         |JOIN idx i1 ON i1.term = p.w1
+         |JOIN idx i2 ON i2.doc_id = i1.doc_id AND i2.pos = i1.pos + 1
+         |           AND i2.term = p.w2
+         |JOIN idx i3 ON i3.doc_id = i1.doc_id AND i3.pos = i1.pos + 2
+         |           AND i3.term = p.w3
+         |GROUP BY 1, 2""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id, lower(nfc_normalize(text)) AS norm_text,
         |  CAST(CASE WHEN lower(nfc_normalize(text)) <> text

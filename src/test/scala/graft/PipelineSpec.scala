@@ -27,6 +27,20 @@ class PipelineSpec extends SparkSuite {
     assert(mh === ngram)
   }
 
+  test("dsir-gated pipeline: minhash twin equals the ngram form; funnel monotone") {
+    val ngram = Pipeline.pipelineCurateDsir(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mh = Pipeline.pipelineCurateDsirMinhash(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mh === ngram)
+    // funnel: corpus >= quality >= dedup >= decontam; splits partition s3
+    assert(ngram("0_corpus") >= ngram("1_quality"))
+    assert(ngram("1_quality") >= ngram("2_dedup"))
+    assert(ngram("2_dedup") >= ngram("3_decontam"))
+    val splitSum = ngram.collect { case (k, v) if k.startsWith("4_") => v }.sum
+    assert(splitSum === ngram("3_decontam"))
+  }
+
   test("pretrain census: funnel extends monotonically, shards partition chunks") {
     val rows = Pipeline.pipelinePretrain(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -135,4 +135,25 @@ class TextOpsSpec extends SparkSuite {
       assert(r.getDouble(1) > 0)
     }
   }
+
+  test("searchPhrase ≡ naive sliding-window phrase count on planted docs") {
+    import spark.implicits._
+    // doc 0 is the query ("a b c ..."); docs 5+ are corpus (< SearchQueryDocs
+    // held out). Phrase "a b c" occurs twice in doc 10 (incl. overlapping
+    // scan start), zero times in doc 11 (adjacency broken), once in doc 12.
+    val docs = Seq(
+      (0L, "a b c query tail"),
+      (10L, "x a b c y a b c"),
+      (11L, "a b x c a c b"),
+      (12L, "start a b c end")
+    ).toDF("doc_id", "text")
+    val got = TextOps.searchPhraseOn(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getInt(3)))
+      .toMap
+    assert(got === Map((0L, 10L) -> (2L, 1), (0L, 12L) -> (1L, 1)))
+
+    // registered form returns hits on the real corpus
+    assert(TextOps.searchPhrase(spark, sfDir).count() > 0)
+  }
 }
