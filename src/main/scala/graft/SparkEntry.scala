@@ -74,5 +74,6 @@ object SparkEntry {
     "dsir_weights", "dsir_sample", "cdc_merge", "graph_bfs_minhash",
     "attribution_linear", "feature_rolling", "er_block",
     "impute_locf", "anomaly_mad", "cdc_merge_stream",
-    "search_phrase", "pipeline_curate_dsir_minhash")
+    "search_phrase", "pipeline_curate_dsir_minhash",
+    "events_ohlc", "column_stats", "search_trigram")
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
@@ -515,7 +515,58 @@ object Advanced {
         col("n_a"), col("n_b"), col("canon_a"), col("canon_b"))
   }
 
+  /** Character-trigram FUZZY search (the pg_trgm recipe): typo'd
+    * query strings retrieve their nearest catalog names through a
+    * trigram inverted index + set-similarity ranking. Queries are
+    * the first 5 part names each with its 2nd character deleted
+    * (`cold gear` → `cld gear`); candidates share ≥ 1 trigram with
+    * the query, score = Jaccard over distinct trigram sets, top-3
+    * per query by (sim desc, name).
+    *
+    * Complements [[erBlock]]: blocking needs a clean blocking key;
+    * the trigram index recovers matches when the ERROR IS IN the
+    * would-be key. Scale: the name side collapses to DISTINCT names
+    * first (vocabulary-bounded, er_block's law); the index is
+    * trigram-linear over that vocabulary; the candidate join is
+    * |postings(query trigrams)| with the tiny query side broadcast.
+    * Jaccard on integer counts; scores floor-rounded at 1e-4.
+    */
+  def searchTrigram(s: SparkSession, d: String): DataFrame = {
+    val tri = (c: Column) =>
+      array_distinct(transform(sequence(lit(1), length(c) - 2),
+        i => c.substr(i, lit(3))))
+    val names = Tables.part(s, d)
+      .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+      .filter(length(col("p_name")) >= 3)
+      .select(col("p_name"), col("n_parts"), tri(col("p_name")).as("tg"))
+    val queries5 = Tables.part(s, d)
+      .filter(col("p_partkey") < 5)
+      .select(col("p_partkey").as("query_id"),
+        concat(substring(col("p_name"), 1, 1), expr("substring(p_name, 3)"))
+          .as("q"))
+      .select(col("query_id"), col("q"), tri(col("q")).as("qt"))
+      .select(col("query_id"), col("q"), col("qt"), size(col("qt")).as("nq"))
+    val postings = names.select(col("p_name"), col("n_parts"),
+      size(col("tg")).as("nn"), explode(col("tg")).as("t"))
+    val qpost = queries5.select(col("query_id"), col("q"), col("nq"),
+      explode(col("qt")).as("t"))
+    val scored = postings.join(broadcast(qpost), "t")
+      .groupBy("query_id", "q", "p_name", "n_parts", "nq", "nn")
+      .agg(count(lit(1)).as("common"))
+      .select(col("query_id"), col("q"), col("p_name"), col("n_parts"),
+        (floor(col("common").cast("double") /
+          (col("nq") + col("nn") - col("common")) * 10000 + 0.5) / 10000.0)
+          .as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("p_name"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= 3)
+      .select(col("query_id"), col("q"), col("rk"), col("p_name"),
+        col("n_parts"), col("sim"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_trigram" -> searchTrigram,
     "er_block" -> erBlock,
     "agg_regr" -> aggRegr,
     "join_lateral" -> joinLateral,
@@ -552,6 +603,32 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "search_trigram" ->
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_parts FROM part
+        |  GROUP BY 1 HAVING length(p_name) >= 3),
+        |ntg AS (SELECT p_name, n_parts,
+        |  list_distinct(list_transform(generate_series(1, length(p_name) - 2),
+        |    i -> substr(p_name, i, 3))) AS tg
+        |  FROM names),
+        |q AS (SELECT p_partkey AS query_id,
+        |        substr(p_name, 1, 1) || substr(p_name, 3) AS q
+        |      FROM part WHERE p_partkey < 5),
+        |qtg AS (SELECT query_id, q,
+        |  list_distinct(list_transform(generate_series(1, length(q) - 2),
+        |    i -> substr(q, i, 3))) AS qt
+        |  FROM q),
+        |qp AS (SELECT query_id, q, len(qt) AS nq, unnest(qt) AS t FROM qtg),
+        |np AS (SELECT p_name, n_parts, len(tg) AS nn, unnest(tg) AS t FROM ntg),
+        |sc AS (SELECT qp.query_id, qp.q, np.p_name, np.n_parts,
+        |  floor(CAST(count(*) AS DOUBLE) / (qp.nq + np.nn - count(*))
+        |    * 10000 + 0.5) / 10000.0 AS sim
+        |  FROM np JOIN qp USING (t)
+        |  GROUP BY qp.query_id, qp.q, np.p_name, np.n_parts, qp.nq, np.nn),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, p_name) AS rk FROM sc)
+        |SELECT query_id, q, CAST(rk AS INTEGER) AS rk, p_name, n_parts, sim
+        |FROM rk WHERE rk <= 3""".stripMargin,
     "er_block" ->
       """WITH names AS (
         |  SELECT p_name, count(*) AS n_parts, min(p_partkey) AS canon_key,

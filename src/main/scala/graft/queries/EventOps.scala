@@ -389,7 +389,31 @@ object EventOps {
         (floor(max("mad") * 10000 + 0.5) / 10000.0).as("mad"))
   }
 
+  /** OHLC candlesticks per (hour, event_type): open/high/low/close of
+    * `value` plus count and volume — the ordered first/last aggregate
+    * the time-series rollup family needs. Open/close resolve by
+    * lexicographic `min/max(struct(ts, event_id, value))` — a pure
+    * hash aggregate (ONE shuffle, no window, no sort), deterministic
+    * because event_id breaks ts ties; high/low/count ride the same
+    * shuffle. The volume sum rounds half-up at 1e-4.
+    */
+  def eventsOhlc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr("ts DIV 3600000000000").as("hour"), col("event_type"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy("hour", "event_type")
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        max("value").as("high"), min("value").as("low"),
+        count(lit(1)).as("n"),
+        (floor(sum("value") * 10000 + 0.5) / 10000.0).as("volume"))
+      .select(col("hour"), col("event_type"),
+        col("o.value").as("open"), col("high"), col("low"),
+        col("c.value").as("close"), col("n"), col("volume"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_ohlc" -> eventsOhlc,
     "impute_locf" -> imputeLocf,
     "anomaly_mad" -> anomalyMad,
     "feature_rolling" -> featureRolling,
@@ -445,7 +469,26 @@ object EventOps {
           |  floor(max(s.med) * 10000 + 0.5) / 10000.0 AS med,
           |  floor(max(s.mad) * 10000 + 0.5) / 10000.0 AS mad
           |FROM events e JOIN st s USING (event_type)
-          |GROUP BY e.event_type""".stripMargin)
+          |GROUP BY e.event_type""".stripMargin) +
+      ("events_ohlc" ->
+        """WITH r AS (
+          |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+          |           AS hour,
+          |    event_type, value,
+          |    row_number() OVER (PARTITION BY
+          |        CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT),
+          |        event_type ORDER BY ts, event_id) AS rn_a,
+          |    row_number() OVER (PARTITION BY
+          |        CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT),
+          |        event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+          |  FROM events)
+          |SELECT hour, event_type,
+          |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+          |  max(value) AS high, min(value) AS low,
+          |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+          |  count(*) AS n,
+          |  floor(sum(value) * 10000 + 0.5) / 10000.0 AS volume
+          |FROM r GROUP BY hour, event_type""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "join_pit" ->

@@ -326,7 +326,36 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
   }
 
+  /** ANALYZE-style column statistics over lineitem's measures — the
+    * stats collection pass a cost-based planner (or a data-quality
+    * monitor) runs before choosing join orders: per column, row/null
+    * counts, EXACT distinct cardinality, min/max and mean. ONE scan
+    * computes every aggregate (the 1-row stats frame is then
+    * unpivoted driver-free via stack); the distinct counts are
+    * partial-agg'd expand-based count-distincts sharing that scan.
+    */
+  def columnStats(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = count(lit(1)).as("n_rows") +:
+      cols.flatMap { c =>
+        Seq(countDistinct(col(c)).as(s"ndv_$c"),
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c"),
+          min(col(c)).cast("double").as(s"min_$c"),
+          max(col(c)).cast("double").as(s"max_$c"),
+          (floor(avg(col(c)) * 10000 + 0.5) / 10000.0).as(s"avg_$c"))
+      }
+    val one = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val stackExpr = cols.map { c =>
+      s"'$c', ndv_$c, nulls_$c, min_$c, max_$c, avg_$c"
+    }.mkString(s"stack(${cols.size}, ", ", ", ")")
+    one.select(col("n_rows"),
+      expr(stackExpr + " as (column_name, n_distinct, n_nulls, min_v, max_v, avg_v)"))
+      .select(col("column_name"), col("n_rows"), col("n_distinct"),
+        col("n_nulls"), col("min_v"), col("max_v"), col("avg_v"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "column_stats" -> columnStats,
     "q1_pricing" -> q1Pricing,
     "q3_top_revenue" -> q3TopRevenue,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -355,6 +384,19 @@ object Relational {
     "union_all_agg" -> unionAllAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "column_stats" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val branches = cols.map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v,
+           |  floor(avg($c) * 10000 + 0.5) / 10000.0 AS avg_v
+           |FROM lineitem""".stripMargin
+      }
+      branches.mkString("\nUNION ALL\n")
+    },
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

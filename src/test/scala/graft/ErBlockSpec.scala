@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.queries.Advanced
 
 /** Blocked entity-resolution contracts: candidates only within a
@@ -45,5 +46,46 @@ class ErBlockSpec extends SparkSuite {
       if na < nb && na.split(" ").last != nb.split(" ").last
     } yield lev(na, nb)
     assert(crossBlock.forall(_ > 2))
+  }
+
+  test("search_trigram: every typo'd query retrieves its original in the top 3") {
+    val got = graft.queries.Advanced.searchTrigram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(got.nonEmpty)
+    val originals = spark.read.parquet(s"$sfDir/part.parquet")
+      .where(col("p_partkey") < 5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a 1-char deletion can land nearer a shorter sibling ("cld" →
+    // "old"), so the contract is recall@3, not rank-1
+    originals.foreach { case (qid, orig) =>
+      val top3 = got.filter(_._1 == qid).map(_._4)
+      assert(top3.contains(orig), s"top-3 for query $qid must contain '$orig'")
+    }
+    // the mutation actually changed the string (otherwise the test is vacuous)
+    got.foreach { case (qid, q, _, _) => assert(q !== originals(qid)) }
+  }
+
+  test("column_stats ≡ Scala recount over collected lineitem") {
+    val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .collect()
+    def colVals(i: Int): Seq[Double] =
+      rows.toSeq.map(r => r.get(i) match {
+        case null => Double.NaN
+        case x: java.lang.Number => x.doubleValue()
+      }).filterNot(_.isNaN)
+    val names = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val got = graft.queries.Relational.columnStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toMap
+    names.zipWithIndex.foreach { case (n, i) =>
+      val vs = colVals(i)
+      val (nr, ndv, nn, mn, mx) = got(n)
+      assert(nr === rows.length.toLong)
+      assert(ndv === vs.distinct.length.toLong)
+      assert(nn === (rows.length - vs.length).toLong)
+      assert(mn === vs.min && mx === vs.max)
+    }
   }
 }

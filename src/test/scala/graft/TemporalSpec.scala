@@ -248,6 +248,27 @@ class TemporalSpec extends SparkSuite {
     assert(out === expect)
   }
 
+  test("eventsOhlc ≡ per-bucket Scala fold (open/close by event order)") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val expect = ev.groupBy(r => (r._1 / 3600000000000L, r._3)).map {
+      case ((h, t), rows) =>
+        val sorted = rows.sortBy(r => (r._1, r._2))
+        (h, t) -> (sorted.head._4, rows.map(_._4).max, rows.map(_._4).min,
+          sorted.last._4, rows.length.toLong,
+          math.floor(rows.map(_._4).sum * 10000 + 0.5) / 10000.0)
+    }
+    val got = graft.queries.EventOps.eventsOhlc(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7)))
+      .toMap
+    assert(got === expect)
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
