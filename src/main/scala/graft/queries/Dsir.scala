@@ -53,7 +53,12 @@ object Dsir {
   private def bucket(g: Column): Column =
     conv(substring(md5(g), 1, 12), 16, 10).cast("long") % NumBuckets
 
-  /** Unigram + adjacent-bigram gram stream of a token-array column. */
+  /** Unigram + adjacent-bigram gram stream of a token-array ATTRIBUTE
+    * (the materialized-attribute contract of Corpus.bigramsFromTokens:
+    * the lambda references ws per element, so an inlined tokenizer
+    * would re-run the regex split for every gram — the multi-reference
+    * body keeps CollapseProject from inlining it).
+    */
   private def grams(ws: Column): Column =
     concat(ws,
       when(size(ws) >= 2,
@@ -61,20 +66,24 @@ object Dsir {
           i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
         .otherwise(array().cast("array<string>")))
 
-  /** Exploded (doc_id, lang, bucket) stream — shared by both queries. */
+  /** Exploded (doc_id, lang, bucket) stream — shared by both queries.
+    * Tokenizes into an attribute FIRST (see [[grams]]).
+    */
   private def bucketStream(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), col("lang"), grams(toks(col("text"))).as("gs"))
+      .select(col("doc_id"), col("lang"), toks(col("text")).as("ws"))
+      .select(col("doc_id"), col("lang"), grams(col("ws")).as("gs"))
       .select(col("doc_id"), col("lang"), explode(col("gs")).as("g"))
       .select(col("doc_id"), col("lang"), bucket(col("g")).as("b"))
 
   /** λ table: NumBuckets rows of per-bucket log-likelihood ratios,
-    * from one shared aggregation pass (raw count + target count).
+    * from one shared aggregation pass over the per-(doc, bucket)
+    * count frame (raw count + target count).
     */
-  private def lambdaTable(ex: DataFrame): DataFrame = {
-    val cnt = ex.groupBy("b").agg(
-      count(lit(1)).as("cr"),
-      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+  private def lambdaTable(bc: DataFrame): DataFrame = {
+    val cnt = bc.groupBy("b").agg(
+      sum("nb").as("cr"),
+      sum(when(col("lang") === "en", col("nb")).otherwise(0L)).as("ct"))
     val tot = cnt.agg(
       sum("cr").cast("long").as("totr"), sum("ct").cast("long").as("tott"))
     cnt.crossJoin(broadcast(tot))
@@ -86,20 +95,24 @@ object Dsir {
 
   /** Per-document importance weight (unrounded — [[dsirSample]] keys
     * off the raw double; the registered query rounds for the gate).
-    * The exploded bucket stream feeds BOTH the distribution build and
-    * the scoring join — checkpointed once so tokenize+md5 runs a
-    * single pass (the shared-stage-frame rule from Pipeline). Takes
-    * any (doc_id, lang, text) frame so composed pipelines
+    * The gram stream collapses to per-(doc, bucket) COUNTS first —
+    * ≤ NumBuckets rows per doc regardless of length — and that small
+    * frame (checkpointed once, so tokenize+md5 runs a single pass)
+    * feeds BOTH the distribution build and the scoring join; the
+    * per-doc weight is Σ n_b·λ_b, a short fixed-order sum. Takes any
+    * (doc_id, lang, text) frame so composed pipelines
     * (Pipeline.pipelineCurateDsir) can run the estimator over their
     * own corpus stage.
     */
   def weightsOn(docs: DataFrame): DataFrame = {
-    val ex = bucketStream(docs).stable
-    val out = ex.join(broadcast(lambdaTable(ex)), "b")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"), sum("lam").as("w"))
+    val bc = bucketStream(docs)
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("nb"))
       .stable
-    ex.unpersist(false)
+    val out = bc.join(broadcast(lambdaTable(bc)), "b")
+      .groupBy("doc_id")
+      .agg(sum("nb").as("n_grams"), sum(col("nb") * col("lam")).as("w"))
+      .stable
+    bc.unpersist(false)
     out
   }
 
@@ -155,17 +168,20 @@ object Dsir {
        |dex AS (SELECT doc_id, lang,
        |         CAST(('0x' || substr(md5(unnest(gs)), 1, 12))::UBIGINT % $NumBuckets AS BIGINT) AS b
        |       FROM dg),
-       |dcnt AS (SELECT b, count(*) AS cr,
-       |          sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
-       |        FROM dex GROUP BY 1),
+       |dbc AS (SELECT doc_id, lang, b, count(*) AS nb
+       |        FROM dex GROUP BY 1, 2, 3),
+       |dcnt AS (SELECT b, sum(nb) AS cr,
+       |          sum(CASE WHEN lang = 'en' THEN nb ELSE 0 END) AS ct
+       |        FROM dbc GROUP BY 1),
        |dtot AS (SELECT CAST(sum(cr) AS BIGINT) AS totr,
        |               CAST(sum(ct) AS BIGINT) AS tott FROM dcnt),
        |dlam AS (SELECT b,
        |          ln(CAST(ct AS DOUBLE) + 1.0) - ln(CAST(tott AS DOUBLE) + $NumBuckets)
        |          - ln(CAST(cr AS DOUBLE) + 1.0) + ln(CAST(totr AS DOUBLE) + $NumBuckets) AS lam
        |        FROM dcnt CROSS JOIN dtot),
-       |dwt AS (SELECT doc_id, count(*) AS n_grams, sum(lam) AS w
-       |       FROM dex JOIN dlam USING (b) GROUP BY doc_id)""".stripMargin
+       |dwt AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_grams,
+       |          sum(nb * lam) AS w
+       |       FROM dbc JOIN dlam USING (b) GROUP BY doc_id)""".stripMargin
 
   private def weightsSqlDuck: String = weightsSqlOver("documents")
 
