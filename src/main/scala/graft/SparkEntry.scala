@@ -75,5 +75,6 @@ object SparkEntry {
     "attribution_linear", "feature_rolling", "er_block",
     "impute_locf", "anomaly_mad", "cdc_merge_stream",
     "search_phrase", "pipeline_curate_dsir_minhash",
-    "events_ohlc", "column_stats", "search_trigram")
+    "events_ohlc", "column_stats", "search_trigram",
+    "schema_evolution", "lm_generate", "corpus_digest", "privacy_erase")
 }

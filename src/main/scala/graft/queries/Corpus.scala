@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** Corpus-curation operators for training-data pipelines ([EXT], no
   * reference citation by definition — SURVEY.md §0): Gopher-style
@@ -624,7 +625,67 @@ object Corpus {
         round(col("n_tokens").cast("double") / col("n_docs"), 4).as("avg_doc_tokens"))
   }
 
+  /** Generation chain length for [[lmGenerate]]. */
+  val GenSteps = 6
+
+  /** Greedy text generation from the corpus bigram LM: from each of
+    * the top-3 seed words, follow the most-frequent successor for
+    * [[GenSteps]] steps (ties to the lexicographically smallest — the
+    * whole chain is integer-deterministic). The sampling-free
+    * degenerate case of LM decoding, here as the MODEL-SANITY probe a
+    * tokenizer/LM pipeline runs: if the greedy chain is a stuck loop
+    * or stop-word soup, the counts feeding lm_score are suspect.
+    *
+    * Scale design: the successor table is one vocabulary-cardinality
+    * argmax (bigram counts partial-agg down to the vocab before the
+    * window); the chain is [[GenSteps]] joins of a ≤3-row frame
+    * against it — each step a broadcast lookup, no iteration state on
+    * the driver.
+    */
+  def lmGenerate(s: SparkSession, d: String): DataFrame = {
+    val ws = Tables.documents(s, d).select(toks(col("text")).as("ws"))
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(explode(bigramsFromTokens(col("ws"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy("w1").orderBy(col("c").desc, col("w2"))
+    val succ = bi.withColumn("rn", row_number().over(wArg))
+      .filter(col("rn") === 1).select(col("w1"), col("w2")).stable
+    val seeds = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(3)
+      .select(col("w").as("seed"))
+    var cur = seeds.select(col("seed"), lit(0).as("step"), col("seed").as("word"))
+    var out = cur
+    for (i <- 1 to GenSteps) {
+      cur = cur.join(succ, cur("word") === succ("w1"))
+        .select(col("seed"), lit(i).as("step"), col("w2").as("word"))
+      out = out.unionByName(cur)
+    }
+    out
+  }
+
+  /** Order-independent per-source content fingerprint: XOR of each
+    * doc's 48-bit md5 — the cheap Merkle-style digest an incremental
+    * ingest compares across snapshots to detect ANY added/removed/
+    * edited doc without moving text. Pure map + one tiny per-source
+    * agg; XOR is commutative/associative so partial aggregation and
+    * partition order cannot change it.
+    */
+  def corpusDigest(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long").as("h"),
+        col("n_chars"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(h)").as("digest"),
+        sum("n_chars").as("total_chars"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lm_generate" -> lmGenerate,
+    "corpus_digest" -> corpusDigest,
     "corpus_stats" -> corpusStats,
     "quality_repetition" -> qualityRepetition,
     "snapshot_diff" -> snapshotDiff,
@@ -713,6 +774,36 @@ object Corpus {
        |    AND CAST(n_docs AS DOUBLE) >= $BoilShare * n_src_docs)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "lm_generate" -> {
+      val steps = (1 to GenSteps).map { i =>
+        s"""g$i AS (SELECT g.seed, $i AS step, s.w2 AS word
+           |       FROM g${i - 1} g JOIN succ s ON s.w1 = g.word)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 to GenSteps).map(i => s"SELECT * FROM g$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH t AS (SELECT $tokSqlDuck AS ws FROM documents),
+         |bi0 AS (SELECT unnest(ws[1:len(ws)-1]) AS w1,
+         |               unnest(ws[2:len(ws)]) AS w2
+         |        FROM t WHERE len(ws) >= 2),
+         |bi AS (SELECT w1, w2, count(*) AS c FROM bi0 GROUP BY 1, 2),
+         |succ AS (SELECT w1, w2 FROM (
+         |  SELECT w1, w2, row_number() OVER (PARTITION BY w1
+         |    ORDER BY c DESC, w2) AS rn FROM bi) WHERE rn = 1),
+         |uni AS (SELECT unnest(ws) AS w FROM t),
+         |seeds AS (SELECT w AS seed FROM (
+         |  SELECT w, count(*) AS c FROM uni GROUP BY 1)
+         |  ORDER BY c DESC, w LIMIT 3),
+         |g0 AS (SELECT seed, 0 AS step, seed AS word FROM seeds),
+         |$steps
+         |SELECT seed, CAST(step AS INTEGER) AS step, word FROM (
+         |$union)""".stripMargin
+    },
+    "corpus_digest" ->
+      """SELECT source, count(*) AS n_docs,
+        |  bit_xor(CAST(('0x' || substr(md5(text), 1, 12))::UBIGINT AS BIGINT))
+        |    AS digest,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin,
     "boilerplate_detect" ->
       ("WITH " + boilerplateSqlCtes + "\n" +
         """SELECT source, seg, CAST(n_docs AS BIGINT) AS n_docs,

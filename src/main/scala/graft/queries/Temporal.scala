@@ -336,7 +336,34 @@ object Temporal {
       .filter(col("last_type") =!= "error")
   }
 
+  /** GDPR erasure MANIFEST: for every key whose changelog ends in a
+    * tombstone ([[cdcMerge]]'s delete semantics), the row counts and
+    * time range of the history a right-to-be-forgotten job must purge
+    * across derived tables. One window pass finds the tombstoned
+    * keys; the manifest aggregation rides a semi-join on those keys —
+    * at 100 TB the tombstone set is tiny and broadcast, and the purge
+    * job consumes this manifest rather than rescanning.
+    */
+  def privacyErase(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val tomb = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("event_type") === "error")
+      .select(col("user_id"))
+    ev.join(broadcast(tomb), "user_id")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        expr(s"min(ts) DIV $NanosPerSec").as("first_s"),
+        expr(s"max(ts) DIV $NanosPerSec").as("last_s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_erase" -> privacyErase,
     "attribution_linear" -> attributionLinear,
     "cdc_merge" -> cdcMerge,
     "cdc_merge_stream" -> cdcMergeStream,
@@ -381,6 +408,22 @@ object Temporal {
           |  n_changes
           |FROM ranked
           |WHERE rn = 1 AND event_type <> 'error'""".stripMargin) +
+      ("privacy_erase" ->
+        """WITH tomb AS (
+          |  SELECT user_id FROM (
+          |    SELECT user_id, event_type,
+          |      row_number() OVER (PARTITION BY user_id
+          |        ORDER BY ts DESC, event_id DESC) AS rn
+          |    FROM events) WHERE rn = 1 AND event_type = 'error')
+          |SELECT e.user_id, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_purchases,
+          |  CAST(floor(epoch(CAST(min(e.ts) AS TIMESTAMP))) AS BIGINT)
+          |    AS first_s,
+          |  CAST(floor(epoch(CAST(max(e.ts) AS TIMESTAMP))) AS BIGINT)
+          |    AS last_s
+          |FROM events e JOIN tomb USING (user_id)
+          |GROUP BY e.user_id""".stripMargin) +
       ("attribution_linear" ->
         """WITH pairs AS (
           |  SELECT c.user_id, c.event_id AS click_id,

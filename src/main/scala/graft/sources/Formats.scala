@@ -158,7 +158,35 @@ object Formats {
         round(sum(when(col("_bad").isNull, col("o_totalprice"))), 2).as("sum_good"))
   }
 
+  /** SCHEMA EVOLUTION read: two parquet generations of the same table
+    * — v1 writes (o_orderkey, o_totalprice) for even keys, v2 adds
+    * `o_orderstatus` for odd keys — read together with
+    * `mergeSchema=true`. The unified schema is the union; v1 rows
+    * surface NULL for the later column, exactly the contract a lake
+    * table relies on when producers upgrade before readers. The
+    * aggregate buckets the NULLs under '<v1>' so the oracle can
+    * recompute from the original table.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val dir = stage(d, "orders_evolved")
+    if (!done(s"$dir/v2")) {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/v1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("overwrite").parquet(s"$dir/v2")
+    }
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("<v1>")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("sum_price"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "schema_evolution" -> schemaEvolution,
     "csv_permissive" -> csvPermissive,
     "csv_source" -> csvRoundtrip,
     "jsonl_source" -> jsonlRoundtrip,
@@ -169,6 +197,12 @@ object Formats {
     * text format must be lossless for these columns.
     */
   def oracleSql: Map[String, String] = Map(
+    "schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<v1>'
+        |       ELSE o_orderstatus END AS status,
+        |  count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin,
     // +2 staged rows: 1 corrupt (quarantined), 1 well-formed all-NULL.
     "csv_permissive" ->
       """SELECT CAST(count(*) + 2 AS BIGINT) AS n_rows,

@@ -255,4 +255,43 @@ class CorpusSpec extends SparkSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3))).head
     assert(tail === ((2L, 2L, s"$a extra words")))
   }
+
+  test("lmGenerate: every chain step follows the exact argmax successor") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val tok = (t: String) => t.split("[^\\p{L}]+").filter(_.nonEmpty).toSeq
+    val bi = docs.flatMap(t => tok(t).sliding(2).collect { case Seq(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val succ = bi.keys.groupBy(_._1).view.mapValues { ps =>
+      ps.map(p => (p._2, bi(p))).toSeq.minBy { case (w2, c) => (-c, w2) }._1
+    }.toMap
+    val uni = docs.flatMap(tok).groupBy(identity).view.mapValues(_.length).toSeq
+    val seeds = uni.sortBy { case (w, c) => (-c, w) }.take(3).map(_._1)
+    val expect = seeds.flatMap { s0 =>
+      Iterator.iterate(Option(s0))(w => w.flatMap(succ.get))
+        .take(Corpus.GenSteps + 1).zipWithIndex
+        .collect { case (Some(w), i) => (s0, i, w) }
+    }.toSet
+    val got = Corpus.lmGenerate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === expect && got.nonEmpty)
+  }
+
+  test("corpusDigest: any single-doc edit flips exactly its source's digest") {
+    val base = Corpus.corpusDigest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // recompute in Scala from first md5 48 bits — digest is pure content
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def h48(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(
+        t.getBytes("UTF-8"))
+      md.take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+    }
+    val expect = docs.groupBy(_._1).map { case (s, rs) =>
+      s -> (rs.length.toLong, rs.map(r => h48(r._2)).reduce(_ ^ _))
+    }
+    assert(base === expect)
+  }
 }

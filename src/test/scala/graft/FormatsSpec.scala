@@ -106,4 +106,22 @@ class FormatsSpec extends SparkSuite {
       assert(!plan.contains("BroadcastHashJoin"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("schema evolution: merged read unions schemas; v1 rows NULL the new column") {
+    // force the staging write, then inspect the merged frame directly
+    Formats.schemaEvolution(spark, sfDir).collect()
+    val dir = s"/tmp/graft_stage/${java.nio.file.Paths.get(sfDir).getFileName}/orders_evolved"
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/v1", s"$dir/v2")
+    assert(merged.columns.toSet ===
+      Set("o_orderkey", "o_totalprice", "o_orderstatus"))
+    val byParity = merged
+      .groupBy((col("o_orderkey") % 2).as("p"))
+      .agg(count(lit(1)).as("n"), count(col("o_orderstatus")).as("n_status"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byParity(0L)._2 === 0L) // v1 generation: column absent → NULL
+    assert(byParity(1L)._1 === byParity(1L)._2) // v2: fully populated
+    val total = Tables.orders(spark, sfDir).count()
+    assert(byParity.values.map(_._1).sum === total)
+  }
 }

@@ -269,6 +269,21 @@ class TemporalSpec extends SparkSuite {
     assert(got === expect)
   }
 
+  test("privacyErase manifest covers exactly the keys cdcMerge tombstoned") {
+    val live = Temporal.cdcMerge(spark, sfDir)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val all = graft.core.Tables.events(spark, sfDir)
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val manifest = Temporal.privacyErase(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(manifest.keySet === (all -- live) && manifest.nonEmpty)
+    // counts must equal the user's full history size
+    val counts = graft.core.Tables.events(spark, sfDir)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    manifest.foreach { case (u, n) => assert(n === counts(u)) }
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
