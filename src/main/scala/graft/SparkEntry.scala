@@ -76,5 +76,6 @@ object SparkEntry {
     "impute_locf", "anomaly_mad", "cdc_merge_stream",
     "search_phrase", "pipeline_curate_dsir_minhash",
     "events_ohlc", "column_stats", "search_trigram",
-    "schema_evolution", "lm_generate", "corpus_digest", "privacy_erase")
+    "schema_evolution", "lm_generate", "corpus_digest", "privacy_erase",
+    "quality_compress", "anomaly_seasonal", "impute_locf_stream")
 }

@@ -412,7 +412,52 @@ object EventOps {
         col("o.value").as("open"), col("high"), col("low"),
         col("c.value").as("close"), col("n"), col("volume"))
 
+  /** SEASONALLY-ADJUSTED anomaly profile: values are deseasonalized
+    * against their (event_type, hour-of-day) baseline mean before the
+    * 3σ gate — the upgrade over events_anomaly's flat z-score that
+    * stops a nightly traffic trough from masking (or faking)
+    * outliers. Residual spread is per event_type. Two
+    * group-cardinality aggregation passes + broadcast joins back;
+    * the value stream shuffles once per pass on tiny keys.
+    */
+  def anomalySeasonal(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(ts DIV 3600000000000) % 24").as("hod"), col("value"))
+    val profile = ev.groupBy("event_type", "hod")
+      .agg(avg("value").as("mu"))
+    val resid = ev.join(broadcast(profile), Seq("event_type", "hod"))
+      .select(col("event_type"), (col("value") - col("mu")).as("r"))
+    val spread = resid.groupBy("event_type")
+      .agg(stddev_samp("r").as("sd"))
+    resid.join(broadcast(spread), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(abs(col("r")) > lit(3.0) * col("sd"), 1L).otherwise(0L))
+          .as("n_anomalies"),
+        (floor(max("sd") * 10000 + 0.5) / 10000.0).as("sd_resid"))
+  }
+
+  /** The STREAMING LOCF code path on batch rows — puts
+    * [[graft.streaming.StreamingOps.imputeLocfStream]] under the same
+    * DuckDB oracle as [[imputeLocf]] (the events_*_stream contract):
+    * in batch execution each key's full history folds once in
+    * (ts, event_id) order, which is exactly the window's carry.
+    */
+  def imputeLocfStreamBatch(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    graft.streaming.StreamingOps.imputeLocfStream(
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .as[(Long, Long, Long, String, Double)])
+      .toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "impute_locf_stream" -> imputeLocfStreamBatch,
+    "anomaly_seasonal" -> anomalySeasonal,
     "events_ohlc" -> eventsOhlc,
     "impute_locf" -> imputeLocf,
     "anomaly_mad" -> anomalyMad,
@@ -431,9 +476,21 @@ object EventOps {
     "events_session" -> eventsSession,
     "events_funnel" -> eventsFunnel)
 
+  // ONE oracle text for both LOCF execution paths (window twin and
+  // stateful-fold twin) — the two can never drift apart.
+  private val imputeLocfSql =
+    """SELECT event_id, user_id,
+      |  last_value(CASE WHEN event_type <> 'error' THEN value END
+      |    IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |    AS value_filled,
+      |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS imputed
+      |FROM events""".stripMargin
+
   def oracleSql: Map[String, String] =
     oracleBase +
       ("join_pit_lookup" -> oracleBase("join_pit")) +
+      ("impute_locf_stream" -> imputeLocfSql) +
       ("feature_rolling" ->
         """SELECT event_id, user_id,
           |  CAST(floor(epoch(ts - lag(ts) OVER
@@ -446,14 +503,7 @@ object EventOps {
           |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
           |    AS cnt_1h
           |FROM events""".stripMargin) +
-      ("impute_locf" ->
-        """SELECT event_id, user_id,
-          |  last_value(CASE WHEN event_type <> 'error' THEN value END
-          |    IGNORE NULLS) OVER (PARTITION BY user_id
-          |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
-          |    AS value_filled,
-          |  CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS imputed
-          |FROM events""".stripMargin) +
+      ("impute_locf" -> imputeLocfSql) +
       ("anomaly_mad" ->
         """WITH med AS (
           |  SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -488,7 +538,26 @@ object EventOps {
           |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
           |  count(*) AS n,
           |  floor(sum(value) * 10000 + 0.5) / 10000.0 AS volume
-          |FROM r GROUP BY hour, event_type""".stripMargin)
+          |FROM r GROUP BY hour, event_type""".stripMargin) +
+      ("anomaly_seasonal" ->
+        """WITH ev AS (
+          |  SELECT event_type,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) % 24
+          |      AS hod,
+          |    value
+          |  FROM events),
+          |profile AS (SELECT event_type, hod, avg(value) AS mu
+          |            FROM ev GROUP BY 1, 2),
+          |resid AS (SELECT ev.event_type, ev.value - p.mu AS r
+          |          FROM ev JOIN profile p USING (event_type, hod)),
+          |spread AS (SELECT event_type, stddev_samp(r) AS sd
+          |           FROM resid GROUP BY 1)
+          |SELECT r.event_type, count(*) AS n_events,
+          |  CAST(sum(CASE WHEN abs(r.r) > 3.0 * s.sd THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_anomalies,
+          |  floor(max(s.sd) * 10000 + 0.5) / 10000.0 AS sd_resid
+          |FROM resid r JOIN spread s USING (event_type)
+          |GROUP BY r.event_type""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "join_pit" ->

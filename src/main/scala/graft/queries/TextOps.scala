@@ -315,6 +315,26 @@ object TextOps {
   def searchPhrase(s: SparkSession, d: String): DataFrame =
     searchPhraseOn(Tables.documents(s, d))
 
+  /** Compression-ratio quality signal (zlib level 6 via the native
+    * codegen'd [[graft.functions.DeflateRatio]] expression): raw vs
+    * deflated byte counts and their ratio per document. Template/
+    * boilerplate text compresses hard (high ratio), token salad
+    * barely compresses (ratio → 1) — the cheap information-density
+    * gate the big curation stacks run alongside the token heuristics.
+    * Pure per-row map, zero shuffle. SQL has no deflate, so this is
+    * spec-certified (TextOpsSpec planted extremes + determinism) per
+    * SURVEY §2.4 — the expression itself is deterministic: fixed
+    * level, JDK zlib.
+    */
+  def qualityCompress(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        octet_length(col("text")).as("raw_bytes"),
+        graft.functions.DeflateRatio.sizeCol(col("text")).as("zip_bytes"))
+      .select(col("doc_id"), col("raw_bytes"), col("zip_bytes"),
+        (floor(col("raw_bytes").cast("double") / col("zip_bytes") * 10000 + 0.5)
+          / 10000.0).as("ratio"))
+
   /** PII masking: email and long-digit-run redaction via regexp_replace
     * (patterns chosen to mean the same thing in Java regex and RE2).
     * The corpus text has no PII, so the contact string under test is
@@ -602,6 +622,7 @@ object TextOps {
     "bm25_terms" -> bm25Terms,
     "search_bm25" -> searchBm25,
     "search_phrase" -> searchPhrase,
+    "quality_compress" -> qualityCompress,
     "sample_weighted" -> sampleWeighted,
     "dedup_url" -> dedupUrl,
     "pmi_bigrams" -> pmiBigrams,

@@ -344,6 +344,46 @@ object StreamingOps {
       }
   }
 
+  final case class LocfOut(event_id: Long, user_id: Long,
+    value_filled: java.lang.Double, imputed: Int)
+
+  /** Streaming LOCF imputation — the stateful twin of
+    * graft.queries.EventOps.imputeLocf: per-key carry of the last
+    * observed (non-`error`) reading across micro-batches via
+    * flatMapGroupsWithState. Rows within a batch are ordered by
+    * (ts, event_id) before folding (the batch-twin contract: the same
+    * fold order as the window's ORDER BY); state is one (ts, id,
+    * value) triple per live key. Emits one row per input event —
+    * `error` events get the carried value with imputed=1, keys with
+    * no prior observation stay NULL.
+    *
+    * Input: (user_id, ts, event_id, event_type, value). Assumes
+    * in-order arrival ACROSS batches per key (the anomalyAlerts/EWMA
+    * precedent); a watermarked buffer would lift that at the cost of
+    * state.
+    */
+  def imputeLocfStream(
+      events: Dataset[(Long, Long, Long, String, Double)]): Dataset[LocfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Double, Boolean), LocfOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, String, Double)],
+         state: GroupState[(Long, Long, Double, Boolean)]) =>
+          var (lastTs, lastId, lastV, has) =
+            state.getOption.getOrElse((Long.MinValue, Long.MinValue, 0.0, false))
+          val out = rows.toSeq.sortBy(r => (r._2, r._3)).map {
+            case (_, ts, id, tpe, v) =>
+              if (tpe != "error") { lastTs = ts; lastId = id; lastV = v; has = true
+                LocfOut(id, user, v, 0)
+              } else LocfOut(id, user, if (has) lastV else null, 1)
+          }
+          state.update((lastTs, lastId, lastV, has))
+          out.iterator
+      }
+  }
+
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via mapGroupsWithState: running event count per

@@ -274,6 +274,32 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming LOCF: carries last observation across batches; leading error stays NULL") {
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val ds = StreamingOps.imputeLocfStream(mem.toDS())
+    val name = s"locf_${System.nanoTime()}"
+    val q = ds.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: observation then nothing; user 2: error BEFORE any obs
+      mem.addData(Seq((1L, 10L, 100L, "click", 5.0), (2L, 10L, 101L, "error", 0.0)))
+      q.processAllAvailable()
+      // batch 2: user 1's error fills from batch 1's 5.0; then a new
+      // obs overrides; user 2 observes, later error fills from it
+      mem.addData(Seq((1L, 20L, 200L, "error", 0.0), (1L, 30L, 201L, "view", 9.0),
+        (2L, 20L, 202L, "purchase", 7.0), (2L, 30L, 203L, "error", 0.0)))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => r.getLong(0) -> (
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getInt(3)))
+        .toMap
+      assert(got === Map(
+        100L -> (Some(5.0), 0), 101L -> (None, 1),
+        200L -> (Some(5.0), 1), 201L -> (Some(9.0), 0),
+        202L -> (Some(7.0), 0), 203L -> (Some(7.0), 1)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     val mem = MemoryStream[(Long, Double)](spark)
     val ds = StreamingOps.runningCounts(mem.toDS())

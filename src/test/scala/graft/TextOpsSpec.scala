@@ -156,4 +156,29 @@ class TextOpsSpec extends SparkSuite {
     // registered form returns hits on the real corpus
     assert(TextOps.searchPhrase(spark, sfDir).count() > 0)
   }
+
+  test("quality_compress: repetitive text compresses far harder than noise; deterministic") {
+    import spark.implicits._
+    val rep = "the same line over and over. " * 100
+    val noise = new scala.util.Random(42).alphanumeric.take(2900).mkString
+    val docs = Seq((1L, rep), (2L, noise)).toDF("doc_id", "text")
+    val sized = docs.select(col("doc_id"),
+      graft.functions.DeflateRatio.sizeCol(col("text")).as("z"),
+      octet_length(col("text")).as("raw"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val ratioRep = sized(1L)._2.toDouble / sized(1L)._1
+    val ratioNoise = sized(2L)._2.toDouble / sized(2L)._1
+    assert(ratioRep > 10.0, s"repetitive ratio $ratioRep")
+    assert(ratioNoise < 2.0, s"noise ratio $ratioNoise")
+
+    // registered query: full coverage, stable across runs
+    val a = TextOps.qualityCompress(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    val b = TextOps.qualityCompress(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(a === b && a.nonEmpty)
+    a.foreach { case (_, raw, zip, ratio) =>
+      assert(zip > 0 && raw > 0 && ratio > 0.0)
+    }
+  }
 }
