@@ -77,5 +77,6 @@ object SparkEntry {
     "search_phrase", "pipeline_curate_dsir_minhash",
     "events_ohlc", "column_stats", "search_trigram",
     "schema_evolution", "lm_generate", "corpus_digest", "privacy_erase",
-    "quality_compress", "anomaly_seasonal", "impute_locf_stream")
+    "quality_compress", "anomaly_seasonal", "impute_locf_stream",
+    "quality_ensemble", "user_rfm", "q17_small_qty")
 }

@@ -455,7 +455,33 @@ object EventOps {
       .toDF()
   }
 
+  /** RFM user segmentation — the classic behavioral feature vector:
+    * per purchasing user, Recency (hours from last purchase to the
+    * corpus horizon = global max event ts), Frequency (purchase
+    * count), Monetary (summed purchase value), plus the monetary
+    * quartile via per-user ntile. One purchase-side aggregation
+    * shuffle; the 1-row horizon frame broadcasts; the quartile window
+    * runs on the user-cardinality aggregate (users ≪ events — the
+    * frame a segmentation job materializes anyway).
+    */
+  def userRfm(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val horizon = ev.agg(max("ts").as("now"))
+    val rfm = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("frequency"),
+        (floor(sum("value") * 100 + 0.5) / 100.0).as("monetary"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        expr("(now - last_ts) DIV 3600000000000").as("recency_h"),
+        col("frequency"), col("monetary"))
+    rfm.withColumn("m_quartile",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("monetary").desc, col("user_id"))).cast("int"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_rfm" -> userRfm,
     "impute_locf_stream" -> imputeLocfStreamBatch,
     "anomaly_seasonal" -> anomalySeasonal,
     "events_ohlc" -> eventsOhlc,
@@ -557,7 +583,20 @@ object EventOps {
           |    AS BIGINT) AS n_anomalies,
           |  floor(max(s.sd) * 10000 + 0.5) / 10000.0 AS sd_resid
           |FROM resid r JOIN spread s USING (event_type)
-          |GROUP BY r.event_type""".stripMargin)
+          |GROUP BY r.event_type""".stripMargin) +
+      ("user_rfm" ->
+        """WITH h AS (SELECT max(ts) AS now FROM events),
+          |rfm AS (
+          |  SELECT user_id, max(ts) AS last_ts, count(*) AS frequency,
+          |    floor(sum(value) * 100 + 0.5) / 100.0 AS monetary
+          |  FROM events WHERE event_type = 'purchase'
+          |  GROUP BY user_id)
+          |SELECT user_id,
+          |  CAST(floor(epoch(h.now - last_ts) / 3600) AS BIGINT) AS recency_h,
+          |  frequency, monetary,
+          |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
+          |    AS m_quartile
+          |FROM rfm CROSS JOIN h""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "join_pit" ->

@@ -135,6 +135,29 @@ object Relational {
         / lit(1e6), 2).as("profit"))
   }
 
+  /** TPC-H Q17-shaped small-quantity revenue probe: average yearly
+    * revenue lost if 'bolt'-named parts stopped filling orders below
+    * 20% of that part's average quantity. The textbook form is a
+    * CORRELATED subquery per lineitem row; the scale-canonical plan
+    * here computes each part's average once via a window over the
+    * already-filtered join — one shuffle on partkey, no re-scan, no
+    * subquery re-execution. l_quantity is integral, so the per-part
+    * mean (exact integer sum / count) is bit-identical in any engine
+    * regardless of aggregation order; revenue floor-quantizes to
+    * int64 micros before summing (the q9 cancellation-safety trick).
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).filter(col("p_name").contains("bolt"))
+      .select(col("p_partkey"))
+    lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("avg_qty",
+        avg("l_quantity").over(Window.partitionBy("l_partkey")))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((floor(sum(floor(col("l_extendedprice") * lit(1e6) + lit(0.5)))
+        / lit(1e6) / lit(7.0) * 100 + 0.5) / 100.0).as("avg_yearly"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one open order. */
   def joinSemi(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).filter(col("o_orderstatus") === "O")
@@ -355,6 +378,7 @@ object Relational {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_small_qty" -> q17SmallQty,
     "column_stats" -> columnStats,
     "q1_pricing" -> q1Pricing,
     "q3_top_revenue" -> q3TopRevenue,
@@ -384,6 +408,15 @@ object Relational {
     "union_all_agg" -> unionAllAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,
+        |    avg(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_name LIKE '%bolt%')
+        |SELECT floor(sum(floor(l_extendedprice * 1e6 + 0.5)) / 1e6 / 7.0
+        |  * 100 + 0.5) / 100.0 AS avg_yearly
+        |FROM li WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
     "column_stats" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val branches = cols.map { c =>

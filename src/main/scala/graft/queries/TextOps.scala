@@ -580,6 +580,39 @@ object TextOps {
       .select(col("doc_id"), col("lang"), quality.as("quality"))
   }
 
+  /** ENSEMBLE quality gate: rank-fusion of three independently-oracled
+    * signals — heuristic composite (this module), unigram-LM NLL
+    * (Corpus.lmScore, inverted: low surprise = stereotypical), and
+    * DSIR importance (Dsir) — each percent-rank-normalized PER
+    * LANGUAGE (partitioned windows: language-fair and no global
+    * single-partition sort) and averaged. Rank fusion is how real
+    * curation stacks combine incommensurable scores without tuning
+    * scale factors; the per-lang percent_rank is an exact rational
+    * ((row-1)/(n-1) under a doc_id-pinned unique ordering), so the
+    * fused score is float-deterministic in both engines.
+    */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val q = qualityPerDoc(docs).select(col("doc_id"), col("quality"))
+    val nll = Corpus.lmScore(s, d).select(col("doc_id"), col("avg_nll"))
+    val dw = Dsir.dsirWeights(s, d).select(col("doc_id"), col("dsir_w"))
+    val joined = docs.select(col("doc_id"), col("lang"))
+      .join(q, "doc_id").join(nll, "doc_id").join(dw, "doc_id")
+    def pr(order: Column*) = percent_rank().over(
+      Window.partitionBy("lang").orderBy(order: _*))
+    joined
+      .select(col("doc_id"), col("lang"),
+        pr(col("quality").desc, col("doc_id")).as("rq"),
+        pr(col("avg_nll").asc, col("doc_id")).as("rn"),
+        pr(col("dsir_w").desc, col("doc_id")).as("rd"))
+      .select(col("doc_id"), col("lang"),
+        (floor(col("rq") * 10000 + 0.5) / 10000.0).as("q_rank"),
+        (floor(col("rn") * 10000 + 0.5) / 10000.0).as("nll_rank"),
+        (floor(col("rd") * 10000 + 0.5) / 10000.0).as("dsir_rank"),
+        (floor((col("rq") + col("rn") + col("rd")) / 3.0 * 10000 + 0.5)
+          / 10000.0).as("ensemble"))
+  }
+
   def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val q = qualityPerDoc(Tables.documents(s, d))
     q.withColumn("thr", expr("percentile(quality, 0.25)")
@@ -623,6 +656,7 @@ object TextOps {
     "search_bm25" -> searchBm25,
     "search_phrase" -> searchPhrase,
     "quality_compress" -> qualityCompress,
+    "quality_ensemble" -> qualityEnsemble,
     "sample_weighted" -> sampleWeighted,
     "dedup_url" -> dedupUrl,
     "pmi_bigrams" -> pmiBigrams,
@@ -740,6 +774,37 @@ object TextOps {
         |                     (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY lang""".stripMargin,
+    "quality_ensemble" ->
+      (s"""WITH t AS (SELECT doc_id, lang, text, $tokSqlDuck AS ws FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  floor(((CAST(len(list_filter(ws, x -> list_contains(['the','a','of','and','to','in','is','it'], x))) AS DOUBLE) / len(ws)) * 0.4
+         |    + least(len(ws) / 100.0, 1.0) * 0.3
+         |    + (1.0 - CAST(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text)) * 0.3) * 10000 + 0.5) / 10000.0 AS quality
+         |  FROM t),
+         |lmt AS (SELECT doc_id, unnest($tokSqlDuck) AS tok FROM documents),
+         |lmv AS (SELECT tok, count(*) AS cnt FROM lmt GROUP BY 1),
+         |lmn AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lmv),
+         |lms AS (SELECT doc_id,
+         |  floor(avg(-ln(CAST(cnt AS DOUBLE) / total)) * 10000 + 0.5) / 10000.0
+         |    AS avg_nll
+         |  FROM lmt JOIN lmv USING (tok) CROSS JOIN lmn GROUP BY doc_id),
+         |""".stripMargin
+        + graft.queries.Dsir.weightsSqlOver("documents") + ",\n" +
+        """dsw AS (SELECT doc_id, floor(w * 10000 + 0.5) / 10000.0 AS dsir_w
+          |        FROM dwt),
+          |j AS (SELECT q.doc_id, q.lang, q.quality, lms.avg_nll, dsw.dsir_w
+          |      FROM q JOIN lms USING (doc_id) JOIN dsw USING (doc_id)),
+          |r AS (SELECT doc_id, lang,
+          |  percent_rank() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rq,
+          |  percent_rank() OVER (PARTITION BY lang ORDER BY avg_nll ASC, doc_id) AS rn,
+          |  percent_rank() OVER (PARTITION BY lang ORDER BY dsir_w DESC, doc_id) AS rd
+          |  FROM j)
+          |SELECT doc_id, lang,
+          |  floor(rq * 10000 + 0.5) / 10000.0 AS q_rank,
+          |  floor(rn * 10000 + 0.5) / 10000.0 AS nll_rank,
+          |  floor(rd * 10000 + 0.5) / 10000.0 AS dsir_rank,
+          |  floor((rq + rn + rd) / 3.0 * 10000 + 0.5) / 10000.0 AS ensemble
+          |FROM r""".stripMargin),
     "quality_filter" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $tokSqlDuck AS ws FROM documents),
          |q AS (SELECT doc_id, lang,

@@ -65,6 +65,26 @@ class ErBlockSpec extends SparkSuite {
     got.foreach { case (qid, q, _, _) => assert(q !== originals(qid)) }
   }
 
+  test("q17_small_qty ≡ naive correlated-subquery recompute") {
+    val parts = spark.read.parquet(s"$sfDir/part.parquet")
+      .where(col("p_name").contains("bolt"))
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+      .filter(r => parts.contains(r._1))
+    val avgQty = li.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.map(_._2).sum / rs.length
+    }
+    val rev = li.filter(r => r._2 < 0.2 * avgQty(r._1))
+      .map(r => math.floor(r._3 * 1e6 + 0.5)).sum / 1e6
+    val expect = math.floor(rev / 7.0 * 100 + 0.5) / 100.0
+    val got = graft.queries.Relational.q17SmallQty(spark, sfDir)
+      .collect().head.getDouble(0)
+    assert(got === expect && got > 0.0)
+  }
+
   test("column_stats ≡ Scala recount over collected lineitem") {
     val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")

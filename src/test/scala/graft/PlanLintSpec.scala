@@ -53,7 +53,9 @@ class PlanLintSpec extends SparkSuite {
     // node is the exact-recall audit's broadcast query side
     "ann_ivfpq",
     // DSIR: 1-row totals frame attached to the NumBuckets-row λ build
-    "dsir_weights", "dsir_sample")
+    "dsir_weights", "dsir_sample",
+    // 1-row horizon / total frames (RFM recency, ensemble's lm_score leg)
+    "user_rfm", "quality_ensemble")
 
   private lazy val plans: Map[String, String] = {
     val s = spark

@@ -284,6 +284,29 @@ class TemporalSpec extends SparkSuite {
     manifest.foreach { case (u, n) => assert(n === counts(u)) }
   }
 
+  test("userRfm ≡ Scala fold; quartiles partition the purchasers") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+    val now = ev.map(_._2).max
+    val expect = ev.filter(_._3 == "purchase").groupBy(_._1).map {
+      case (u, rows) =>
+        u -> ((now - rows.map(_._2).max) / 3600000000000L,
+          rows.length.toLong,
+          math.floor(rows.map(_._4).sum * 100 + 0.5) / 100.0)
+    }
+    val got = graft.queries.EventOps.userRfm(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+      .toMap
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap === expect)
+    // ntile(4) buckets differ in size by at most 1 and are ordered
+    val sizes = got.values.groupBy(_._4).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1)
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)

@@ -157,6 +157,23 @@ class TextOpsSpec extends SparkSuite {
     assert(TextOps.searchPhrase(spark, sfDir).count() > 0)
   }
 
+  test("qualityEnsemble: rank legs are exact per-lang percent ranks; fused mean") {
+    val rows = TextOps.qualityEnsemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rq, rn, rd, e) =>
+      Seq(rq, rn, rd, e).foreach(v => assert(v >= 0.0 && v <= 1.0))
+      // fused score is the (rounded) mean of the rounded legs within
+      // the rounding slack
+      assert(math.abs(e - (rq + rn + rd) / 3.0) < 2e-4)
+    }
+    // per lang: ranks span 0..1 (the extremes are hit exactly)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).min === 0.0 && rs.map(_._3).max === 1.0)
+    }
+  }
+
   test("quality_compress: repetitive text compresses far harder than noise; deterministic") {
     import spark.implicits._
     val rep = "the same line over and over. " * 100
