@@ -53,17 +53,19 @@ object Dsir {
   private def bucket(g: Column): Column =
     conv(substring(md5(g), 1, 12), 16, 10).cast("long") % NumBuckets
 
-  /** Unigram + adjacent-bigram gram stream of a token-array ATTRIBUTE
-    * (the materialized-attribute contract of Corpus.bigramsFromTokens:
-    * the lambda references ws per element, so an inlined tokenizer
-    * would re-run the regex split for every gram — the multi-reference
-    * body keeps CollapseProject from inlining it).
+  /** Unigram + adjacent-bigram gram stream of a token-array ATTRIBUTE.
+    * The bigrams come from `zip_with` over two SLICES of ws — not the
+    * `transform(sequence, i -> element_at(ws, i))` indexing form:
+    * under a Generate (explode) the indexed lambda measured ~10×
+    * slower at sf0.1 (6–7 s vs 0.7 s for the identical 536k-gram
+    * output; see tools/ProfileDsir), while the slice+zip kernel walks
+    * both arrays linearly.
     */
   private def grams(ws: Column): Column =
     concat(ws,
       when(size(ws) >= 2,
-        transform(sequence(lit(1), size(ws) - 1),
-          i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+        zip_with(slice(ws, lit(1), size(ws) - 1), slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat(a, lit(" "), b)))
         .otherwise(array().cast("array<string>")))
 
   /** Exploded (doc_id, lang, bucket) stream — shared by both queries.

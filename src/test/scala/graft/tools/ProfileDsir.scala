@@ -53,6 +53,31 @@ object ProfileDsir {
     time("bucketCounts")(bc.count())
     time("bucketCounts 2")(bc.count())
 
+    // variant A: explode plain tokens only
+    val exTok = toks.select(col("doc_id"), explode(col("ws")).as("g"))
+    time("explode toks only")(exTok.count())
+    time("explode toks only 2")(exTok.count())
+
+    // variant B: materialize the gram arrays first, then explode
+    val gsMat = graft.core.Checkpoints.stable(grams)
+    time("explode from checkpoint")(
+      gsMat.select(col("doc_id"), explode(col("gs")).as("g")).count())
+    time("explode from checkpoint 2")(
+      gsMat.select(col("doc_id"), explode(col("gs")).as("g")).count())
+
+    // variant C: bigrams from a self-zip instead of element_at lambda
+    val grams2 = toks.select(col("doc_id"), col("lang"),
+      concat(col("ws"),
+        when(size(col("ws")) >= 2,
+          zip_with(slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+          .otherwise(array().cast("array<string>"))).as("gs"))
+    time("grams zip_with")(grams2.select(sum(size(col("gs")))).collect()(0).getLong(0))
+    val exZip = grams2.select(col("doc_id"), explode(col("gs")).as("g"))
+    time("explode zip_with")(exZip.count())
+    time("explode zip_with 2")(exZip.count())
+
     (1 to 3).foreach { i =>
       time(s"dsir_weights full $i")(Dsir.dsirWeights(spark, d).count())
     }
