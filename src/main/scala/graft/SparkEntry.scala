@@ -78,5 +78,6 @@ object SparkEntry {
     "events_ohlc", "column_stats", "search_trigram",
     "schema_evolution", "lm_generate", "corpus_digest", "privacy_erase",
     "quality_compress", "anomaly_seasonal", "impute_locf_stream",
-    "quality_ensemble", "user_rfm", "q17_small_qty")
+    "quality_ensemble", "user_rfm", "q17_small_qty",
+    "journey_transitions", "forecast_baseline", "basket_pairs")
 }

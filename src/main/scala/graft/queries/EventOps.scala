@@ -480,7 +480,65 @@ object EventOps {
         .orderBy(col("monetary").desc, col("user_id"))).cast("int"))
   }
 
+  /** Markov JOURNEY analysis: the user-path transition matrix —
+    * counts and probabilities of each (previous event_type → next
+    * event_type) step along every user's time-ordered stream, the
+    * first artifact a funnel/attribution review builds. One per-user
+    * window (lag) + one tiny (type × type) aggregate; probabilities
+    * are exact integer ratios rounded half-up at 1e-4.
+    */
+  def journeyTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    // aggregate FIRST (type × type cells), then row-normalize over the
+    // tiny cell frame — a window partitioned by prev_type on the raw
+    // stream would funnel everything into |types| partitions (skew)
+    val cnt = steps.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val from = cnt.groupBy("prev_type").agg(sum("n").as("n_from"))
+    cnt.join(broadcast(from), "prev_type")
+      .select(col("prev_type"), col("event_type"), col("n"),
+        (floor(col("n").cast("double") / col("n_from") * 10000 + 0.5)
+          / 10000.0).as("p"))
+  }
+
+  /** Seasonal-naive forecast BACKTEST: predict the final day's hourly
+    * event counts per type from the prior days' hour-of-day means and
+    * report the mean absolute error — the baseline every real
+    * forecasting pipeline must beat, and the backtest harness shape
+    * (train strictly before the horizon) that proves no leakage.
+    * Everything aggregates to (type × day × hour) cells first; the
+    * horizon is a broadcast 1-row frame.
+    */
+  def forecastBaseline(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("ts DIV 86400000000000").as("day"),
+        expr("(ts DIV 3600000000000) % 24").as("hod"))
+    val horizon = ev.agg(max("day").as("last_day"))
+    val cells = ev.groupBy("event_type", "day", "hod")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(horizon))
+    val train = cells.filter(col("day") < col("last_day"))
+      .groupBy("event_type", "hod")
+      .agg(sum("n").as("total"), countDistinct("day").as("n_days"))
+    val test = cells.filter(col("day") === col("last_day"))
+      .select(col("event_type"), col("hod"), col("n"))
+    test.join(train, Seq("event_type", "hod"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        (floor(avg(abs(col("n").cast("double")
+          - col("total").cast("double") / col("n_days"))) * 10000 + 0.5)
+          / 10000.0).as("mae"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_baseline" -> forecastBaseline,
+    "journey_transitions" -> journeyTransitions,
     "user_rfm" -> userRfm,
     "impute_locf_stream" -> imputeLocfStreamBatch,
     "anomaly_seasonal" -> anomalySeasonal,
@@ -596,7 +654,48 @@ object EventOps {
           |  frequency, monetary,
           |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
           |    AS m_quartile
-          |FROM rfm CROSS JOIN h""".stripMargin)
+          |FROM rfm CROSS JOIN h""".stripMargin) +
+      ("journey_transitions" ->
+        """WITH steps AS (
+          |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS prev_type,
+          |    event_type
+          |  FROM events),
+          |cnt AS (SELECT prev_type, event_type, count(*) AS n
+          |        FROM steps WHERE prev_type IS NOT NULL
+          |        GROUP BY 1, 2),
+          |f AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS n_from
+          |      FROM cnt GROUP BY 1)
+          |SELECT c.prev_type, c.event_type, c.n,
+          |  floor(CAST(c.n AS DOUBLE) / f.n_from * 10000 + 0.5) / 10000.0 AS p
+          |FROM cnt c JOIN f USING (prev_type)""".stripMargin) +
+      ("forecast_baseline" ->
+        """WITH ev AS (
+          |  SELECT event_type,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+          |      AS day,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) % 24
+          |      AS hod
+          |  FROM events),
+          |horizon AS (SELECT max(day) AS last_day FROM ev),
+          |cells AS (SELECT event_type, day, hod, count(*) AS n
+          |          FROM ev GROUP BY 1, 2, 3),
+          |train AS (SELECT c.event_type, c.hod,
+          |            CAST(sum(c.n) AS BIGINT) AS total,
+          |            count(DISTINCT c.day) AS n_days
+          |          FROM cells c CROSS JOIN horizon h
+          |          WHERE c.day < h.last_day
+          |          GROUP BY 1, 2),
+          |test AS (SELECT c.event_type, c.hod, c.n
+          |         FROM cells c CROSS JOIN horizon h
+          |         WHERE c.day = h.last_day)
+          |SELECT t.event_type,
+          |  count(*) AS n_hours,
+          |  floor(avg(abs(CAST(t.n AS DOUBLE)
+          |    - CAST(tr.total AS DOUBLE) / tr.n_days)) * 10000 + 0.5)
+          |    / 10000.0 AS mae
+          |FROM test t JOIN train tr USING (event_type, hod)
+          |GROUP BY t.event_type""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "join_pit" ->

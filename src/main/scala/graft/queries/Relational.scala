@@ -158,6 +158,38 @@ object Relational {
         / lit(1e6) / lit(7.0) * 100 + 0.5) / 100.0).as("avg_yearly"))
   }
 
+  /** Market-basket pair mining: parts co-purchased in the same order,
+    * with support count and LIFT (observed co-occurrence vs the
+    * independence expectation n_ab·N/(n_a·n_b)) — the association-rule
+    * primitive behind "frequently bought together". Min support 3
+    * prunes noise pairs.
+    *
+    * Scale design: baskets collapse to DISTINCT (order, part) first;
+    * the pair generator is a within-order self-join — candidate
+    * volume is Σ basket_size², bounded by the per-order line-count
+    * cap of the schema, never |lineitem|². Item frequencies join back
+    * at pair-key cardinality; the 1-row order count broadcasts. Lift
+    * is an exact integer ratio rounded half-up at 1e-4.
+    */
+  def basketPairs(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d).select("l_orderkey", "l_partkey").distinct()
+    val np = items.groupBy("l_partkey").agg(count(lit(1)).as("n_p"))
+    val nOrders = items.agg(countDistinct("l_orderkey").as("n_orders"))
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+    a.join(b, "l_orderkey")
+      .filter(col("part_a") < col("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+      .join(np.select(col("l_partkey").as("part_a"), col("n_p").as("na")), "part_a")
+      .join(np.select(col("l_partkey").as("part_b"), col("n_p").as("nb")), "part_b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        (floor(col("n_ab").cast("double") * col("n_orders")
+          / (col("na") * col("nb")) * 10000 + 0.5) / 10000.0).as("lift"))
+  }
+
   /** Left-semi join (EXISTS): customers having at least one open order. */
   def joinSemi(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).filter(col("o_orderstatus") === "O")
@@ -378,6 +410,7 @@ object Relational {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "basket_pairs" -> basketPairs,
     "q17_small_qty" -> q17SmallQty,
     "column_stats" -> columnStats,
     "q1_pricing" -> q1Pricing,
@@ -408,6 +441,26 @@ object Relational {
     "union_all_agg" -> unionAllAgg)
 
   def oracleSql: Map[String, String] = Map(
+    "basket_pairs" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |np AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY 1),
+        |norders AS (SELECT count(DISTINCT l_orderkey) AS n_orders
+        |            FROM items),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    count(*) AS n_ab
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING count(*) >= 3)
+        |SELECT p.part_a, p.part_b, p.n_ab,
+        |  floor(CAST(p.n_ab AS DOUBLE) * n.n_orders
+        |    / (na.n_p * nb.n_p) * 10000 + 0.5) / 10000.0 AS lift
+        |FROM pairs p
+        |JOIN np na ON na.l_partkey = p.part_a
+        |JOIN np nb ON nb.l_partkey = p.part_b
+        |CROSS JOIN norders n""".stripMargin,
     "q17_small_qty" ->
       """WITH li AS (
         |  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice,

@@ -85,6 +85,28 @@ class ErBlockSpec extends SparkSuite {
     assert(got === expect && got > 0.0)
   }
 
+  test("basket_pairs ≡ Scala recompute; lift is symmetric in the pair") {
+    val items = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val np = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val nOrders = items.map(_._1).distinct.length
+    val expect = items.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      val ps = rs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).collect {
+      case ((a, b), xs) if xs.length >= 3 =>
+        (a, b) -> (xs.length.toLong,
+          math.floor(xs.length.toDouble * nOrders / (np(a).toLong * np(b))
+            * 10000 + 0.5) / 10000.0)
+    }
+    val got = graft.queries.Relational.basketPairs(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expect && got.nonEmpty)
+  }
+
   test("column_stats ≡ Scala recount over collected lineitem") {
     val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")

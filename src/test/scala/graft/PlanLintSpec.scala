@@ -54,8 +54,9 @@ class PlanLintSpec extends SparkSuite {
     "ann_ivfpq",
     // DSIR: 1-row totals frame attached to the NumBuckets-row λ build
     "dsir_weights", "dsir_sample",
-    // 1-row horizon / total frames (RFM recency, ensemble's lm_score leg)
-    "user_rfm", "quality_ensemble")
+    // 1-row horizon / total frames (RFM recency, ensemble's lm_score
+    // leg, forecast horizon, basket order count)
+    "user_rfm", "quality_ensemble", "forecast_baseline", "basket_pairs")
 
   private lazy val plans: Map[String, String] = {
     val s = spark

@@ -307,6 +307,58 @@ class TemporalSpec extends SparkSuite {
     assert(sizes.values.max - sizes.values.min <= 1)
   }
 
+  test("journeyTransitions ≡ Scala fold; rows of the matrix sum to 1") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      s.zip(s.drop(1))
+    }
+    val nFrom = trans.groupBy(_._1).view.mapValues(_.length).toMap
+    val expect = trans.groupBy(identity).map { case ((a, b), xs) =>
+      (a, b) -> (xs.length.toLong,
+        math.floor(xs.length.toDouble / nFrom(a) * 10000 + 0.5) / 10000.0)
+    }
+    val got = graft.queries.EventOps.journeyTransitions(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === expect)
+    got.keys.map(_._1).toSet.foreach { (a: String) =>
+      val rowSum = got.collect { case ((`a`, _), (_, p)) => p }.sum
+      assert(math.abs(rowSum - 1.0) < 1e-3)
+    }
+  }
+
+  test("forecastBaseline: leak-free split and exact MAE recompute") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cells = ev.map { case (t, ts) =>
+      (t, ts / 86400000000000L, (ts / 3600000000000L) % 24)
+    }
+    val lastDay = cells.map(_._2).max
+    val cnt = cells.groupBy(identity).view.mapValues(_.length).toMap
+    val train = cells.filter(_._2 < lastDay)
+    val pred = train.groupBy(c => (c._1, c._3)).map { case (k, rs) =>
+      k -> rs.length.toDouble / rs.map(_._2).distinct.length
+    }
+    val test = cells.filter(_._2 == lastDay).distinct
+    val expect = test.groupBy(_._1).collect {
+      case (t, cs0) =>
+        val cs = cs0.filter(c => pred.contains((c._1, c._3)))
+        t -> (cs.length.toLong,
+          math.floor(cs.map(c => math.abs(cnt(c) - pred((c._1, c._3))))
+            .sum / cs.length * 10000 + 0.5) / 10000.0)
+    }
+    val got = graft.queries.EventOps.forecastBaseline(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got === expect && got.nonEmpty)
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
