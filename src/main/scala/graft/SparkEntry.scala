@@ -79,5 +79,6 @@ object SparkEntry {
     "schema_evolution", "lm_generate", "corpus_digest", "privacy_erase",
     "quality_compress", "anomaly_seasonal", "impute_locf_stream",
     "quality_ensemble", "user_rfm", "q17_small_qty",
-    "journey_transitions", "forecast_baseline", "basket_pairs")
+    "journey_transitions", "forecast_baseline", "basket_pairs",
+    "er_resolve", "graph_stats")
 }

@@ -565,7 +565,38 @@ object Advanced {
         col("n_parts"), col("sim"))
   }
 
+  /** Entity resolution END-TO-END: [[erBlock]]'s fuzzy candidate
+    * pairs → connected components → one canonical ENTITY ID per part
+    * name — the deliverable an MDM/catalog pipeline actually ships
+    * (er_block reports the pairs; this materializes the resolution).
+    * Nodes are the per-name canonical part keys, so the CC runs on
+    * vocabulary cardinality; unmatched names resolve to themselves.
+    * Entity id = the component's min canonical key (the same min-label
+    * convention as dedup_cluster).
+    */
+  def erResolve(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy("p_name")
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("canon_key"))
+    // checkpoint the pair producer ONCE — the CC loop iterates joins
+    // over this frame and would otherwise re-run the blocked
+    // levenshtein join every round (the Pipeline shared-stage rule)
+    val edges = graft.core.Checkpoints.stable(erBlock(s, d)
+      .select(col("canon_a").as("doc_a"), col("canon_b").as("doc_b")))
+    val lab = Cluster.clustersOf(edges)
+      .select(col("doc_id").as("canon_key"), col("cluster_id"))
+    val resolved = names.join(lab, Seq("canon_key"), "left")
+      .select(col("p_name"), col("n_parts"),
+        coalesce(col("cluster_id"), col("canon_key")).as("entity_id"))
+    val sizes = resolved.groupBy("entity_id")
+      .agg(count(lit(1)).as("n_names"), sum("n_parts").as("n_parts_total"))
+    resolved.join(sizes, "entity_id")
+      .select(col("p_name"), col("entity_id"), col("n_parts"),
+        col("n_names"), col("n_parts_total"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_resolve" -> erResolve,
     "search_trigram" -> searchTrigram,
     "er_block" -> erBlock,
     "agg_regr" -> aggRegr,
@@ -603,6 +634,32 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "er_resolve" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name, count(*) AS n_parts, min(p_partkey) AS canon_key,
+        |    split_part(p_name, ' ', -1) AS block
+        |  FROM part GROUP BY p_name),
+        |scored AS (
+        |  SELECT a.canon_key AS doc_a, b.canon_key AS doc_b
+        |  FROM names a JOIN names b
+        |    ON a.block = b.block AND a.p_name < b.p_name
+        |   AND levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM scored
+        |      UNION ALL SELECT doc_b, doc_a FROM scored),
+        |cc AS (
+        |  SELECT DISTINCT src AS node, src AS label FROM e
+        |  UNION
+        |  SELECT e.dst AS node, cc.label FROM cc JOIN e ON e.src = cc.node),
+        |lab AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node),
+        |resolved AS (
+        |  SELECT n.p_name, n.n_parts,
+        |    coalesce(l.cluster_id, n.canon_key) AS entity_id
+        |  FROM names n LEFT JOIN lab l ON l.node = n.canon_key),
+        |sz AS (SELECT entity_id, count(*) AS n_names,
+        |         CAST(sum(n_parts) AS BIGINT) AS n_parts_total
+        |       FROM resolved GROUP BY 1)
+        |SELECT r.p_name, r.entity_id, r.n_parts, s.n_names, s.n_parts_total
+        |FROM resolved r JOIN sz s USING (entity_id)""".stripMargin,
     "search_trigram" ->
       """WITH names AS (
         |  SELECT p_name, count(*) AS n_parts FROM part

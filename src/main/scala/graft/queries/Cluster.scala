@@ -737,7 +737,40 @@ object Cluster {
         .filter(col("jac") >= 0.6)
         .select(col("doc_a"), col("doc_b")))
 
+  /** One-row GRAPH CENSUS of the near-dup graph — the summary a
+    * dedup review reads before deciding thresholds: node/edge counts,
+    * max/mean degree, component count and the largest component (a
+    * giant component = threshold too low). Degrees and component
+    * sizes are tiny aggregates over the id-only edge/label frames;
+    * the three 1-row stat frames cross-join into the single census
+    * row.
+    */
+  def graphStats(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")).stable
+    val sym = edges.select(col("doc_a").as("src"))
+      .unionAll(edges.select(col("doc_b").as("src")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("dg"))
+    val degStats = deg.agg(count(lit(1)).as("n_nodes"),
+      max("dg").as("max_degree"),
+      (floor(avg("dg") * 10000 + 0.5) / 10000.0).as("avg_degree"))
+    val edgeCnt = edges.agg(count(lit(1)).as("n_edges"))
+    val compSizes = clustersOf(edges)
+      .select(col("cluster_id"), col("n_docs")).distinct()
+    val compStats = compSizes.agg(count(lit(1)).as("n_components"),
+      max("n_docs").as("largest_component"))
+    val out = degStats.crossJoin(broadcast(edgeCnt))
+      .crossJoin(broadcast(compStats))
+      .select(col("n_nodes"), col("n_edges"), col("max_degree"),
+        col("avg_degree"), col("n_components"), col("largest_component"))
+    val collected = out.stable
+    edges.unpersist(false)
+    collected
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_stats" -> graphStats,
     "graph_bfs" -> graphBfs,
     "graph_bfs_minhash" -> graphBfsMinhash,
     "label_prop" -> labelProp,
@@ -981,6 +1014,18 @@ object Cluster {
          |""".stripMargin + lpChainSql + "\n" + lpSelectSql),
     "graph_bfs" ->
       ("WITH " + ngramScoredSqlLit + ",\n" + bfsChainSql + "\n" + bfsSelectSql),
+    "graph_stats" ->
+      ("WITH RECURSIVE " + ngramScoredSqlLit + ",\n" + ccSymSql + ",\n" +
+        """deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1)
+          |SELECT
+          |  CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+          |  CAST((SELECT count(*) FROM scored) AS BIGINT) AS n_edges,
+          |  CAST((SELECT max(dg) FROM deg) AS BIGINT) AS max_degree,
+          |  floor((SELECT avg(dg) FROM deg) * 10000 + 0.5) / 10000.0
+          |    AS avg_degree,
+          |  CAST((SELECT count(*) FROM sz) AS BIGINT) AS n_components,
+          |  CAST((SELECT max(n_docs) FROM sz) AS BIGINT)
+          |    AS largest_component""".stripMargin),
     "kcore" -> {
       // Fixed 8 peel rounds unrolled over the same near-dup edge CTEs
       // the pagerank/triangle oracles build. Pure integer arithmetic —

@@ -445,6 +445,34 @@ class ClusterSpec extends SparkSuite {
     assert(mh === ngram && mh.nonEmpty)
   }
 
+  test("graph_stats ≡ Scala recompute from the edge list") {
+    val edges = graft.queries.Dedup.ngramScored(
+        graft.core.Tables.documents(spark, sfDir))
+      .filter(col("jac") >= 0.6)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (edges.map(_._1) ++ edges.map(_._2))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val comps = deg.keys.groupBy(find).view.mapValues(_.size).toMap
+    val r = Cluster.graphStats(spark, sfDir).collect().head
+    assert(r.getLong(0) === deg.size.toLong)           // n_nodes
+    assert(r.getLong(1) === edges.length.toLong)       // n_edges
+    assert(r.getLong(2) === deg.values.max.toLong)     // max_degree
+    assert(r.getDouble(3) ===
+      math.floor(deg.values.sum.toDouble / deg.size * 10000 + 0.5) / 10000.0)
+    assert(r.getLong(4) === comps.size.toLong)         // n_components
+    assert(r.getLong(5) === comps.values.max.toLong)   // largest
+  }
+
   test("label_prop_minhash ≡ ngram-edged label_prop on sf0.001") {
     val ngram = Cluster.labelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet

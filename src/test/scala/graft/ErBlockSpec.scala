@@ -107,6 +107,40 @@ class ErBlockSpec extends SparkSuite {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("er_resolve ≡ union-find over er_block pairs; sizes consistent") {
+    val pairs = graft.queries.Advanced.erBlock(spark, sfDir).collect()
+      .map(r => (r.getLong(5), r.getLong(6))) // canon_a, canon_b
+    val names = spark.read.parquet(s"$sfDir/part.parquet")
+      .select("p_partkey", "p_name").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).map { case (n, rs) => n -> (rs.length.toLong, rs.map(_._1).min) }
+    // union-find over canonical keys
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = names.map { case (n, (cnt, canon)) => n -> (find(canon), cnt) }
+    val got = graft.queries.Advanced.erResolve(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap === expect)
+    // entity sizes: n_names and n_parts_total agree with membership
+    val byEntity = got.values.groupBy(_._1)
+    byEntity.foreach { case (_, members) =>
+      val m = members.head
+      assert(members.size.toLong === m._3)
+      assert(members.map(_._2).sum === m._4)
+    }
+    // at least one multi-name entity exists (cold/old merge)
+    assert(byEntity.values.exists(_.size > 1))
+  }
+
   test("column_stats ≡ Scala recount over collected lineitem") {
     val rows = spark.read.parquet(s"$sfDir/lineitem.parquet")
       .select("l_quantity", "l_extendedprice", "l_discount", "l_tax")

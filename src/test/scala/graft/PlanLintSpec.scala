@@ -56,7 +56,9 @@ class PlanLintSpec extends SparkSuite {
     "dsir_weights", "dsir_sample",
     // 1-row horizon / total frames (RFM recency, ensemble's lm_score
     // leg, forecast horizon, basket order count)
-    "user_rfm", "quality_ensemble", "forecast_baseline", "basket_pairs")
+    "user_rfm", "quality_ensemble", "forecast_baseline", "basket_pairs",
+    // graph census: three 1-row stat frames cross-joined
+    "graph_stats")
 
   private lazy val plans: Map[String, String] = {
     val s = spark
