@@ -80,5 +80,6 @@ object SparkEntry {
     "quality_compress", "anomaly_seasonal", "impute_locf_stream",
     "quality_ensemble", "user_rfm", "q17_small_qty",
     "journey_transitions", "forecast_baseline", "basket_pairs",
-    "er_resolve", "graph_stats")
+    "er_resolve", "graph_stats",
+    "journey_paths", "trend_wow", "dedup_savings")
 }

@@ -55,6 +55,27 @@ object Dedup {
       .groupBy("text_hash")
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"))
 
+  /** One-row exact-dedup SAVINGS report — the artifact a dedup run
+    * ships to justify itself: duplicate group/doc counts and the
+    * characters a keep-first pass would reclaim. Copies in a group
+    * share identical text (sha2 equality), so reclaimed chars =
+    * group bytes minus one representative. Digest-only shuffle, same
+    * as [[dedupExact]]; the report is a second tiny aggregate over
+    * the group frame.
+    */
+  def dedupSavings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(sha2(col("text"), 256).as("text_hash"), col("n_chars"))
+      .groupBy("text_hash")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("bytes"),
+        max("n_chars").as("per_doc"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum("n").as("n_docs"),
+        sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_dup_docs"),
+        sum(col("bytes")).as("total_chars"),
+        sum((col("n") - 1) * col("per_doc")).as("chars_saved"))
+
   /** Near-dup candidates by exact n-gram Jaccard: explode distinct
     * shingles, self-join on shingle, count common / union. Top-50 most
     * similar pairs (total tie-break) so the result is deterministic and
@@ -793,6 +814,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_savings" -> dedupSavings,
     "dedup_ngram" -> dedupNgram,
     "dedup_eval" -> dedupEval,
     "dedup_containment" -> dedupContainment,
@@ -951,6 +973,21 @@ object Dedup {
       """SELECT sha256(text) AS text_hash, count(*) AS n_copies,
         |  min(doc_id) AS keeper
         |FROM documents GROUP BY sha256(text)""".stripMargin,
+    "dedup_savings" ->
+      """WITH g AS (
+        |  SELECT sha256(text) AS text_hash, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |    max(n_chars) AS per_doc
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_groups,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_groups,
+        |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS total_chars,
+        |  CAST(sum((n - 1) * per_doc) AS BIGINT) AS chars_saved
+        |FROM g""".stripMargin,
     // 63-bit md5-derived simhash (see simhashSql): per-word
     // h = (first32 mod 2^31)·2^32 + next32, ±1 per bit, sign →
     // simhash; candidates via 4×16-bit chunk collision. Docs with no

@@ -536,7 +536,51 @@ object EventOps {
           / 10000.0).as("mae"))
   }
 
+  /** Frequent 3-step JOURNEY PATHS: the top-10 (a → b → c) event-type
+    * sequences across user streams with support counts — the
+    * sequence-mining companion to [[journeyTransitions]]'s one-step
+    * matrix (a funnel hypothesis generator). Two lags over one
+    * per-user sort, then a (type³)-cardinality count; top-k by
+    * (support desc, path) is deterministic.
+    */
+  def journeyPaths(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag("event_type", 2).over(w))
+      .withColumn("t2", lag("event_type", 1).over(w))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("event_type").as("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(10)
+  }
+
+  /** Week-over-week TREND per event_type: weekly event counts with
+    * the previous week's count and the percent change — the
+    * monitoring rollup a growth dashboard reads. Cell-aggregate
+    * first; the lag window runs on the (type × week) frame. Weeks
+    * are epoch-week buckets (day DIV 7), so the first/last partial
+    * weeks are honest partials.
+    */
+  def trendWow(s: SparkSession, d: String): DataFrame = {
+    val weekly = Tables.events(s, d)
+      .select(col("event_type"), expr("ts DIV 604800000000000").as("week"))
+      .groupBy("event_type", "week").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("week")
+    weekly
+      .withColumn("prev_n", lag("n", 1).over(w))
+      .select(col("event_type"), col("week"), col("n"), col("prev_n"),
+        when(col("prev_n").isNotNull,
+          floor((col("n") - col("prev_n")).cast("double") / col("prev_n")
+            * 1000000 + 0.5) / 10000.0).as("pct_change"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "journey_paths" -> journeyPaths,
+    "trend_wow" -> trendWow,
     "forecast_baseline" -> forecastBaseline,
     "journey_transitions" -> journeyTransitions,
     "user_rfm" -> userRfm,
@@ -695,7 +739,36 @@ object EventOps {
           |    - CAST(tr.total AS DOUBLE) / tr.n_days)) * 10000 + 0.5)
           |    / 10000.0 AS mae
           |FROM test t JOIN train tr USING (event_type, hod)
-          |GROUP BY t.event_type""".stripMargin)
+          |GROUP BY t.event_type""".stripMargin) +
+      ("journey_paths" ->
+        """WITH steps AS (
+          |  SELECT lag(event_type, 2) OVER w AS t1,
+          |    lag(event_type, 1) OVER w AS t2,
+          |    event_type AS t3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT t1, t2, t3, count(*) AS n
+          |FROM steps WHERE t1 IS NOT NULL
+          |GROUP BY 1, 2, 3
+          |ORDER BY n DESC, t1, t2, t3
+          |LIMIT 10""".stripMargin) +
+      ("trend_wow" ->
+        """WITH weekly AS (
+          |  SELECT event_type,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT)
+          |      AS week,
+          |    count(*) AS n
+          |  FROM events GROUP BY 1, 2)
+          |SELECT event_type, week, n,
+          |  lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_n,
+          |  CASE WHEN lag(n, 1) OVER (PARTITION BY event_type ORDER BY week)
+          |         IS NOT NULL
+          |    THEN floor(CAST(n - lag(n, 1) OVER (PARTITION BY event_type
+          |           ORDER BY week) AS DOUBLE)
+          |         / lag(n, 1) OVER (PARTITION BY event_type ORDER BY week)
+          |         * 1000000 + 0.5) / 10000.0
+          |  END AS pct_change
+          |FROM weekly""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     "join_pit" ->

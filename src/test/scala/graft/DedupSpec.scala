@@ -299,4 +299,20 @@ class DedupSpec extends SparkSuite {
     assert(df.filter(col("n_copies") < 1).count() === 0)
     assert(df.agg(sum("n_copies")).first().getLong(0) === 500)
   }
+
+  test("dedupSavings ≡ Scala recompute; accounting identities hold") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val groups = docs.groupBy(_._1).values.map(g => (g.length, g.map(_._2).sum, g.head._2))
+    val r = Dedup.dedupSavings(spark, sfDir).collect().head
+    assert(r.getLong(0) === groups.size.toLong)
+    assert(r.getLong(1) === docs.length.toLong)
+    assert(r.getLong(2) === groups.count(_._1 > 1).toLong)
+    assert(r.getLong(3) === groups.map(g => g._1 - 1).sum.toLong)
+    assert(r.getLong(4) === docs.map(_._2).sum)
+    assert(r.getLong(5) === groups.map(g => (g._1 - 1) * g._3).sum)
+    // identity: docs = groups + dup docs
+    assert(r.getLong(1) === r.getLong(0) + r.getLong(3))
+  }
 }

@@ -359,6 +359,42 @@ class TemporalSpec extends SparkSuite {
     assert(got === expect && got.nonEmpty)
   }
 
+  test("journeyPaths and trendWow ≡ Scala recompute") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // paths
+    val trips = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(r => (r._2, r._3)).map(_._4)
+      s.sliding(3).filter(_.length == 3).map(x => (x(0), x(1), x(2)))
+    }
+    val expectPaths = trips.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(10).toMap
+    val gotPaths = graft.queries.EventOps.journeyPaths(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(gotPaths === expectPaths)
+    // weekly trend
+    val weekly = ev.groupBy(r => (r._4, r._2 / 604800000000000L))
+      .view.mapValues(_.length.toLong).toMap
+    val gotTrend = graft.queries.EventOps.trendWow(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(gotTrend.view.mapValues(_._1).toMap === weekly)
+    // prev_n = the previous PRESENT week's count (lag over the frame)
+    weekly.keys.groupBy(_._1).foreach { case (t, ks) =>
+      val ws = ks.map(_._2).toSeq.sorted
+      ws.zipWithIndex.foreach { case (w, i) =>
+        val expectPrev = if (i == 0) None else Some(weekly((t, ws(i - 1))))
+        assert(gotTrend((t, w))._2 === expectPrev)
+      }
+    }
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
