@@ -81,5 +81,6 @@ object SparkEntry {
     "quality_ensemble", "user_rfm", "q17_small_qty",
     "journey_transitions", "forecast_baseline", "basket_pairs",
     "er_resolve", "graph_stats",
-    "journey_paths", "trend_wow", "dedup_savings")
+    "journey_paths", "trend_wow", "dedup_savings",
+    "feature_scale", "decontaminate_report")
 }

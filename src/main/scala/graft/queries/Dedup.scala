@@ -473,6 +473,35 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** The benchmark-side view of [[decontaminate]]: per held-out eval
+    * doc, how many corpus docs share at least one shingle with it and
+    * how many (shingle, corpus-doc) overlap pairs exist — the
+    * "which benchmark items are compromised" report an eval-integrity
+    * review reads (decontaminate lists the corpus docs to drop; this
+    * ranks the eval items by exposure). Uncontaminated eval docs
+    * appear with zero counts. Same plan shape: benchmark shingles
+    * broadcast, corpus scanned once, per-bench-doc counts partially
+    * aggregate map-side.
+    */
+  def decontaminateReport(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleDocs(s, d)
+    val bench = sh.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("bench_id"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val corpus = sh.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .filter(col("shingle").isNotNull)
+    val hits = corpus.join(broadcast(bench), "shingle")
+      .groupBy("bench_id")
+      .agg(countDistinct("doc_id").as("n_corpus_docs"),
+        count(lit(1)).as("n_shingle_hits"))
+    sh.filter(col("doc_id") < 20).select(col("doc_id").as("bench_id"))
+      .join(hits, Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        coalesce(col("n_shingle_hits"), lit(0L)).as("n_shingle_hits"))
+  }
+
   /** INCREMENTAL ingest dedup: a new crawl batch (here the doc_id % 5
     * == 0 slice) arrives against an existing corpus (the rest); emit
     * only the batch docs whose exact text is NOT already in the corpus.
@@ -825,7 +854,8 @@ object Dedup {
     "dedup_incremental_bloom" -> dedupIncrementalBloom,
     "dedup_incremental_minhash" -> dedupIncrementalMinhash,
     "join_similarity" -> dedupSimilarityJoin,
-    "decontaminate" -> decontaminate)
+    "decontaminate" -> decontaminate,
+    "decontaminate_report" -> decontaminateReport)
 
   // ---- DuckDB oracle fragments for the MinHash family ---------------
   // The whole signature pipeline is md5-derived + mod-P integer
@@ -1142,6 +1172,30 @@ object Dedup {
         |  AND NOT EXISTS (SELECT 1 FROM documents c
         |                  WHERE c.doc_id % 5 <> 0
         |                    AND sha256(c.text) = sha256(b.text))""".stripMargin,
+    "decontaminate_report" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |bench AS (SELECT doc_id AS bench_id, unnest(shingles) AS shingle
+        |          FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, unnest(shingles) AS shingle
+        |           FROM sh WHERE doc_id >= 20),
+        |hits AS (
+        |  SELECT b.bench_id, count(DISTINCT c.doc_id) AS n_corpus_docs,
+        |    count(*) AS n_shingle_hits
+        |  FROM corpus c JOIN bench b USING (shingle)
+        |  GROUP BY b.bench_id)
+        |SELECT s.doc_id AS bench_id,
+        |  CAST(coalesce(h.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+        |  CAST(coalesce(h.n_shingle_hits, 0) AS BIGINT) AS n_shingle_hits
+        |FROM sh s LEFT JOIN hits h ON h.bench_id = s.doc_id
+        |WHERE s.doc_id < 20""".stripMargin,
     "decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id,

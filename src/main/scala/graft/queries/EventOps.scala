@@ -578,7 +578,35 @@ object EventOps {
             * 1000000 + 0.5) / 10000.0).as("pct_change"))
   }
 
+  /** Winsorized z-score FEATURE SCALING per event_type: values clamp
+    * to the exact [p5, p95] band, then standardize by the clamped
+    * slice's mean/stddev — the robust preprocessing every behavioral
+    * model runs so a single whale doesn't dominate the gradient. Two
+    * type-cardinality stats passes broadcast back over one scan
+    * lineage; flags mark clamped rows.
+    */
+  def featureScale(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val bands = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.05)").as("p5"),
+        expr("percentile(value, 0.95)").as("p95"))
+    val clamped = ev.join(broadcast(bands), "event_type")
+      .select(col("event_id"), col("event_type"),
+        least(greatest(col("value"), col("p5")), col("p95")).as("v"),
+        (col("value") < col("p5") || col("value") > col("p95"))
+          .cast("int").as("clipped"))
+    val stats = clamped.groupBy("event_type")
+      .agg(avg("v").as("mu"), stddev_samp("v").as("sd"))
+    clamped.join(broadcast(stats), "event_type")
+      .select(col("event_id"), col("event_type"),
+        (floor((col("v") - col("mu")) / col("sd") * 10000 + 0.5) / 10000.0)
+          .as("scaled"),
+        col("clipped"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "feature_scale" -> featureScale,
     "journey_paths" -> journeyPaths,
     "trend_wow" -> trendWow,
     "forecast_baseline" -> forecastBaseline,
@@ -740,6 +768,25 @@ object EventOps {
           |    / 10000.0 AS mae
           |FROM test t JOIN train tr USING (event_type, hod)
           |GROUP BY t.event_type""".stripMargin) +
+      ("feature_scale" ->
+        """WITH bands AS (
+          |  SELECT event_type,
+          |    quantile_cont(value, 0.05) AS p5,
+          |    quantile_cont(value, 0.95) AS p95
+          |  FROM events GROUP BY 1),
+          |clamped AS (
+          |  SELECT e.event_id, e.event_type,
+          |    least(greatest(e.value, b.p5), b.p95) AS v,
+          |    CAST(CASE WHEN e.value < b.p5 OR e.value > b.p95
+          |      THEN 1 ELSE 0 END AS INTEGER) AS clipped
+          |  FROM events e JOIN bands b USING (event_type)),
+          |stats AS (
+          |  SELECT event_type, avg(v) AS mu, stddev_samp(v) AS sd
+          |  FROM clamped GROUP BY 1)
+          |SELECT c.event_id, c.event_type,
+          |  floor((c.v - s.mu) / s.sd * 10000 + 0.5) / 10000.0 AS scaled,
+          |  c.clipped
+          |FROM clamped c JOIN stats s USING (event_type)""".stripMargin) +
       ("journey_paths" ->
         """WITH steps AS (
           |  SELECT lag(event_type, 2) OVER w AS t1,

@@ -384,6 +384,19 @@ object StreamingOps {
       }
   }
 
+  /** [[cdcCompactStream]] on the transformWithState API
+    * ([[CdcCompactProcessor]]) — Update mode, RocksDB-backed state.
+    */
+  def cdcCompactStreamTws(
+      changes: Dataset[(Long, Long, Long, String, Double)]): Dataset[CdcOut] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_._1)
+      .transformWithState(new CdcCompactProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+  }
+
   final case class UserCount(user_id: Long, n: Long)
 
   /** Custom keyed state via mapGroupsWithState: running event count per
@@ -650,6 +663,46 @@ object StreamingOps {
   * user. Top-level class (not an inner/anonymous one) so the
   * serialized processor carries no outer reference.
   */
+/** [[StreamingOps.cdcCompactStream]]'s latest-wins fold on Spark 4's
+  * transformWithState API — typed ValueState holding the winning
+  * (ts, id, type, value, n) tuple per key. StreamingSpec certifies it
+  * emission-for-emission equal to the mapGroupsWithState twin across
+  * micro-batches (the runningCounts/runningCountsTws pairing applied
+  * to the CDC operator).
+  */
+class CdcCompactProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long, String, Double), StreamingOps.CdcOut] {
+  @transient private var st:
+    org.apache.spark.sql.streaming.ValueState[StreamingOps.CdcState] = _
+
+  override def init(
+      outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    st = getHandle.getValueState[StreamingOps.CdcState]("cdc",
+      org.apache.spark.sql.Encoders.product[StreamingOps.CdcState],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  }
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[(Long, Long, Long, String, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[StreamingOps.CdcOut] = {
+    var s = if (st.exists()) st.get()
+      else StreamingOps.CdcState(Long.MinValue, Long.MinValue, "", 0.0, 0L)
+    rows.foreach { case (_, ts, id, tpe, v) =>
+      s =
+        if (ts > s.ts || (ts == s.ts && id > s.eventId))
+          StreamingOps.CdcState(ts, id, tpe, v, s.n + 1)
+        else s.copy(n = s.n + 1)
+    }
+    st.update(s)
+    Iterator.single(StreamingOps.CdcOut(key, s.eventId, s.etype, s.value,
+      Math.floorDiv(s.ts, 1000000000L), s.n))
+  }
+}
+
 class RunningCountProcessor
     extends org.apache.spark.sql.streaming.StatefulProcessor[
       Long, (Long, Double), StreamingOps.UserCount] {

@@ -300,6 +300,33 @@ class DedupSpec extends SparkSuite {
     assert(df.agg(sum("n_copies")).first().getLong(0) === 500)
   }
 
+  test("decontaminateReport ≡ Scala recompute; consistent with decontaminate") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def shingles(t: String): Set[String] = {
+      val w = t.split("[^\\p{L}]+").filter(_.nonEmpty)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet else Set.empty
+    }
+    val bench = docs.filter(_._1 < 20).map { case (id, t) => id -> shingles(t) }
+    val corpus = docs.filter(_._1 >= 20).map { case (id, t) => id -> shingles(t) }
+    val expect = bench.map { case (bid, bs) =>
+      val overlaps = corpus.map { case (cid, cs) => cid -> (bs & cs).size }
+        .filter(_._2 > 0)
+      bid -> (overlaps.length.toLong, overlaps.map(_._2.toLong).sum)
+    }.toMap
+    val got = Dedup.decontaminateReport(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expect)
+    // the corpus docs decontaminate flags are exactly those with a hit here
+    val flagged = Dedup.decontaminate(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val reachable = corpus.filter { case (_, cs) =>
+      bench.exists { case (_, bs) => (bs & cs).nonEmpty }
+    }.map(_._1).toSet
+    assert(flagged === reachable)
+  }
+
   test("dedupSavings ≡ Scala recompute; accounting identities hold") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("text", "n_chars").collect()

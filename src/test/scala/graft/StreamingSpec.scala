@@ -300,6 +300,41 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState CDC compaction ≡ mapGroupsWithState twin (RocksDB)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Long, String, Double)](spark)
+    val ds = StreamingOps.cdcCompactStreamTws(mem.toDS())
+    val name = s"cdctws_${System.nanoTime()}"
+    val q = ds.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Seq((1L, 10L * 1000000000L, 100L, "click", 1.0),
+        (2L, 10L * 1000000000L, 101L, "view", 2.0)))
+      q.processAllAvailable()
+      mem.addData(Seq((1L, 30L * 1000000000L, 200L, "purchase", 7.0),
+        (1L, 20L * 1000000000L, 150L, "click", 5.0),
+        (2L, 40L * 1000000000L, 201L, "error", 0.0)))
+      q.processAllAvailable()
+      val latest = spark.table(name).collect()
+        .groupBy(_.getLong(0))
+        .map { case (u, rs) =>
+          val r = rs.maxBy(_.getLong(5))
+          u -> (r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4), r.getLong(5))
+        }
+      // identical to the mapGroupsWithState twin's expected emissions
+      assert(latest(1L) === (200L, "purchase", 7.0, 30L, 3L))
+      assert(latest(2L) === (201L, "error", 0.0, 40L, 2L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     val mem = MemoryStream[(Long, Double)](spark)
     val ds = StreamingOps.runningCounts(mem.toDS())

@@ -395,6 +395,22 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("featureScale: clamped z-scores center near 0; clipped = outside band") {
+    val rows = graft.queries.EventOps.featureScale(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.length === 1000)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val mean = rs.map(_._3).sum / rs.length
+      assert(math.abs(mean) < 1e-2, s"mean $mean should be ~0 after centering")
+      // ~10% clipped by construction (p5/p95 band), tolerating ties
+      val frac = rs.count(_._4 == 1).toDouble / rs.length
+      assert(frac > 0.02 && frac < 0.2, s"clip fraction $frac")
+      // clipped rows sit exactly at the band edge after clamping
+      val clippedVals = rs.filter(_._4 == 1).map(_._3).distinct
+      assert(clippedVals.length <= 2)
+    }
+  }
+
   test("joinAsof plan has no nested-loop join (scalable form)") {
     val plan = Temporal.joinAsof(spark, sfDir).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
