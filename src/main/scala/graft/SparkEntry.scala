@@ -82,5 +82,6 @@ object SparkEntry {
     "journey_transitions", "forecast_baseline", "basket_pairs",
     "er_resolve", "graph_stats",
     "journey_paths", "trend_wow", "dedup_savings",
-    "feature_scale", "decontaminate_report")
+    "feature_scale", "decontaminate_report",
+    "pipeline_pretrain_dsir_minhash", "pipeline_pretrain_model_minhash")
 }

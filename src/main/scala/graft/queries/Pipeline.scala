@@ -302,7 +302,34 @@ object Pipeline {
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       dsirKeptIds)
 
+  /** Remaining cells of the gate × edge × output matrix: the pretrain
+    * shard pipeline under the model gate with linear MinHash edges,
+    * and under the DSIR gate with both edge producers — every
+    * (heuristic | model | dsir) × (ngram | minhash) × (curate |
+    * pretrain) combination is now registered and oracle-gated.
+    */
+  def pipelinePretrainModelMinhash(s: SparkSession, d: String): DataFrame =
+    pipelinePretrainWith(s, d,
+      docs => Dedup.minhashScored(docs, 0.6)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
+      modelKeptIds)
+
+  def pipelinePretrainDsir(s: SparkSession, d: String): DataFrame =
+    pipelinePretrainWith(s, d,
+      docs => Dedup.ngramScored(docs)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
+      dsirKeptIds)
+
+  def pipelinePretrainDsirMinhash(s: SparkSession, d: String): DataFrame =
+    pipelinePretrainWith(s, d,
+      docs => Dedup.minhashScored(docs, 0.6)
+        .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
+      dsirKeptIds)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_pretrain_model_minhash" -> pipelinePretrainModelMinhash,
+    "pipeline_pretrain_dsir" -> pipelinePretrainDsir,
+    "pipeline_pretrain_dsir_minhash" -> pipelinePretrainDsirMinhash,
     "pipeline_curate_dsir" -> pipelineCurateDsir,
     "pipeline_curate_dsir_minhash" -> pipelineCurateDsirMinhash,
     "pipeline_curate" -> pipelineCurate,
@@ -496,6 +523,15 @@ object Pipeline {
       |UNION ALL SELECT '4_' || split, count(*) FROM splits GROUP BY split""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "pipeline_pretrain_model_minhash" ->
+      ("WITH RECURSIVE\n" + modelMinhashChainSql + ",\n" + pretrainTailSql +
+        "\n" + pretrainCensusSql),
+    "pipeline_pretrain_dsir" ->
+      ("WITH RECURSIVE\n" + dsirChainSql + ",\n" + pretrainTailSql +
+        "\n" + pretrainCensusSql),
+    "pipeline_pretrain_dsir_minhash" ->
+      ("WITH RECURSIVE\n" + dsirMinhashChainSql + ",\n" + pretrainTailSql +
+        "\n" + pretrainCensusSql),
     "pipeline_curate_dsir" ->
       ("WITH RECURSIVE\n" + dsirChainSql + "\n" + censusSql),
     "pipeline_curate_dsir_minhash" ->

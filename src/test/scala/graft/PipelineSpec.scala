@@ -98,6 +98,25 @@ class PipelineSpec extends SparkSuite {
     assert(shardSum === pm("6_chunks"))
   }
 
+  test("pretrain matrix cells: dsir/model minhash twins equal their ngram forms") {
+    val dsirNgram = Pipeline.pipelinePretrainDsir(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dsirMh = Pipeline.pipelinePretrainDsirMinhash(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dsirMh === dsirNgram)
+    val modelNgram = Pipeline.pipelinePretrainModel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val modelMh = Pipeline.pipelinePretrainModelMinhash(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(modelMh === modelNgram)
+    // the dsir pretrain shares its curate stages with pipeline_curate_dsir
+    val curate = Pipeline.pipelineCurateDsir(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    curate.keys.filterNot(_.startsWith("4_")).foreach { k =>
+      assert(dsirNgram(k) === curate(k), s"stage $k")
+    }
+  }
+
   test("pretrain minhash twin equals the ngram-edged (oracle) form on sf0.001") {
     val ngram = Pipeline.pipelinePretrain(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

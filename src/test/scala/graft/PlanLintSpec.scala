@@ -38,6 +38,8 @@ class PlanLintSpec extends SparkSuite {
     "pipeline_curate", "pipeline_curate_minhash", "pipeline_curate_model",
     "pipeline_curate_model_minhash", "pipeline_pretrain",
     "pipeline_pretrain_minhash", "pipeline_pretrain_model",
+    "pipeline_pretrain_model_minhash", "pipeline_pretrain_dsir",
+    "pipeline_pretrain_dsir_minhash",
     "lm_score", "lm_score_bigram", "unigram_train", "unigram_encode",
     "classifier_train", "classifier_predict", "pca_top", "pca_topk",
     "embed_project", "embed_quantize", "events_retention", "recursive_cte",
