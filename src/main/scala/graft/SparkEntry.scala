@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Unigram}
+import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Tpch, Unigram}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -26,7 +26,8 @@ object SparkEntry {
       Sketches.queries ++ Skew.queries ++ Formats.queries ++ Multimodal.queries ++
       Cluster.queries ++ Sharding.queries ++ Corpus.queries ++ Tokenize.queries ++
       Kmeans.queries ++ Embeddings.queries ++ Pipeline.queries ++ Curation.queries ++
-      Classifier.queries ++ Unigram.queries ++ Pq.queries ++ Dsir.queries
+      Classifier.queries ++ Unigram.queries ++ Pq.queries ++ Dsir.queries ++
+      Tpch.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -39,7 +40,7 @@ object SparkEntry {
       Multimodal.oracleSql ++ Cluster.oracleSql ++ Sharding.oracleSql ++ Corpus.oracleSql ++
       Tokenize.oracleSql ++ Kmeans.oracleSql ++ Embeddings.oracleSql ++
       Pipeline.oracleSql ++ Curation.oracleSql ++ Classifier.oracleSql ++
-      Unigram.oracleSql ++ Pq.oracleSql ++ Dsir.oracleSql
+      Unigram.oracleSql ++ Pq.oracleSql ++ Dsir.oracleSql ++ Tpch.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative
     * subset (scan-agg, fact-fact join, window, text, dedup paths).
@@ -83,5 +84,7 @@ object SparkEntry {
     "er_resolve", "graph_stats",
     "journey_paths", "trend_wow", "dedup_savings",
     "feature_scale", "decontaminate_report",
-    "pipeline_pretrain_dsir_minhash", "pipeline_pretrain_model_minhash")
+    "pipeline_pretrain_dsir_minhash", "pipeline_pretrain_model_minhash",
+    "q4_order_priority", "q6_forecast", "q10_returned", "q13_custdist",
+    "q14_promo", "q19_discount_parts")
 }
