@@ -86,5 +86,7 @@ object SparkEntry {
     "feature_scale", "decontaminate_report",
     "pipeline_pretrain_dsir_minhash", "pipeline_pretrain_model_minhash",
     "q4_order_priority", "q6_forecast", "q10_returned", "q13_custdist",
-    "q14_promo", "q19_discount_parts")
+    "q14_promo", "q19_discount_parts", "q8_market_share", "q11_part_value",
+    "q15_top_supplier", "q16_parts_suppliers", "q18_big_orders",
+    "q22_global_balance")
 }

@@ -146,7 +146,154 @@ object Tpch {
         .as("revenue"))
   }
 
+  /** TPC-H Q8: national market share — the fraction of ASIA-region
+    * customers' revenue supplied by NATION_1, per order year. Two
+    * independent nation lookups (customer side filtered through
+    * region, supplier side kept as a grouping input) with disjoint
+    * aliases; conditional aggregation computes numerator and
+    * denominator in ONE pass — never two scans. Both sums round
+    * before the share divides (q14's hash-stability idiom).
+    */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val nC = nation(s, d).select(col("n_nationkey").as("ck"), col("n_regionkey"))
+    val nS = nation(s, d).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    lineitem(s, d)
+      .join(orders(s, d).filter(col("o_orderdate") >= tsLit("1996-01-01") &&
+        col("o_orderdate") < tsLit("1998-01-01")), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nC), col("c_nationkey") === col("ck"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nS), col("s_nationkey") === col("sk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(sum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0.0))), 2)
+          .as("nation_revenue"),
+        round(sum(rev), 2).as("total_revenue"))
+      .select(col("o_year"),
+        round(col("nation_revenue") / col("total_revenue"), 4).as("mkt_share"),
+        col("nation_revenue"), col("total_revenue"))
+  }
+
+  /** TPC-H Q11: important-part value. Per-part revenue value compared
+    * against a GLOBAL scalar threshold — the scalar subquery becomes a
+    * 1-row aggregate crossJoined onto the per-part frame (broadcast by
+    * construction: one row). No partsupp table, so "value" proxies as
+    * discounted lineitem revenue per part; the stock fixed-fraction
+    * cut (0.0001/SF) is scale-dependent, so the threshold here is
+    * 1.2× the MEAN part value — same plan shape, SF-invariant
+    * selectivity. The compare runs on the raw sums (relative double
+    * noise ~1e-16 cannot cross a 20% margin); the EMITTED value
+    * rounds to cents.
+    */
+  def q11PartValue(s: SparkSession, d: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val perPart = lineitem(s, d)
+      .groupBy("l_partkey").agg(sum(rev).as("raw_value"))
+    val total = perPart.agg(avg(col("raw_value")).as("mean_value"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("raw_value") > col("mean_value") * lit(1.2))
+      .select(col("l_partkey"), round(col("raw_value"), 2).as("part_value"))
+  }
+
+  /** TPC-H Q15: top supplier(s) — revenue per supplier over 1996Q1,
+    * keeping every supplier whose revenue EQUALS the maximum. The
+    * view+scalar-subquery form becomes one aggregation plus an
+    * unpartitioned window max; equality is decided on the
+    * already-rounded cents so "ties at max" is well-defined across
+    * engines. The window input is |suppliers| rows of (key, cents) —
+    * single-partition is safe at any SF.
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = lineitem(s, d)
+      .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+        col("l_shipdate") < tsLit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    rev.withColumn("max_rev", max("total_revenue").over(Window.partitionBy()))
+      .filter(col("total_revenue") === col("max_rev"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  /** TPC-H Q16: supplier diversity per part segment — distinct
+    * suppliers actually shipping each (brand, type, size) cell,
+    * excluding one brand, non-PROMO types, a size whitelist, and
+    * "complaint" suppliers (adapted: negative account balance).
+    * The exclusion list is a broadcast LEFT ANTI join (never a
+    * NOT IN subquery re-scan); the distinct count shuffles once on
+    * the 3-part cell key.
+    */
+  def q16PartsSuppliers(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val complaints = supplier(s, d).filter(col("s_acctbal") < 0).select("s_suppkey")
+    lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+  }
+
+  /** TPC-H Q18: large-volume orders — customers whose order exceeds
+    * 200 total units. The HAVING pre-aggregates lineitem down to
+    * qualifying orderkeys BEFORE any dimension join (the only plan
+    * that survives a 100 TB fact: the group-by output is |orders|
+    * rows, the filter cuts it to the tail). Quantities are integral
+    * doubles, so the sum and the >200 cut are exact. Top-100 by
+    * total price with a full tie-break.
+    */
+  def q18BigOrders(s: SparkSession, d: String): DataFrame = {
+    val big = lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("sum_qty"))
+      .filter(col("sum_qty") > 200)
+    big.join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        round(col("o_totalprice"), 2).as("totalprice"), col("sum_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
+  /** TPC-H Q22: global sales opportunity — wealthy-but-inactive
+    * customers per nation. "Inactive" adapts to "no order since
+    * 2000-07-01" (every customer here has SOME order, unlike stock
+    * TPC-H); the country-code IN-list is a nationkey set. Two scalar
+    * shapes compose: a 1-row broadcast average threshold and a
+    * broadcast LEFT ANTI join against the recent-actives projection
+    * (distinct custkeys — at 100 TB this is the |customers|-bounded
+    * side, not the order stream).
+    */
+  def q22GlobalBalance(s: SparkSession, d: String): DataFrame = {
+    val pool = customer(s, d).filter(col("c_nationkey").isin(1, 2, 3, 4, 5))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val thr = pool.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal").as("bal_threshold"))
+    val active = orders(s, d)
+      .filter(col("o_orderdate") >= tsLit("2000-07-01"))
+      .select("o_custkey").distinct()
+    pool.crossJoin(broadcast(thr))
+      .filter(col("c_acctbal") > col("bal_threshold"))
+      .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> q8MarketShare,
+    "q11_part_value" -> q11PartValue,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_parts_suppliers" -> q16PartsSuppliers,
+    "q18_big_orders" -> q18BigOrders,
+    "q22_global_balance" -> q22GlobalBalance,
     "q4_order_priority" -> q4OrderPriority,
     "q6_forecast" -> q6Forecast,
     "q10_returned" -> q10Returned,
@@ -155,6 +302,84 @@ object Tpch {
     "q19_discount_parts" -> q19DiscountParts)
 
   def oracleSql: Map[String, String] = Map(
+    "q8_market_share" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    l_extendedprice * (1 - l_discount) AS rev,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |sums AS (
+        |  SELECT o_year,
+        |    round(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END), 2)
+        |      AS nation_revenue,
+        |    round(sum(rev), 2) AS total_revenue
+        |  FROM base GROUP BY 1)
+        |SELECT o_year, round(nation_revenue / total_revenue, 4) AS mkt_share,
+        |  nation_revenue, total_revenue
+        |FROM sums""".stripMargin,
+    "q11_part_value" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS raw_value
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, round(raw_value, 2) AS part_value
+        |FROM per_part
+        |WHERE raw_value > (SELECT avg(raw_value) FROM per_part) * 1.2""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin,
+    "q16_parts_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q18_big_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(o_totalprice, 2) AS totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "q22_global_balance" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |  WHERE c_nationkey IN (1, 2, 3, 4, 5)),
+        |thr AS (SELECT avg(c_acctbal) AS bal_threshold FROM pool
+        |        WHERE c_acctbal > 0),
+        |active AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '2000-07-01')
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM pool, thr
+        |WHERE c_acctbal > bal_threshold
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM active)
+        |GROUP BY 1""".stripMargin,
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

