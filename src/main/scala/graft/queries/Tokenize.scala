@@ -200,13 +200,14 @@ object Tokenize {
     * greedy-leftmost carry semantics (the per-token wrapping stops a
     * replacement from consuming the delimiter the next match needs).
     */
-  def oracleSql: Map[String, String] = {
-    // one training round: re-tokenize, weighted adjacent-pair count,
-    // (cnt desc, pair asc) argmax, replace on every vocab word; an
-    // exhausted round (empty m$i) leaves the vocab unchanged via the
-    // CASE guard, mirroring bpeMergesOn's early stop (a CROSS JOIN
-    // against the empty argmax would wipe the vocabulary instead)
-    def trainRound(i: Int): String =
+  // one training round: re-tokenize, weighted adjacent-pair count,
+  // (cnt desc, pair asc) argmax, replace on every vocab word; an
+  // exhausted round (empty m$i) leaves the vocab unchanged via the
+  // CASE guard, mirroring bpeMergesOn's early stop (a CROSS JOIN
+  // against the empty argmax would wipe the vocabulary instead.
+  // Object-level (not local to oracleSql) so Wordpiece.oracleSql can
+  // build its encoder on the same train chain.
+  private[queries] def trainRound(i: Int): String =
       s"""t$i AS MATERIALIZED (SELECT w, f, list_filter(string_split(s, '|'), x -> len(x) > 0) AS toks
          |        FROM v${i - 1}),
          |p$i AS MATERIALIZED (SELECT t.toks[d.i] AS l, t.toks[d.i + 1] AS r,
@@ -222,21 +223,30 @@ object Tokenize {
          |                 '|' || (SELECT l FROM m$i) || (SELECT r FROM m$i) || '|')
          |          END AS s
          |        FROM v${i - 1} v)""".stripMargin
+
+  /** The full NMerges train chain as CTE bodies (toks → wf → dims →
+    * v0 → t/p/m/v per round). Shared by bpe_train / bpe_encode and
+    * Wordpiece.oracleSql (which builds its greedy encoder on top).
+    */
+  private[queries] def chainSql: String = {
     val rounds = (1 to NMerges).map(trainRound).mkString(",\n")
-    val prelude =
-      s"""toks AS (
-         |  SELECT unnest(list_filter(string_split_regex(text, '[^\\p{L}]+'),
-         |                            x -> len(x) > 0)) AS w
-         |  FROM documents),
-         |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w),
-         |dims AS (
-         |  SELECT unnest(generate_series(1,
-         |    (SELECT CAST(max(len(w)) AS INTEGER) FROM wf))) AS i),
-         |v0 AS MATERIALIZED (SELECT w, f,
-         |         array_to_string(list_transform(generate_series(1, len(w)),
-         |           j -> '|' || substr(w, j, 1) || '|'), '') AS s
-         |       FROM wf),
-         |$rounds""".stripMargin
+    s"""toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+       |                            x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY w),
+       |dims AS (
+       |  SELECT unnest(generate_series(1,
+       |    (SELECT CAST(max(len(w)) AS INTEGER) FROM wf))) AS i),
+       |v0 AS MATERIALIZED (SELECT w, f,
+       |         array_to_string(list_transform(generate_series(1, len(w)),
+       |           j -> '|' || substr(w, j, 1) || '|'), '') AS s
+       |       FROM wf),
+       |$rounds""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = {
+    val prelude = chainSql
     val mergeRows = (1 to NMerges).map { i =>
       s"""SELECT CAST($i AS INTEGER) AS rank, l AS "left", r AS "right", cnt FROM m$i"""
     }.mkString("\nUNION ALL ")
