@@ -769,7 +769,62 @@ object Cluster {
     collected
   }
 
+  /** Adamic-Adar link prediction (Adamic & Adar 2003) over the part
+    * CO-PURCHASE graph (parts bought together in ≥ 2 orders — the
+    * basket_pairs edge producer with a support prune; the near-dup
+    * document graph is unusable here: its components are tiny cliques,
+    * so every wedge closes and no link is predictable). For every
+    * NON-edge (u,v) sharing a neighbor, score Σ_z 1/ln(deg(z)) over
+    * common neighbors z — rare shared neighbors count more. Top 50
+    * predicted links: the "customers who bought these also buy"
+    * primitive.
+    *
+    * Determinism: each z's term is floor-quantized to an int64 at 1e-9
+    * BEFORE the sum, so the aggregate is an order-independent integer
+    * sum (q9's cancellation trick applied to float merge order); the
+    * final score floor-rounds at 4dp. deg(z) ≥ 2 by construction (a
+    * common neighbor has two neighbors), so ln never sees 1.
+    *
+    * Scale: baskets collapse to distinct items first (pair volume
+    * Σ basket², bounded by the per-order line cap); the support prune
+    * keeps the graph sparse, and wedge volume Σ deg(z)² SHRINKS with
+    * SF for fixed support (co-purchase coincidence dilutes as the
+    * part domain grows — measured 13k wedges at sf0.01, 1.4k at
+    * sf0.1). Everything shuffles on part ids only.
+    */
+  def graphAdamicAdar(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val ia = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val ib = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
+    val edges = ia.join(ib, col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .select("pa", "pb").stable
+    val sym = edges.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(edges.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("dg"))
+    val zt = deg.filter(col("dg") >= 2)
+      .select(col("src").as("z"),
+        floor(lit(1e9) / log(col("dg").cast("double"))).cast("long").as("t"))
+    val a = sym.select(col("src").as("z"), col("dst").as("u"))
+    val b = sym.select(col("src").as("z2"), col("dst").as("v"))
+    val wedges = a.join(b, col("z") === col("z2") && col("u") < col("v")).drop("z2")
+    val nonEdges = wedges.join(edges,
+      col("u") === col("pa") && col("v") === col("pb"), "left_anti")
+    val out = nonEdges.join(zt, "z")
+      .groupBy(col("u").as("part_a"), col("v").as("part_b"))
+      .agg(count(lit(1)).as("cn"),
+        (floor(sum(col("t")) / lit(1e5) + lit(0.5)) / 1e4).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("part_a").asc, col("part_b").asc)
+      .limit(50)
+    val collected = out.stable
+    edges.unpersist(false)
+    collected
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_adamic_adar" -> graphAdamicAdar,
     "graph_stats" -> graphStats,
     "graph_bfs" -> graphBfs,
     "graph_bfs_minhash" -> graphBfsMinhash,
@@ -1014,6 +1069,30 @@ object Cluster {
          |""".stripMargin + lpChainSql + "\n" + lpSelectSql),
     "graph_bfs" ->
       ("WITH " + ngramScoredSqlLit + ",\n" + bfsChainSql + "\n" + bfsSelectSql),
+    "graph_adamic_adar" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |ed AS (
+        |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |e AS (SELECT pa AS src, pb AS dst FROM ed
+        |      UNION ALL
+        |      SELECT pb AS src, pa AS dst FROM ed),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1),
+        |zt AS (SELECT src AS z,
+        |         CAST(floor(1e9 / ln(CAST(dg AS DOUBLE))) AS BIGINT) AS t
+        |       FROM deg WHERE dg >= 2),
+        |w AS (SELECT a.src AS z, a.dst AS u, b.dst AS v
+        |      FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst),
+        |nw AS (SELECT w.z, w.u, w.v FROM w
+        |       LEFT JOIN ed ON ed.pa = w.u AND ed.pb = w.v
+        |       WHERE ed.pa IS NULL)
+        |SELECT u AS part_a, v AS part_b, count(*) AS cn,
+        |  floor(sum(t) / 1e5 + 0.5) / 1e4 AS aa_score
+        |FROM nw JOIN zt USING (z)
+        |GROUP BY 1, 2
+        |ORDER BY aa_score DESC, part_a, part_b LIMIT 50""".stripMargin,
     "graph_stats" ->
       ("WITH RECURSIVE " + ngramScoredSqlLit + ",\n" + ccSymSql + ",\n" +
         """deg AS (SELECT src, count(*) AS dg FROM e GROUP BY 1)

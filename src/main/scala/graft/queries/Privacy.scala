@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** k-anonymity operators (Sweeney 2002) over the customer table —
+  * the data-governance gate a pipeline runs before releasing
+  * quasi-identifier columns. Complements the redaction ops
+  * (TextOps.pii_mask, Temporal.privacy_erase): those remove values,
+  * these measure and repair RE-IDENTIFIABILITY — a record is k-anon
+  * safe iff its quasi-identifier combination is shared by ≥ k rows.
+  *
+  * Quasi-identifiers here: (c_nationkey, c_mktsegment); k = 10 (k=5 is vacuous at the
+  * sf0.01 gate — every class already has ≥ 5 members).
+  *
+  * Scale: both operators are one hash aggregate over the QID key
+  * (map-side partials collapse to |QID-combinations| rows — bounded
+  * by the attribute domain product, not the table), plus, for the
+  * repair pass, a second aggregate over the generalized key. Nothing
+  * row-scaled ever reaches the driver.
+  */
+object Privacy {
+
+  private val K = 10
+
+  /** Equivalence-class census: one row per QID combination with its
+    * size and the k-violation flag. The shape an auditor reads — and
+    * the exact input the generalization pass consumes.
+    */
+  def privacyKanon(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("violates", col("class_size") < K)
+
+  /** One-level generalization repair: classes already ≥ k keep their
+    * full QID; violating classes generalize c_mktsegment → '*' and
+    * re-group per nation. `residual` marks nations whose merged
+    * remainder class STILL falls below k (needing the next rung of
+    * the hierarchy — suppression or nation generalization).
+    */
+  def privacyKanonGeneralize(s: SparkSession, d: String): DataFrame = {
+    val census = privacyKanon(s, d)
+    val ok = census.filter(!col("violates"))
+      .select(col("c_nationkey"), col("c_mktsegment").as("segment"),
+        col("class_size"), lit(false).as("generalized"), lit(false).as("residual"))
+    val merged = census.filter(col("violates"))
+      .groupBy("c_nationkey")
+      .agg(sum("class_size").as("class_size"))
+      .select(col("c_nationkey"), lit("*").as("segment"), col("class_size"),
+        lit(true).as("generalized"), (col("class_size") < K).as("residual"))
+    ok.unionAll(merged)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_kanon" -> privacyKanon,
+    "privacy_kanon_generalize" -> privacyKanonGeneralize)
+
+  def oracleSql: Map[String, String] = Map(
+    "privacy_kanon" ->
+      s"""SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+         |  count(*) < $K AS violates
+         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "privacy_kanon_generalize" ->
+      s"""WITH census AS (
+         |  SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+         |  FROM customer GROUP BY 1, 2)
+         |SELECT c_nationkey, c_mktsegment AS segment, class_size,
+         |  false AS generalized, false AS residual
+         |FROM census WHERE class_size >= $K
+         |UNION ALL
+         |SELECT c_nationkey, '*' AS segment,
+         |  CAST(sum(class_size) AS BIGINT) AS class_size, true AS generalized,
+         |  sum(class_size) < $K AS residual
+         |FROM census WHERE class_size < $K
+         |GROUP BY c_nationkey""".stripMargin)
+}

@@ -473,6 +473,40 @@ class ClusterSpec extends SparkSuite {
     assert(r.getLong(5) === comps.values.max.toLong)   // largest
   }
 
+  test("graph_adamic_adar: predicted links are non-edges with correct AA scores") {
+    import org.apache.spark.sql.functions._
+    // sequential reference over the same co-purchase graph
+    val items = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairCnt = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = pairCnt.filter(_._2 >= 2).keys.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = (for {
+      (z, ns) <- adj.toSeq; u <- ns; v <- ns if u < v
+      if !edges((u, v))
+    } yield ((u, v), math.floor(1e9 / math.log(adj(z).size)).toLong))
+      .groupBy(_._1).view
+      .mapValues(ts => (ts.size.toLong,
+        math.floor(ts.map(_._2).sum / 1e5 + 0.5) / 1e4)).toMap
+    val got = Cluster.graphAdamicAdar(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+    assert(got.nonEmpty)
+    got.foreach { case (pair, scored) =>
+      assert(!edges(pair), s"$pair is already an edge")
+      assert(expected(pair) === scored, s"$pair score mismatch")
+    }
+    // top-50 really is the top of the reference ranking
+    val topRef = expected.toSeq
+      .sortBy { case ((a, b), (_, s)) => (-s, a, b) }.take(got.length)
+      .map { case (p, (c, s)) => (p, (c, s)) }
+    assert(got.toSeq === topRef)
+  }
+
   test("label_prop_minhash ≡ ngram-edged label_prop on sf0.001") {
     val ngram = Cluster.labelProp(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
