@@ -90,5 +90,6 @@ object SparkEntry {
     "q14_promo", "q19_discount_parts", "q8_market_share", "q11_part_value",
     "q15_top_supplier", "q16_parts_suppliers", "q18_big_orders",
     "q22_global_balance", "fingerprint_winnow", "dedup_winnow",
-    "quality_gopher", "quality_gopher_report", "wordpiece_encode", "graph_adamic_adar", "privacy_kanon", "privacy_kanon_generalize")
+    "quality_gopher", "quality_gopher_report", "wordpiece_encode", "graph_adamic_adar", "privacy_kanon", "privacy_kanon_generalize",
+    "skyline_2d", "attribution_position")
 }

@@ -595,7 +595,42 @@ object Advanced {
         col("n_names"), col("n_parts_total"))
   }
 
+  /** 2D skyline (Pareto frontier; Börzsönyi et al. ICDE'01): the parts
+    * no other part dominates — here minimize p_retailprice, maximize
+    * p_size (cheapest-for-the-size frontier). The textbook operator is
+    * a quadratic self-anti-join; in 2D it collapses to a SORT + RUNNING
+    * MAX: a cell (price, size) is dominated iff a strictly cheaper
+    * price level reaches ≥ its size, or its own price level contains a
+    * strictly larger size.
+    *
+    * Scale: rows collapse to distinct (price, size) cells first (the
+    * window input is cell-bounded — the price domain is fixed-width
+    * cents, so cells ≤ \|price domain\| × \|size domain\| at any SF);
+    * the running max runs over per-price maxima, \|distinct prices\|
+    * rows. Output is the surviving parts re-joined by cell.
+    */
+  def skyline2d(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val cells = p.groupBy("p_retailprice", "p_size")
+      .agg(count(lit(1)).as("n_parts"))
+    val perPrice = cells.groupBy("p_retailprice")
+      .agg(max("p_size").as("pmax"))
+    val prevW = Window.orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = perPrice
+      .withColumn("best_cheaper", max("pmax").over(prevW))
+    val sky = cells.join(withPrev, "p_retailprice")
+      .filter(
+        (col("best_cheaper").isNull || col("best_cheaper") < col("p_size")) &&
+          col("p_size") === col("pmax"))
+      .select(col("p_retailprice"), col("p_size"), col("n_parts"))
+    p.join(sky, Seq("p_retailprice", "p_size"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skyline_2d" -> skyline2d,
     "er_resolve" -> erResolve,
     "search_trigram" -> searchTrigram,
     "er_block" -> erBlock,
@@ -634,6 +669,24 @@ object Advanced {
     "window_nav" -> windowNav)
 
   def oracleSql: Map[String, String] = Map(
+    "skyline_2d" ->
+      """WITH cells AS (
+        |  SELECT p_retailprice, p_size, count(*) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |per_price AS (
+        |  SELECT p_retailprice, max(p_size) AS pmax FROM cells GROUP BY 1),
+        |with_prev AS (
+        |  SELECT p_retailprice, pmax,
+        |    max(pmax) OVER (ORDER BY p_retailprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper
+        |  FROM per_price),
+        |sky AS (
+        |  SELECT c.p_retailprice, c.p_size
+        |  FROM cells c JOIN with_prev w USING (p_retailprice)
+        |  WHERE (w.best_cheaper IS NULL OR w.best_cheaper < c.p_size)
+        |    AND c.p_size = w.pmax)
+        |SELECT p_partkey, p_retailprice, p_size
+        |FROM part JOIN sky USING (p_retailprice, p_size)""".stripMargin,
     "er_resolve" ->
       """WITH RECURSIVE names AS (
         |  SELECT p_name, count(*) AS n_parts, min(p_partkey) AS canon_key,

@@ -316,6 +316,51 @@ object Temporal {
         (floor(sum(col("value") / col("k")) * 10000 + 0.5) / 10000.0).as("credit"))
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: within each
+    * purchase's 1-hour lookback, the FIRST and LAST click earn 40%
+    * each and the middles split the remaining 20% — the industry
+    * counterpart to [[attributionLinear]]'s equal split (k=1 → 100%,
+    * k=2 → 50/50). Same banded pair producer (bucketed equi-join,
+    * never an inequality join over raw event pairs); the touch rank
+    * is a per-purchase window with a click-id tie-break.
+    *
+    * Determinism: each touch's credit term is floor-quantized to
+    * int64 micros BEFORE the per-click sum (weights like 0.2/(k-2)
+    * are not dyadic, so a raw double sum would be merge-order
+    * sensitive), making the aggregate an exact integer sum.
+    */
+  def attributionPosition(s: SparkSession, d: String): DataFrame = {
+    val WindowNs = 3600L * NanosPerSec
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"),
+        expr(s"ts DIV $WindowNs").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("value"),
+        col("ts").as("pts"),
+        explode(array(expr(s"ts DIV $WindowNs") - 1, expr(s"ts DIV $WindowNs")))
+          .as("bucket"))
+    val pairs = clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("pts") >= col("cts") && col("pts") - col("cts") <= WindowNs)
+      .select(col("user_id"), col("click_id"), col("cts"),
+        col("purchase_id"), col("value"))
+    val byPurchase = Window.partitionBy("purchase_id")
+    val rankW = byPurchase.orderBy(col("cts").asc, col("click_id").asc)
+    val w = pairs
+      .withColumn("k", count(lit(1)).over(byPurchase))
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("wgt",
+        when(col("k") === 1, lit(1.0))
+          .when(col("rn") === 1 || col("rn") === col("k"),
+            when(col("k") === 2, lit(0.5)).otherwise(lit(0.4)))
+          .otherwise(lit(0.2) / (col("k") - 2)))
+      .withColumn("term_q",
+        floor(col("wgt") * col("value") * 1e6 + lit(0.5)).cast("long"))
+    w.groupBy("click_id", "user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        (floor(sum(col("term_q")) / lit(100.0) + lit(0.5)) / 1e4).as("credit"))
+  }
+
   /** The STREAMING CDC-compaction code path executed on batch rows —
     * puts [[graft.streaming.StreamingOps.cdcCompactStream]] under the
     * driver's DuckDB oracle gate (same contract as the
@@ -365,6 +410,7 @@ object Temporal {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "privacy_erase" -> privacyErase,
     "attribution_linear" -> attributionLinear,
+    "attribution_position" -> attributionPosition,
     "cdc_merge" -> cdcMerge,
     "cdc_merge_stream" -> cdcMergeStream,
     "join_asof" -> joinAsof,
@@ -424,6 +470,30 @@ object Temporal {
           |    AS last_s
           |FROM events e JOIN tomb USING (user_id)
           |GROUP BY e.user_id""".stripMargin) +
+      ("attribution_position" ->
+        """WITH pairs AS (
+          |  SELECT c.user_id, c.event_id AS click_id, c.ts AS cts,
+          |         p.event_id AS purchase_id, p.value
+          |  FROM events c JOIN events p
+          |    ON c.user_id = p.user_id
+          |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+          |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+          |ranked AS (
+          |  SELECT *,
+          |    count(*) OVER (PARTITION BY purchase_id) AS k,
+          |    row_number() OVER (PARTITION BY purchase_id
+          |                       ORDER BY cts, click_id) AS rn
+          |  FROM pairs),
+          |weighted AS (
+          |  SELECT click_id, user_id,
+          |    CAST(floor((CASE
+          |      WHEN k = 1 THEN 1.0
+          |      WHEN rn = 1 OR rn = k THEN CASE WHEN k = 2 THEN 0.5 ELSE 0.4 END
+          |      ELSE 0.2 / (k - 2) END) * value * 1e6 + 0.5) AS BIGINT) AS term_q
+          |  FROM ranked)
+          |SELECT click_id, user_id, count(*) AS n_purchases,
+          |  floor(sum(term_q) / 100.0 + 0.5) / 1e4 AS credit
+          |FROM weighted GROUP BY click_id, user_id""".stripMargin) +
       ("attribution_linear" ->
         """WITH pairs AS (
           |  SELECT c.user_id, c.event_id AS click_id,

@@ -422,4 +422,21 @@ class TemporalSpec extends SparkSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("attribution_position: per-purchase weights form a U and sum to 1") {
+    import org.apache.spark.sql.functions._
+    // total credited value ≈ total purchase value of attributed
+    // purchases (weights per purchase sum to exactly 1 modulo the 1e-6
+    // per-term quantization × touch count)
+    val pos = Temporal.attributionPosition(spark, sfDir)
+      .agg(sum("credit")).collect()(0).getDouble(0)
+    val lin = Temporal.attributionLinear(spark, sfDir)
+      .agg(sum("credit")).collect()(0).getDouble(0)
+    assert(math.abs(pos - lin) < 0.01 * math.max(1.0, lin),
+      s"U-shaped total $pos deviates from linear total $lin — weights don't sum to 1")
+    // same attributed click set as the linear model (same pair producer)
+    val kPos = Temporal.attributionPosition(spark, sfDir).count()
+    val kLin = Temporal.attributionLinear(spark, sfDir).count()
+    assert(kPos === kLin)
+  }
 }
