@@ -60,7 +60,9 @@ class PlanLintSpec extends SparkSuite {
     // leg, forecast horizon, basket order count)
     "user_rfm", "quality_ensemble", "forecast_baseline", "basket_pairs",
     // graph census: three 1-row stat frames cross-joined
-    "graph_stats")
+    "graph_stats",
+    // 1-row broadcast scalar thresholds (mean part value / avg balance)
+    "q11_part_value", "q22_global_balance")
 
   private lazy val plans: Map[String, String] = {
     val s = spark
