@@ -605,7 +605,40 @@ object EventOps {
         col("clipped"))
   }
 
+  /** A/B experiment readout: deterministic arm assignment (user_id
+    * parity — the hash-bucket split every experimentation platform
+    * uses), per-arm value metrics from POWER SUMS (n, Σx, Σx²), lift
+    * and a Welch z-statistic. Power sums, not builtin stddev: both
+    * engines then run the identical closed formula over the identical
+    * sums (the Advanced.stats_agg determinism rule). One aggregation
+    * pass over events; the two 1-row arm frames join into the single
+    * readout row — O(1) everywhere after the scan.
+    */
+  def abTestReadout(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select((col("user_id") % 2).as("arm"), col("value"))
+    val sums = ev.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("value").as("s"),
+        sum(col("value") * col("value")).as("ss"))
+    val a = sums.filter(col("arm") === 0)
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("ss").as("ss_a"))
+    val b = sums.filter(col("arm") === 1)
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("ss").as("ss_b"))
+    val mA = col("s_a") / col("n_a")
+    val mB = col("s_b") / col("n_b")
+    val vA = (col("ss_a") - col("s_a") * col("s_a") / col("n_a")) / (col("n_a") - 1)
+    val vB = (col("ss_b") - col("s_b") * col("s_b") / col("n_b")) / (col("n_b") - 1)
+    val z = (mB - mA) / sqrt(vA / col("n_a") + vB / col("n_b"))
+    a.crossJoin(broadcast(b))
+      .select(col("n_a"), col("n_b"),
+        (floor(mA * 10000 + 0.5) / 10000.0).as("mean_a"),
+        (floor(mB * 10000 + 0.5) / 10000.0).as("mean_b"),
+        (floor((mB - mA) / mA * 1000000 + 0.5) / 10000.0).as("lift_pct"),
+        (floor(z * 10000 + 0.5) / 10000.0).as("z_score"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab_test_readout" -> abTestReadout,
     "feature_scale" -> featureScale,
     "journey_paths" -> journeyPaths,
     "trend_wow" -> trendWow,
@@ -645,6 +678,23 @@ object EventOps {
 
   def oracleSql: Map[String, String] =
     oracleBase +
+      ("ab_test_readout" ->
+        """WITH sums AS (
+          |  SELECT user_id % 2 AS arm, count(*) AS n,
+          |    sum(value) AS s, sum(value * value) AS ss
+          |  FROM events GROUP BY 1),
+          |a AS (SELECT n AS n_a, s AS s_a, ss AS ss_a FROM sums WHERE arm = 0),
+          |b AS (SELECT n AS n_b, s AS s_b, ss AS ss_b FROM sums WHERE arm = 1)
+          |SELECT n_a, n_b,
+          |  floor(s_a / n_a * 10000 + 0.5) / 10000.0 AS mean_a,
+          |  floor(s_b / n_b * 10000 + 0.5) / 10000.0 AS mean_b,
+          |  floor((s_b / n_b - s_a / n_a) / (s_a / n_a) * 1000000 + 0.5) / 10000.0
+          |    AS lift_pct,
+          |  floor((s_b / n_b - s_a / n_a)
+          |    / sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+          |         + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b)
+          |    * 10000 + 0.5) / 10000.0 AS z_score
+          |FROM a, b""".stripMargin) +
       ("join_pit_lookup" -> oracleBase("join_pit")) +
       ("impute_locf_stream" -> imputeLocfSql) +
       ("feature_rolling" ->
