@@ -637,7 +637,25 @@ object EventOps {
         (floor(z * 10000 + 0.5) / 10000.0).as("z_score"))
   }
 
+  /** The STREAMING left-outer interval join executed on batch rows —
+    * the events_*_stream oracle contract for
+    * [[graft.streaming.StreamingOps.streamStreamJoinOuter]]: views
+    * left-joined to their 5-minute click window; view rows with no
+    * in-window click survive with NULL click columns (exactly the
+    * rows the streaming query emits on watermark expiry). On batch
+    * children the watermark erases and the equi-key (user_id) keeps
+    * the plan a shuffled join with a range residual — never a BNLJ.
+    */
+  def eventsJoinOuterStream(s: SparkSession, d: String): DataFrame = {
+    val ev = withTsm(Tables.events(s, d))
+      .select(col("tsm"), col("user_id"), col("event_type"), col("value"))
+    graft.streaming.StreamingOps.streamStreamJoinOuter(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_join_outer_stream" -> eventsJoinOuterStream,
     "ab_test_readout" -> abTestReadout,
     "feature_scale" -> featureScale,
     "journey_paths" -> journeyPaths,
@@ -678,6 +696,16 @@ object EventOps {
 
   def oracleSql: Map[String, String] =
     oracleBase +
+      ("events_join_outer_stream" ->
+        """SELECT i.user_id,
+          |  CAST(floor(epoch(CAST(i.ts AS TIMESTAMP))) AS BIGINT) AS imp_s,
+          |  CAST(floor(epoch(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS click_s,
+          |  c.value AS click_val
+          |FROM events i
+          |LEFT JOIN events c
+          |  ON c.user_id = i.user_id AND c.event_type = 'click'
+          | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 5 MINUTE
+          |WHERE i.event_type = 'view'""".stripMargin) +
       ("ab_test_readout" ->
         """WITH sums AS (
           |  SELECT user_id % 2 AS arm, count(*) AS n,

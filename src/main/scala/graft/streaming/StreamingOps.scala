@@ -305,6 +305,31 @@ object StreamingOps {
         col("c.value").as("click_val"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the hard Structured
+    * Streaming case on top of [[streamStreamJoin]]: every impression
+    * row is emitted exactly once, matched pairs as clicks arrive and
+    * UNMATCHED impressions with NULL click columns once the watermark
+    * proves no in-window click can still arrive (outer null emission
+    * requires both the watermark and the time-bound join condition —
+    * drop either and Spark rejects the query). State per key is
+    * bounded by the watermark horizon, the property that lets this
+    * run forever on an unbounded stream.
+    */
+  def streamStreamJoinOuter(imps: DataFrame, clicks: DataFrame,
+      windowMin: Int = 5): DataFrame = {
+    val i = imps.withWatermark("tsm", "10 minutes").as("i")
+    val c = clicks.withWatermark("tsm", "10 minutes").as("c")
+    i.join(c,
+        expr(s"""i.user_id = c.user_id AND
+                |c.tsm >= i.tsm AND
+                |c.tsm <= i.tsm + interval $windowMin minutes""".stripMargin),
+        "leftOuter")
+      .select(col("i.user_id").as("user_id"),
+        col("i.tsm").cast("long").as("imp_s"),
+        col("c.tsm").cast("long").as("click_s"),
+        col("c.value").as("click_val"))
+  }
+
   final case class CdcState(ts: Long, eventId: Long, etype: String,
     value: Double, n: Long)
   final case class CdcOut(user_id: Long, last_event_id: Long,

@@ -70,6 +70,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits null rows after watermark expiry") {
+    val mi = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val mc = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val joined = StreamingOps.streamStreamJoinOuter(
+      mi.toDF().toDF("tsm", "user_id", "event_type", "value"),
+      mc.toDF().toDF("tsm", "user_id", "event_type", "value"))
+    val name = s"ssjo_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mi.addData(Seq((ts(1), 1L, "imp", 0.0), (ts(2), 2L, "imp", 0.0)))
+      // user 1 clicks in-window; user 2 never clicks
+      mc.addData(Seq((ts(4), 1L, "click", 7.0)))
+      q.processAllAvailable()
+      // push the watermark far past imp+window+delay on BOTH streams so
+      // the unmatched impression's null row can be certified and emitted
+      mi.addData(Seq((ts(120), 9L, "imp", 0.0)))
+      mc.addData(Seq((ts(120), 9L, "click", 0.0)))
+      q.processAllAvailable()
+      val out = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+        .filter(_._1 <= 2L).sortBy(t => (t._1, t._3))
+      assert(out.toSeq === Seq(
+        (1L, ts(1).getTime / 1000, ts(4).getTime / 1000, 7.0),
+        (2L, ts(2).getTime / 1000, -1L, -1.0)),
+        s"got ${out.toSeq}")
+      // batch execution of the same transform contains the same rows
+      val batch = StreamingOps.streamStreamJoinOuter(
+        Seq((ts(1), 1L, "imp", 0.0), (ts(2), 2L, "imp", 0.0))
+          .toDF("tsm", "user_id", "event_type", "value"),
+        Seq((ts(4), 1L, "click", 7.0))
+          .toDF("tsm", "user_id", "event_type", "value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+        .sortBy(t => (t._1, t._3))
+      assert(batch.toSeq === out.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming tumbling counts equal batch on same rows (complete mode)") {
     val streamed = runStream(StreamingOps.tumblingCounts, OutputMode.Complete())
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
