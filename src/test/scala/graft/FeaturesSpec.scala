@@ -1,0 +1,58 @@
+package graft
+
+import graft.queries.Features
+
+/** Feature-builder contracts: LOO leakage-freedom and negative-sample
+  * validity. Cross-engine values live under the DuckDB gate.
+  */
+class FeaturesSpec extends SparkSuite {
+
+  test("target encoding is leave-one-out: excluding a row moves its encoding") {
+    import org.apache.spark.sql.functions._
+    val rows = Features.featureTargetEncode(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val orders = graft.core.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val byCat = orders.groupBy(_._2)
+    rows.foreach { case (k, cat, te) =>
+      val mine = orders.find(_._1 == k).get._3
+      val others = byCat(cat).filter(_._1 != k).map(_._3)
+      val exp =
+        if (others.nonEmpty) others.sum / others.length
+        else { val o = orders.filter(_._1 != k).map(_._3); o.sum / o.length }
+      assert(math.abs(te - exp) < 1e-3, s"order $k: $te vs $exp")
+      // self-exclusion: for non-singleton cats the encoding differs from
+      // the naive category mean whenever the row deviates from it
+      if (others.nonEmpty) {
+        val naive = byCat(cat).map(_._3).sum / byCat(cat).size
+        if (math.abs(mine - naive) > 1.0)
+          assert(math.abs(te - naive) > 1e-9, s"order $k leaked its own target")
+      }
+    }
+  }
+
+  test("negatives are never positives; exactly ≤K per user; deterministic") {
+    val pos = graft.core.Tables.lineitem(spark, sfDir)
+      .join(graft.core.Tables.orders(spark, sfDir),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .select("o_custkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val negs = Features.sampleNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(negs.nonEmpty)
+    negs.foreach { case (u, p, rn) =>
+      assert(!pos((u, p)), s"($u,$p) sampled as negative but is a positive")
+      assert(rn >= 1 && rn <= 3)
+    }
+    negs.groupBy(_._1).foreach { case (u, ns) =>
+      assert(ns.length <= 3)
+      assert(ns.map(_._3).sorted.toSeq === (1 to ns.length).map(_.toLong))
+    }
+    // two runs agree bit-for-bit (hash-derived, no RNG)
+    val again = Features.sampleNegatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === negs.toSet)
+  }
+}
