@@ -28,15 +28,20 @@ object Features {
     */
   def featureTargetEncode(s: SparkSession, d: String): DataFrame = {
     val byCat = Window.partitionBy("o_orderpriority")
+    // prices are 2dp decimals: per-row cent quantization is exact, and
+    // the int64 sums are merge-order independent — a raw double window
+    // sum flips the 4dp floor on some rows (caught by the hash gate)
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
     val o = Tables.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
-      .withColumn("cat_sum", sum("o_totalprice").over(byCat))
+      .withColumn("x_c", cents)
+      .withColumn("cat_sum_c", sum("x_c").over(byCat))
       .withColumn("cat_n", count(lit(1)).over(byCat))
-    val g = Tables.orders(s, d)
-      .agg(sum("o_totalprice").as("g_sum"), count(lit(1)).as("g_n"))
+    val g = Tables.orders(s, d).select(cents.as("x_c"))
+      .agg(sum("x_c").as("g_sum_c"), count(lit(1)).as("g_n"))
     val loo = when(col("cat_n") > 1,
-      (col("cat_sum") - col("o_totalprice")) / (col("cat_n") - 1))
-      .otherwise((col("g_sum") - col("o_totalprice")) / (col("g_n") - 1))
+      (col("cat_sum_c") - col("x_c")).cast("double") / 100.0 / (col("cat_n") - 1))
+      .otherwise((col("g_sum_c") - col("x_c")).cast("double") / 100.0 / (col("g_n") - 1))
     o.crossJoin(broadcast(g))
       .select(col("o_orderkey"), col("o_orderpriority"),
         (floor(loo * 10000 + 0.5) / 10000.0).as("priority_te"))
@@ -87,16 +92,20 @@ object Features {
   def oracleSql: Map[String, String] = Map(
     "feature_target_encode" ->
       """WITH o AS (
-        |  SELECT o_orderkey, o_orderpriority, o_totalprice,
-        |    sum(o_totalprice) OVER (PARTITION BY o_orderpriority) AS cat_sum,
+        |  SELECT o_orderkey, o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x_c,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      OVER (PARTITION BY o_orderpriority) AS BIGINT) AS cat_sum_c,
         |    count(*) OVER (PARTITION BY o_orderpriority) AS cat_n
         |  FROM orders),
-        |g AS (SELECT sum(o_totalprice) AS g_sum, count(*) AS g_n FROM orders)
+        |g AS (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |        AS BIGINT) AS g_sum_c,
+        |      count(*) AS g_n FROM orders)
         |SELECT o_orderkey, o_orderpriority,
         |  floor((CASE WHEN cat_n > 1
-        |         THEN (cat_sum - o_totalprice) / (cat_n - 1)
-        |         ELSE (g_sum - o_totalprice) / (g_n - 1) END) * 10000 + 0.5)
-        |    / 10000.0 AS priority_te
+        |         THEN CAST(cat_sum_c - x_c AS DOUBLE) / 100.0 / (cat_n - 1)
+        |         ELSE CAST(g_sum_c - x_c AS DOUBLE) / 100.0 / (g_n - 1) END)
+        |    * 10000 + 0.5) / 10000.0 AS priority_te
         |FROM o, g""".stripMargin,
     "sample_negatives" ->
       """WITH positives AS (
