@@ -260,7 +260,39 @@ object Classifier {
     out
   }
 
+  /** Calibration report over the trained model's margins: docs ranked
+    * into margin deciles (ntile over the 1e-6-quantized score, doc_id
+    * tie-break), each decile reporting its size, mean margin, and
+    * ACTUAL positive rate — the reliability-curve artifact that tells
+    * you whether higher scores really mean higher label probability.
+    * Margins stay quantized int64 micros through the sums (exact
+    * integer aggregates; no exp/sigmoid — cross-engine libm exp is
+    * not bit-stable), so every emitted number derives from exact
+    * integers.
+    */
+  def classifierCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = featurize(s, d)
+    val w = trainWeights(vec)
+    val wl = array(w.map(lit).toIndexedSeq: _*)
+    val scored = vec.select(col("doc_id"), col("y"),
+      floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)).cast("long").as("score_q"))
+    val out = scored
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("score_q").asc, col("doc_id").asc)))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        (floor(sum("score_q") / count(lit(1)).cast("double") / 100 + 0.5) / 1e4)
+          .as("mean_margin"),
+        (floor(sum("y") * lit(10000.0) / count(lit(1)) + 0.5) / 1e4)
+          .as("pos_rate"))
+      .stable
+    vec.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_calibration" -> classifierCalibration,
     "classifier_train" -> classifierTrain,
     "classifier_predict" -> classifierPredict,
     "model_gate_stream" -> modelGate)
@@ -316,6 +348,22 @@ object Classifier {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "classifier_calibration" ->
+      s"""WITH
+         |$chainSql,
+         |sc AS (SELECT d.doc_id, d.y,
+         |         CAST(floor(sum(d.x * w.w) * 1e6 + 0.5) AS BIGINT) AS score_q
+         |       FROM dd d JOIN $finalWeightsCte w USING (dim)
+         |       GROUP BY d.doc_id, d.y),
+         |deciled AS (
+         |  SELECT *, CAST(ntile(10) OVER (ORDER BY score_q, doc_id) AS INTEGER)
+         |    AS decile
+         |  FROM sc)
+         |SELECT decile, count(*) AS n_docs,
+         |  floor(sum(score_q) / CAST(count(*) AS DOUBLE) / 100 + 0.5) / 1e4
+         |    AS mean_margin,
+         |  floor(sum(y) * 10000.0 / count(*) + 0.5) / 1e4 AS pos_rate
+         |FROM deciled GROUP BY decile""".stripMargin,
     "classifier_train" ->
       s"""WITH
          |$chainSql

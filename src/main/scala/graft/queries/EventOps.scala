@@ -654,7 +654,47 @@ object EventOps {
       ev.filter(col("event_type") === "click"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic between the value
+    * distributions of two event populations (views vs purchases) —
+    * the distribution-free counterpart to the binned drift_psi: KS is
+    * sensitive anywhere on the CDF, needs no bin design, and is the
+    * standard "did this metric's distribution shift" gate.
+    *
+    * D = max_v |F̂_a(v) − F̂_b(v)| evaluated at the pooled distinct
+    * values: per-value counts (one hash agg), two cumulative-sum
+    * windows over the value order, a max. Everything after the agg is
+    * \|distinct values\|-sized. The empirical CDFs are exact-integer
+    * ratios, so the max and its argmin location are cross-engine
+    * deterministic; the statistic floor-quantizes at 6dp.
+    */
+  def driftKs(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("value"), (col("event_type") === "view").as("is_a"))
+    val perValue = ev.groupBy("value")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a_n"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_n"))
+    val totals = perValue.agg(sum("a_n").as("tot_a"), sum("b_n").as("tot_b"))
+    val cumW = org.apache.spark.sql.expressions.Window.orderBy("value")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val diffs = perValue
+      .withColumn("cum_a", sum("a_n").over(cumW))
+      .withColumn("cum_b", sum("b_n").over(cumW))
+      .crossJoin(broadcast(totals))
+      .withColumn("d_q", floor(abs(
+        col("cum_a").cast("double") / col("tot_a") -
+          col("cum_b").cast("double") / col("tot_b")) * 1e6 + lit(0.5)).cast("long"))
+    val mx = diffs.agg(max("d_q").as("ks_q"))
+    diffs.crossJoin(broadcast(mx))
+      .filter(col("d_q") === col("ks_q"))
+      .groupBy(col("tot_a"), col("tot_b"), col("ks_q"))
+      .agg(min("value").as("ks_at"))
+      .select(col("tot_a").as("n_a"), col("tot_b").as("n_b"),
+        (col("ks_q") / 1e6).as("ks_stat"), col("ks_at"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "drift_ks" -> driftKs,
     "events_join_outer_stream" -> eventsJoinOuterStream,
     "ab_test_readout" -> abTestReadout,
     "feature_scale" -> featureScale,
@@ -696,6 +736,32 @@ object EventOps {
 
   def oracleSql: Map[String, String] =
     oracleBase +
+      ("drift_ks" ->
+        """WITH pts AS (
+          |  SELECT value, event_type = 'view' AS is_a FROM events
+          |  WHERE event_type IN ('view', 'purchase')),
+          |pv AS (
+          |  SELECT value,
+          |    CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS a_n,
+          |    CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS b_n
+          |  FROM pts GROUP BY value),
+          |tot AS (SELECT CAST(sum(a_n) AS BIGINT) AS tot_a,
+          |               CAST(sum(b_n) AS BIGINT) AS tot_b FROM pv),
+          |cum AS (
+          |  SELECT value,
+          |    sum(a_n) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_a,
+          |    sum(b_n) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING) AS cum_b
+          |  FROM pv),
+          |diffs AS (
+          |  SELECT value,
+          |    CAST(floor(abs(CAST(cum_a AS DOUBLE) / tot_a
+          |      - CAST(cum_b AS DOUBLE) / tot_b) * 1e6 + 0.5) AS BIGINT) AS d_q
+          |  FROM cum, tot),
+          |mx AS (SELECT max(d_q) AS ks_q FROM diffs)
+          |SELECT tot_a AS n_a, tot_b AS n_b, ks_q / 1e6 AS ks_stat,
+          |  min(value) AS ks_at
+          |FROM diffs, mx, tot WHERE d_q = ks_q
+          |GROUP BY tot_a, tot_b, ks_q""".stripMargin) +
       ("events_join_outer_stream" ->
         """SELECT i.user_id,
           |  CAST(floor(epoch(CAST(i.ts AS TIMESTAMP))) AS BIGINT) AS imp_s,
