@@ -96,6 +96,25 @@ object Formats {
       .groupBy("source")
       .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
 
+  /** Dynamic partition pruning: join the lang-partitioned store
+    * against a FILTER-DERIVED dimension (the langs source 'src0'
+    * publishes in) — the partition filter is only known at RUNTIME,
+    * so Catalyst injects a dynamicpruning subquery into the
+    * partitioned scan (FormatsSpec asserts it): the broadcast of the
+    * dim side doubles as the partition pruner, and non-qualifying
+    * lang directories are never opened. At 100 TB with date/tenant
+    * partitioning this is the difference between scanning one
+    * partition and scanning the lake.
+    */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val pdocs = s.read.parquet(partitionedDocs(s, d))
+    val dim = Tables.documents(s, d).filter(col("source") === "src0")
+      .select(col("lang").as("dim_lang")).distinct()
+    pdocs.join(broadcast(dim), col("lang") === col("dim_lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+  }
+
   /** Parquet → ORC (zlib, Spark-native vectorized reader) → read back →
     * aggregate. ORC is the other columnar interchange format big lake
     * deployments standardize on; predicate pushdown and column pruning
@@ -191,12 +210,19 @@ object Formats {
     "csv_source" -> csvRoundtrip,
     "jsonl_source" -> jsonlRoundtrip,
     "orc_source" -> orcRoundtrip,
-    "partitioned_scan" -> partitionedScan)
+    "partitioned_scan" -> partitionedScan,
+    "dpp_join" -> dppJoin)
 
   /** Oracles read the ORIGINAL parquet — the round-trip through the
     * text format must be lossless for these columns.
     */
   def oracleSql: Map[String, String] = Map(
+    "dpp_join" ->
+      """WITH dim AS (SELECT DISTINCT lang FROM documents WHERE source = 'src0')
+        |SELECT d.lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN dim USING (lang)
+        |GROUP BY 1""".stripMargin,
     "schema_evolution" ->
       """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<v1>'
         |       ELSE o_orderstatus END AS status,

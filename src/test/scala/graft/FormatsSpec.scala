@@ -124,4 +124,11 @@ class FormatsSpec extends SparkSuite {
     val total = Tables.orders(spark, sfDir).count()
     assert(byParity.values.map(_._1).sum === total)
   }
+
+  test("dpp_join: runtime partition pruning reaches the partitioned scan") {
+    val plan = graft.sources.Formats.dppJoin(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in:\n$plan")
+  }
 }
