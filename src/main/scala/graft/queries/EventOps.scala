@@ -693,7 +693,36 @@ object EventOps {
         (col("ks_q") / 1e6).as("ks_stat"), col("ks_at"))
   }
 
+  /** Row-pattern matching (the MATCH_RECOGNIZE shape): detect strict
+    * view→click→purchase CONSECUTIVE triples inside each user's
+    * time-ordered stream, completing within 48 hours of the first
+    * step (the stream's inter-event spacing is ~6 h, so a 1-hour
+    * bound matches nothing at any SF). Unlike events_funnel (first-per-stage, gaps allowed), this
+    * is the adjacency pattern — two lead() windows per user, no join,
+    * one shuffle on user_id; span bound applied on the epoch-second
+    * timeline.
+    */
+  def patternMatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val NanosPerSec = 1000000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lead("event_type", 1).over(w))
+      .withColumn("t2", lead("event_type", 2).over(w))
+      .withColumn("id1", lead("event_id", 1).over(w))
+      .withColumn("id2", lead("event_id", 2).over(w))
+      .withColumn("ts2", lead("ts", 2).over(w))
+      .filter(col("event_type") === "view" && col("t1") === "click" &&
+        col("t2") === "purchase" &&
+        col("ts2") - col("ts") <= lit(48L * 3600L) * NanosPerSec)
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("id1").as("click_id"), col("id2").as("purchase_id"),
+        expr(s"(ts2 - ts) DIV $NanosPerSec").as("span_s"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pattern_match" -> patternMatch,
     "drift_ks" -> driftKs,
     "events_join_outer_stream" -> eventsJoinOuterStream,
     "ab_test_readout" -> abTestReadout,
@@ -736,6 +765,22 @@ object EventOps {
 
   def oracleSql: Map[String, String] =
     oracleBase +
+      ("pattern_match" ->
+        """WITH w AS (
+          |  SELECT user_id, ts, event_id, event_type,
+          |    lead(event_type, 1) OVER uw AS t1,
+          |    lead(event_type, 2) OVER uw AS t2,
+          |    lead(event_id, 1) OVER uw AS id1,
+          |    lead(event_id, 2) OVER uw AS id2,
+          |    lead(ts, 2) OVER uw AS ts2
+          |  FROM events
+          |  WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id, event_id AS view_id, id1 AS click_id,
+          |  id2 AS purchase_id,
+          |  CAST(floor(epoch(ts2 - ts)) AS BIGINT) AS span_s
+          |FROM w
+          |WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+          |  AND ts2 - ts <= INTERVAL 48 HOUR""".stripMargin) +
       ("drift_ks" ->
         """WITH pts AS (
           |  SELECT value, event_type = 'view' AS is_a FROM events

@@ -409,7 +409,35 @@ object Relational {
         col("n_nulls"), col("min_v"), col("max_v"), col("avg_v"))
   }
 
+  /** Incremental materialized-view maintenance: a pre-aggregated view
+    * over the historical partition merges with the fresh delta's
+    * partial aggregate — n and sum are ALGEBRAIC aggregates, so
+    * merged = combine(partials) without touching history again. The
+    * oracle is the FULL recompute over the whole table: the hash gate
+    * proves merge ≡ recompute, which is the correctness obligation of
+    * every incremental-view pipeline. Sums are int64-cent quantized
+    * (exact merge, no float drift between the two paths).
+    */
+  def mvMerge(s: SparkSession, d: String): DataFrame = {
+    val cents = floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+    def partial(df: DataFrame): DataFrame = df
+      .select(col("o_orderpriority"), cents.as("c"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"))
+    val boundary = ts("2000-01-01")
+    val base = partial(orders(s, d).filter(col("o_orderdate") < boundary))
+      .withColumnRenamed("n", "n1").withColumnRenamed("s", "s1")
+    val delta = partial(orders(s, d).filter(col("o_orderdate") >= boundary))
+      .withColumnRenamed("n", "n2").withColumnRenamed("s", "s2")
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_orders"),
+        round((coalesce(col("s1"), lit(0L)) + coalesce(col("s2"), lit(0L))) / lit(100.0), 2)
+          .as("total_price"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mv_merge" -> mvMerge,
     "basket_pairs" -> basketPairs,
     "q17_small_qty" -> q17SmallQty,
     "column_stats" -> columnStats,
@@ -441,6 +469,12 @@ object Relational {
     "union_all_agg" -> unionAllAgg)
 
   def oracleSql: Map[String, String] = Map(
+    // full recompute over the unsplit table — the merge must equal it
+    "mv_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0, 2)
+        |    AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
     "basket_pairs" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
