@@ -721,7 +721,41 @@ object EventOps {
         expr(s"(ts2 - ts) DIV $NanosPerSec").as("span_s"))
   }
 
+  /** Concurrency profile via a SWEEP LINE over session intervals: how
+    * many user sessions are simultaneously active at every change
+    * point (capacity planning's core question). Sessions come from
+    * the same 30-min-gap sessionization as events_session; each emits
+    * a +1 at its start and a −1 at its end, and a running sum over
+    * the totally-ordered event points (ts, +1-before-−1, user) yields
+    * the active count after each change. Output is change-point rows
+    * (2·\|sessions\|, corpus-sublinear); the single-partition window
+    * input is the already-aggregated session list, not the stream.
+    */
+  def concurrencyProfile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val NanosPerSec = 1000000000L
+    val uw = Window.partitionBy("user_id").orderBy("ts")
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("ts"))
+      .withColumn("brk",
+        when(lag("ts", 1).over(uw).isNull ||
+          col("ts") - lag("ts", 1).over(uw) >= lit(1800L) * NanosPerSec, 1)
+          .otherwise(0))
+      .withColumn("sid", sum("brk").over(uw.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts").as("sstart"), max("ts").as("send"))
+    val points = sess.select(col("user_id"), col("sstart").as("pts"), lit(1).as("delta"))
+      .unionAll(sess.select(col("user_id"), col("send").as("pts"), lit(-1).as("delta")))
+    val sweep = Window.orderBy(col("pts").asc, col("delta").desc, col("user_id").asc)
+    points
+      .withColumn("n_active",
+        sum("delta").over(sweep.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(expr(s"pts DIV $NanosPerSec").as("ts_s"), col("delta"),
+        col("user_id"), col("n_active").cast("long").as("n_active"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "concurrency_profile" -> concurrencyProfile,
     "pattern_match" -> patternMatch,
     "drift_ks" -> driftKs,
     "events_join_outer_stream" -> eventsJoinOuterStream,
@@ -765,6 +799,27 @@ object EventOps {
 
   def oracleSql: Map[String, String] =
     oracleBase +
+      ("concurrency_profile" ->
+        """WITH x AS (
+          |  SELECT user_id, ts,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |              OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+          |         THEN 1 ELSE 0 END AS brk
+          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+          |y AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+          |        ROWS UNBOUNDED PRECEDING) AS sid FROM x),
+          |sess AS (
+          |  SELECT user_id, min(ts) AS sstart, max(ts) AS send
+          |  FROM y GROUP BY user_id, sid),
+          |points AS (
+          |  SELECT user_id, sstart AS pts, 1 AS delta FROM sess
+          |  UNION ALL
+          |  SELECT user_id, send AS pts, -1 AS delta FROM sess)
+          |SELECT CAST(floor(epoch(CAST(pts AS TIMESTAMP))) AS BIGINT) AS ts_s,
+          |  delta, user_id,
+          |  CAST(sum(delta) OVER (ORDER BY pts ASC, delta DESC, user_id ASC
+          |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_active
+          |FROM points""".stripMargin) +
       ("pattern_match" ->
         """WITH w AS (
           |  SELECT user_id, ts, event_id, event_type,

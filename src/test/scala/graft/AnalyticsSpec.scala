@@ -20,6 +20,42 @@ class AnalyticsSpec extends SparkSuite {
     assert(merged === full)
   }
 
+  test("concurrency_profile: valid sweep (never negative, ends at zero, max matches)") {
+    val rows = EventOps.concurrencyProfile(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // rows re-ordered deterministically: (ts, +1 first, user)
+    val ordered = rows.sortBy(t => (t._1, -t._2, t._3))
+    var run = 0L
+    ordered.foreach { case (_, delta, _, nActive) =>
+      run += delta
+      assert(run >= 0, "active count went negative")
+    }
+    assert(run === 0L, "sweep must end with all sessions closed")
+    val maxGot = rows.map(_._4).max
+    assert(maxGot >= 1)
+    // sequential recompute of max concurrency from raw sessions
+    val NS = 1000000000L
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "ts").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var (st, prev) = (ts.head, ts.head)
+      ts.tail.foreach { t =>
+        if (t - prev >= 1800L * NS) { bounds += ((st, prev)); st = t }
+        prev = t
+      }
+      bounds += ((st, prev))
+      bounds.map { case (a, b) => (u, a, b) }
+    }
+    val pts = sessions.flatMap { case (u, a, b) => Seq((a, 1, u), (b, -1, u)) }
+      .sortBy(t => (t._1, -t._2, t._3))
+    var (cur, mx) = (0L, 0L)
+    pts.foreach { p => cur += p._2; mx = math.max(mx, cur) }
+    assert(maxGot === mx)
+  }
+
   test("pattern_match ≡ sequential adjacency scan") {
     val ev = graft.core.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_id", "event_type").collect()
