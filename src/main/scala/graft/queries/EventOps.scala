@@ -754,7 +754,64 @@ object EventOps {
         col("user_id"), col("n_active").cast("long").as("n_active"))
   }
 
+  /** Conversion-latency quartiles: per converting user, the gap from
+    * FIRST view to the FIRST purchase at-or-after it, summarized as
+    * exact p25/p50/p75. Quartile interpolation on integer seconds is
+    * dyadic-exact ((n−1)·q lands on quarters; x+(y−x)·f with integer
+    * endpoints and f ∈ {0,¼,½,¾} is exact IEEE), so the exact
+    * percentile — normally a cross-engine hash risk — is
+    * deterministic here by construction. Two per-user aggregates and
+    * a 1-row summary; no raw event pair join.
+    */
+  def funnelLatency(s: SparkSession, d: String): DataFrame = {
+    val NanosPerSec = 1000000000L
+    val ev = Tables.events(s, d)
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vts"))
+    val gaps = ev.filter(col("event_type") === "purchase")
+      .join(firstView, "user_id")
+      .filter(col("ts") >= col("vts"))
+      .groupBy("user_id").agg(min("ts").as("pts"), first("vts").as("vts"))
+      .select(expr(s"(pts - vts) DIV $NanosPerSec").as("gap_s"))
+    gaps.agg(count(lit(1)).as("n_converted"),
+      expr("percentile(gap_s, 0.25)").as("p25_s"),
+      expr("percentile(gap_s, 0.5)").as("p50_s"),
+      expr("percentile(gap_s, 0.75)").as("p75_s"))
+  }
+
+  /** Cohort LTV curves: users cohorted by first-event week, purchase
+    * value accumulated by cohort age in weeks — the
+    * customer-lifetime-value matrix every growth team plots. Values
+    * int64-cent quantized before the sums (exact running
+    * accumulation); weeks are integer epoch-week buckets. Aggregates
+    * collapse to \|cohorts × ages\| rows before the cumulative
+    * window.
+    */
+  def cohortLtv(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val WeekNs = 7L * 86400L * 1000000000L
+    val ev = Tables.events(s, d)
+    val cohort = ev.groupBy("user_id")
+      .agg(expr(s"min(ts) DIV $WeekNs").as("cohort_week"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts DIV $WeekNs").as("week"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      .join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_week"))
+      .agg(sum("cents").as("week_cents"))
+    val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+    val cum = Window.partitionBy("cohort_week").orderBy("age_week")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_cents", sum("week_cents").over(cum))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("age_week"), col("n_users"),
+        round(col("cum_cents") / lit(100.0), 2).as("cum_value"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "funnel_latency" -> funnelLatency,
+    "cohort_ltv" -> cohortLtv,
     "concurrency_profile" -> concurrencyProfile,
     "pattern_match" -> patternMatch,
     "drift_ks" -> driftKs,
@@ -799,6 +856,42 @@ object EventOps {
 
   def oracleSql: Map[String, String] =
     oracleBase +
+      ("funnel_latency" ->
+        """WITH fv AS (
+          |  SELECT user_id, min(ts) AS vts FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |conv AS (
+          |  SELECT e.user_id,
+          |    CAST(floor(epoch(min(e.ts) - min(fv.vts))) AS BIGINT) AS gap_s
+          |  FROM events e JOIN fv ON e.user_id = fv.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts >= fv.vts
+          |  GROUP BY e.user_id)
+          |SELECT count(*) AS n_converted,
+          |  quantile_cont(gap_s, 0.25) AS p25_s,
+          |  quantile_cont(gap_s, 0.5) AS p50_s,
+          |  quantile_cont(gap_s, 0.75) AS p75_s
+          |FROM conv""".stripMargin) +
+      ("cohort_ltv" ->
+        """WITH cohort AS (
+          |  SELECT user_id,
+          |    CAST(floor(epoch(min(ts))) AS BIGINT) // (7 * 86400) AS cohort_week
+          |  FROM events GROUP BY 1),
+          |cells AS (
+          |  SELECT c.cohort_week,
+          |    CAST(floor(epoch(e.ts)) AS BIGINT) // (7 * 86400) - c.cohort_week
+          |      AS age_week,
+          |    CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+          |      AS week_cents
+          |  FROM events e JOIN cohort c USING (user_id)
+          |  WHERE e.event_type = 'purchase'
+          |  GROUP BY 1, 2),
+          |sizes AS (SELECT cohort_week, count(*) AS n_users
+          |          FROM cohort GROUP BY 1)
+          |SELECT cohort_week, age_week, n_users,
+          |  round(sum(week_cents) OVER (PARTITION BY cohort_week
+          |    ORDER BY age_week ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+          |    AS cum_value
+          |FROM cells JOIN sizes USING (cohort_week)""".stripMargin) +
       ("concurrency_profile" ->
         """WITH x AS (
           |  SELECT user_id, ts,

@@ -56,6 +56,51 @@ class AnalyticsSpec extends SparkSuite {
     assert(maxGot === mx)
   }
 
+  test("funnel_latency quartiles ≡ sequential recompute") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val gaps = byUser.values.flatMap { g =>
+      val views = g.filter(_._3 == "view").map(_._2)
+      if (views.isEmpty) None
+      else {
+        val v = views.min
+        val ps = g.filter(e => e._3 == "purchase" && e._2 >= v).map(_._2)
+        if (ps.isEmpty) None else Some((ps.min - v) / 1000000000L)
+      }
+    }.toArray.sorted
+    def q(p: Double): Double = {
+      val h = (gaps.length - 1) * p
+      val lo = h.toInt
+      if (lo == gaps.length - 1) gaps(lo).toDouble
+      else gaps(lo) + (gaps(lo + 1) - gaps(lo)) * (h - lo)
+    }
+    val r = EventOps.funnelLatency(spark, sfDir).collect()(0)
+    assert(r.getLong(0) === gaps.length.toLong)
+    assert(r.getDouble(1) === q(0.25))
+    assert(r.getDouble(2) === q(0.5))
+    assert(r.getDouble(3) === q(0.75))
+  }
+
+  test("cohort_ltv: cumulative values are monotone and conserve purchase mass") {
+    import org.apache.spark.sql.functions._
+    val rows = EventOps.cohortLtv(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val byAge = g.sortBy(_._2).map(_._4)
+      assert(byAge.zip(byAge.tail).forall { case (a, b) => a <= b }, "not monotone")
+    }
+    // final cumulative per cohort sums to the total quantized purchase value
+    val finalSum = rows.groupBy(_._1).values.map(_.maxBy(_._2)._4).sum
+    val total = graft.core.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")))
+      .collect()(0).getLong(0) / 100.0
+    assert(math.abs(finalSum - total) < 0.01)
+  }
+
   test("pattern_match ≡ sequential adjacency scan") {
     val ev = graft.core.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_id", "event_type").collect()
