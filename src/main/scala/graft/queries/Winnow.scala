@@ -114,11 +114,40 @@ object Winnow {
       .limit(50)
   }
 
+  /** The same selection through the NATIVE [[graft.functions
+    * .WinnowSelect]] expression: per-doc gram-hash ARRAY (no explode),
+    * one sequential rightmost-min scan per document, positions
+    * exploded after selection. MAP-ONLY — zero exchanges vs the
+    * windowed form's shuffle-sort + join-back (WinnowSpec asserts
+    * plan shape and row identity; the driver gate runs it against the
+    * identical oracle SQL).
+    */
+  def fingerprintWinnowNative(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WinnowSelect.register(s, W)
+    val w = toks(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= K)
+      .select(col("doc_id"), transform(
+        sequence(lit(1), size(col("w")) - (K - 1)),
+        i => conv(substring(md5(concat_ws(" ",
+          element_at(col("w"), i), element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2))), 1, 12), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        explode(expr("winnow_select(hs)")).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        element_at(col("hs"), col("pos").cast("int")).as("fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fingerprint_winnow" -> fingerprintWinnow,
+    "fingerprint_winnow_native" -> fingerprintWinnowNative,
     "dedup_winnow" -> dedupWinnow)
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = base +
+    ("fingerprint_winnow_native" -> base("fingerprint_winnow"))
+
+  private lazy val base: Map[String, String] = Map(
     "fingerprint_winnow" ->
       """WITH tok AS (
         |  SELECT doc_id,

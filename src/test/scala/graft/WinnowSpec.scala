@@ -59,6 +59,17 @@ class WinnowSpec extends SparkSuite {
     }
   }
 
+  test("native winnow_select ≡ windowed form, row for row, on a map-only plan") {
+    val native = Winnow.fingerprintWinnowNative(spark, sfDir)
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"native winnow must not shuffle:\n$plan")
+    assert(!plan.contains("Window"), s"native winnow must not use window exec:\n$plan")
+    val a = native.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Winnow.fingerprintWinnow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
+
   test("dedup_winnow: scores in (0,1], floor respected, total order") {
     val rows = Winnow.dedupWinnow(spark, sfDir).collect()
     assert(rows.nonEmpty, "synthetic corpus shares vocabulary; expect pairs")
