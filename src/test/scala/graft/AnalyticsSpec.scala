@@ -101,6 +101,35 @@ class AnalyticsSpec extends SparkSuite {
     assert(math.abs(finalSum - total) < 0.01)
   }
 
+  test("dq_checks: rule battery verdicts match direct recounts") {
+    import org.apache.spark.sql.functions._
+    val rules = graft.queries.DataQuality.dqChecks(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rules.size === 6)
+    rules.values.foreach { case (checked, failed, pass) =>
+      assert(failed >= 0 && failed <= checked)
+      assert(pass === (failed == 0))
+    }
+    val l = graft.core.Tables.lineitem(spark, sfDir)
+    assert(rules("lineitem_pk_unique")._2 ===
+      l.count() - l.select("l_orderkey", "l_linenumber").distinct().count())
+    val orphan = graft.core.Tables.orders(spark, sfDir)
+      .join(graft.core.Tables.customer(spark, sfDir),
+        col("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(rules("orders_custkey_in_customer")._2 === orphan)
+  }
+
+  test("source_freshness: watermark stream has zero lag; lags non-negative") {
+    val rows = graft.queries.DataQuality.sourceFreshness(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    assert(rows.exists(_._3 == 0L), "some stream defines the watermark")
+    rows.foreach { case (_, _, lag, stale) =>
+      assert(lag >= 0)
+      assert(stale === (lag > 7L * 86400L))
+    }
+  }
+
   test("pattern_match ≡ sequential adjacency scan") {
     val ev = graft.core.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_id", "event_type").collect()
