@@ -291,7 +291,39 @@ object Classifier {
     out
   }
 
+  /** Fairness/bias audit of the trained gate: per ingest source, the
+    * model's accept rate (margin ≥ 0) against the corpus-wide rate —
+    * the demographic-parity disparity table a data-governance review
+    * asks for before a quality filter ships (a filter that silently
+    * drops one source's docs at 3× the global rate is a bias bug even
+    * when every individual decision looks fine). Rates derive from
+    * exact integer counts; disparity is the signed 4dp difference.
+    */
+  def classifierBiasReport(s: SparkSession, d: String): DataFrame = {
+    val vec = featurize(s, d)
+    val w = trainWeights(vec)
+    val wl = array(w.map(lit).toIndexedSeq: _*)
+    val scored = vec.select(col("doc_id"),
+      (dot(col("x"), wl) >= 0).cast("long").as("accept"))
+    val bySource = scored
+      .join(graft.core.Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("accept").as("n_accept"))
+    val overall = bySource.agg(sum("n_docs").as("tot"), sum("n_accept").as("tot_acc"))
+    val out = bySource.crossJoin(broadcast(overall))
+      .select(col("source"), col("n_docs"), col("n_accept"),
+        (floor(col("n_accept") * lit(10000.0) / col("n_docs") + 0.5) / 1e4)
+          .as("accept_rate"),
+        (floor((col("n_accept").cast("double") / col("n_docs") -
+          col("tot_acc").cast("double") / col("tot")) * 10000 + 0.5) / 1e4)
+          .as("rate_disparity"))
+      .stable
+    vec.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_bias_report" -> classifierBiasReport,
     "classifier_calibration" -> classifierCalibration,
     "classifier_train" -> classifierTrain,
     "classifier_predict" -> classifierPredict,
@@ -348,6 +380,26 @@ object Classifier {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "classifier_bias_report" ->
+      s"""WITH
+         |$chainSql,
+         |sc AS (SELECT d.doc_id,
+         |         CASE WHEN sum(d.x * w.w) >= 0 THEN 1 ELSE 0 END AS accept
+         |       FROM dd d JOIN $finalWeightsCte w USING (dim)
+         |       GROUP BY d.doc_id),
+         |bys AS (
+         |  SELECT doc.source, count(*) AS n_docs,
+         |    CAST(sum(sc.accept) AS BIGINT) AS n_accept
+         |  FROM sc JOIN documents doc USING (doc_id)
+         |  GROUP BY doc.source),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot,
+         |               CAST(sum(n_accept) AS BIGINT) AS tot_acc FROM bys)
+         |SELECT source, n_docs, n_accept,
+         |  floor(n_accept * 10000.0 / n_docs + 0.5) / 1e4 AS accept_rate,
+         |  floor((CAST(n_accept AS DOUBLE) / n_docs
+         |    - CAST(tot_acc AS DOUBLE) / tot) * 10000 + 0.5) / 1e4
+         |    AS rate_disparity
+         |FROM bys, tot""".stripMargin,
     "classifier_calibration" ->
       s"""WITH
          |$chainSql,

@@ -809,7 +809,30 @@ object EventOps {
         round(col("cum_cents") / lit(100.0), 2).as("cum_value"))
   }
 
+  /** Per-user behavioral entropy: Shannon entropy (nats) of each
+    * user's event-type distribution — low entropy = single-behavior
+    * users (bots, scrapers), high = diverse engagement; the anomaly
+    * feature behind bot heuristics. Terms −pᵢ·ln(pᵢ) are int64-
+    * quantized at 1e-9 before summing (order-independent aggregate;
+    * the 4dp output floor sits far above any cross-engine ln ulp).
+    * Two hash aggs: (user, type) cells then per-user fold.
+    */
+  def journeyEntropy(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val byUser = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    cells
+      .withColumn("n", sum("c").over(byUser))
+      .withColumn("p", col("c").cast("double") / col("n"))
+      .withColumn("term_q",
+        floor(-col("p") * log(col("p")) * 1e9 + lit(0.5)).cast("long"))
+      .groupBy("user_id")
+      .agg(first("n").as("n_events"),
+        (floor(sum("term_q") / lit(1e5) + lit(0.5)) / 1e4).as("entropy_nats"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "journey_entropy" -> journeyEntropy,
     "funnel_latency" -> funnelLatency,
     "cohort_ltv" -> cohortLtv,
     "concurrency_profile" -> concurrencyProfile,
@@ -856,6 +879,22 @@ object EventOps {
 
   def oracleSql: Map[String, String] =
     oracleBase +
+      ("journey_entropy" ->
+        """WITH cells AS (
+          |  SELECT user_id, event_type, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |wn AS (
+          |  SELECT user_id, c,
+          |    sum(c) OVER (PARTITION BY user_id) AS n
+          |  FROM cells),
+          |terms AS (
+          |  SELECT user_id, n,
+          |    CAST(floor(-(CAST(c AS DOUBLE) / n)
+          |      * ln(CAST(c AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT) AS term_q
+          |  FROM wn)
+          |SELECT user_id, CAST(min(n) AS BIGINT) AS n_events,
+          |  floor(sum(term_q) / 1e5 + 0.5) / 1e4 AS entropy_nats
+          |FROM terms GROUP BY user_id""".stripMargin) +
       ("funnel_latency" ->
         """WITH fv AS (
           |  SELECT user_id, min(ts) AS vts FROM events

@@ -130,6 +130,45 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("classifier_bias_report: disparities sum to ~0 weighted by size") {
+    val rows = graft.queries.Classifier.classifierBiasReport(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val tot = rows.map(_._2).sum
+    val totAcc = rows.map(_._3).sum
+    val overall = totAcc.toDouble / tot
+    rows.foreach { case (_, n, acc, rate, disp) =>
+      assert(acc <= n)
+      assert(math.abs(rate - acc.toDouble / n) < 1e-3)
+      assert(math.abs(disp - (acc.toDouble / n - overall)) < 1e-3)
+    }
+    // size-weighted disparity is zero by construction
+    val weighted = rows.map { case (_, n, _, _, disp) => n * disp }.sum / tot
+    assert(math.abs(weighted) < 1e-3)
+  }
+
+  test("journey_entropy: bounds and sequential recompute") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val counts = g.groupBy(_._2).values.map(_.size)
+      val n = counts.sum
+      val sumQ = counts.map { c =>
+        val p = c.toDouble / n
+        math.floor(-p * math.log(p) * 1e9 + 0.5).toLong
+      }.sum
+      u -> (n.toLong, math.floor(sumQ / 1e5 + 0.5) / 1e4)
+    }
+    val got = graft.queries.EventOps.journeyEntropy(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === expected)
+    got.values.foreach { case (_, h) =>
+      assert(h >= 0.0 && h <= math.log(5.0) + 1e-9) // ≤ ln|event types|
+    }
+  }
+
   test("pattern_match ≡ sequential adjacency scan") {
     val ev = graft.core.Tables.events(spark, sfDir)
       .select("user_id", "ts", "event_id", "event_type").collect()
