@@ -62,7 +62,11 @@ class PlanLintSpec extends SparkSuite {
     // graph census: three 1-row stat frames cross-joined
     "graph_stats",
     // 1-row broadcast scalar thresholds (mean part value / avg balance)
-    "q11_part_value", "q22_global_balance")
+    "q11_part_value", "q22_global_balance",
+    // 1-row broadcast scalar frames: arm stats, FK check total, KS
+    // max + totals, global LOO fallback, freshness watermark
+    "ab_test_readout", "dq_checks", "drift_ks", "feature_target_encode",
+    "source_freshness")
 
   private lazy val plans: Map[String, String] = {
     val s = spark
