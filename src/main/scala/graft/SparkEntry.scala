@@ -91,5 +91,5 @@ object SparkEntry {
     "q15_top_supplier", "q16_parts_suppliers", "q18_big_orders",
     "q22_global_balance", "fingerprint_winnow", "dedup_winnow",
     "quality_gopher", "quality_gopher_report", "wordpiece_encode", "graph_adamic_adar", "privacy_kanon", "privacy_kanon_generalize",
-    "skyline_2d", "attribution_position", "mask_spans", "ab_test_readout", "events_join_outer_stream", "feature_target_encode", "sample_negatives", "drift_ks", "classifier_calibration", "dpp_join", "mv_merge", "pattern_match", "concurrency_profile", "funnel_latency", "cohort_ltv", "fingerprint_winnow_native", "dq_checks", "source_freshness", "classifier_bias_report", "journey_entropy", "sql_surface")
+    "skyline_2d", "attribution_position", "mask_spans", "ab_test_readout", "events_join_outer_stream", "feature_target_encode", "sample_negatives", "drift_ks", "classifier_calibration", "dpp_join", "mv_merge", "pattern_match", "concurrency_profile", "funnel_latency", "cohort_ltv", "fingerprint_winnow_native", "dq_checks", "source_freshness", "classifier_bias_report", "journey_entropy", "sql_surface", "q2_min_cost", "q12_late_priority", "q20_excess_suppliers", "q21_waiting_suppliers")
 }

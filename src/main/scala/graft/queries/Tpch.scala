@@ -287,7 +287,104 @@ object Tpch {
       .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
   }
 
+  /** TPC-H Q2: minimum-cost supplier per part (size-10 segment). No
+    * partsupp table, so "cost" is the supplier's observed average
+    * unit price over their lineitems of that part — computed in EXACT
+    * integer arithmetic (cent-quantized price sum × 10⁴ DIV integral
+    * quantity sum), so the per-part argmin and its supplier tie-break
+    * are deterministic. The correlated min-subquery becomes one
+    * window rank over the (part, supplier) aggregate.
+    */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = part(s, d).filter(col("p_size") === 10).select("p_partkey")
+    val cells = lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(sum(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")).as("price_c"),
+        sum("l_quantity").cast("long").as("qty"))
+      .withColumn("cost_micro", expr("price_c * 10000 DIV qty"))
+    val rankW = Window.partitionBy("p_partkey")
+      .orderBy(col("cost_micro").asc, col("l_suppkey").asc)
+    cells.withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("s_suppkey"), col("s_name"),
+        (col("cost_micro") / 1e6).as("unit_cost"))
+  }
+
+  /** TPC-H Q12: shipping-delay census. No shipmode column, so the
+    * split is by line status; "late" adapts to shipped > 90 days
+    * after the order date, within 1996. Conditional aggregation over
+    * the fact-fact join — priority classes counted in one pass.
+    */
+  def q12LatePriority(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
+        col("l_shipdate") < tsLit("1997-01-01"))
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+
+  /** TPC-H Q20: suppliers with excess stock of a part family —
+    * adapted: suppliers whose shipped 'widget' quantity exceeds 1.1×
+    * the mean over suppliers (stock Q20's half-of-availqty cut needs
+    * partsupp; a fixed quantity threshold would be SF-dependent).
+    * One filtered join + per-supplier aggregate + a 1-row broadcast
+    * mean; nation broadcast for the report columns.
+    */
+  def q20ExcessSuppliers(s: SparkSession, d: String): DataFrame = {
+    val widgets = part(s, d).filter(col("p_name").contains("widget"))
+      .select("p_partkey")
+    val perSupp = lineitem(s, d)
+      .join(broadcast(widgets), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum("l_quantity").cast("long").as("widget_qty"))
+    val mean = perSupp.agg(avg("widget_qty").as("mean_qty"))
+    perSupp.crossJoin(broadcast(mean))
+      .filter(col("widget_qty") > col("mean_qty") * 1.1)
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("widget_qty"))
+  }
+
+  /** TPC-H Q21: suppliers who kept orders waiting — the sole-blame
+    * pattern (EXISTS a late line of mine AND NOT EXISTS another
+    * supplier's late line on the same order). Re-planned without
+    * correlated subqueries: one (order, supplier) aggregate with a
+    * late flag, per-order supplier/late-supplier counts via a second
+    * aggregate, blame = late ∧ n_late = 1 ∧ n_suppliers ≥ 2. Top 20
+    * by wait count under a total order. "Late" = shipped > 60 days
+    * after order date (no commit/receipt dates in this schema).
+    */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val os = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+        .otherwise(0)).as("late"))
+    val perOrder = os.groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late"))
+    os.join(perOrder, "l_orderkey")
+      .filter(col("late") === 1 && col("n_late") === 1 && col("n_supp") >= 2)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      .limit(20)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost" -> q2MinCost,
+    "q12_late_priority" -> q12LatePriority,
+    "q20_excess_suppliers" -> q20ExcessSuppliers,
+    "q21_waiting_suppliers" -> q21WaitingSuppliers,
     "q8_market_share" -> q8MarketShare,
     "q11_part_value" -> q11PartValue,
     "q15_top_supplier" -> q15TopSupplier,
@@ -302,6 +399,65 @@ object Tpch {
     "q19_discount_parts" -> q19DiscountParts)
 
   def oracleSql: Map[String, String] = Map(
+    "q2_min_cost" ->
+      """WITH cells AS (
+        |  SELECT l_partkey AS p_partkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS price_c,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 10
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, price_c * 10000 // qty AS cost_micro,
+        |    row_number() OVER (PARTITION BY p_partkey
+        |      ORDER BY price_c * 10000 // qty, l_suppkey) AS rn
+        |  FROM cells)
+        |SELECT p_partkey, s_suppkey, s_name,
+        |  cost_micro / 1e6 AS unit_cost
+        |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rn = 1""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH per_supp AS (
+        |  SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS widget_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%widget%'
+        |  GROUP BY 1),
+        |m AS (SELECT avg(widget_qty) AS mean_qty FROM per_supp)
+        |SELECT s_suppkey, s_name, n_name, widget_qty
+        |FROM per_supp, m
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE widget_qty > mean_qty * 1.1""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """WITH os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |per_order AS (
+        |  SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        |  FROM os GROUP BY 1)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM os
+        |JOIN per_order USING (l_orderkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late = 1 AND n_late = 1 AND n_supp >= 2
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey ASC
+        |LIMIT 20""".stripMargin,
     "q8_market_share" ->
       """WITH base AS (
         |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,

@@ -134,6 +134,69 @@ class TpchSpec extends SparkSuite {
     assert(got === expected)
   }
 
+  test("q2: per-part winner is the integer-exact min-cost supplier") {
+    import org.apache.spark.sql.functions._
+    val cells = graft.core.Tables.lineitem(spark, sfDir)
+      .join(graft.core.Tables.part(spark, sfDir).filter(col("p_size") === 10),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_partkey", "l_suppkey")
+      .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("pc"),
+        sum("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2) * 10000 / r.getLong(3)))
+    val expected = cells.groupBy(_._1).map { case (p, g) =>
+      p -> g.minBy(c => (c._3, c._2))._2
+    }
+    val got = Tpch.q2MinCost(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("q12: high + low counts partition the late lines") {
+    import org.apache.spark.sql.functions._
+    val rows = Tpch.q12LatePriority(spark, sfDir).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val late = graft.core.Tables.lineitem(spark, sfDir)
+      .join(graft.core.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .count()
+    assert(total === late)
+  }
+
+  test("q20: the mean threshold is live (both sides populated)") {
+    val in = Tpch.q20ExcessSuppliers(spark, sfDir).count()
+    val all = graft.core.Tables.supplier(spark, sfDir).count()
+    assert(in > 0 && in < all, s"$in of $all suppliers flagged")
+  }
+
+  test("q21: every reported supplier is the sole late supplier of ≥1 multi-supplier order") {
+    import org.apache.spark.sql.functions._
+    val os = graft.core.Tables.lineitem(spark, sfDir)
+      .join(graft.core.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+        .otherwise(0)).as("late"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byOrder = os.groupBy(_._1)
+    val expected = os.filter { case (o, _, late) =>
+      val g = byOrder(o)
+      late == 1 && g.count(_._3 == 1) == 1 && g.length >= 2
+    }.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Tpch.q21WaitingSuppliers(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (s, n) => assert(expected(s) === n, s"supplier $s") }
+    // top-20 really is the head of the blame ranking
+    val topRef = expected.toSeq.sortBy { case (s, n) => (-n, s) }
+      .take(got.length).map(_._1)
+    assert(got.map(_._1).toSeq === topRef)
+  }
+
   test("q10: limit 20 with total tie-break order; revenue descending") {
     val rows = Tpch.q10Returned(spark, sfDir).collect()
     assert(rows.length <= 20 && rows.nonEmpty)
