@@ -84,7 +84,7 @@ object QualityRules {
     "quality_gopher" -> qualityGopher,
     "quality_gopher_report" -> qualityGopherReport)
 
-  private val flagsSql =
+  private[queries] val flagsSql =
     """flags AS (
       |  SELECT doc_id, source,
       |    CAST(len(w) AS BIGINT) AS n_words,
@@ -106,7 +106,7 @@ object QualityRules {
       |    stop_hits >= 2 AS rule_stopwords
       |  FROM flags)""".stripMargin
 
-  private val tokSql =
+  private[queries] val tokSql =
     """tok AS (
       |  SELECT doc_id, source,
       |    list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w

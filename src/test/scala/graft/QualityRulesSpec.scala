@@ -38,6 +38,22 @@ class QualityRulesSpec extends SparkSuite {
     assert(rep === exp)
   }
 
+  test("corpus_card reconciles with its component passes") {
+    import org.apache.spark.sql.functions._
+    val card = graft.queries.CorpusCard.corpusCard(spark, sfDir).collect()(0)
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    assert(card.getLong(0) === docs.count())
+    assert(card.getLong(2) === docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    assert(card.getLong(3) === docs.select("lang").distinct().count())
+    assert(card.getLong(4) === docs.select("source").distinct().count())
+    val dup = 1.0 - docs.select(md5(col("text"))).distinct().count().toDouble /
+      docs.count()
+    assert(math.abs(card.getDouble(5) - dup) < 1e-3)
+    val keep = QualityRules.qualityGopher(spark, sfDir)
+      .filter(col("keep")).count().toDouble / docs.count()
+    assert(math.abs(card.getDouble(6) - keep) < 1e-3)
+  }
+
   test("rule_repetition: a planted repetitive text fails, natural text passes") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
