@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Tpch, Unigram, Winnow, QualityRules, Wordpiece, Privacy, SpanMask, Features, DataQuality, SqlSurface, CorpusCard}
+import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Tpch, Unigram, Winnow, QualityRules, Wordpiece, Privacy, SpanMask, Features, DataQuality, SqlSurface, CorpusCard, Recommend, Stats}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,7 @@ object SparkEntry {
       Cluster.queries ++ Sharding.queries ++ Corpus.queries ++ Tokenize.queries ++
       Kmeans.queries ++ Embeddings.queries ++ Pipeline.queries ++ Curation.queries ++
       Classifier.queries ++ Unigram.queries ++ Pq.queries ++ Dsir.queries ++
-      Tpch.queries ++ Winnow.queries ++ QualityRules.queries ++ Wordpiece.queries ++ Privacy.queries ++ SpanMask.queries ++ Features.queries ++ DataQuality.queries ++ SqlSurface.queries ++ CorpusCard.queries
+      Tpch.queries ++ Winnow.queries ++ QualityRules.queries ++ Wordpiece.queries ++ Privacy.queries ++ SpanMask.queries ++ Features.queries ++ DataQuality.queries ++ SqlSurface.queries ++ CorpusCard.queries ++ Recommend.queries ++ Stats.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -41,7 +41,7 @@ object SparkEntry {
       Tokenize.oracleSql ++ Kmeans.oracleSql ++ Embeddings.oracleSql ++
       Pipeline.oracleSql ++ Curation.oracleSql ++ Classifier.oracleSql ++
       Unigram.oracleSql ++ Pq.oracleSql ++ Dsir.oracleSql ++ Tpch.oracleSql ++
-      Winnow.oracleSql ++ QualityRules.oracleSql ++ Wordpiece.oracleSql ++ Privacy.oracleSql ++ SpanMask.oracleSql ++ Features.oracleSql ++ DataQuality.oracleSql ++ SqlSurface.oracleSql ++ CorpusCard.oracleSql
+      Winnow.oracleSql ++ QualityRules.oracleSql ++ Wordpiece.oracleSql ++ Privacy.oracleSql ++ SpanMask.oracleSql ++ Features.oracleSql ++ DataQuality.oracleSql ++ SqlSurface.oracleSql ++ CorpusCard.oracleSql ++ Recommend.oracleSql ++ Stats.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative
     * subset (scan-agg, fact-fact join, window, text, dedup paths).

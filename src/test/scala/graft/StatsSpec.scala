@@ -1,0 +1,99 @@
+package graft
+
+import graft.queries.Stats
+import org.apache.spark.sql.functions._
+
+/** Statistical-operator contracts: Kaplan-Meier against a sequential
+  * reference, chi-square cell arithmetic, and Pearson values against
+  * naive in-JVM computation. Cross-engine hashes live under the
+  * DuckDB gate.
+  */
+class StatsSpec extends SparkSuite {
+
+  test("survival_km equals the sequential Kaplan-Meier estimator") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("ts DIV 1000000000 DIV 86400").as("day"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val life = byUser.toSeq.map { case (_, es) =>
+      val d0 = es.map(_._2).min
+      val purch = es.filter(_._3 == "purchase").map(_._2)
+      if (purch.nonEmpty) (purch.min - d0, true) else (es.map(_._2).max - d0, false)
+    }.toSeq
+    var atRisk = life.size
+    var surv = 1.0
+    val expected = life.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (t, ls) =>
+      val d = ls.count(_._2)
+      val c = ls.size - d
+      val row = if (d > 0) {
+        val f = (atRisk - d).toDouble / atRisk.toDouble
+        surv *= f
+        Some((t, atRisk.toLong, d.toLong, surv))
+      } else None
+      atRisk -= (d + c)
+      row
+    }
+    val got = Stats.survivalKm(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got == expected, s"\n got $got\n exp $expected")
+    // curve invariants
+    got.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._4 >= b._4, "survival must be nonincreasing")
+        assert(a._2 > b._2, "at-risk must shrink")
+      case _ =>
+    }
+    got.foreach { case (_, n, d, sv) =>
+      assert(d >= 1 && d <= n); assert(sv >= 0.0 && sv <= 1.0)
+    }
+  }
+
+  test("ab_test_chi2 cells recompute and the statistic is their sum") {
+    val rows = Stats.abTestChi2(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._3).sum.toDouble
+    val rt = rows.groupBy(_._1).map { case (a, rs) => a -> rs.map(_._3).sum.toDouble }
+    val ct = rows.groupBy(_._2).map { case (t, rs) => t -> rs.map(_._3).sum.toDouble }
+    var chi2 = 0L
+    rows.foreach { case (arm, tpe, o, eMicro, contribMicro, _, dof) =>
+      val e = rt(arm) * ct(tpe) / n
+      assert(eMicro == math.floor(e * 1e6 + 0.5).toLong, s"e for ($arm,$tpe)")
+      val contrib = (o.toDouble - e) * (o.toDouble - e) / e
+      assert(contribMicro == math.floor(contrib * 1e6 + 0.5).toLong, s"contrib for ($arm,$tpe)")
+      chi2 += contribMicro
+      assert(dof == (rt.size - 1).toLong * (ct.size - 1).toLong)
+    }
+    assert(rows.map(_._6).distinct.toSeq == Seq(chi2), "chi2 must equal the cell sum")
+  }
+
+  test("corr_matrix matches naive Pearson on the quantized columns") {
+    val li = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_extendedprice", "l_discount", "l_tax").collect()
+    val cols = Map(
+      "quantity" -> li.map(r => math.floor(r.getDouble(0) + 0.5)),
+      "extendedprice" -> li.map(r => math.floor(r.getDouble(1) * 100 + 0.5)),
+      "discount" -> li.map(r => math.floor(r.getDouble(2) * 100 + 0.5)),
+      "tax" -> li.map(r => math.floor(r.getDouble(3) * 100 + 0.5)))
+    def pearson(a: Array[Double], b: Array[Double]): Double = {
+      val n = a.length.toDouble
+      val ma = a.sum / n; val mb = b.sum / n
+      val cov = a.zip(b).map { case (x, y) => (x - ma) * (y - mb) }.sum
+      val va = a.map(x => (x - ma) * (x - ma)).sum
+      val vb = b.map(y => (y - mb) * (y - mb)).sum
+      cov / math.sqrt(va * vb)
+    }
+    val got = Stats.corrMatrix(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == 6, "4 columns -> 6 unordered pairs")
+    got.foreach { case ((a, b), (n, corr)) =>
+      assert(n == li.length)
+      assert(corr >= -1.0 && corr <= 1.0)
+      val exp = pearson(cols(a), cols(b))
+      assert(math.abs(corr - exp) < 1e-5, s"($a,$b): $corr vs $exp")
+    }
+  }
+}
