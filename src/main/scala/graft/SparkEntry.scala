@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.Multimodal
-import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Tpch, Unigram, Winnow, QualityRules, Wordpiece, Privacy, SpanMask, Features, DataQuality, SqlSurface, CorpusCard, Recommend, Stats}
+import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Tpch, Unigram, Winnow, QualityRules, Wordpiece, Privacy, SpanMask, Features, DataQuality, SqlSurface, CorpusCard, Recommend, Stats, Graphs, Profiling, Markov, Trees, Bayes}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -27,7 +27,8 @@ object SparkEntry {
       Cluster.queries ++ Sharding.queries ++ Corpus.queries ++ Tokenize.queries ++
       Kmeans.queries ++ Embeddings.queries ++ Pipeline.queries ++ Curation.queries ++
       Classifier.queries ++ Unigram.queries ++ Pq.queries ++ Dsir.queries ++
-      Tpch.queries ++ Winnow.queries ++ QualityRules.queries ++ Wordpiece.queries ++ Privacy.queries ++ SpanMask.queries ++ Features.queries ++ DataQuality.queries ++ SqlSurface.queries ++ CorpusCard.queries ++ Recommend.queries ++ Stats.queries
+      Tpch.queries ++ Winnow.queries ++ QualityRules.queries ++ Wordpiece.queries ++ Privacy.queries ++ SpanMask.queries ++ Features.queries ++ DataQuality.queries ++ SqlSurface.queries ++ CorpusCard.queries ++ Recommend.queries ++ Stats.queries ++ Graphs.queries ++ Profiling.queries ++ Markov.queries ++
+      Trees.queries ++ Bayes.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -41,7 +42,8 @@ object SparkEntry {
       Tokenize.oracleSql ++ Kmeans.oracleSql ++ Embeddings.oracleSql ++
       Pipeline.oracleSql ++ Curation.oracleSql ++ Classifier.oracleSql ++
       Unigram.oracleSql ++ Pq.oracleSql ++ Dsir.oracleSql ++ Tpch.oracleSql ++
-      Winnow.oracleSql ++ QualityRules.oracleSql ++ Wordpiece.oracleSql ++ Privacy.oracleSql ++ SpanMask.oracleSql ++ Features.oracleSql ++ DataQuality.oracleSql ++ SqlSurface.oracleSql ++ CorpusCard.oracleSql ++ Recommend.oracleSql ++ Stats.oracleSql
+      Winnow.oracleSql ++ QualityRules.oracleSql ++ Wordpiece.oracleSql ++ Privacy.oracleSql ++ SpanMask.oracleSql ++ Features.oracleSql ++ DataQuality.oracleSql ++ SqlSurface.oracleSql ++ CorpusCard.oracleSql ++ Recommend.oracleSql ++ Stats.oracleSql ++ Graphs.oracleSql ++ Profiling.oracleSql ++ Markov.oracleSql ++
+      Trees.oracleSql ++ Bayes.oracleSql
 
   /** Headline queries Bench times at sf0.1 — the scale-representative
     * subset (scan-agg, fact-fact join, window, text, dedup paths).
@@ -91,5 +93,9 @@ object SparkEntry {
     "q15_top_supplier", "q16_parts_suppliers", "q18_big_orders",
     "q22_global_balance", "fingerprint_winnow", "dedup_winnow",
     "quality_gopher", "quality_gopher_report", "wordpiece_encode", "graph_adamic_adar", "privacy_kanon", "privacy_kanon_generalize",
-    "skyline_2d", "attribution_position", "mask_spans", "ab_test_readout", "events_join_outer_stream", "feature_target_encode", "sample_negatives", "drift_ks", "classifier_calibration", "dpp_join", "mv_merge", "pattern_match", "concurrency_profile", "funnel_latency", "cohort_ltv", "fingerprint_winnow_native", "dq_checks", "source_freshness", "classifier_bias_report", "journey_entropy", "sql_surface", "q2_min_cost", "q12_late_priority", "q20_excess_suppliers", "q21_waiting_suppliers", "corpus_card")
+    "skyline_2d", "attribution_position", "mask_spans", "ab_test_readout", "events_join_outer_stream", "feature_target_encode", "sample_negatives", "drift_ks", "classifier_calibration", "dpp_join", "mv_merge", "pattern_match", "concurrency_profile", "funnel_latency", "cohort_ltv", "fingerprint_winnow_native", "dq_checks", "source_freshness", "classifier_bias_report", "journey_entropy", "sql_surface", "q2_min_cost", "q12_late_priority", "q20_excess_suppliers", "q21_waiting_suppliers", "corpus_card",
+    "item_cf", "item_recommend", "survival_km", "ab_test_chi2", "corr_matrix",
+    "graph_hits", "graph_sssp", "fk_discovery", "mutual_info", "ts_acf",
+    "attribution_markov", "attribution_shapley", "tree_train", "tree_predict",
+    "nb_train", "nb_predict", "fd_discovery", "changepoint_cusum")
 }

@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Checkpoints.StableOps
+
+/** Iterative graph analytics beyond PageRank/BFS ([EXT]): HITS
+  * hubs/authorities on the bipartite interaction graph and weighted
+  * single-source shortest paths on the co-purchase graph.
+  *
+  * Both iterations are INTEGER-quantized so every round reproduces
+  * bit-for-bit in any engine: HITS normalizes by the round maximum
+  * with int64 floor division (no float eigen-normalization), and
+  * SSSP relaxes int64 micro-unit weights under min-plus — exact by
+  * construction. This is the repo's standard trick for putting
+  * float-native algorithms under the DuckDB hash gate
+  * (cf. pagerank's term-mirrored doubles, classifier_train's
+  * integer-cent GD).
+  */
+object Graphs {
+
+  /** HITS rounds — fixed, like pagerank's 10 (Kleinberg '99 converges
+    * geometrically; both engines compute the same truncation). */
+  val HitsRounds = 8
+  /** Per-side leaderboard size. */
+  val HitsK = 20
+  /** SSSP relaxation rounds (graph diameter bound at bench SF;
+    * un-relaxed nodes simply keep their best-so-far distance — the
+    * oracle runs the identical truncation). */
+  val SsspRounds = 6
+
+  /** User→part interaction edges (the implicit-feedback bipartite
+    * graph, same producer as [[Recommend]]). */
+  private def interactions(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
+      .distinct()
+
+  /** HITS (Kleinberg '99) on the user→part bipartite graph: users are
+    * hubs (curators whose baskets point at good items), parts are
+    * authorities. Each round is the classic mutual reinforcement
+    * a = Σ h(in-neighbors), h = Σ a(out-neighbors), but normalized by
+    * the round MAXIMUM via int64 floor division instead of the L2
+    * norm — same fixed point direction, exact integer arithmetic.
+    * Scores live in [0, 1e6] micro-units; top-[[HitsK]] per side.
+    *
+    * Scale shape: per round two |E| hash joins + partial-agg'd
+    * groupBys on the node keys, plus a 1-row max broadcast — no
+    * driver action inside the loop; lineage is checkpointed at
+    * stride 4. At ~1e9-user scale the `raw*1e6` product approaches
+    * the int64 rail — shift the normalization product to
+    * DECIMAL(38,0) there (the corr_matrix convention).
+    */
+  def graphHits(s: SparkSession, d: String): DataFrame = {
+    val e = interactions(s, d).stable
+    var hubs = e.select(col("user_id")).distinct()
+      .select(col("user_id"), lit(1000000L).as("h"))
+    var auths: DataFrame = null
+    var prevA: DataFrame = null
+    for (i <- 1 to HitsRounds) {
+      // araw/hraw are persisted because each feeds BOTH its max-
+      // broadcast job and the normalized frame's consumers — without
+      // the cache every broadcast exchange re-runs the |E| join chain.
+      // h is CHECKPOINTED every round: each round's plan references
+      // its predecessor 4× (two raw-score joins, two max subqueries),
+      // so anything short of per-round lineage truncation grows the
+      // plan tree 4^i-fold (the first cut, a stride-4 checkpoint,
+      // OOM'd the driver just STRINGIFYING the plan). The per-round
+      // frames are |V|-row score tables — the eager action is cheap.
+      val araw = e.join(hubs, "user_id")
+        .groupBy("part_id").agg(sum("h").as("araw")).persist()
+      val amax = araw.agg(max("araw").as("amax"))
+      val a = araw.crossJoin(broadcast(amax))
+        .select(col("part_id"), expr("araw * 1000000L div amax").as("a"))
+        .persist()
+      val hraw = e.join(a, "part_id")
+        .groupBy("user_id").agg(sum("a").as("hraw")).persist()
+      val hmax = hraw.agg(max("hraw").as("hmax"))
+      val h = hraw.crossJoin(broadcast(hmax))
+        .select(col("user_id"), expr("hraw * 1000000L div hmax").as("h"))
+        .stable
+      // h is materialized: retire the round's scratch and the
+      // superseded frames (the final round's `a` survives as auths)
+      araw.unpersist(false); hraw.unpersist(false)
+      hubs.unpersist(false)
+      if (prevA != null) prevA.unpersist(false)
+      prevA = a
+      hubs = h
+      auths = a
+    }
+    // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    // top-k + driver merge of K×P rows) — the global row_number window
+    // runs only on the K-row leaderboard, never on |V| rows
+    val rkW = Window.orderBy(col("score").desc, col("node_id").asc)
+    val topA = auths
+      .select(lit("authority").as("node_type"), col("part_id").as("node_id"),
+        col("a").as("score"))
+      .orderBy(col("score").desc, col("node_id").asc).limit(HitsK)
+      .withColumn("rk", row_number().over(rkW).cast("long"))
+    val topH = hubs
+      .select(lit("hub").as("node_type"), col("user_id").as("node_id"),
+        col("h").as("score"))
+      .orderBy(col("score").desc, col("node_id").asc).limit(HitsK)
+      .withColumn("rk", row_number().over(rkW).cast("long"))
+    val out = topA.unionAll(topH).stable
+    auths.unpersist(false)
+    e.unpersist(false)
+    out
+  }
+
+  /** Co-purchase edges (parts bought together in ≥2 orders — the
+    * adamic-adar producer) with int64 micro-unit weights
+    * w = 1e6/support: stronger ties are shorter. Symmetrized. */
+  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey").distinct()
+    val ia = items.select(col("l_orderkey"), col("l_partkey").as("pa"))
+    val ib = items.select(col("l_orderkey").as("ok2"), col("l_partkey").as("pb"))
+    val und = ia.join(ib, col("l_orderkey") === col("ok2") && col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+      .select(col("pa"), col("pb"), expr("1000000L div n_ab").as("w"))
+    und.select(col("pa").as("src"), col("pb").as("dst"), col("w"))
+      .unionAll(und.select(col("pb").as("src"), col("pa").as("dst"), col("w")))
+  }
+
+  /** Weighted single-source shortest paths by bounded Bellman-Ford
+    * over the co-purchase graph: source = the smallest part id in the
+    * graph (a 1-row broadcast, no hard-coded key), [[SsspRounds]]
+    * min-plus relaxations over exact int64 micro-unit distances.
+    * Emits every node reached within the round budget.
+    *
+    * Scale shape: the distance table holds only REACHED nodes, so
+    * early rounds join a small frontier-superset against the
+    * src-keyed edge list; each round is one |E ⋉ reached| join + a
+    * min groupBy (partial-agg'd). No driver action in the loop;
+    * stride-3 checkpoints bound plan depth. Min-plus over integers
+    * is associative and exact — the oracle runs the identical
+    * truncated relaxation.
+    */
+  def graphSssp(s: SparkSession, d: String): DataFrame = {
+    val e = weightedEdges(s, d).repartition(col("src")).stable
+    val src = e.agg(min(col("src")).as("s0"))
+    var dist = e.crossJoin(broadcast(src))
+      .filter(col("src") === col("s0"))
+      .select(col("src").as("node"), lit(0L).as("dist_micro"))
+      .distinct()
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to SsspRounds) {
+      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("dist_micro") + col("w")).as("dist_micro"))
+      var next = dist.unionAll(relaxed)
+        .groupBy("node").agg(min("dist_micro").as("dist_micro"))
+      val isCkpt = i % 3 == 0
+      next = if (isCkpt) next.stable else next.persist()
+      retired += dist
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
+      dist = next
+    }
+    val out = dist.select(col("node").as("part_id"), col("dist_micro")).stable
+    retired.foreach(_.unpersist(false))
+    e.unpersist(false)
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> graphHits,
+    "graph_sssp" -> graphSssp)
+
+  private val interactionsSql =
+    """e AS (
+      |  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part_id
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "graph_hits" -> {
+      // 8 mutual-reinforcement rounds unrolled; DuckDB's // floors
+      // positives exactly like Spark's div. sums are HUGEINT — CAST
+      // back to BIGINT at each normalization. Every round CTE is
+      // MATERIALIZED: DuckDB inlines CTEs by default, and each round
+      // references its predecessor twice (sum join + max subquery),
+      // so an inlined chain expands exponentially.
+      val rounds = (1 to HitsRounds).map { i =>
+        val prevH = if (i == 1) "h0" else s"h${i - 1}"
+        s"""a${i}r AS MATERIALIZED (
+           |  SELECT e.part_id, CAST(sum(p.h) AS BIGINT) AS araw
+           |  FROM e JOIN $prevH p USING (user_id) GROUP BY e.part_id),
+           |a$i AS MATERIALIZED (
+           |  SELECT part_id,
+           |    CAST(araw * 1000000 // (SELECT max(araw) FROM a${i}r) AS BIGINT) AS a
+           |  FROM a${i}r),
+           |h${i}r AS MATERIALIZED (
+           |  SELECT e.user_id, CAST(sum(a.a) AS BIGINT) AS hraw
+           |  FROM e JOIN a$i a USING (part_id) GROUP BY e.user_id),
+           |h$i AS MATERIALIZED (
+           |  SELECT user_id,
+           |    CAST(hraw * 1000000 // (SELECT max(hraw) FROM h${i}r) AS BIGINT) AS h
+           |  FROM h${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${interactionsSql.replace("e AS (", "e AS MATERIALIZED (")},
+         |h0 AS MATERIALIZED (SELECT DISTINCT user_id, CAST(1000000 AS BIGINT) AS h FROM e),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT 'authority' AS node_type, part_id AS node_id, a AS score,
+         |    CAST(row_number() OVER (ORDER BY a DESC, part_id) AS BIGINT) AS rk
+         |  FROM a$HitsRounds) WHERE rk <= $HitsK
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'hub' AS node_type, user_id AS node_id, h AS score,
+         |    CAST(row_number() OVER (ORDER BY h DESC, user_id) AS BIGINT) AS rk
+         |  FROM h$HitsRounds) WHERE rk <= $HitsK""".stripMargin
+    },
+    "graph_sssp" -> {
+      // MATERIALIZED for the same inlining-blowup reason as graph_hits:
+      // each round references d{i-1} twice
+      val rounds = (1 to SsspRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, min(dist_micro) AS dist_micro FROM (
+           |    SELECT node, dist_micro FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT s.dst AS node, p.dist_micro + s.w AS dist_micro
+           |    FROM sym s JOIN d${i - 1} p ON p.node = s.src)
+           |  GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         |    CAST(1000000 // count(*) AS BIGINT) AS w
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS MATERIALIZED (
+         |  SELECT pa AS src, pb AS dst, w FROM und
+         |  UNION ALL SELECT pb, pa, w FROM und),
+         |d0 AS (SELECT CAST(min(src) AS BIGINT) AS node,
+         |              CAST(0 AS BIGINT) AS dist_micro FROM sym),
+         |$rounds
+         |SELECT node AS part_id, CAST(dist_micro AS BIGINT) AS dist_micro
+         |FROM d$SsspRounds""".stripMargin
+    })
+}

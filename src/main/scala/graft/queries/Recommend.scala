@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** Item-item collaborative filtering ([EXT]) — the classic
   * neighborhood recommender (Sarwar et al. '01 / Amazon item-to-item)
@@ -45,11 +46,11 @@ object Recommend {
   /** Interactions with each user's basket capped at [[MaxBasket]] by
     * deterministic md5 rank (reproducible across runs/backfills).
     */
-  private def capped(s: SparkSession, d: String): DataFrame = {
+  private def cappedOf(pos: DataFrame): DataFrame = {
     val rkW = Window.partitionBy("user_id").orderBy(
       md5(concat(col("user_id").cast("string"), lit(":"),
         col("part_id").cast("string"))).asc, col("part_id").asc)
-    positives(s, d)
+    pos
       .withColumn("rk", row_number().over(rkW))
       .filter(col("rk") <= MaxBasket)
       .drop("rk")
@@ -58,10 +59,15 @@ object Recommend {
   /** Top-[[TopK]] cosine neighbors per item: co-preference counts from
     * the user-keyed self-join, cosine co/sqrt(n_a·n_b) against item
     * degrees, support floor [[CoMin]], deterministic
-    * (cosine desc, id asc) rank.
+    * (cosine desc, id asc) rank. The positives frame is injected so
+    * [[itemRecommend]] can share ONE materialization across the CF
+    * build, the vote join, and the freshness anti-join.
     */
-  def itemCf(s: SparkSession, d: String): DataFrame = {
-    val base = capped(s, d)
+  def itemCf(s: SparkSession, d: String): DataFrame =
+    itemCfOn(positives(s, d))
+
+  private def itemCfOn(pos: DataFrame): DataFrame = {
+    val base = cappedOf(pos)
     val deg = base.groupBy("part_id").agg(count(lit(1)).as("n"))
     val a = base.select(col("user_id"), col("part_id").as("pa"))
     val b = base.select(col("user_id"), col("part_id").as("pb"))
@@ -91,8 +97,11 @@ object Recommend {
     * ties break on item id.
     */
   def itemRecommend(s: SparkSession, d: String): DataFrame = {
-    val pos = positives(s, d)
-    val nbrs = itemCf(s, d)
+    // one materialization of the interaction table feeds the CF build
+    // (which walks it three more times), the vote join, and the
+    // freshness anti-join — without it the orderkey join re-runs 5×
+    val pos = positives(s, d).stable
+    val nbrs = itemCfOn(pos).stable
     val votes = pos.join(nbrs, "part_id")
       .groupBy(col("user_id"), col("neighbor_id").as("rec_id"))
       .agg(sum("cos_micro").as("score_micro"), count(lit(1)).as("n_src"))
@@ -101,9 +110,12 @@ object Recommend {
       Seq("user_id", "rec_id"), "left_anti")
     val rkW = Window.partitionBy("user_id")
       .orderBy(col("score_micro").desc, col("rec_id").asc)
-    fresh.withColumn("rk", row_number().over(rkW).cast("long"))
+    val out = fresh.withColumn("rk", row_number().over(rkW).cast("long"))
       .filter(col("rk") <= RecK)
       .select("user_id", "rec_id", "score_micro", "n_src", "rk")
+      .stable
+    pos.unpersist(false); nbrs.unpersist(false)
+    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -32,6 +32,8 @@ object TextOps {
       expr(s"size(regexp_extract_all(text, '${BpeRe.replace("\\", "\\\\")}', 0))").as("bpe_tokens"))
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  /** The quality-family stopword list, shared with [[Trees]]. */
+  val StopwordsPub: Seq[String] = Stopwords
 
   /** Per-doc quality signals: length, token count, mean word length,
     * punctuation ratio, stopword ratio, and a composite score — the

@@ -1,0 +1,70 @@
+package graft
+
+import graft.queries.Graphs
+import org.apache.spark.sql.functions._
+
+/** HITS and SSSP contracts: both iterations re-run sequentially
+  * in-JVM with the identical integer quantization and must agree
+  * exactly. Cross-engine hashes live under the DuckDB gate.
+  */
+class GraphsSpec extends SparkSuite {
+
+  private lazy val edges: Seq[(Long, Long)] =
+    graft.core.Tables.lineitem(spark, sfDir)
+      .join(graft.core.Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("graph_hits equals the sequential integer-quantized HITS iteration") {
+    val byUser = edges.groupBy(_._1).map { case (u, es) => u -> es.map(_._2) }
+    val byPart = edges.groupBy(_._2).map { case (p, es) => p -> es.map(_._1) }
+    var h = byUser.keys.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to Graphs.HitsRounds) {
+      val araw = byPart.map { case (p, us) => p -> us.map(h).sum }
+      val amax = araw.values.max
+      a = araw.map { case (p, v) => p -> v * 1000000L / amax }
+      val hraw = byUser.map { case (u, ps) => u -> ps.map(a).sum }
+      val hmax = hraw.values.max
+      h = hraw.map { case (u, v) => u -> v * 1000000L / hmax }
+    }
+    def top(m: Map[Long, Long]) =
+      m.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(Graphs.HitsK)
+        .zipWithIndex.map { case ((id, sc), i) => (id, sc, (i + 1).toLong) }
+    val got = Graphs.graphHits(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val gotA = got.filter(_._1 == "authority").map(t => (t._2, t._3, t._4)).sortBy(_._3).toSeq
+    val gotH = got.filter(_._1 == "hub").map(t => (t._2, t._3, t._4)).sortBy(_._3).toSeq
+    assert(gotA == top(a), s"authorities\n got $gotA\n exp ${top(a)}")
+    assert(gotH == top(h), s"hubs\n got $gotH\n exp ${top(h)}")
+    // normalization invariant: the round winner holds exactly 1e6 micro
+    assert(gotA.head._2 == 1000000L && gotH.head._2 == 1000000L)
+  }
+
+  test("graph_sssp equals truncated sequential Bellman-Ford on micro weights") {
+    val items = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val co = items.groupBy(_._1).values.flatMap { es =>
+      val ps = es.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).collect { case ((x, y), g) if g.size >= 2 =>
+      (x, y, 1000000L / g.size)
+    }.toSeq
+    val sym = co ++ co.map { case (x, y, w) => (y, x, w) }
+    val src = sym.map(_._1).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to Graphs.SsspRounds) {
+      val relaxed = sym.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    val got = Graphs.graphSssp(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == dist, s"size got ${got.size} exp ${dist.size}")
+    assert(got(src) == 0L)
+  }
+}
