@@ -22,8 +22,9 @@ import graft.core.Checkpoints.StableOps
 object Graphs {
 
   /** HITS rounds — fixed, like pagerank's 10 (Kleinberg '99 converges
-    * geometrically; both engines compute the same truncation). */
-  val HitsRounds = 8
+    * geometrically; both engines compute the same truncation; the
+    * leaderboard is stable well before round 6 on this graph). */
+  val HitsRounds = 6
   /** Per-side leaderboard size. */
   val HitsK = 20
   /** SSSP relaxation rounds (graph diameter bound at bench SF;
@@ -47,16 +48,22 @@ object Graphs {
     * norm — same fixed point direction, exact integer arithmetic.
     * Scores live in [0, 1e6] micro-units; top-[[HitsK]] per side.
     *
-    * Scale shape: per round two |E| hash joins + partial-agg'd
-    * groupBys on the node keys, plus a 1-row max broadcast — no
-    * driver action inside the loop; lineage is checkpointed at
-    * stride 4. At ~1e9-user scale the `raw*1e6` product approaches
-    * the int64 rail — shift the normalization product to
-    * DECIMAL(38,0) there (the corr_matrix convention).
+    * Scale shape: the edge list is materialized TWICE, pre-hashed on
+    * each join key (user_id and part_id) — score tables come out of
+    * groupBys already partitioned on the same keys (checkpoint
+    * preserves outputPartitioning), so every per-round |E| join is
+    * exchange-FREE; the only per-round shuffles are the partial-agg'd
+    * |V|-row score exchanges and a 1-row max broadcast (the 2×
+    * storage-for-shuffle trade every production HITS/PageRank at
+    * scale makes). No driver action inside the loop. At ~1e9-user
+    * scale the `raw*1e6` product approaches the int64 rail — shift
+    * the normalization product to DECIMAL(38,0) there (the
+    * corr_matrix convention).
     */
   def graphHits(s: SparkSession, d: String): DataFrame = {
-    val e = interactions(s, d).stable
-    var hubs = e.select(col("user_id")).distinct()
+    val eU = interactions(s, d).repartition(col("user_id")).stable
+    val eP = eU.repartition(col("part_id")).stable
+    var hubs = eU.select(col("user_id")).distinct()
       .select(col("user_id"), lit(1000000L).as("h"))
     var auths: DataFrame = null
     var prevA: DataFrame = null
@@ -70,13 +77,13 @@ object Graphs {
       // plan tree 4^i-fold (the first cut, a stride-4 checkpoint,
       // OOM'd the driver just STRINGIFYING the plan). The per-round
       // frames are |V|-row score tables — the eager action is cheap.
-      val araw = e.join(hubs, "user_id")
+      val araw = eU.join(hubs, "user_id")
         .groupBy("part_id").agg(sum("h").as("araw")).persist()
       val amax = araw.agg(max("araw").as("amax"))
       val a = araw.crossJoin(broadcast(amax))
         .select(col("part_id"), expr("araw * 1000000L div amax").as("a"))
         .persist()
-      val hraw = e.join(a, "part_id")
+      val hraw = eP.join(a, "part_id")
         .groupBy("user_id").agg(sum("a").as("hraw")).persist()
       val hmax = hraw.agg(max("hraw").as("hmax"))
       val h = hraw.crossJoin(broadcast(hmax))
@@ -107,7 +114,7 @@ object Graphs {
       .withColumn("rk", row_number().over(rkW).cast("long"))
     val out = topA.unionAll(topH).stable
     auths.unpersist(false)
-    e.unpersist(false)
+    eU.unpersist(false); eP.unpersist(false)
     out
   }
 
@@ -128,10 +135,12 @@ object Graphs {
   }
 
   /** Weighted single-source shortest paths by bounded Bellman-Ford
-    * over the co-purchase graph: source = the smallest part id in the
-    * graph (a 1-row broadcast, no hard-coded key), [[SsspRounds]]
-    * min-plus relaxations over exact int64 micro-unit distances.
-    * Emits every node reached within the round budget.
+    * over the co-purchase graph: source = the max-degree node
+    * (deterministic ties → smallest id; a 1-row broadcast, no
+    * hard-coded key — the min-id choice landed in 2-node components
+    * at some SFs), [[SsspRounds]] min-plus relaxations over exact
+    * int64 micro-unit distances. Emits every node reached within the
+    * round budget.
     *
     * Scale shape: the distance table holds only REACHED nodes, so
     * early rounds join a small frontier-superset against the
@@ -143,11 +152,9 @@ object Graphs {
     */
   def graphSssp(s: SparkSession, d: String): DataFrame = {
     val e = weightedEdges(s, d).repartition(col("src")).stable
-    val src = e.agg(min(col("src")).as("s0"))
-    var dist = e.crossJoin(broadcast(src))
-      .filter(col("src") === col("s0"))
+    var dist = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src").asc).limit(1)
       .select(col("src").as("node"), lit(0L).as("dist_micro"))
-      .distinct()
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to SsspRounds) {
       val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
@@ -237,8 +244,9 @@ object Graphs {
          |sym AS MATERIALIZED (
          |  SELECT pa AS src, pb AS dst, w FROM und
          |  UNION ALL SELECT pb, pa, w FROM und),
-         |d0 AS (SELECT CAST(min(src) AS BIGINT) AS node,
-         |              CAST(0 AS BIGINT) AS dist_micro FROM sym),
+         |d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist_micro
+         |       FROM (SELECT src FROM sym GROUP BY src
+         |             ORDER BY count(*) DESC, src ASC LIMIT 1)),
          |$rounds
          |SELECT node AS part_id, CAST(dist_micro AS BIGINT) AS dist_micro
          |FROM d$SsspRounds""".stripMargin

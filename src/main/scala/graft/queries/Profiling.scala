@@ -57,18 +57,32 @@ object Profiling {
     * distinct frame unions all columns, and a single value-keyed
     * self-join counts EVERY pairwise intersection in one shuffle —
     * no per-pair anti-join sweep; per-value fan-out is bounded by
-    * the (constant) declared column count squared.
+    * the (constant) declared column count squared. Intersections are
+    * symmetric, so the join enumerates only ordered `a < b` pairs
+    * (halving the aggregation input — TPC-H id spaces are dense
+    * integers from 1, so most values hit most columns) and both
+    * directions are emitted from the one count.
     */
   def fkDiscovery(s: SparkSession, d: String): DataFrame = {
-    val tall = KeyCols.map { case (t, c) =>
-      tableOf(s, d, t).select(lit(s"$t.$c").as("col_name"),
-        col(c).cast("long").as("v")).distinct()
-    }.reduce(_ unionAll _).persist()
+    // one scan per TABLE (all its key columns exploded together) and
+    // one global distinct — not a scan+shuffle per column
+    val tall = KeyCols.groupBy(_._1).toSeq.sortBy(_._1).map { case (t, cs) =>
+      tableOf(s, d, t).select(explode(array(cs.map { case (_, c) =>
+        struct(lit(s"$t.$c").as("col_name"), col(c).cast("long").as("v"))
+      }: _*)).as("e")).select(col("e.col_name"), col("e.v"))
+    }.reduce(_ unionAll _).distinct().persist()
     val sizes = tall.groupBy("col_name").agg(count(lit(1)).as("n_distinct"))
-    val inter = tall.join(tall.select(col("col_name").as("col2"), col("v")), "v")
-      .filter(col("col_name") =!= col("col2"))
-      .groupBy(col("col_name").as("child_col"), col("col2").as("parent_col"))
-      .agg(count(lit(1)).as("n_common"))
+    val rhs = tall.select(col("col_name").as("col2"), col("v").as("v2"))
+    // persisted: the symmetrizing union below reads it twice, and the
+    // join+agg IS the query's cost — recomputing it would undo the win
+    val half = tall.join(rhs,
+        col("v") === col("v2") && col("col_name") < col("col2"))
+      .groupBy(col("col_name").as("ca"), col("col2").as("cb"))
+      .agg(count(lit(1)).as("n_common")).persist()
+    val inter = half.select(col("ca").as("child_col"),
+        col("cb").as("parent_col"), col("n_common"))
+      .unionAll(half.select(col("cb").as("child_col"),
+        col("ca").as("parent_col"), col("n_common")))
     val out = inter
       .join(sizes.select(col("col_name").as("child_col"),
         col("n_distinct").as("n_child")), "child_col")
@@ -79,7 +93,7 @@ object Profiling {
         expr("n_common * 1000000L div n_child").as("frac_micro"),
         (col("n_common") === col("n_child")).as("is_inclusion"))
     val collected = out.stable
-    tall.unpersist(false)
+    tall.unpersist(false); half.unpersist(false)
     collected
   }
 

@@ -54,7 +54,11 @@ class GraphsSpec extends SparkSuite {
       (x, y, 1000000L / g.size)
     }.toSeq
     val sym = co ++ co.map { case (x, y, w) => (y, x, w) }
-    val src = sym.map(_._1).min
+    // source = max out-degree, ties to the smallest id (the operator's
+    // contract — a min-id source landed in 2-node components)
+    val src = sym.groupBy(_._1).toSeq
+      .map { case (n, es) => (n, es.size) }
+      .minBy { case (n, deg) => (-deg, n) }._1
     var dist = Map(src -> 0L)
     for (_ <- 1 to Graphs.SsspRounds) {
       val relaxed = sym.flatMap { case (u, v, w) =>

@@ -18,11 +18,14 @@ object TimeQuery {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val fn = graft.SparkEntry.queries(name)
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[time] $name rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    // comma-separated names time several queries in one JVM
+    name.split(',').foreach { nm =>
+      val fn = graft.SparkEntry.queries(nm)
+      (1 to reps).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"[time] $nm rep$i rows=$n ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }
