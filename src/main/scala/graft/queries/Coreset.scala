@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.core.Checkpoints.StableOps
+
+/** Greedy k-center coreset sampling ([EXT]) — Gonzalez '85
+  * farthest-point traversal over the embedding corpus: pick the
+  * point farthest from everything picked so far, k times. The
+  * diversity-selection pass a training-data pipeline runs to build a
+  * small cover of embedding space (2-approximation of the optimal
+  * k-center radius); the selected radius sequence doubles as a
+  * cluster-scale profile.
+  *
+  * Exactness: distances are squared L2 over the int8-quantized rails
+  * shared with embed_quantize/ann_quantized — integer cell
+  * arithmetic end to end, so every pick and radius reproduces
+  * bit-for-bit in the SQL oracle (the quantization IS the standard
+  * serving representation; see ann_quantized's recall audit).
+  *
+  * Scale shape: the working state is one (vec_id, qv, d2min) frame;
+  * each of the k rounds is a 1-row TakeOrdered pick broadcast
+  * against a single map pass (zip_with square distance + least) — no
+  * shuffle inside the loop at all, k linear passes total (the
+  * textbook greedy k-center schedule). Lineage is checkpointed at
+  * stride 3; nothing is collected.
+  */
+object Coreset {
+
+  /** Selected sample size (and unrolled oracle rounds). */
+  val KCenters = 12
+
+  /** Greedy picks: (rk, vec_id, radius2) — radius2 is the picked
+    * point's squared distance to the nearest earlier pick, i.e. the
+    * coverage radius the sample guarantees after rk−1 centers. */
+  def sampleKcenter(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val rails = Embeddings.quantRailsOf(all)
+    val sess = s
+    import sess.implicits._
+    if (rails.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("rk", "vec_id", "radius2")
+    val (loLit, hiLit) = rails.get
+    val qvecs = all.select(col("vec_id"),
+      zip_with(col("v"), sequence(lit(1), size(col("v"))), (x, i) => {
+        val lo = element_at(loLit, i.cast("int"))
+        val hi = element_at(hiLit, i.cast("int"))
+        when(hi > lo, (floor((x - lo) / (hi - lo) * 255 + 0.5) - 128)
+          .cast("long")).otherwise(lit(0L))
+      }).as("qv")).stable
+
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t)
+
+    var picks: DataFrame = null
+    // first center: smallest id (deterministic, engine-independent)
+    var sel = qvecs.orderBy(col("vec_id").asc).limit(1)
+      .select(col("vec_id").as("sid"), col("qv").as("sqv"),
+        lit(0L).as("srad"))
+    var best = qvecs.crossJoin(broadcast(sel))
+      .select(col("vec_id"), col("qv"),
+        d2(col("qv"), col("sqv")).as("d2min")).persist()
+    picks = sel.select(lit(1L).as("rk"), col("sid").as("vec_id"),
+      col("srad").as("radius2"))
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (rk <- 2 to KCenters) {
+      sel = best.orderBy(col("d2min").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id").as("sid"), col("qv").as("sqv"),
+          col("d2min").as("srad"))
+      picks = picks.unionAll(sel.select(lit(rk.toLong).as("rk"),
+        col("sid").as("vec_id"), col("srad").as("radius2")))
+      var next = best.crossJoin(broadcast(sel))
+        .select(col("vec_id"), col("qv"),
+          least(col("d2min"), d2(col("qv"), col("sqv"))).as("d2min"))
+      val isCkpt = rk % 3 == 0 || rk == KCenters
+      next = if (isCkpt) next.stable else next.persist()
+      retired += best
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
+      best = next
+    }
+    val out = picks.stable
+    best.unpersist(false); qvecs.unpersist(false)
+    retired.foreach(_.unpersist(false))
+    out
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_kcenter" -> sampleKcenter)
+
+  def oracleSql: Map[String, String] = Map(
+    "sample_kcenter" -> {
+      // cell-join distance form (≡ the Spark zip_with sum); every
+      // round CTE MATERIALIZED — b_t is referenced by both the pick
+      // and the next least-join
+      val rounds = (2 to KCenters).map { t =>
+        s"""p_$t AS MATERIALIZED (
+           |  SELECT vec_id, d2min FROM b_${t - 1}
+           |  ORDER BY d2min DESC, vec_id ASC LIMIT 1),
+           |dist_$t AS (
+           |  SELECT c.vec_id, CAST(sum((c.q - sc.q) * (c.q - sc.q)) AS BIGINT) AS d2
+           |  FROM qcells c JOIN qcells sc ON sc.dim = c.dim
+           |    AND sc.vec_id = (SELECT vec_id FROM p_$t)
+           |  GROUP BY c.vec_id),
+           |b_$t AS MATERIALIZED (
+           |  SELECT b.vec_id, least(b.d2min, d.d2) AS d2min
+           |  FROM b_${t - 1} b JOIN dist_$t d USING (vec_id))""".stripMargin
+      }.mkString(",\n")
+      val pickRows = (2 to KCenters).map { t =>
+        s"SELECT CAST($t AS BIGINT) AS rk, vec_id, d2min AS radius2 FROM p_$t"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH dims AS (
+         |  SELECT unnest(generate_series(1,
+         |    (SELECT CAST(max(len(embedding)) AS INTEGER) FROM embeddings))) AS i),
+         |st AS (
+         |  SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo,
+         |    max(CAST(embedding[i] AS DOUBLE)) AS hi
+         |  FROM embeddings, dims WHERE i <= len(embedding) GROUP BY i),
+         |qcells AS MATERIALIZED (
+         |  SELECT vec_id, st.i AS dim,
+         |    CASE WHEN hi > lo
+         |         THEN CAST(floor((CAST(embedding[st.i] AS DOUBLE) - lo)
+         |                         / (hi - lo) * 255 + 0.5) - 128 AS BIGINT)
+         |         ELSE 0 END AS q
+         |  FROM embeddings JOIN st ON st.i <= len(embedding)),
+         |p_1 AS (SELECT min(vec_id) AS vec_id FROM qcells),
+         |dist_1 AS (
+         |  SELECT c.vec_id, CAST(sum((c.q - sc.q) * (c.q - sc.q)) AS BIGINT) AS d2
+         |  FROM qcells c JOIN qcells sc ON sc.dim = c.dim
+         |    AND sc.vec_id = (SELECT vec_id FROM p_1)
+         |  GROUP BY c.vec_id),
+         |b_1 AS MATERIALIZED (SELECT vec_id, d2 AS d2min FROM dist_1),
+         |$rounds
+         |SELECT CAST(1 AS BIGINT) AS rk, vec_id, CAST(0 AS BIGINT) AS radius2
+         |FROM p_1
+         |UNION ALL
+         |$pickRows""".stripMargin
+    })
+}
