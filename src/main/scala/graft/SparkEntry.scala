@@ -98,5 +98,6 @@ object SparkEntry {
     "graph_hits", "graph_sssp", "fk_discovery", "mutual_info", "ts_acf",
     "attribution_markov", "attribution_shapley", "tree_train", "tree_predict",
     "nb_train", "nb_predict", "fd_discovery", "changepoint_cusum",
-    "mf_train", "mf_predict", "sample_kcenter", "readability_score")
+    "mf_train", "mf_predict", "sample_kcenter", "readability_score", "graph_modularity",
+    "weighted_median", "benford_screen", "did_readout")
 }

@@ -823,7 +823,59 @@ object Cluster {
     collected
   }
 
+  /** Newman-Girvan modularity ([EXT]) of the label-propagation
+    * communities over the MinHash near-dup graph: per community the
+    * intra-edge count e_c and degree sum d_c, each community's exact
+    * integer numerator 4m·e_c − d_c², and the global
+    * Q = Σ(4m·e_c − d_c²)/4m² truncated to micro (Spark `div` ≡
+    * DuckDB `//` on the possibly-negative total). The community-
+    * quality readout that tells a curator whether label_prop's
+    * near-dup communities are real structure or noise.
+    *
+    * Scale shape: edges and labels come from the linear MinHash path;
+    * the modularity algebra is two |E|-row joins (labels onto edge
+    * endpoints) plus community-bounded cell aggregations — no window
+    * over the full graph, 1-row totals broadcast. 4m² exceeds int64
+    * past ~1.5e9 edges — shift the numerator algebra to DECIMAL(38,0)
+    * there (the corr_matrix convention).
+    */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val edges = Dedup.minhashScored(Tables.documents(s, d), 0.6)
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b")).stable
+    val labels = labelPropOf(edges.select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id"), col("community")).stable
+    val ej = edges
+      .join(labels.select(col("doc_id").as("doc_a"), col("community").as("ca")),
+        "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"), col("community").as("cb")),
+        "doc_b").persist()
+    val m = ej.agg(count(lit(1)).as("m"))
+    val ein = ej.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in"))
+    val deg = edges.select(col("doc_a").as("doc_id"))
+      .unionAll(edges.select(col("doc_b").as("doc_id")))
+      .join(labels, "doc_id")
+      .groupBy("community").agg(count(lit(1)).as("deg_sum"))
+    val cells = deg.join(ein, Seq("community"), "left")
+      .select(col("community"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"), col("deg_sum"))
+      .crossJoin(broadcast(m))
+      .withColumn("contrib",
+        expr("4L * m * e_in - deg_sum * deg_sum")).persist()
+    val tot = cells.agg(sum("contrib").as("t"))
+    val out = cells.crossJoin(broadcast(tot))
+      .select(col("community"), col("e_in"), col("deg_sum"), col("contrib"),
+        col("m"), expr("(t * 1000000L) div (4L * m * m)").as("q_micro"))
+      .stable
+    ej.unpersist(false); cells.unpersist(false)
+    edges.unpersist(false); labels.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> graphModularity,
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_stats" -> graphStats,
     "graph_bfs" -> graphBfs,
@@ -1015,6 +1067,30 @@ object Cluster {
              |FROM e$KcoreRounds GROUP BY src""".stripMargin),
       "label_prop_minhash" ->
         ("WITH " + edges06 + ",\n" + lpChainSql + "\n" + lpSelectSql),
+      "graph_modularity" ->
+        ("WITH " + edges06 + ",\n" + lpChainSql + ",\n" +
+          s"""ej AS MATERIALIZED (
+            |  SELECT s.doc_a, s.doc_b, la.label AS ca, lb.label AS cb
+            |  FROM scored s JOIN l$LpRounds la ON la.node = s.doc_a
+            |                JOIN l$LpRounds lb ON lb.node = s.doc_b),
+            |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ej),
+            |ein AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS e_in
+            |        FROM ej WHERE ca = cb GROUP BY 1),
+            |deg AS (SELECT l.label AS community,
+            |          CAST(count(*) AS BIGINT) AS deg_sum
+            |        FROM (SELECT doc_a AS n FROM scored
+            |              UNION ALL SELECT doc_b FROM scored) x
+            |        JOIN l$LpRounds l ON l.node = x.n GROUP BY 1),
+            |cells AS MATERIALIZED (
+            |  SELECT d.community, coalesce(e.e_in, 0) AS e_in, d.deg_sum,
+            |    CAST(4 * mm.m * coalesce(e.e_in, 0)
+            |         - d.deg_sum * d.deg_sum AS BIGINT) AS contrib
+            |  FROM deg d LEFT JOIN ein e USING (community) CROSS JOIN mm),
+            |tot AS (SELECT CAST(sum(contrib) AS HUGEINT) AS t FROM cells)
+            |SELECT c.community, c.e_in, c.deg_sum, c.contrib, mm.m,
+            |  CAST((t.t * 1000000) // (4 * CAST(mm.m AS HUGEINT) * mm.m)
+            |    AS BIGINT) AS q_micro
+            |FROM cells c CROSS JOIN mm CROSS JOIN tot t""".stripMargin),
       "graph_bfs_minhash" ->
         ("WITH " + edges06 + ",\n" + bfsChainSql + "\n" + bfsSelectSql),
       "dedup_keep_priority_minhash" ->

@@ -155,12 +155,178 @@ object Stats {
     aggd.select(explode(array(pairs: _*)).as("p")).select("p.*")
   }
 
+  /** Exact weighted median of the price distribution per return flag
+    * (price cents weighted by whole-unit quantity) — the lower
+    * weighted median: the smallest value whose running weight reaches
+    * half the total. Deterministic because the running sum is over
+    * per-VALUE cells (groupBy value first), never over an arbitrary
+    * row order within ties.
+    *
+    * Scale shape: one groupBy(grp, v) cell pass; the running-sum
+    * window runs per group over value cells, and the pick is a
+    * rank-1 filter. Value-cell cardinality bounds the window input,
+    * not row count. */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.lineitem(s, d)
+      .select(col("l_returnflag").as("grp"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long").as("v"),
+        floor(col("l_quantity") + lit(0.5)).cast("long").as("w"))
+      .groupBy("grp", "v").agg(sum("w").as("w"))
+    val runW = Window.partitionBy("grp").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grpW = Window.partitionBy("grp")
+    val rkW = Window.partitionBy("grp").orderBy("v")
+    cells
+      .withColumn("cumw", sum("w").over(runW))
+      .withColumn("totw", sum("w").over(grpW))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .withColumn("rn", row_number().over(rkW))
+      .filter(col("rn") === 1)
+      .select(col("grp"), col("totw").as("total_weight"),
+        col("v").as("median_cents"))
+  }
+
+  /** Benford's-law screen over order totals (Benford 1938; the
+    * classic first-digit fraud/data-entry check): per leading digit
+    * of the integer cent amount, the observed count, the Benford
+    * expectation n·log10(1+1/d) in micro, the chi-square term
+    * quantized to micro BEFORE summing (integer total, merge-order
+    * free). Leading digit extraction goes through the int64's
+    * decimal string — engine-stable, no float log in the digit path.
+    */
+  def benfordScreen(s: SparkSession, d: String): DataFrame = {
+    val digits = Tables.orders(s, d)
+      .select(substring(floor(col("o_totalprice") * 100 + lit(0.5))
+        .cast("long").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val spine = s.range(1, 10).select(col("id").as("digit"))
+    val tot = digits.agg(sum("n_obs").as("n"))
+    val allW = Window.partitionBy()
+    spine.join(digits, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(tot))
+      .withColumn("exp_d",
+        col("n").cast("double") * log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("exp_micro",
+        floor(col("exp_d") * 1000000 + lit(0.5)).cast("long"))
+      .withColumn("term_micro",
+        floor((col("n_obs").cast("double") - col("exp_d"))
+          * (col("n_obs").cast("double") - col("exp_d")) / col("exp_d")
+          * 1000000 + lit(0.5)).cast("long"))
+      .withColumn("chi2_micro", sum("term_micro").over(allW))
+      .select("digit", "n_obs", "n", "exp_micro", "term_micro", "chi2_micro")
+  }
+
+  /** Difference-in-differences readout ([EXT]) over the event stream:
+    * treatment = odd user_id (the ab_test arm convention), period
+    * split at the calendar midpoint day, outcome = mean event value.
+    * Cell sums are integer cents; the four cell means are
+    * floor-quantized to micro-dollars and the DiD estimate
+    * (ΔT − ΔC) is pure integer arithmetic on them. One conditional
+    * aggregation pass; single-row output. */
+  def didReadout(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select((col("user_id") % 2).as("treat"),
+        expr("ts DIV 86400000000000").as("day"),
+        floor(col("value") * 100 + lit(0.5)).cast("long").as("c"))
+    val mid = ev.agg(expr("(min(day) + max(day) + 1L) div 2L").as("mid"))
+    def cell(t: Int, post: Boolean, f: String) = {
+      val m = col("treat") === t &&
+        (if (post) col("day") >= col("mid") else col("day") < col("mid"))
+      if (f == "n") sum(when(m, 1L).otherwise(0L))
+      else sum(when(m, col("c")).otherwise(0L))
+    }
+    ev.crossJoin(broadcast(mid))
+      .agg(cell(1, false, "n").as("n_t_pre"), cell(1, false, "s").as("s_t_pre"),
+        cell(1, true, "n").as("n_t_post"), cell(1, true, "s").as("s_t_post"),
+        cell(0, false, "n").as("n_c_pre"), cell(0, false, "s").as("s_c_pre"),
+        cell(0, true, "n").as("n_c_post"), cell(0, true, "s").as("s_c_post"))
+      .select(col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+        expr("s_t_pre * 10000L div n_t_pre").as("m_t_pre_micro"),
+        expr("s_t_post * 10000L div n_t_post").as("m_t_post_micro"),
+        expr("s_c_pre * 10000L div n_c_pre").as("m_c_pre_micro"),
+        expr("s_c_post * 10000L div n_c_post").as("m_c_post_micro"))
+      .withColumn("did_micro",
+        (col("m_t_post_micro") - col("m_t_pre_micro"))
+          - (col("m_c_post_micro") - col("m_c_pre_micro")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "survival_km" -> survivalKm,
     "ab_test_chi2" -> abTestChi2,
-    "corr_matrix" -> corrMatrix)
+    "corr_matrix" -> corrMatrix,
+    "weighted_median" -> weightedMedian,
+    "benford_screen" -> benfordScreen,
+    "did_readout" -> didReadout)
 
   def oracleSql: Map[String, String] = Map(
+    "weighted_median" ->
+      """WITH cells AS (
+        |  SELECT l_returnflag AS grp,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |run AS (
+        |  SELECT grp, v, w,
+        |    CAST(sum(w) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+        |    CAST(sum(w) OVER (PARTITION BY grp) AS BIGINT) AS totw
+        |  FROM cells)
+        |SELECT grp, totw AS total_weight, v AS median_cents
+        |FROM (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY v) AS rn
+        |      FROM run WHERE cumw * 2 >= totw)
+        |WHERE rn = 1""".stripMargin,
+    "benford_screen" ->
+      """WITH obs AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    count(*) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(1, 9)) AS digit),
+        |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+        |terms AS (
+        |  SELECT CAST(s.digit AS BIGINT) AS digit,
+        |    CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs, t.n,
+        |    CAST(t.n AS DOUBLE) * log10(1.0 + 1.0 / s.digit) AS exp_d
+        |  FROM spine s LEFT JOIN obs o ON o.digit = s.digit CROSS JOIN tot t),
+        |q AS (
+        |  SELECT digit, n_obs, n,
+        |    CAST(floor(exp_d * 1000000 + 0.5) AS BIGINT) AS exp_micro,
+        |    CAST(floor((CAST(n_obs AS DOUBLE) - exp_d)
+        |      * (CAST(n_obs AS DOUBLE) - exp_d) / exp_d * 1000000 + 0.5)
+        |      AS BIGINT) AS term_micro
+        |  FROM terms)
+        |SELECT digit, n_obs, n, exp_micro, term_micro,
+        |  CAST(sum(term_micro) OVER () AS BIGINT) AS chi2_micro
+        |FROM q""".stripMargin,
+    "did_readout" ->
+      """WITH ev AS (
+        |  SELECT user_id % 2 AS treat,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        |  FROM events),
+        |mid AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM ev),
+        |cells AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN treat = 1 AND day < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+        |    CAST(sum(CASE WHEN treat = 1 AND day < mid THEN c ELSE 0 END) AS BIGINT) AS s_t_pre,
+        |    CAST(sum(CASE WHEN treat = 1 AND day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+        |    CAST(sum(CASE WHEN treat = 1 AND day >= mid THEN c ELSE 0 END) AS BIGINT) AS s_t_post,
+        |    CAST(sum(CASE WHEN treat = 0 AND day < mid THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+        |    CAST(sum(CASE WHEN treat = 0 AND day < mid THEN c ELSE 0 END) AS BIGINT) AS s_c_pre,
+        |    CAST(sum(CASE WHEN treat = 0 AND day >= mid THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+        |    CAST(sum(CASE WHEN treat = 0 AND day >= mid THEN c ELSE 0 END) AS BIGINT) AS s_c_post
+        |  FROM ev CROSS JOIN mid),
+        |m AS (
+        |  SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+        |    s_t_pre * 10000 // n_t_pre AS m_t_pre_micro,
+        |    s_t_post * 10000 // n_t_post AS m_t_post_micro,
+        |    s_c_pre * 10000 // n_c_pre AS m_c_pre_micro,
+        |    s_c_post * 10000 // n_c_post AS m_c_post_micro
+        |  FROM cells)
+        |SELECT *, (m_t_post_micro - m_t_pre_micro)
+        |  - (m_c_post_micro - m_c_pre_micro) AS did_micro
+        |FROM m""".stripMargin,
     "survival_km" ->
       """WITH RECURSIVE life AS (
         |  SELECT user_id,

@@ -514,4 +514,37 @@ class ClusterSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(mh === ngram)
   }
+
+  test("graph_modularity equals manual Newman-Girvan over the LP labels") {
+    val edges = Dedup.minhashScored(
+        graft.core.Tables.documents(spark, sfDir), 0.6)
+      .filter(col("jac") >= 0.6).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Cluster.labelPropOf(Dedup.minhashScored(
+        graft.core.Tables.documents(spark, sfDir), 0.6)
+      .filter(col("jac") >= 0.6).select("doc_a", "doc_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.length.toLong
+    val ein = edges.filter { case (a, b) => labels(a) == labels(b) }
+      .groupBy { case (a, _) => labels(a) }
+      .map { case (c, g) => c -> g.length.toLong }
+    val deg = edges.flatMap { case (a, b) => Seq(labels(a), labels(b)) }
+      .groupBy(identity).map { case (c, g) => c -> g.length.toLong }
+    val got = Cluster.graphModularity(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == deg.size)
+    var tot = BigInt(0)
+    deg.foreach { case (c, d) =>
+      val e = ein.getOrElse(c, 0L)
+      val contrib = 4 * m * e - d * d
+      val (ge, gd, gc, gm, _) = got(c)
+      assert(ge == e && gd == d && gc == contrib && gm == m, s"community $c")
+      tot += contrib
+    }
+    val q = (tot * 1000000 / (BigInt(4) * BigInt(m) * BigInt(m))).toLong
+    got.values.foreach { case (_, _, _, _, gq) => assert(gq == q) }
+    // modularity is bounded: Q in [-0.5, 1]
+    assert(q >= -500000L && q <= 1000000L)
+  }
 }

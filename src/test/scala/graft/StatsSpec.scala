@@ -96,4 +96,71 @@ class StatsSpec extends SparkSuite {
       assert(math.abs(corr - exp) < 1e-5, s"($a,$b): $corr vs $exp")
     }
   }
+
+  test("weighted_median equals brute-force weighted median per group") {
+    val rows = graft.core.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+        floor(col("l_quantity") + lit(0.5)).cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Stats.weightedMedian(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val tot = rs.map(_._3).sum
+      val sorted = rs.groupBy(_._2).map { case (v, g2) => v -> g2.map(_._3).sum }
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; cum * 2 >= tot }.get._1
+      assert(got(g) == (tot, med), s"group $g")
+    }
+    assert(got.keySet == rows.map(_._1).toSet)
+  }
+
+  test("benford_screen chi-square terms match manual computation") {
+    val cents = graft.core.Tables.orders(spark, sfDir)
+      .select(floor(col("o_totalprice") * 100 + lit(0.5)).cast("long"))
+      .collect().map(_.getLong(0))
+    val obs = cents.map(_.toString.charAt(0).asDigit.toLong)
+      .groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val n = cents.length.toLong
+    val got = Stats.benfordScreen(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == 9)
+    var chi2 = 0L
+    val exp = (1L to 9L).map { d =>
+      val e = n * math.log10(1.0 + 1.0 / d)
+      val o = obs.getOrElse(d, 0L)
+      val t = math.floor((o - e) * (o - e) / e * 1e6 + 0.5).toLong
+      chi2 += t
+      d -> (o, math.floor(e * 1e6 + 0.5).toLong, t)
+    }.toMap
+    got.foreach { case (d, o, gn, em, tm, c2) =>
+      val (eo, ee, et) = exp(d)
+      assert(o == eo && gn == n && em == ee && tm == et, s"digit $d")
+      assert(c2 == chi2)
+    }
+  }
+
+  test("did_readout equals the manual four-cell estimate") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select((col("user_id") % 2), expr("ts DIV 86400000000000"),
+        floor(col("value") * 100 + lit(0.5)).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val mid = (ev.map(_._2).min + ev.map(_._2).max + 1) / 2
+    def cell(t: Long, post: Boolean) = {
+      val c = ev.filter(e => e._1 == t && (if (post) e._2 >= mid else e._2 < mid))
+      (c.length.toLong, c.map(_._3).sum)
+    }
+    val (ntp, stp) = cell(1, false); val (ntq, stq) = cell(1, true)
+    val (ncp, scp) = cell(0, false); val (ncq, scq) = cell(0, true)
+    val r = Stats.didReadout(spark, sfDir).collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((ntp, ntq, ncp, ncq)))
+    val (mtp, mtq, mcp, mcq) =
+      (stp * 10000 / ntp, stq * 10000 / ntq, scp * 10000 / ncp, scq * 10000 / ncq)
+    assert(r.getLong(4) == mtp && r.getLong(5) == mtq)
+    assert(r.getLong(6) == mcp && r.getLong(7) == mcq)
+    assert(r.getLong(8) == (mtq - mtp) - (mcq - mcp))
+  }
 }
