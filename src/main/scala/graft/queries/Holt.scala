@@ -1,0 +1,102 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Holt's linear-trend exponential smoothing ([EXT]) over the daily
+  * event-count series (Holt '57): per observed day the smoothed
+  * level/trend state and the one-step-ahead prediction, plus a
+  * 7-day horizon extrapolation — the trend-aware upgrade of
+  * forecast_baseline's seasonal mean.
+  *
+  * Exactness: the recursion is integer micro arithmetic —
+  * l_t = (α·x_t·1e6 + (1e6−α)(l+b)) div 1e6,
+  * b_t = (β(l_t−l_{t−1}) + (1e6−β)b) div 1e6 — truncation identical
+  * in both engines (negative trends included), so the whole state
+  * path hash-matches the oracle's recursive CTE.
+  *
+  * Scale shape: the distributed work is the one groupBy(day) corpus
+  * pass; the smoothing recursion is inherently sequential, runs on
+  * the CALENDAR-bounded cell list in the driver (the kmeans/markov
+  * bounded-collect convention — 10 years of days is 3,653 rows
+  * regardless of corpus size), and returns one row per day.
+  */
+object Holt {
+
+  /** Level smoothing α in micro (0.3). */
+  val AlphaMicro = 300000L
+  /** Trend smoothing β in micro (0.1). */
+  val BetaMicro = 100000L
+  /** Forecast horizon in days. */
+  val HorizonDays = 7
+
+  def forecastHolt(s: SparkSession, d: String): DataFrame = {
+    val M = 1000000L
+    val perDay = Tables.events(s, d)
+      .select(expr("ts DIV 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (d0, d1) = (perDay.keys.min, perDay.keys.max)
+    val xs = (d0 to d1).map(dd => dd -> perDay.getOrElse(dd, 0L))
+    // init: level = first value, trend = first difference (standard)
+    var l = xs(0)._2 * M
+    var b = (xs(1)._2 - xs(0)._2) * M
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Option[Long], Option[Long], Option[Long], Option[Long])]
+    rows += ((xs(0)._1, Some(xs(0)._2), Some(l), Some(b), None))
+    xs.drop(1).foreach { case (day, x) =>
+      val pred = l + b
+      val lNew = (AlphaMicro * x * M + (M - AlphaMicro) * (l + b)) / M
+      val bNew = (BetaMicro * (lNew - l) + (M - BetaMicro) * b) / M
+      l = lNew; b = bNew
+      rows += ((day, Some(x), Some(l), Some(b), Some(pred)))
+    }
+    (1 to HorizonDays).foreach { h =>
+      rows += ((d1 + h, None, None, None, Some(l + h * b)))
+    }
+    val sess = s
+    import sess.implicits._
+    rows.toSeq.toDF("day", "x", "level_micro", "trend_micro", "pred_micro")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "forecast_holt" -> forecastHolt)
+
+  def oracleSql: Map[String, String] = Map(
+    "forecast_holt" ->
+      s"""WITH RECURSIVE per_day AS (
+         |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+         |    AS day, count(*) AS c
+         |  FROM events GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(generate_series((SELECT min(day) FROM per_day),
+         |                                (SELECT max(day) FROM per_day))) AS day),
+         |series AS (
+         |  SELECT s.day, CAST(coalesce(p.c, 0) AS BIGINT) AS x,
+         |    row_number() OVER (ORDER BY s.day) AS rn
+         |  FROM spine s LEFT JOIN per_day p ON p.day = s.day),
+         |holt(rn, day, x, l, b, pred) AS (
+         |  SELECT a.rn, a.day, a.x, a.x * 1000000,
+         |    (SELECT x FROM series WHERE rn = 2) * 1000000 - a.x * 1000000,
+         |    CAST(NULL AS BIGINT)
+         |  FROM series a WHERE a.rn = 1
+         |  UNION ALL
+         |  SELECT s.rn, s.day, s.x,
+         |    ($AlphaMicro * s.x * 1000000
+         |      + ${1000000 - AlphaMicro} * (h.l + h.b)) // 1000000,
+         |    ($BetaMicro * (($AlphaMicro * s.x * 1000000
+         |        + ${1000000 - AlphaMicro} * (h.l + h.b)) // 1000000 - h.l)
+         |      + ${1000000 - BetaMicro} * h.b) // 1000000,
+         |    h.l + h.b
+         |  FROM holt h JOIN series s ON s.rn = h.rn + 1),
+         |last AS (SELECT day, l, b FROM holt
+         |         WHERE rn = (SELECT max(rn) FROM holt))
+         |SELECT day, x, l AS level_micro, b AS trend_micro,
+         |  pred AS pred_micro
+         |FROM holt
+         |UNION ALL
+         |SELECT last.day + h.h, NULL, NULL, NULL, last.l + h.h * last.b
+         |FROM last CROSS JOIN
+         |  (SELECT unnest(generate_series(1, $HorizonDays)) AS h) h""".stripMargin)
+}
