@@ -56,6 +56,14 @@ class PlanLintSpec extends SparkSuite {
     "ann_ivfpq",
     // DSIR: 1-row totals frame attached to the NumBuckets-row λ build
     "dsir_weights", "dsir_sample",
+    // reviewed this session — all 1-row scalar broadcast attachments:
+    // benford/cusum/did/survival/frequent_seq/nb_train attach a
+    // grand-total or midpoint frame; conformal attaches the 1-row fit,
+    // n_cal, and q̂ frames; corpus_card composes 1-row summary legs;
+    // q20's excess threshold is the q11/q22 scalar-subquery class
+    "benford_screen", "changepoint_cusum", "conformal_interval",
+    "corpus_card", "did_readout", "frequent_seq", "nb_train",
+    "q20_excess_suppliers", "survival_km",
     // 1-row horizon / total frames (RFM recency, ensemble's lm_score
     // leg, forecast horizon, basket order count)
     "user_rfm", "quality_ensemble", "forecast_baseline", "basket_pairs",
