@@ -841,7 +841,38 @@ object Dedup {
       .limit(50)
   }
 
+  /** LSH bucket diagnostics ([EXT]) — the operational skew profile of
+    * the MinHash banding layout: per band, the bucket count, docs
+    * hashed, the LARGEST bucket (the hot key that dominates in-bucket
+    * pair expansion at scale), singleton share, and the candidate-
+    * pair budget Σ k(k−1)/2. This is the dashboard a 100 TB dedup run
+    * watches before launching the pair verify — a runaway max bucket
+    * means a degenerate band (boilerplate shingles) and quadratic
+    * work ahead.
+    *
+    * Scale shape: one signature pass (the same chain every minhash
+    * query shares), one groupBy(band, bucket) whose output is
+    * bucket-bounded, then a Bands-row rollup.
+    */
+  def dedupBucketStats(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
+    val bkt = Tables.documents(s, d)
+      .select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), posexplode_outer(expr("minhash_buckets(sh)")))
+      .toDF("doc_id", "band", "bucket")
+    bkt.groupBy("band", "bucket").agg(count(lit(1)).as("k"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum("k").as("n_docs"),
+        max("k").as("max_bucket_size"),
+        sum(when(col("k") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_bucket_stats" -> dedupBucketStats,
     "dedup_exact" -> dedupExact,
     "dedup_savings" -> dedupSavings,
     "dedup_ngram" -> dedupNgram,
@@ -940,6 +971,18 @@ object Dedup {
       minhashScoredSql(threshold)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_bucket_stats" ->
+      ("WITH " + shSqlOver("documents") + ",\n" + minhashBucketsSql + ",\n" +
+        """cells AS (SELECT band, bucket, count(*) AS k
+          |          FROM bkt GROUP BY 1, 2)
+          |SELECT CAST(band AS BIGINT) AS band,
+          |  count(*) AS n_buckets,
+          |  CAST(sum(k) AS BIGINT) AS n_docs,
+          |  CAST(max(k) AS BIGINT) AS max_bucket_size,
+          |  CAST(sum(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_singletons,
+          |  CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_candidate_pairs
+          |FROM cells GROUP BY band""".stripMargin),
     "dedup_minhash" ->
       ("WITH " + minhashEdgesSql(None) + "\n" +
         """SELECT doc_a, doc_b, round(jac, 4) AS jac FROM scored

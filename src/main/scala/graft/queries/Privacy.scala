@@ -53,11 +53,38 @@ object Privacy {
     ok.unionAll(merged)
   }
 
+  /** l-diversity floor (Machanavajjhala et al. '07). */
+  val L = 3
+
+  /** l-diversity census over the same (nation, segment) QID classes
+    * as [[privacyKanon]], with the account-balance band as the
+    * sensitive attribute: a class that is k-anonymous but whose
+    * members all share one balance band still leaks — distinct
+    * sensitive values per class must reach [[L]]. One groupBy with a
+    * distinct-count; integer band rails.
+    */
+  def privacyLdiversity(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor((col("c_acctbal") + 1000) / 2000).cast("long").as("band"))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct("band").as("n_sensitive"))
+      .withColumn("violates_l", col("n_sensitive") < L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_ldiversity" -> privacyLdiversity,
     "privacy_kanon" -> privacyKanon,
     "privacy_kanon_generalize" -> privacyKanonGeneralize)
 
   def oracleSql: Map[String, String] = Map(
+    "privacy_ldiversity" ->
+      s"""SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
+         |  CAST(count(DISTINCT CAST(floor((c_acctbal + 1000) / 2000)
+         |    AS BIGINT)) AS BIGINT) AS n_sensitive,
+         |  count(DISTINCT CAST(floor((c_acctbal + 1000) / 2000) AS BIGINT))
+         |    < $L AS violates_l
+         |FROM customer GROUP BY 1, 2""".stripMargin,
     "privacy_kanon" ->
       s"""SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
          |  count(*) < $K AS violates

@@ -342,4 +342,22 @@ class DedupSpec extends SparkSuite {
     // identity: docs = groups + dup docs
     assert(r.getLong(1) === r.getLong(0) + r.getLong(3))
   }
+
+  test("dedup_bucket_stats invariants: every band hashes every doc once") {
+    graft.functions.WordShingles.register(spark)
+    val nDocs = graft.core.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions
+        .expr("size(word_shingles(text)) > 0"))
+      .count()
+    val got = Dedup.dedupBucketStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length == Dedup.Bands)
+    got.foreach { case (band, nBuckets, nd, maxB, nSingle, nPairs) =>
+      assert(nd == nDocs, s"band $band docs $nd != $nDocs")
+      assert(nBuckets <= nd && maxB >= 1 && nSingle <= nBuckets)
+      assert(nPairs >= maxB * (maxB - 1) / 2, s"band $band pair budget")
+      assert((maxB == 1) == (nPairs == 0))
+    }
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.Privacy
+import org.apache.spark.sql.functions._
 
 /** k-anonymity contracts: census partition, violation flags, and the
   * generalization invariants (mass conservation, monotone repair).
@@ -39,5 +40,24 @@ class PrivacySpec extends SparkSuite {
     val nViol = census.count(_.getBoolean(3))
     val nMerged = gen.count(_.getBoolean(3))
     assert(nMerged <= nViol)
+  }
+
+  test("privacy_ldiversity counts distinct sensitive bands per class") {
+    val rows = graft.core.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        math.floor((r.getDouble(2) + 1000) / 2000).toLong))
+    val exp = rows.groupBy(_._1).map { case (k, g) =>
+      k -> (g.length.toLong, g.map(_._2).distinct.length.toLong) }
+    val got = graft.queries.Privacy.privacyLdiversity(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.size == exp.size)
+    exp.foreach { case (k, (n, ns)) =>
+      val (gn, gns, viol) = got(k)
+      assert(gn == n && gns == ns, s"class $k")
+      assert(viol == (ns < graft.queries.Privacy.L))
+    }
   }
 }
