@@ -31,6 +31,30 @@ object TextOps {
       size(toks(col("text"))).as("letter_tokens"),
       expr(s"size(regexp_extract_all(text, '${BpeRe.replace("\\", "\\\\")}', 0))").as("bpe_tokens"))
 
+  /** Tokenizer fertility by language ([EXT]) — the per-lang cost
+    * profile a tokenizer owner reads when sizing a vocab: BPE-class
+    * pre-tokens per word (fertility) and chars per pre-token, from
+    * exact corpus totals (integer micro floor ratios). High fertility
+    * on a language = the tokenizer fragments it = more sequence
+    * length per byte of signal. One map pass + a |langs|-row rollup.
+    */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(toks(col("text"))).cast("long").as("w"),
+        expr(s"size(regexp_extract_all(text, '${BpeRe.replace("\\", "\\\\")}', 0))")
+          .cast("long").as("b"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("b").as("n_bpe"), sum("ch").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_bpe"),
+        col("n_chars"),
+        expr("n_bpe * 1000000L div greatest(n_words, 1L)")
+          .as("fertility_micro"),
+        expr("n_chars * 1000000L div greatest(n_bpe, 1L)")
+          .as("chars_per_bpe_micro"))
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "it")
   /** The quality-family stopword list, shared with [[Trees]]. */
   val StopwordsPub: Seq[String] = Stopwords
@@ -649,6 +673,7 @@ object TextOps {
     "quality_filter" -> qualityFilter,
     "sample_split" -> sampleSplit,
     "token_count" -> tokenCount,
+    "tokenizer_fertility" -> tokenizerFertility,
     "quality_score" -> qualityScore,
     "text_stats" -> textStats,
     "lang_id" -> langId,
@@ -829,6 +854,22 @@ object TextOps {
         |FROM (SELECT doc_id, (doc_id % 1000003) * 2654435761 % 100 AS b
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+    "tokenizer_fertility" ->
+      s"""WITH m AS (
+         |  SELECT lang,
+         |    CAST(len($tokSqlDuck) AS BIGINT) AS w,
+         |    CAST(len(regexp_extract_all(text, '$BpeRe')) AS BIGINT) AS b,
+         |    CAST(length(text) AS BIGINT) AS ch
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(b) AS BIGINT) AS n_bpe,
+         |  CAST(sum(ch) AS BIGINT) AS n_chars,
+         |  CAST(sum(b) * 1000000 // greatest(sum(w), 1) AS BIGINT)
+         |    AS fertility_micro,
+         |  CAST(sum(ch) * 1000000 // greatest(sum(b), 1) AS BIGINT)
+         |    AS chars_per_bpe_micro
+         |FROM m GROUP BY lang""".stripMargin,
     "token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS INTEGER) AS ws_tokens,
