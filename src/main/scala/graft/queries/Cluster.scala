@@ -874,7 +874,49 @@ object Cluster {
     out
   }
 
+  /** Degree assortativity ([EXT], Newman '02) of the MinHash near-dup
+    * graph: the Pearson correlation of endpoint degrees over the
+    * directed edge list (both orientations of each undirected edge) —
+    * positive ⇒ hubs attach to hubs (duplication concentrates),
+    * negative ⇒ hub-leaf structure (boilerplate radiating). Completes
+    * the graph-metrics trio next to modularity (community) and the
+    * triangle census (closure).
+    *
+    * Exactness: degrees are integers; all moments accumulate in
+    * DECIMAL(38,0) ≡ HUGEINT; the final ratio is one fixed IEEE chain
+    * micro-quantized (the corr_matrix convention). One |E| join to
+    * attach degrees, one 1-row moment aggregation.
+    */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val und = Dedup.minhashScored(Tables.documents(s, d), 0.6)
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a").cast("long").as("a"),
+        col("doc_b").cast("long").as("b")).stable
+    val dir = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = dir.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+    val pairs = dir
+      .join(deg.select(col("n").as("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("n").as("dst"), col("d").as("dy")), "dst")
+    val out = pairs.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("dx").cast(dec)).as("sx"),
+      sum((col("dx") * col("dx")).cast(dec)).as("sxx"),
+      sum((col("dx") * col("dy")).cast(dec)).as("sxy"))
+      .select(
+        expr("CAST(n div 2 AS BIGINT)").as("m_edges"),
+        col("sx").cast("long").as("deg_sum"),
+        floor((col("n") * col("sxy") - col("sx") * col("sx")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          * 1000000 + lit(0.5)).cast("long").as("assortativity_micro"))
+      .stable
+    und.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> graphAssortativity,
     "graph_modularity" -> graphModularity,
     "graph_adamic_adar" -> graphAdamicAdar,
     "graph_stats" -> graphStats,
@@ -1067,6 +1109,25 @@ object Cluster {
              |FROM e$KcoreRounds GROUP BY src""".stripMargin),
       "label_prop_minhash" ->
         ("WITH " + edges06 + ",\n" + lpChainSql + "\n" + lpSelectSql),
+      "graph_assortativity" ->
+        ("WITH " + edges06 + ",\n" +
+          """dir AS MATERIALIZED (
+            |  SELECT doc_a AS src, doc_b AS dst FROM scored
+            |  UNION ALL SELECT doc_b, doc_a FROM scored),
+            |deg AS (SELECT src AS n, count(*) AS d FROM dir GROUP BY 1),
+            |mo AS (
+            |  SELECT CAST(count(*) AS HUGEINT) AS n,
+            |    CAST(sum(da.d) AS HUGEINT) AS sx,
+            |    CAST(sum(CAST(da.d AS HUGEINT) * da.d) AS HUGEINT) AS sxx,
+            |    CAST(sum(CAST(da.d AS HUGEINT) * db.d) AS HUGEINT) AS sxy
+            |  FROM dir JOIN deg da ON da.n = dir.src
+            |  JOIN deg db ON db.n = dir.dst)
+            |SELECT CAST(n // 2 AS BIGINT) AS m_edges,
+            |  CAST(sx AS BIGINT) AS deg_sum,
+            |  CAST(floor(CAST(n * sxy - sx * sx AS DOUBLE)
+            |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+            |    AS BIGINT) AS assortativity_micro
+            |FROM mo""".stripMargin),
       "graph_modularity" ->
         ("WITH " + edges06 + ",\n" + lpChainSql + ",\n" +
           s"""ej AS MATERIALIZED (

@@ -547,4 +547,25 @@ class ClusterSpec extends SparkSuite {
     // modularity is bounded: Q in [-0.5, 1]
     assert(q >= -500000L && q <= 1000000L)
   }
+
+  test("graph_assortativity equals exact-moment Pearson on endpoint degrees") {
+    val edges = Dedup.minhashScored(
+        graft.core.Tables.documents(spark, sfDir), 0.6)
+      .filter(col("jac") >= 0.6).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val dir = edges ++ edges.map { case (a, b) => (b, a) }
+    val deg = dir.groupBy(_._1).map { case (n, g) => n -> g.length.toLong }
+    val n = BigInt(dir.length)
+    val sx = dir.map(e => BigInt(deg(e._1))).sum
+    val sxx = dir.map(e => BigInt(deg(e._1)) * deg(e._1)).sum
+    val sxy = dir.map(e => BigInt(deg(e._1)) * deg(e._2)).sum
+    val exp = math.floor((n * sxy - sx * sx).toDouble
+      / (n * sxx - sx * sx).toDouble * 1e6 + 0.5).toLong
+    val r = Cluster.graphAssortativity(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == edges.length)
+    assert(r.getLong(1) == sx.toLong)
+    assert(r.getLong(2) == exp, s"r ${r.getLong(2)} vs $exp")
+    // a correlation is bounded
+    assert(r.getLong(2) >= -1000000L && r.getLong(2) <= 1000000L)
+  }
 }
