@@ -25,9 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Optimizer rule: lambda-form dot products compile to the native
     // kernel (see graft.plans.DotProductRewrite for the soundness note).
     ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
-    // Planner strategy: the whole-operator as-of join (custom
-    // LogicalPlan + SparkPlan — graft.plans.AsofJoin).
+    // Planner strategies: the whole-operator as-of and band joins
+    // (custom LogicalPlan + SparkPlan — graft.plans.AsofJoin/BandJoin).
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

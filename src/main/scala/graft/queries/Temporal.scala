@@ -419,11 +419,46 @@ object Temporal {
     "join_asof_tol" -> joinAsofTol,
     "join_asof_nearest" -> joinAsofNearest,
     "join_asof_lookup" -> joinAsofLookup,
+    "join_band_exec" -> joinBandExec,
     "join_range" -> joinRange)
+
+  /** Band half-width for [[joinBandExec]]: ±10 minutes in nanos. */
+  private val BandNanos = 600L * NanosPerSec
+
+  /** Error-click correlation through the CUSTOM BAND-JOIN physical
+    * operator (plans/BandJoin): for every error event, ALL clicks by
+    * the same user within ±10 minutes — the event-correlation sweep
+    * that a declarative `key = key AND ts BETWEEN …` turns into a
+    * BNLJ. SMJ-shaped exchanges+sorts, one sliding-buffer merge pass
+    * per partition; offsets stay in exact nanos.
+    */
+  def joinBandExec(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("ets"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    graft.plans.BandJoin.band(errors, clicks,
+        "user_id", "c_user", "ets", "cts", BandNanos, BandNanos)
+      .select(col("err_id"), col("user_id"), col("click_id"),
+        (col("cts") - col("ets")).as("offset_ns"))
+  }
 
   def oracleSql: Map[String, String] =
     oracleBase +
       ("join_asof_lookup" -> oracleBase("join_asof")) +
+      ("join_band_exec" ->
+        """SELECT e.event_id AS err_id, e.user_id, c.event_id AS click_id,
+          |  epoch_ns(CAST(c.ts AS TIMESTAMP))
+          |    - epoch_ns(CAST(e.ts AS TIMESTAMP)) AS offset_ns
+          |FROM events e JOIN events c
+          |  ON c.user_id = e.user_id
+          | AND c.event_type = 'click' AND e.event_type = 'error'
+          | AND epoch_ns(CAST(c.ts AS TIMESTAMP))
+          |     BETWEEN epoch_ns(CAST(e.ts AS TIMESTAMP)) - 600000000000
+          |         AND epoch_ns(CAST(e.ts AS TIMESTAMP)) + 600000000000""".stripMargin) +
       ("cdc_merge" ->
         """WITH ranked AS (
           |  SELECT user_id, ts, event_id, event_type, value,
