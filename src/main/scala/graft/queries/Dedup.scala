@@ -871,7 +871,34 @@ object Dedup {
         sum(expr("k * (k - 1) div 2")).as("n_candidate_pairs"))
   }
 
+  /** N-gram novelty profile ([EXT]) — per document, the share of its
+    * distinct word 3-grams that appear in NO earlier document (by
+    * doc_id ingest order): the marginal-contribution curve a curator
+    * reads to find where a crawl stops adding new content (novelty
+    * collapse = the scrape is re-crawling). Deduplication's
+    * measurement twin: dedup asks "is this a copy", novelty asks
+    * "how much of it is new".
+    *
+    * Scale shape: one shingle pass (the shared native expression), a
+    * min-aggregation per shingle (first-occurrence owner), and one
+    * digest-keyed join back — text never shuffles twice. Docs with
+    * no shingles (< 3 tokens) are excluded by construction.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val ex = shingleDocs(s, d)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val firstDoc = ex.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    ex.join(firstDoc, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("n_novel * 1000000L div n_shingles").as("novelty_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ngram_novelty" -> ngramNovelty,
     "dedup_bucket_stats" -> dedupBucketStats,
     "dedup_exact" -> dedupExact,
     "dedup_savings" -> dedupSavings,
@@ -971,6 +998,19 @@ object Dedup {
       minhashScoredSql(threshold)
 
   def oracleSql: Map[String, String] = Map(
+    "ngram_novelty" ->
+      ("WITH " + shSqlOver("documents") + ",\n" +
+        """ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh
+          |        WHERE len(shingles) > 0),
+          |fd AS (SELECT shingle, min(doc_id) AS first_doc
+          |       FROM ex GROUP BY shingle)
+          |SELECT e.doc_id, count(*) AS n_shingles,
+          |  CAST(sum(CASE WHEN fd.first_doc = e.doc_id THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_novel,
+          |  CAST(sum(CASE WHEN fd.first_doc = e.doc_id THEN 1 ELSE 0 END)
+          |    * 1000000 // count(*) AS BIGINT) AS novelty_micro
+          |FROM ex e JOIN fd USING (shingle)
+          |GROUP BY e.doc_id""".stripMargin),
     "dedup_bucket_stats" ->
       ("WITH " + shSqlOver("documents") + ",\n" + minhashBucketsSql + ",\n" +
         """cells AS (SELECT band, bucket, count(*) AS k

@@ -165,11 +165,76 @@ object Markov {
     rows.toDF("channel", "phi24", "share_micro", "conv_full", "conv_none")
   }
 
+  /** Stationary-attention readout ([EXT]): 24 truncated power-
+    * iteration steps on the FULL journey transition matrix (every
+    * adjacent step, no absorbing truncation — the long-run share of
+    * user attention per event type, the non-absorbing complement of
+    * [[attributionMarkov]]). Same integer rails: micro transition
+    * rows, nano mass floor-quantized per term; mass that reaches a
+    * state with no outgoing edges decays (truncated iteration, the
+    * oracle runs the identical chain). Cells are |types|²-bounded;
+    * only they are collected.
+    */
+  def journeyStationary(s: SparkSession, d: String): DataFrame = {
+    val stepW = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val cells = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("dst"))
+      .withColumn("src", lag("dst", 1).over(stepW))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val rowSum = cells.groupBy(_._1._1).map { case (s0, cs) => s0 -> cs.values.sum }
+    val t = cells.map { case ((a, b), c) => (a, b) -> c * 1000000L / rowSum(a) }
+    val states = (cells.keys.map(_._1) ++ cells.keys.map(_._2)).toSeq.distinct.sorted
+    val p0 = 1000000000L / states.length
+    var p = states.map(_ -> p0).toMap
+    for (_ <- 1 to MarkovSteps) {
+      p = t.toSeq.flatMap { case ((src, dst), tm) =>
+        p.get(src).map(ps => dst -> ps * tm / 1000000L)
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+    import s.implicits._
+    states.map(st => (st, p0, p.getOrElse(st, 0L)))
+      .toDF("state", "p0_nano", "stationary_nano")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "attribution_markov" -> attributionMarkov,
-    "attribution_shapley" -> attributionShapley)
+    "attribution_shapley" -> attributionShapley,
+    "journey_stationary" -> journeyStationary)
 
   def oracleSql: Map[String, String] = Map(
+    "journey_stationary" -> {
+      val chain = (1 to MarkovSteps).map { k =>
+        s"""p_$k AS MATERIALIZED (
+           |  SELECT t.dst AS state, CAST(sum(p.p * t.t // 1000000) AS BIGINT) AS p
+           |  FROM t JOIN p_${k - 1} p ON p.state = t.src
+           |  GROUP BY t.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type AS dst,
+         |    lag(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS src
+         |  FROM events),
+         |cnt AS (SELECT src, dst, count(*) AS c FROM ev
+         |        WHERE src IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT src, CAST(sum(c) AS BIGINT) AS r FROM cnt GROUP BY src),
+         |t AS MATERIALIZED (
+         |  SELECT c.src, c.dst, CAST(c.c * 1000000 // r.r AS BIGINT) AS t
+         |  FROM cnt c JOIN rt r USING (src)),
+         |states AS (SELECT DISTINCT src AS state FROM cnt
+         |           UNION SELECT DISTINCT dst FROM cnt),
+         |n_st AS (SELECT count(*) AS n FROM states),
+         |p_0 AS (SELECT state, CAST(1000000000 // n.n AS BIGINT) AS p
+         |        FROM states CROSS JOIN n_st n),
+         |$chain
+         |SELECT s.state,
+         |  (SELECT CAST(1000000000 // n AS BIGINT) FROM n_st) AS p0_nano,
+         |  coalesce(p.p, 0) AS stationary_nano
+         |FROM states s LEFT JOIN p_$MarkovSteps p ON p.state = s.state""".stripMargin
+    },
     "attribution_shapley" -> {
       val caseBits = ChannelBits.map { case (ch, b) => s"WHEN '$ch' THEN $b" }
         .mkString(" ")

@@ -360,4 +360,27 @@ class DedupSpec extends SparkSuite {
       assert((maxB == 1) == (nPairs == 0))
     }
   }
+
+  test("ngram_novelty equals first-occurrence set algebra") {
+    val sh = Dedup.shingleDocs(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val first = scala.collection.mutable.Map.empty[String, Long]
+    sh.toSeq.sortBy(_._1).foreach { case (id, ss) =>
+      ss.foreach(g => if (!first.contains(g) || first(g) > id) first(g) = id)
+    }
+    val got = Dedup.ngramNovelty(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.size == sh.size)
+    sh.foreach { case (id, ss) =>
+      val novel = ss.count(first(_) == id).toLong
+      val (n, nv, micro) = got(id)
+      assert(n == ss.size && nv == novel, s"doc $id")
+      assert(micro == novel * 1000000L / ss.size)
+    }
+    // the first document is 100% novel by construction
+    val firstDoc = sh.keys.min
+    assert(got(firstDoc)._3 == 1000000L)
+  }
 }

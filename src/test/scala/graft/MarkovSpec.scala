@@ -90,4 +90,33 @@ class MarkovSpec extends SparkSuite {
     assert(total > 1000000000L - Markov.MarkovSteps * 10L * 1000L,
       s"excessive quantization leak: $total")
   }
+
+  test("journey_stationary equals the sequential power iteration") {
+    val ev = graft.core.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val cells = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val seq = es.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.zip(seq.drop(1))
+    }.groupBy(identity).map { case (k, g) => k -> g.size.toLong }
+    val rowSum = cells.groupBy(_._1._1).map { case (s0, cs) => s0 -> cs.values.sum }
+    val t = cells.map { case ((a, b), c) => (a, b) -> c * 1000000L / rowSum(a) }
+    val states = (cells.keys.map(_._1) ++ cells.keys.map(_._2)).toSeq.distinct.sorted
+    val p0 = 1000000000L / states.length
+    var p = states.map(_ -> p0).toMap
+    for (_ <- 1 to Markov.MarkovSteps) {
+      p = t.toSeq.flatMap { case ((src, dst), tm) =>
+        p.get(src).map(ps => dst -> ps * tm / 1000000L)
+      }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    }
+    val got = Markov.journeyStationary(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == states.toSet)
+    states.foreach { st =>
+      assert(got(st) == ((p0, p.getOrElse(st, 0L))), s"state $st")
+    }
+    // total stationary mass stays within flooring loss of the start mass
+    val tot = p.values.sum
+    assert(tot <= 1000000000L && tot > 900000000L, s"mass $tot")
+  }
 }
