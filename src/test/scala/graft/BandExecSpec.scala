@@ -111,4 +111,42 @@ class BandExecSpec extends SparkSuite {
     assert(exchanges >= 2, s"expected both sides exchanged:\n$plan")
     assert(plan.contains("Sort "), "expected sorts under the band join")
   }
+
+  test("bucketed inputs elide the exchanges: co-located band join") {
+    val l = Seq.tabulate(100)(i => (i.toLong % 7, i.toLong * 10, s"l$i"))
+      .toDF("k", "ts", "l")
+    val r = Seq.tabulate(80)(i => (i.toLong % 7, i.toLong * 13, s"r$i"))
+      .toDF("rk", "rts", "r")
+    def write(name: String, df: org.apache.spark.sql.DataFrame,
+        key: String, ts: String): Unit =
+      if (!spark.catalog.tableExists(name)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val stale = new java.io.File(s"$wh/$name")
+        if (stale.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(stale)
+        }
+        df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .bucketBy(4, key).sortBy(key, ts).saveAsTable(name)
+      }
+    write("band_left_bkt", l, "k", "ts")
+    write("band_right_bkt", r, "rk", "rts")
+    val df = BandJoin.band(
+      spark.table("band_left_bkt"), spark.table("band_right_bkt"),
+      "k", "rk", "ts", "rts", 25L, 25L)
+    val got = df.select("l", "r").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    val plan = df.queryExecution.executedPlan.toString
+    val idx = plan.indexOf("BandJoin")
+    assert(idx >= 0, plan)
+    assert(!plan.substring(idx).contains("Exchange"),
+      s"bucketed band join must read co-located buckets, not shuffle:\n$plan")
+    val plain = BandJoin.band(l, r, "k", "rk", "ts", "rts", 25L, 25L)
+      .select("l", "r").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSet
+    assert(got === plain)
+    assert(got.nonEmpty)
+  }
 }
