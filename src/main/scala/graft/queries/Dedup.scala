@@ -897,7 +897,48 @@ object Dedup {
         expr("n_novel * 1000000L div n_shingles").as("novelty_micro"))
   }
 
+  /** Cross-source duplication matrix ([EXT]) — the provenance
+    * question behind every dedup run: which sources share verbatim
+    * content with which. For every source pair, the count of exact
+    * digests present in BOTH, each side's distinct-digest count, and
+    * the digest-set Jaccard in micro. Mirror-site detection, license
+    * laundering, and pipeline-echo diagnosis all read this matrix.
+    *
+    * Scale shape: digest-only — one (source, sha2) distinct frame,
+    * one digest-keyed self-join halved by source order (per-digest
+    * fan-out bounded by the source count), |sources|²-cell output.
+    */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    val dg = Tables.documents(s, d)
+      .select(col("source"), sha2(col("text"), 256).as("dg")).distinct()
+      .persist()
+    val sizes = dg.groupBy("source").agg(count(lit(1)).as("n_digests"))
+    val inter = dg.join(dg.select(col("source").as("source_b"),
+        col("dg").as("dg2")),
+        col("dg") === col("dg2") && col("source") < col("source_b"))
+      .groupBy(col("source").as("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // full pair spine: zero-overlap pairs are part of the report (an
+    // empty matrix and a clean corpus must look different)
+    val spine = sizes.select(col("source").as("source_a"),
+        col("n_digests").as("n_digests_a"))
+      .join(sizes.select(col("source").as("source_b"),
+        col("n_digests").as("n_digests_b")),
+        col("source_a") < col("source_b"))
+    val out = spine
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_digests_a"), col("n_digests_b"))
+      .withColumn("jaccard_micro",
+        expr("n_shared * 1000000L div (n_digests_a + n_digests_b - n_shared)"))
+    val collected = graft.core.Checkpoints.stable(out)
+    dg.unpersist(false)
+    collected
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_cross_source" -> dedupCrossSource,
     "ngram_novelty" -> ngramNovelty,
     "dedup_bucket_stats" -> dedupBucketStats,
     "dedup_exact" -> dedupExact,
@@ -998,6 +1039,24 @@ object Dedup {
       minhashScoredSql(threshold)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_cross_source" ->
+      """WITH dg AS (
+        |  SELECT DISTINCT source, sha256(text) AS dg FROM documents),
+        |sizes AS (SELECT source, count(*) AS n_digests FROM dg GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_shared
+        |  FROM dg a JOIN dg b ON b.dg = a.dg AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  CAST(coalesce(i.n_shared, 0) AS BIGINT) AS n_shared,
+        |  sa.n_digests AS n_digests_a, sb.n_digests AS n_digests_b,
+        |  CAST(coalesce(i.n_shared, 0) * 1000000
+        |    // (sa.n_digests + sb.n_digests - coalesce(i.n_shared, 0))
+        |    AS BIGINT) AS jaccard_micro
+        |FROM sizes sa JOIN sizes sb ON sa.source < sb.source
+        |LEFT JOIN inter i
+        |  ON i.source_a = sa.source AND i.source_b = sb.source""".stripMargin,
     "ngram_novelty" ->
       ("WITH " + shSqlOver("documents") + ",\n" +
         """ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh

@@ -383,4 +383,24 @@ class DedupSpec extends SparkSuite {
     val firstDoc = sh.keys.min
     assert(got(firstDoc)._3 == 1000000L)
   }
+
+  test("dedup_cross_source matrix equals digest set algebra") {
+    val dg = graft.core.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        org.apache.spark.sql.functions.sha2(col("text"), 256)).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets = dg.groupBy(_._1).map { case (s0, g) => s0 -> g.map(_._2).toSet }
+    val srcs = sets.keys.toSeq.sorted
+    val got = Dedup.dedupCrossSource(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == srcs.size * (srcs.size - 1) / 2)
+    for (a <- srcs; b <- srcs if a < b) {
+      val shared = (sets(a) & sets(b)).size.toLong
+      val (gs, na, nb, jac) = got((a, b))
+      assert(gs == shared, s"($a,$b)")
+      assert(na == sets(a).size && nb == sets(b).size)
+      assert(jac == shared * 1000000L / (na + nb - shared))
+    }
+  }
 }

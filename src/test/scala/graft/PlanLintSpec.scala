@@ -64,6 +64,9 @@ class PlanLintSpec extends SparkSuite {
     "benford_screen", "changepoint_cusum", "conformal_interval",
     "corpus_card", "did_readout", "frequent_seq", "nb_train",
     "q20_excess_suppliers", "survival_km",
+    // join_size_est attaches three 1-row frames (sample sum, k-th
+    // hash + count, exact audit count)
+    "join_size_est",
     // 1-row horizon / total frames (RFM recency, ensemble's lm_score
     // leg, forecast horizon, basket order count)
     "user_rfm", "quality_ensemble", "forecast_baseline", "basket_pairs",
