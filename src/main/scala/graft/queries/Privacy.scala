@@ -72,12 +72,54 @@ object Privacy {
         countDistinct("band").as("n_sensitive"))
       .withColumn("violates_l", col("n_sensitive") < L)
 
+  /** Laplace scale b = Δf/ε with sensitivity 1 and ε = 1. */
+  val DpScale = 1.0
+
+  /** ε=1 Laplace mechanism over per-nation customer counts with
+    * REPRODUCIBLE noise: the uniform draw comes from the md5
+    * shard-key convention (seeded DP — what a resumable/backfillable
+    * release pipeline actually ships, and the only form a
+    * cross-engine hash gate can certify), pushed through the exact
+    * inverse CDF −sign(u−½)·b·ln(1−2|u−½|). Emits the true count,
+    * the micro-quantized noise, and the noised release value.
+    */
+  def privacyDpCounts(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n_true"))
+      .withColumn("u",
+        (pmod(conv(substring(md5(concat(lit("dp:"),
+          col("c_nationkey").cast("string"))), 1, 6), 16, 10).cast("long"),
+          lit(1000000L)).cast("double") + 0.5) / 1000000.0)
+      .withColumn("noise_micro",
+        floor(-signum(col("u") - 0.5) * DpScale
+          * log(lit(1.0) - lit(2.0) * abs(col("u") - 0.5))
+          * 1000000 + lit(0.5)).cast("long"))
+      .select(col("c_nationkey"), col("n_true"), col("noise_micro"),
+        (col("n_true") * 1000000L + col("noise_micro"))
+          .as("n_released_micro"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_counts" -> privacyDpCounts,
     "privacy_ldiversity" -> privacyLdiversity,
     "privacy_kanon" -> privacyKanon,
     "privacy_kanon_generalize" -> privacyKanonGeneralize)
 
   def oracleSql: Map[String, String] = Map(
+    "privacy_dp_counts" ->
+      """WITH c AS (
+        |  SELECT c_nationkey, count(*) AS n_true FROM customer GROUP BY 1),
+        |u AS (
+        |  SELECT c_nationkey, n_true,
+        |    (CAST(('0x' || substr(md5('dp:' || CAST(c_nationkey AS VARCHAR)),
+        |      1, 6))::UBIGINT % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS u
+        |  FROM c)
+        |SELECT c_nationkey, n_true,
+        |  CAST(floor(-sign(u - 0.5) * 1.0 * ln(1.0 - 2.0 * abs(u - 0.5))
+        |    * 1000000 + 0.5) AS BIGINT) AS noise_micro,
+        |  n_true * 1000000
+        |    + CAST(floor(-sign(u - 0.5) * 1.0 * ln(1.0 - 2.0 * abs(u - 0.5))
+        |        * 1000000 + 0.5) AS BIGINT) AS n_released_micro
+        |FROM u""".stripMargin,
     "privacy_ldiversity" ->
       s"""SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
          |  CAST(count(DISTINCT CAST(floor((c_acctbal + 1000) / 2000)

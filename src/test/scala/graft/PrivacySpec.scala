@@ -60,4 +60,31 @@ class PrivacySpec extends SparkSuite {
       assert(viol == (ns < graft.queries.Privacy.L))
     }
   }
+
+  test("privacy_dp_counts noise replays from md5 and is Laplace-shaped") {
+    def md5mod(seed: String, mod: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(seed.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 6), 16) % mod
+    }
+    val counts = graft.core.Tables.customer(spark, sfDir)
+      .groupBy("c_nationkey").count().collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    val got = graft.queries.Privacy.privacyDpCounts(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.size == counts.size)
+    counts.foreach { case (nk, n) =>
+      val u = (md5mod(s"dp:$nk", 1000000L).toDouble + 0.5) / 1000000.0
+      val noise = -math.signum(u - 0.5) * graft.queries.Privacy.DpScale *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val nm = math.floor(noise * 1e6 + 0.5).toLong
+      val (gn, gnm, rel) = got(nk)
+      assert(gn == n && gnm == nm, s"nation $nk")
+      assert(rel == n * 1000000L + nm)
+      // Laplace(1) tail: |noise| beyond 14 is ~1e-6 probability and
+      // impossible here (u is 1e-6-grid bounded away from the poles)
+      assert(math.abs(gnm) <= 14000000L)
+    }
+  }
 }
