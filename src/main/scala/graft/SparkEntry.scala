@@ -101,5 +101,5 @@ object SparkEntry {
     "mf_train", "mf_predict", "sample_kcenter", "readability_score", "graph_modularity",
     "weighted_median", "benford_screen", "did_readout", "frequent_seq",
     "conformal_interval", "forecast_holt", "preference_pairs", "mlm_mask", "dedup_bucket_stats", "privacy_ldiversity", "tokenizer_fertility", "join_size_est", "stratified_kfold", "graph_assortativity", "join_band_exec", "ngram_novelty", "journey_stationary", "dedup_cross_source", "anomaly_burst",
-    "langid_confusion", "event_type_lift", "privacy_dp_counts")
+    "langid_confusion", "event_type_lift", "privacy_dp_counts", "mixture_allocate")
 }

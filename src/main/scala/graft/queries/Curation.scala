@@ -219,7 +219,47 @@ object Curation {
         when(col("cum_tokens") <= TokenBudget, 1).otherwise(0).as("kept"))
   }
 
+  /** Token budget apportioned by [[mixtureAllocate]]. */
+  val MixBudget = 1000000L
+
+  /** Source-mixture budget apportionment ([EXT]) — Hamilton's
+    * largest-remainder method over temperature-flattened source
+    * weights: w_i = floor(√tokens_i · 1e6) (τ=2 flattening, the
+    * mix_temperature convention), quota = B·w_i div Σw, and the
+    * residual seats go to the largest remainders (B·w_i mod Σw,
+    * ties → source asc). Allocations sum to the budget EXACTLY — the
+    * property the naive per-source rounding loses and the reason
+    * apportionment is its own operator. All integer: √ of an int64 is
+    * one correctly-rounded IEEE op, identical in both engines.
+    *
+    * Scale shape: one tokenize pass to source-bounded cells;
+    * everything after is |sources|-row arithmetic and one rank
+    * window on that frame.
+    */
+  def mixtureAllocate(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cells = Tables.documents(s, d)
+      .select(col("source"), size(Dedup.tokensCol(col("text")))
+        .cast("long").as("t"))
+      .groupBy("source").agg(sum("t").as("n_tokens"))
+      .withColumn("w", floor(sqrt(col("n_tokens").cast("double"))
+        * 1000000 + lit(0.5)).cast("long"))
+    val allW = w.partitionBy()
+    val rkW = w.orderBy(expr(s"($MixBudget * w) % sw").desc, col("source").asc)
+    cells
+      .withColumn("sw", sum("w").over(allW))
+      .withColumn("quota", expr(s"$MixBudget * w div sw"))
+      .withColumn("resid_rank", row_number().over(rkW).cast("long"))
+      .withColumn("n_resid",
+        lit(MixBudget) - sum("quota").over(allW))
+      .select(col("source"), col("n_tokens"), col("w"), col("quota"),
+        col("resid_rank"),
+        (col("quota") + when(col("resid_rank") <= col("n_resid"), 1L)
+          .otherwise(0L)).as("alloc_tokens"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_allocate" -> mixtureAllocate,
     "chunk_text" -> chunkText,
     "shuffle_order" -> shuffleOrder,
     "curriculum_order" -> curriculumOrder,
@@ -232,6 +272,30 @@ object Curation {
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
   def oracleSql: Map[String, String] = Map(
+    "mixture_allocate" ->
+      s"""WITH cells AS (
+         |  SELECT source, CAST(sum(len($tokSqlDuck)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY source),
+         |ww AS (
+         |  SELECT source, n_tokens,
+         |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+         |      AS BIGINT) AS w
+         |  FROM cells),
+         |ext AS (
+         |  SELECT source, n_tokens, w,
+         |    CAST(sum(w) OVER () AS BIGINT) AS sw
+         |  FROM ww),
+         |q AS (
+         |  SELECT source, n_tokens, w,
+         |    CAST($MixBudget * w // sw AS BIGINT) AS quota,
+         |    CAST(row_number() OVER (ORDER BY ($MixBudget * w) % sw DESC,
+         |      source ASC) AS BIGINT) AS resid_rank
+         |  FROM ext)
+         |SELECT source, n_tokens, w, quota, resid_rank,
+         |  quota + CASE WHEN resid_rank <=
+         |      $MixBudget - (SELECT sum(quota) FROM q)
+         |    THEN 1 ELSE 0 END AS alloc_tokens
+         |FROM q""".stripMargin,
     "chunk_text" ->
       s"""WITH t AS (SELECT doc_id,
          |             list_filter(string_split_regex(text, '\\s+'),

@@ -131,4 +131,29 @@ class CurationSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(mixPlan.contains("BroadcastHashJoin"), s"mix weights not broadcast:\n$mixPlan")
   }
+
+  test("mixture_allocate: Hamilton apportionment sums exactly to the budget") {
+    val got = graft.queries.Curation.mixtureAllocate(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.nonEmpty)
+    // exact-sum property (what naive rounding loses)
+    assert(got.map(_._6).sum == graft.queries.Curation.MixBudget)
+    val sw = got.map(_._3).sum
+    got.foreach { case (src0, nTok, w, quota, rk, alloc) =>
+      assert(w == math.floor(math.sqrt(nTok.toDouble) * 1e6 + 0.5).toLong)
+      assert(quota == graft.queries.Curation.MixBudget * w / sw, s"$src0 quota")
+      assert(alloc == quota || alloc == quota + 1)
+    }
+    // residual seats go to the largest remainders in rank order
+    val nResid = graft.queries.Curation.MixBudget - got.map(_._4).sum
+    got.foreach { case (_, _, _, quota, rk, alloc) =>
+      assert((alloc == quota + 1) == (rk <= nResid))
+    }
+    // larger weight never receives FEWER tokens (apportionment sanity)
+    val sorted = got.sortBy(-_._3)
+    sorted.zip(sorted.tail).foreach { case (hi, lo) =>
+      assert(hi._6 >= lo._6 - 1)
+    }
+  }
 }
