@@ -65,8 +65,9 @@ class PlanLintSpec extends SparkSuite {
     "corpus_card", "did_readout", "frequent_seq", "nb_train",
     "q20_excess_suppliers", "survival_km",
     // join_size_est attaches three 1-row frames (sample sum, k-th
-    // hash + count, exact audit count)
-    "join_size_est",
+    // hash + count, exact audit count); event_type_lift attaches the
+    // 1-row user-count frame
+    "join_size_est", "event_type_lift",
     // 1-row horizon / total frames (RFM recency, ensemble's lm_score
     // leg, forecast horizon, basket order count)
     "user_rfm", "quality_ensemble", "forecast_baseline", "basket_pairs",
