@@ -78,7 +78,13 @@ class PlanLintSpec extends SparkSuite {
     // 1-row broadcast scalar frames: arm stats, FK check total, KS
     // max + totals, global LOO fallback, freshness watermark
     "ab_test_readout", "dq_checks", "drift_ks", "feature_target_encode",
-    "source_freshness")
+    "source_freshness",
+    // kNN family: knn_classify broadcasts the fixed held-out query set
+    // (O(queries), the ann_cosine shape); mnn_pairs is the EXACT
+    // all-pairs mutual-top1 baseline across the even/odd divide with
+    // the smaller pool broadcast — the dedup_embedding class, whose
+    // registered scale path is the LSH/IVF retrieval family
+    "knn_classify", "mnn_pairs")
 
   private lazy val plans: Map[String, String] = {
     val s = spark
