@@ -76,9 +76,48 @@ object Intervals {
         max(col("island_end_us") - col("island_start_us")).as("max_island_us"),
         max(col("n_events")).as("max_island_events"))
 
+  /** Interval-overlap JOIN between two interval sets — click spans ×
+    * view spans of the same user (ad-attribution's "was the ad on
+    * screen while the user clicked" shape). Intervals span
+    * [ts, ts + value×1min); each is exploded to the hour buckets it
+    * covers (≤9 — durations are data-bounded at 491 min), candidates
+    * pair within (user_id, bucket), and each true overlap is COUNTED
+    * EXACTLY ONCE without a distinct: a pair is kept only in the
+    * bucket where the LATER interval starts (greatest(s_a, s_b) DIV
+    * hour — both intervals provably cover that bucket, and it is
+    * unique per pair). Output: user_id, id_a, id_b, overlap_us.
+    *
+    * Scale shape: the classic temporal-binning join — shuffle on
+    * (user, hour) with bounded fan-out, never user-level cross
+    * products; the bucket-attribution filter replaces the
+    * deduplicating shuffle a naive emit-all-buckets plan needs.
+    */
+  def joinIntervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val H = 3600000000L // µs per hour
+    def side(et: String, idc: String, sc: String, ec: String): DataFrame =
+      Tables.events(s, d)
+        .filter(col("event_type") === et)
+        .select(col("user_id"), col("event_id").as(idc),
+          expr("ts DIV 1000").as(sc), col("value"))
+        .withColumn(ec, col(sc) +
+          greatest(floor(col("value") * 1000 + lit(0.5)).cast("long"), lit(1L)) * 60000L)
+        .drop("value")
+        .withColumn("bucket",
+          explode(expr(s"sequence($sc DIV $H, ($ec - 1) DIV $H)")))
+    val a = side("click", "id_a", "sa", "ea")
+    val b = side("view", "id_b", "sb", "eb")
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("sa") < col("eb") && col("sb") < col("ea") &&
+        col("bucket") === expr(s"greatest(sa, sb) DIV $H"))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          .as("overlap_us"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "interval_merge" -> intervalMerge,
-    "interval_coverage" -> intervalCoverage)
+    "interval_coverage" -> intervalCoverage,
+    "join_interval_overlap" -> joinIntervalOverlap)
 
   private val islandsSql: String =
     """WITH iv AS (
@@ -106,6 +145,21 @@ object Intervals {
       |FROM g GROUP BY user_id, island""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+    "join_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT user_id, event_id AS id_a, epoch_us(ts) AS sa,
+        |    epoch_us(ts)
+        |      + greatest(CAST(floor(value*1000 + 0.5) AS BIGINT), 1) * 60000 AS ea
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (
+        |  SELECT user_id, event_id AS id_b, epoch_us(ts) AS sb,
+        |    epoch_us(ts)
+        |      + greatest(CAST(floor(value*1000 + 0.5) AS BIGINT), 1) * 60000 AS eb
+        |  FROM events WHERE event_type = 'view')
+        |SELECT a.user_id, id_a, id_b,
+        |  least(ea, eb) - greatest(sa, sb) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id
+        | AND sa < eb AND sb < ea""".stripMargin,
     "interval_merge" -> islandsSql,
     "interval_coverage" ->
       s"""WITH m AS ($islandsSql)

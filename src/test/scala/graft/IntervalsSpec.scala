@@ -49,6 +49,30 @@ class IntervalsSpec extends SparkSuite {
     assert(nIslands < nEvents, "expected at least one merged overlap")
   }
 
+  test("join_interval_overlap equals the naive per-user all-pairs overlap join") {
+    def side(et: String): Array[(Long, Long, Long, Long)] =
+      graft.core.Tables.events(spark, sfDir)
+        .filter(s"event_type = '$et'")
+        .selectExpr("user_id", "event_id", "ts DIV 1000 AS s", "value").collect()
+        .map { r =>
+          val s = r.getLong(2)
+          val dur = math.max(math.floor(r.getDouble(3) * 1000 + 0.5).toLong, 1L) * 60000L
+          (r.getLong(0), r.getLong(1), s, s + dur)
+        }
+    val clicks = side("click"); val views = side("view")
+    val expect = (for {
+      (ua, ia, sa, ea) <- clicks
+      (ub, ib, sb, eb) <- views
+      if ua == ub && sa < eb && sb < ea
+    } yield (ua, ia, ib) -> (math.min(ea, eb) - math.max(sa, sb))).toMap
+    val gotRows = Intervals.joinIntervalOverlap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+    // exactly-once: the bucket-attribution filter must not duplicate pairs
+    assert(gotRows.length == gotRows.map(_._1).distinct.length, "duplicate pairs")
+    assert(gotRows.toMap == expect)
+    assert(expect.nonEmpty)
+  }
+
   test("interval_coverage is consistent with the islands; islands are disjoint") {
     val expect = seqIslands()
     val cov = Intervals.intervalCoverage(spark, sfDir).collect()
