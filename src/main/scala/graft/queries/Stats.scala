@@ -251,7 +251,35 @@ object Stats {
           - (col("m_c_post_micro") - col("m_c_pre_micro")))
   }
 
+  /** Exact interpolated quantiles (the "type 7" / SQL-standard
+    * PERCENTILE_CONT definition h = (n−1)p, linear between order
+    * statistics) of event value per event_type — the distribution
+    * summary a metrics pipeline publishes next to the mergeable
+    * sketch ([[Sketches]] quantile_sketch): the sketch is the 100 TB
+    * path, this is the exact ground truth it is audited against.
+    * Both engines implement the identical definition (Spark
+    * `percentile`, DuckDB `quantile_cont`); the only float step is
+    * the two-point interpolation, inside the driver compare's 1e-9
+    * relative tolerance.
+    *
+    * Scale shape: one hash-partition on the (low-cardinality) group
+    * key; per-group exact quantiles need the group's values local —
+    * acceptable for dashboard-cardinality groups, and precisely why
+    * the sketch twin exists for per-user-scale keys.
+    */
+  def quantilesExact(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"))
+      .select(col("event_type"), col("n"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"),
+        element_at(col("q"), 4).as("p95"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "quantiles_exact" -> quantilesExact,
     "survival_km" -> survivalKm,
     "ab_test_chi2" -> abTestChi2,
     "corr_matrix" -> corrMatrix,
@@ -260,6 +288,13 @@ object Stats {
     "did_readout" -> didReadout)
 
   def oracleSql: Map[String, String] = Map(
+    "quantiles_exact" ->
+      """SELECT event_type, count(*) AS n,
+        |  quantile_cont(value, 0.25) AS p25,
+        |  quantile_cont(value, 0.5)  AS p50,
+        |  quantile_cont(value, 0.75) AS p75,
+        |  quantile_cont(value, 0.95) AS p95
+        |FROM events GROUP BY event_type""".stripMargin,
     "weighted_median" ->
       """WITH cells AS (
         |  SELECT l_returnflag AS grp,
