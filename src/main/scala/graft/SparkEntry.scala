@@ -104,5 +104,6 @@ object SparkEntry {
     "langid_confusion", "event_type_lift", "privacy_dp_counts", "mixture_allocate",
     "fuzzy_join_lev", "interval_merge", "interval_coverage", "knn_classify",
     "mnn_pairs", "ts_decompose", "regress_multi", "blocklist_report",
-    "join_interval_overlap", "dedup_phash", "quantiles_exact", "forecast_hw")
+    "join_interval_overlap", "dedup_phash", "quantiles_exact", "forecast_hw",
+    "graph_lcc", "bootstrap_ci")
 }

@@ -523,6 +523,58 @@ object Cluster {
       .filter(col("jac") >= 0.6)
       .select(col("doc_a"), col("doc_b")))
 
+  /** Per-node LOCAL clustering coefficient (Watts & Strogatz '98) —
+    * the node-level refinement of [[triangleCount]]'s global census:
+    * lcc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), integer-micro via DIV.
+    * In a near-dup graph high-degree/low-lcc nodes are the template
+    * hubs (boilerplate bridging many otherwise-unrelated docs) while
+    * lcc=1 nodes sit inside closed duplicate cliques — the triage
+    * signal for keep-strategy choice.
+    *
+    * Scale shape: same degree-oriented wedge enumeration as
+    * [[triangleCountOf]] (each triangle found once from its
+    * lowest-degree corner — Σ min-degree wedges, the Latapy bound),
+    * then one explode(3 corners) + count per node; the id-ordered
+    * 3-join in the oracle enumerates the same set.
+    */
+  def graphLccOf(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("doc_a").cast("long").as("u"),
+      col("doc_b").cast("long").as("v")).stable
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val dir = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"))
+      .stable
+    val corners = dir.as("e1").join(dir.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.t") < col("e2.t"))
+      .select(col("e1.s").as("a"), col("e1.t").as("x"), col("e2.t").as("y"))
+      .join(e.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(explode(array(col("a"), col("x"), col("y"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_tri"))
+    deg.join(corners, Seq("n"), "left")
+      .select(col("n").as("node"), col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("d") >= 2,
+          expr("(2 * coalesce(n_tri, 0) * 1000000) DIV (d * (d - 1))"))
+          .otherwise(0L).as("lcc_micro"))
+  }
+
+  /** [[graphLccOf]] over the ngram ≥0.6 near-dup graph (the
+    * triangle_count contract; minhashScored is the linear twin).
+    */
+  def graphLcc(s: SparkSession, d: String): DataFrame =
+    graphLccOf(Dedup.ngramScored(Tables.documents(s, d))
+      .filter(col("jac") >= 0.6)
+      .select(col("doc_a"), col("doc_b")))
+
   /** The linear scale form of [[triangleCount]]: identical census over
     * MinHash+LSH verified edges — same >= 0.6 contract, cost linear in
     * corpus + true near-dup pairs (the standard quadratic-oracle /
@@ -930,6 +982,7 @@ object Cluster {
     "kcore_minhash" -> kcoreMinhash,
     "triangle_count" -> triangleCount,
     "triangle_count_minhash" -> triangleCountMinhash,
+    "graph_lcc" -> graphLcc,
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_minhash" -> dedupClusterMinhash,
     "dedup_keep" -> dedupKeep,
@@ -1337,6 +1390,49 @@ object Cluster {
          |$rounds
          |SELECT node AS doc_id, round(rank, 6) AS rank FROM r10""".stripMargin
     },
+    "graph_lcc" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |      generate_series(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END AS shingles
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'), x -> len(x) > 0) AS w
+        |        FROM documents)),
+        |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+        |ok AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) <= 128),
+        |exf AS (SELECT ex.doc_id, ex.shingle FROM ex JOIN ok USING (shingle)),
+        |sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh),
+        |pairs AS (
+        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS common
+        |  FROM exf x JOIN exf y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_a, doc_b
+        |  FROM pairs
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.6),
+        |deg AS (SELECT n, count(*) AS d FROM (
+        |          SELECT doc_a AS n FROM scored
+        |          UNION ALL SELECT doc_b FROM scored) GROUP BY n),
+        |tri AS (SELECT e1.doc_a AS a, e1.doc_b AS x, e2.doc_b AS y
+        |        FROM scored e1
+        |        JOIN scored e2 ON e1.doc_b = e2.doc_a
+        |        JOIN scored e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |corners AS (
+        |  SELECT n, count(*) AS n_tri FROM (
+        |    SELECT a AS n FROM tri
+        |    UNION ALL SELECT x FROM tri
+        |    UNION ALL SELECT y FROM tri) GROUP BY n)
+        |SELECT deg.n AS node, deg.d AS degree,
+        |  coalesce(c.n_tri, 0) AS n_triangles,
+        |  CASE WHEN deg.d >= 2
+        |    THEN CAST((2 * coalesce(c.n_tri, 0) * 1000000)
+        |              // (deg.d * (deg.d - 1)) AS BIGINT)
+        |    ELSE 0 END AS lcc_micro
+        |FROM deg LEFT JOIN corners c ON c.n = deg.n""".stripMargin,
     "triangle_count" ->
       """WITH sh AS (
         |  SELECT doc_id,

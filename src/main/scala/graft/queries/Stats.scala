@@ -278,7 +278,60 @@ object Stats {
         element_at(col("q"), 3).as("p75"),
         element_at(col("q"), 4).as("p95"))
 
+  /** Poisson(1) CDF in micro — inverse-CDF thresholds for the
+    * deterministic bootstrap weights (floor(P(X≤k)·1e6)).
+    */
+  private val PoisCdfMicro = Seq(367879L, 735758L, 919698L, 981011L, 996340L)
+  /** Bootstrap resample count. */
+  val BootB = 32
+
+  /** Distributed POISSON BOOTSTRAP confidence interval (the
+    * Chamandy et al. '12 recipe — the only bootstrap that works on a
+    * cluster, since i.i.d. Poisson(1) weights need no global
+    * coordination) for the mean event value per event_type:
+    * B=32 resamples, each row's weight in resample b drawn by
+    * md5-inverse-CDF (the repo's only randomness), resample means in
+    * integer micro-cents, CI = 2nd/31st order statistics.
+    *
+    * Exactness: weights are integer thresholds on a md5-derived
+    * uniform; resample sums are integer; each mean is one DIV. The
+    * ranking that picks the CI bounds orders integers.
+    *
+    * Scale shape: one explode(B) pass over the fact rows (3 ints per
+    * row post-projection) into a (type × B)-cell hash agg — at petabyte
+    * scale the same statistic folds as B parallel conditional sums in
+    * ONE un-exploded pass; the cell frame is O(|types|·B) either way.
+    */
+  def bootstrapCi(s: SparkSession, d: String): DataFrame = {
+    val thr = PoisCdfMicro
+    val rows = Tables.events(s, d).select(col("event_type"), col("event_id"),
+      expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"))
+    val point = rows.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("(sum(v) * 1000000) DIV count(*)").as("mean_micro"))
+    val exploded = rows
+      .select(col("event_type"), col("event_id"), col("v"),
+        explode(expr(s"sequence(0, ${BootB - 1})")).as("b"))
+      .withColumn("u", expr(
+        "pmod(CAST(conv(substring(md5(concat('boot:', event_id, ':', b)), 1, 6), 16, 10) AS BIGINT), 1000000)"))
+      .withColumn("w",
+        when(col("u") < thr(0), 0L).when(col("u") < thr(1), 1L)
+          .when(col("u") < thr(2), 2L).when(col("u") < thr(3), 3L)
+          .when(col("u") < thr(4), 4L).otherwise(5L))
+    val means = exploded.groupBy(col("event_type"), col("b"))
+      .agg(expr("(sum(w * v) * 1000000) DIV nullif(sum(w), 0)").as("m"))
+    val w1 = Window.partitionBy("event_type").orderBy(col("m").asc, col("b").asc)
+    val ci = means.withColumn("rk", row_number().over(w1))
+      .groupBy("event_type")
+      .agg(max(when(col("rk") === 2, col("m"))).as("ci_lo_micro"),
+        max(when(col("rk") === BootB - 1, col("m"))).as("ci_hi_micro"))
+    point.join(ci, "event_type")
+      .select(col("event_type"), col("n"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bootstrap_ci" -> bootstrapCi,
     "quantiles_exact" -> quantilesExact,
     "survival_km" -> survivalKm,
     "ab_test_chi2" -> abTestChi2,
@@ -288,6 +341,44 @@ object Stats {
     "did_readout" -> didReadout)
 
   def oracleSql: Map[String, String] = Map(
+    "bootstrap_ci" ->
+      s"""WITH r AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+         |  FROM events),
+         |pt AS (
+         |  SELECT event_type, count(*) AS n,
+         |    CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS mean_micro
+         |  FROM r GROUP BY 1),
+         |ex AS (
+         |  SELECT event_type, v, b.b,
+         |    CAST(('0x' || substr(md5('boot:' || event_id || ':' || b.b), 1, 6))
+         |      AS UBIGINT) % 1000000 AS u
+         |  FROM r, generate_series(0, ${BootB - 1}) AS b(b)),
+         |wt AS (
+         |  SELECT event_type, b, v,
+         |    CASE WHEN u < ${PoisCdfMicro(0)} THEN 0
+         |         WHEN u < ${PoisCdfMicro(1)} THEN 1
+         |         WHEN u < ${PoisCdfMicro(2)} THEN 2
+         |         WHEN u < ${PoisCdfMicro(3)} THEN 3
+         |         WHEN u < ${PoisCdfMicro(4)} THEN 4
+         |         ELSE 5 END AS w
+         |  FROM ex),
+         |m AS (
+         |  SELECT event_type, b,
+         |    CAST(sum(w * v) * 1000000 // nullif(sum(w), 0) AS BIGINT) AS m
+         |  FROM wt GROUP BY 1, 2),
+         |rk AS (SELECT event_type, m,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY m, b) AS rk FROM m),
+         |ci AS (
+         |  SELECT event_type,
+         |    max(CASE WHEN rk = 2 THEN m END) AS ci_lo_micro,
+         |    max(CASE WHEN rk = ${BootB - 1} THEN m END) AS ci_hi_micro
+         |  FROM rk GROUP BY 1)
+         |SELECT pt.event_type, pt.n, pt.mean_micro,
+         |  ci.ci_lo_micro, ci.ci_hi_micro
+         |FROM pt JOIN ci USING (event_type)""".stripMargin,
     "quantiles_exact" ->
       """SELECT event_type, count(*) AS n,
         |  quantile_cont(value, 0.25) AS p25,
