@@ -105,5 +105,5 @@ object SparkEntry {
     "fuzzy_join_lev", "interval_merge", "interval_coverage", "knn_classify",
     "mnn_pairs", "ts_decompose", "regress_multi", "blocklist_report",
     "join_interval_overlap", "dedup_phash", "quantiles_exact", "forecast_hw",
-    "graph_lcc", "bootstrap_ci")
+    "graph_lcc", "bootstrap_ci", "blocklist_native")
 }

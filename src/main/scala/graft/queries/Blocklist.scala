@@ -45,8 +45,31 @@ object Blocklist {
       .groupBy("source", "term")
       .agg(count(lit(1)).as("n_docs"), sum("hits").as("n_hits"))
 
+  /** The scale form of [[blocklistReport]]: the native Aho-Corasick
+    * expression ([[graft.functions.MultiMatch]]) counts ALL
+    * occurrences of every phrase in ONE text pass — no per-term
+    * fan-out, whole-stage codegen intact. Semantics differ from the
+    * replace-and-measure twin exactly where overlaps do: this is the
+    * every-start-position census (so "aaaa" holds three "aa"s, and a
+    * hit inside a longer hit still counts), which is what a
+    * match-position consumer (masking, span excision) needs.
+    */
+  def blocklistNative(s: SparkSession, d: String): DataFrame = {
+    val termArr = array(Terms.map(lit): _*)
+    Tables.documents(s, d)
+      .select(col("source"),
+        graft.functions.MultiMatch.countsCol(lower(col("text")), Terms).as("cs"))
+      .select(col("source"), posexplode(col("cs")).as(Seq("i", "hits")))
+      .filter(col("hits") > 0)
+      .select(col("source"),
+        element_at(termArr, col("i") + 1).as("term"), col("hits"))
+      .groupBy("source", "term")
+      .agg(count(lit(1)).as("n_docs"), sum("hits").as("n_hits"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "blocklist_report" -> blocklistReport)
+    "blocklist_report" -> blocklistReport,
+    "blocklist_native" -> blocklistNative)
 
   def oracleSql: Map[String, String] = Map(
     "blocklist_report" -> {
@@ -59,5 +82,20 @@ object Blocklist {
          |  CAST(sum((len(t) - len(replace(t, term, ''))) // len(term))
          |    AS BIGINT) AS n_hits
          |FROM m GROUP BY source, term""".stripMargin
+    },
+    "blocklist_native" -> {
+      val lits = Terms.map(t => s"'$t'").mkString(", ")
+      // every-start-position census: count i where substr(t,i,len)=term
+      s"""WITH m AS (
+         |  SELECT source, term,
+         |    len(list_filter(generate_series(1, len(t) - len(term) + 1),
+         |      i -> substr(t, i, len(term)) = term)) AS hits
+         |  FROM (SELECT source, lower(text) AS t FROM documents),
+         |       unnest([$lits]) AS u(term)),
+         |f AS (SELECT source, term, CAST(hits AS BIGINT) AS hits
+         |      FROM m WHERE hits > 0)
+         |SELECT source, term, count(*) AS n_docs,
+         |  CAST(sum(hits) AS BIGINT) AS n_hits
+         |FROM f GROUP BY source, term""".stripMargin
     })
 }
