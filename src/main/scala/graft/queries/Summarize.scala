@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Extractive summarization by chunk-level TextRank [EXT] — the
+  * Mihalcea & Tarau '04 sentence-extraction recipe adapted to this
+  * corpus's punctuation-free word streams: passages are fixed
+  * 12-token chunks (the [[Curation]] chunk_text granularity),
+  * within-doc chunk pairs sharing ≥3 distinct informative tokens
+  * (len ≥ 3) form the similarity graph, 10 damped PageRank rounds
+  * score centrality, and the top-2 chunks per document are the
+  * extract — the "which passages represent this doc" primitive that
+  * feeds snippet selection and long-doc pre-filtering.
+  *
+  * Node ids pack (doc_id, chunk) as doc_id·1024 + ci, so the global
+  * PageRank runs once over the disjoint per-doc components (the
+  * teleport share is global-n, a constant scale factor that cannot
+  * reorder chunks within a doc). Ranking determinism: ranks rounded
+  * to 6dp with a chunk-index tiebreak — the keywords_textrank
+  * convention, same float-chain argument.
+  *
+  * Scale shape: one tokenize pass → per-doc token postings join
+  * (bounded by within-doc chunk count, never cross-doc) → a
+  * chunk-graph that is strictly smaller than the corpus →
+  * [[Cluster.pagerankOf]]'s checkpointed bounded rounds.
+  */
+object Summarize {
+
+  val ChunkLen = 12
+  val MinTokLen = 3
+  val MinShared = 3
+  val TopK = 2
+  private val Pack = 1024L
+
+  def summarizeExtract(s: SparkSession, d: String): DataFrame = {
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, (n - 1) DIV $ChunkLen)")).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        array_distinct(filter(
+          slice(col("ws"), col("ci") * ChunkLen + 1, lit(ChunkLen)),
+          w => length(w) >= MinTokLen)).as("ts"))
+    val toks = chunks.select(col("doc_id"), col("ci"), explode(col("ts")).as("tk"))
+    val edges = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tk") === col("b.tk") &&
+          col("a.ci") < col("b.ci"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.ci").as("ca"),
+        col("b.ci").as("cb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= MinShared)
+      .select((col("doc_id") * Pack + col("ca")).as("na"),
+        (col("doc_id") * Pack + col("cb")).as("nb"))
+    val sym = edges.select(col("na").as("src"), col("nb").as("dst"))
+      .union(edges.select(col("nb").as("src"), col("na").as("dst")))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("rank").desc, col("chunk_id").asc)
+    Cluster.pagerankOf(sym)
+      .select(expr(s"node DIV $Pack").as("doc_id"),
+        pmod(col("node"), lit(Pack)).as("chunk_id"),
+        round(col("rank"), 6).as("rank"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("doc_id"), col("chunk_id"), col("rk"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "summarize_extract" -> summarizeExtract)
+
+  def oracleSql: Map[String, String] = Map(
+    "summarize_extract" -> {
+      val rounds = (1 to 10).map { i =>
+        s"""r$i AS (
+           |  SELECT no.node,
+           |    (1 - 0.85) / nn.n + 0.85 * coalesce(c.inr, 0.0) AS rank
+           |  FROM nodes no CROSS JOIN nn
+           |  LEFT JOIN (
+           |    SELECT s.dst AS node, sum(r.rank / d.outdeg) AS inr
+           |    FROM sym s JOIN r${i - 1} r ON r.node = s.src
+           |    JOIN deg d ON d.src = s.src
+           |    GROUP BY s.dst) c ON c.node = no.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '[^\\p{L}]+'),
+         |                x -> len(x) > 0) AS ws
+         |  FROM documents),
+         |ch AS (
+         |  SELECT doc_id, ci.ci,
+         |    list_distinct(list_filter(
+         |      ws[ci.ci * $ChunkLen + 1 : ci.ci * $ChunkLen + $ChunkLen],
+         |      x -> len(x) >= $MinTokLen)) AS ts
+         |  FROM t, unnest(generate_series(0, (len(ws) - 1) // $ChunkLen))
+         |         AS ci(ci)
+         |  WHERE len(ws) > 0),
+         |tok AS (SELECT doc_id, ci, unnest(ts) AS tk FROM ch),
+         |ed AS (
+         |  SELECT a.doc_id, a.ci AS ca, b.ci AS cb
+         |  FROM tok a JOIN tok b
+         |    ON a.doc_id = b.doc_id AND a.tk = b.tk AND a.ci < b.ci
+         |  GROUP BY 1, 2, 3 HAVING count(*) >= $MinShared),
+         |e2 AS (SELECT doc_id * $Pack + ca AS na, doc_id * $Pack + cb AS nb
+         |       FROM ed),
+         |sym AS (SELECT na AS src, nb AS dst FROM e2
+         |        UNION ALL SELECT nb, na FROM e2),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+         |r0 AS (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn),
+         |$rounds,
+         |fin AS (
+         |  SELECT node // $Pack AS doc_id, node % $Pack AS chunk_id,
+         |    round(rank, 6) AS rank,
+         |    CAST(row_number() OVER (PARTITION BY node // $Pack
+         |      ORDER BY round(rank, 6) DESC, node % $Pack ASC) AS INTEGER) AS rk
+         |  FROM r10)
+         |SELECT doc_id, chunk_id, rk, rank FROM fin WHERE rk <= $TopK""".stripMargin
+    })
+}
