@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** DAU/MAU engagement stickiness [EXT] — per observed day: distinct
+  * daily actives, trailing-30-day distinct actives, and the
+  * stickiness ratio (micro) — THE product-health metric next to
+  * retention ([[EventOps]] events_retention is cohort-anchored;
+  * stickiness is calendar-anchored).
+  *
+  * Scale shape: the trailing window is EQUI-IZED — each (user, day)
+  * activity contributes itself to the 30 calendar days it counts
+  * toward (bounded 30× fan-out of the already-deduplicated
+  * user-day frame), then one hash agg per day with a distinct-user
+  * count. No non-equi join, no per-day rescan; the day spine is
+  * calendar-bounded at any corpus size.
+  */
+object Stickiness {
+
+  val WindowDays = 30
+
+  def dauMau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    val days = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(expr(s"sequence(day, day + ${WindowDays - 1})")).as("day"))
+      .join(days, Seq("day"), "left_semi") // only observed days report
+      .groupBy("day").agg(countDistinct("user_id").as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        expr("(dau * 1000000) DIV mau").as("stickiness_micro"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dau_mau" -> dauMau)
+
+  def oracleSql: Map[String, String] = Map(
+    "dau_mau" ->
+      s"""WITH ud AS (
+         |  SELECT DISTINCT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+         |    AS BIGINT) AS day, user_id
+         |  FROM events),
+         |days AS (SELECT DISTINCT day FROM ud),
+         |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+         |        FROM ud GROUP BY day),
+         |contrib AS (
+         |  SELECT u.user_id, g.day
+         |  FROM ud u, unnest(generate_series(u.day,
+         |         u.day + ${WindowDays - 1})) AS g(day)
+         |  WHERE g.day IN (SELECT day FROM days)),
+         |mau AS (SELECT day, count(DISTINCT user_id) AS mau
+         |        FROM contrib GROUP BY day)
+         |SELECT dau.day, dau.dau, mau.mau,
+         |  CAST((dau.dau * 1000000) // mau.mau AS BIGINT) AS stickiness_micro
+         |FROM dau JOIN mau ON dau.day = mau.day""".stripMargin)
+}
