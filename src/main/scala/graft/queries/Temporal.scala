@@ -316,6 +316,45 @@ object Temporal {
         (floor(sum(col("value") / col("k")) * 10000 + 0.5) / 10000.0).as("credit"))
   }
 
+  /** TIME-DECAY multi-touch attribution — the fourth industry model
+    * next to [[attributionLinear]] (equal), [[attributionPosition]]
+    * (U-shaped), and the Markov/Shapley pair: within the 1-hour
+    * lookback a click's weight halves every 15 minutes before the
+    * purchase (2^-⌊Δt/15min⌋ — the discretized exponential decay ad
+    * platforms ship), and each purchase's value (cents) splits
+    * proportionally.
+    *
+    * Determinism: weights are 1e6 >> k (k ≤ 4 — exact integers,
+    * 1e6 is divisible by 64), the per-purchase weight sum is an
+    * integer window aggregate, and each credit term is one integer
+    * (v·w·1e6) DIV Σw — so the per-click sum is merge-order free.
+    * Same banded pair producer as the siblings: bucketed equi-join,
+    * never an inequality join over raw event pairs.
+    */
+  def attributionDecay(s: SparkSession, d: String): DataFrame = {
+    val WindowNs = 3600L * NanosPerSec
+    val HalfLifeNs = 900L * NanosPerSec
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("cts"),
+        expr(s"ts DIV $WindowNs").as("bucket"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("v"),
+        col("ts").as("pts"),
+        explode(array(expr(s"ts DIV $WindowNs") - 1, expr(s"ts DIV $WindowNs")))
+          .as("bucket"))
+    clicks.join(purchases, Seq("user_id", "bucket"))
+      .filter(col("pts") >= col("cts") && col("pts") - col("cts") <= WindowNs)
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("v"),
+        expr(s"shiftright(1000000L, CAST((pts - cts) DIV $HalfLifeNs AS INT))")
+          .as("w"))
+      .withColumn("sw", sum(col("w")).over(Window.partitionBy("purchase_id")))
+      .groupBy("click_id", "user_id")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("(v * w * 1000000) DIV sw")).as("credit_microcents"))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution: within each
     * purchase's 1-hour lookback, the FIRST and LAST click earn 40%
     * each and the middles split the remaining 20% — the industry
@@ -411,6 +450,7 @@ object Temporal {
     "privacy_erase" -> privacyErase,
     "attribution_linear" -> attributionLinear,
     "attribution_position" -> attributionPosition,
+    "attribution_decay" -> attributionDecay,
     "cdc_merge" -> cdcMerge,
     "cdc_merge_stream" -> cdcMergeStream,
     "join_asof" -> joinAsof,
@@ -529,6 +569,22 @@ object Temporal {
           |SELECT click_id, user_id, count(*) AS n_purchases,
           |  floor(sum(term_q) / 100.0 + 0.5) / 1e4 AS credit
           |FROM weighted GROUP BY click_id, user_id""".stripMargin) +
+      ("attribution_decay" ->
+        """WITH pairs AS (
+          |  SELECT c.user_id, c.event_id AS click_id,
+          |         p.event_id AS purchase_id,
+          |         CAST(floor(p.value * 100 + 0.5) AS BIGINT) AS v,
+          |         1000000 // (1 << CAST((epoch_us(p.ts) - epoch_us(c.ts))
+          |                               // 900000000 AS INTEGER)) AS w
+          |  FROM events c JOIN events p
+          |    ON c.user_id = p.user_id
+          |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+          |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+          |k AS (SELECT *, CAST(sum(w) OVER (PARTITION BY purchase_id)
+          |        AS BIGINT) AS sw FROM pairs)
+          |SELECT click_id, user_id, count(*) AS n_purchases,
+          |  CAST(sum((v * w * 1000000) // sw) AS BIGINT) AS credit_microcents
+          |FROM k GROUP BY click_id, user_id""".stripMargin) +
       ("attribution_linear" ->
         """WITH pairs AS (
           |  SELECT c.user_id, c.event_id AS click_id,
