@@ -98,13 +98,89 @@ object Privacy {
         (col("n_true") * 1000000L + col("noise_micro"))
           .as("n_released_micro"))
 
+  /** Clip bound for the DP mean (cents). */
+  val DpClipCents = 10000L
+
+  /** ε=1 DP MEAN of event value per event_type — the standard
+    * clip-then-two-Laplace-queries recipe (Dwork & Roth §3.4): values
+    * clip to [0, 100.00] (sensitivity = clip bound), ε splits evenly
+    * between the sum query (scale 2C/ε) and the count query (scale
+    * 2/ε), and the released mean is the noisy ratio. Same
+    * reproducible md5-seeded inverse-CDF noise as
+    * [[privacyDpCounts]] — a backfillable release. The one float
+    * step beyond the shared ln chain is the final two-long division,
+    * identical in both engines.
+    *
+    * Scale: one clipped-sum hash agg; noise is per-GROUP (|types|
+    * rows), never per-row.
+    */
+  def privacyDpMean(s: SparkSession, d: String): DataFrame = {
+    def lap(tag: String, scale: Double) = {
+      val u = (pmod(conv(substring(md5(concat(lit(tag),
+        col("event_type"))), 1, 6), 16, 10).cast("long"),
+        lit(1000000L)).cast("double") + 0.5) / 1000000.0
+      floor(-signum(u - 0.5) * scale
+        * log(lit(1.0) - lit(2.0) * abs(u - 0.5)) * 1000000 + lit(0.5))
+        .cast("long")
+    }
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr(s"least(greatest(CAST(floor(value * 100 + 0.5) AS BIGINT), 0L), $DpClipCents)")
+          .as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_true"), sum("v").as("sum_true_cents"))
+      .withColumn("noise_sum_micro", lap("dpm_s:", 2.0 * DpClipCents))
+      .withColumn("noise_n_micro", lap("dpm_n:", 2.0))
+      .select(col("event_type"), col("n_true"), col("sum_true_cents"),
+        (col("sum_true_cents") * 1000000L + col("noise_sum_micro"))
+          .as("released_sum_micro"),
+        (col("n_true") * 1000000L + col("noise_n_micro"))
+          .as("released_n_micro"))
+      .withColumn("mean_released_micro",
+        floor(col("released_sum_micro").cast("double")
+          / col("released_n_micro").cast("double") * 1000000 + lit(0.5))
+          .cast("long"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_mean" -> privacyDpMean,
     "privacy_dp_counts" -> privacyDpCounts,
     "privacy_ldiversity" -> privacyLdiversity,
     "privacy_kanon" -> privacyKanon,
     "privacy_kanon_generalize" -> privacyKanonGeneralize)
 
   def oracleSql: Map[String, String] = Map(
+    "privacy_dp_mean" ->
+      s"""WITH c AS (
+         |  SELECT event_type, count(*) AS n_true,
+         |    CAST(sum(least(greatest(
+         |      CAST(floor(value * 100 + 0.5) AS BIGINT), 0), $DpClipCents))
+         |      AS BIGINT) AS sum_true_cents
+         |  FROM events GROUP BY 1),
+         |u AS (
+         |  SELECT event_type, n_true, sum_true_cents,
+         |    (CAST(('0x' || substr(md5('dpm_s:' || event_type), 1, 6))::UBIGINT
+         |       % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS us,
+         |    (CAST(('0x' || substr(md5('dpm_n:' || event_type), 1, 6))::UBIGINT
+         |       % 1000000 AS DOUBLE) + 0.5) / 1000000.0 AS un
+         |  FROM c),
+         |r AS (
+         |  SELECT event_type, n_true, sum_true_cents,
+         |    sum_true_cents * 1000000
+         |      + CAST(floor(-sign(us - 0.5) * ${2.0 * DpClipCents}
+         |          * ln(1.0 - 2.0 * abs(us - 0.5)) * 1000000 + 0.5) AS BIGINT)
+         |      AS released_sum_micro,
+         |    n_true * 1000000
+         |      + CAST(floor(-sign(un - 0.5) * 2.0
+         |          * ln(1.0 - 2.0 * abs(un - 0.5)) * 1000000 + 0.5) AS BIGINT)
+         |      AS released_n_micro
+         |  FROM u)
+         |SELECT event_type, n_true, sum_true_cents,
+         |  released_sum_micro, released_n_micro,
+         |  CAST(floor(CAST(released_sum_micro AS DOUBLE)
+         |    / CAST(released_n_micro AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+         |    AS mean_released_micro
+         |FROM r""".stripMargin,
     "privacy_dp_counts" ->
       """WITH c AS (
         |  SELECT c_nationkey, count(*) AS n_true FROM customer GROUP BY 1),

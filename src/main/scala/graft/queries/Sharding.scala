@@ -160,7 +160,66 @@ object Sharding {
         min("y").as("min_day"), max("y").as("max_day"))
   }
 
+  /** Z-ORDER EFFECTIVENESS EVAL — the file-skipping simulation that
+    * justifies the layout family: orders rows are laid out two ways
+    * (64 equal "files" by (custkey, day) linear sort vs by Morton
+    * z-value), each file keeps parquet-style min/max stats on both
+    * dimensions, and three probe boxes (x-selective, y-selective,
+    * both) count how many files survive stats pruning per layout.
+    * The classic result this table shows: the linear layout prunes
+    * only its leading dimension (y-selective probes hit EVERY file),
+    * while z-order prunes both.
+    *
+    * Determinism: files are ntile(64) over a fully tie-broken order
+    * (x, y, orderkey) — identical in both engines; everything else
+    * is integer min/max/count. Scale shape: a layout eval IS a sort
+    * (that's what it measures); stats+pruning run on the 64-row
+    * stats frame with the probes exploded map-side — no join.
+    */
+  val EvalFiles = 64
+
+  def zorderEval(s: SparkSession, d: String): DataFrame = {
+    graft.functions.ZValue.register(s)
+    val b = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("x"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long").as("y"))
+      .withColumn("z", call_function("z_value", col("x"), col("y")))
+    val wz = org.apache.spark.sql.expressions.Window.orderBy(col("z").asc, col("k").asc)
+    val wx = org.apache.spark.sql.expressions.Window.orderBy(col("x").asc, col("y").asc, col("k").asc)
+    val filed = b.withColumn("file_z", ntile(EvalFiles).over(wz))
+      .withColumn("file_x", ntile(EvalFiles).over(wx))
+    def stats(fileCol: String, layout: String) =
+      filed.groupBy(col(fileCol).as("file"))
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x1"), max("x").as("x2"),
+          min("y").as("y1"), max("y").as("y2"))
+        .withColumn("layout", lit(layout))
+    val st = stats("file_x", "linear_xy").unionAll(stats("file_z", "zorder"))
+    // probe boxes: (name, xlo, xhi, ylo, yhi) — wide = no constraint
+    val probes =
+      """array(
+        |  named_struct('probe', 'x_range', 'px1', 0L,    'px2', 150L,
+        |               'py1', 0L, 'py2', 9223372036854775807L),
+        |  named_struct('probe', 'y_range', 'px1', 0L,
+        |               'px2', 9223372036854775807L,
+        |               'py1', 9131L, 'py2', 9371L),
+        |  named_struct('probe', 'both',    'px1', 0L,    'px2', 150L,
+        |               'py1', 9131L, 'py2', 9371L))""".stripMargin
+    st.select(col("layout"), col("file"), col("n"),
+        col("x1"), col("x2"), col("y1"), col("y2"),
+        explode(expr(probes)).as("p"))
+      .select(col("layout"), col("p.probe").as("probe"), col("n"),
+        (col("x1") <= col("p.px2") && col("x2") >= col("p.px1") &&
+          col("y1") <= col("p.py2") && col("y2") >= col("p.py1"))
+          .cast("long").as("hit"))
+      .groupBy("layout", "probe")
+      .agg(count(lit(1)).as("n_files"), sum(col("hit")).as("files_hit"),
+        sum(when(col("hit") === 1L, col("n")).otherwise(0L)).as("rows_scanned"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "zorder_eval" -> zorderEval,
     "shard_pack" -> shardPack,
     "pack_sequences" -> packSequences,
     "zorder_bucket" -> zorderBucket,
@@ -168,6 +227,46 @@ object Sharding {
     "hilbert_bucket" -> hilbertBucket)
 
   def oracleSql: Map[String, String] = Map(
+    "zorder_eval" ->
+      s"""WITH b AS (
+         |  SELECT o_orderkey AS k, o_custkey AS x,
+         |    CAST(date_diff('day', DATE '1970-01-01',
+         |                   CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+         |  FROM orders),
+         |z AS (
+         |  SELECT k, x, y,
+         |    CAST(list_sum(list_transform(generate_series(0, 30),
+         |      i -> (((x >> i) & 1) << (2 * i)) +
+         |           (((y >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+         |  FROM b),
+         |filed AS (
+         |  SELECT x, y,
+         |    ntile($EvalFiles) OVER (ORDER BY z, k) AS file_z,
+         |    ntile($EvalFiles) OVER (ORDER BY x, y, k) AS file_x
+         |  FROM z),
+         |st AS (
+         |  SELECT 'linear_xy' AS layout, file_x AS file, count(*) AS n,
+         |    min(x) AS x1, max(x) AS x2, min(y) AS y1, max(y) AS y2
+         |  FROM filed GROUP BY 2
+         |  UNION ALL
+         |  SELECT 'zorder', file_z, count(*), min(x), max(x), min(y), max(y)
+         |  FROM filed GROUP BY 2),
+         |pr AS (
+         |  SELECT * FROM (VALUES
+         |    ('x_range', 0, 150, 0, 9223372036854775807),
+         |    ('y_range', 0, 9223372036854775807, 9131, 9371),
+         |    ('both', 0, 150, 9131, 9371))
+         |    AS t(probe, px1, px2, py1, py2)),
+         |h AS (
+         |  SELECT layout, probe, n,
+         |    CASE WHEN x1 <= px2 AND x2 >= px1
+         |          AND y1 <= py2 AND y2 >= py1 THEN 1 ELSE 0 END AS hit
+         |  FROM st, pr)
+         |SELECT layout, probe, count(*) AS n_files,
+         |  CAST(sum(hit) AS BIGINT) AS files_hit,
+         |  CAST(sum(CASE WHEN hit = 1 THEN n ELSE 0 END) AS BIGINT)
+         |    AS rows_scanned
+         |FROM h GROUP BY 1, 2""".stripMargin,
     "hilbert_bucket" -> {
       // The 16-round xy2d recursion unrolled: each CTE computes the
       // quadrant digit (d += s²·((3rx)⊕ry)) and the reflect/swap
