@@ -138,6 +138,30 @@ object Sketches {
       .select("event_type", "n_days", "merged_users")
   }
 
+  /** SLIDING-WINDOW distinct counting via sketch merge — the 100 TB
+    * path for [[graft.queries.Stickiness]]-style trailing actives:
+    * per-day HLL register tables are built ONCE at ingest, and any
+    * trailing window (7 days here) is answered by register-wise max
+    * over the window — raw user ids are never revisited. Window
+    * membership is equi-ized exactly like dau_mau (each day's
+    * registers contribute to the ≤7 report days). Output per
+    * observed day: exact daily distinct (the audit column) and the
+    * merged 7-day HLL estimate.
+    */
+  def hllWindow(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .withColumn("day", expr("ts DIV 86400000000000"))
+    val daily = hllRegisters(ev, col("user_id"), Seq("day"))
+    val days = daily.select("day").distinct()
+    val contrib = daily
+      .select(col("j"), col("m_j"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .join(days, Seq("day"), "left_semi")
+      .groupBy("day", "j").agg(max("m_j").as("m_j"))
+    val exact = ev.groupBy("day")
+      .agg(countDistinct("user_id").as("users_day_exact"))
+    exact.join(hllEstimate(contrib, Seq("day"), "users_7d_hll"), "day")
+  }
+
   /** Global-count threshold for [[heavyHitters]]; mirrored in the
     * oracle's HAVING clause.
     */
@@ -449,7 +473,8 @@ object Sketches {
     "approx_distinct" -> approxDistinct,
     "heavy_hitters" -> heavyHitters,
     "heavy_hitters_mg" -> heavyHittersMg,
-    "hll_merge" -> hllMerge)
+    "hll_merge" -> hllMerge,
+    "hll_window" -> hllWindow)
 
   /** DuckDB twin of [[hllRegisters]] + [[hllEstimate]]: the md5/smear/
     * bit_count register chain and the rational raw estimator reproduce
@@ -495,6 +520,24 @@ object Sketches {
     * takes the full gate.
     */
   def oracleSql: Map[String, String] = Map(
+    "hll_window" ->
+      s"""WITH src AS (
+         |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+         |    AS day, user_id
+         |  FROM events),
+         |${hllChainSql("src", "day")},
+         |days AS (SELECT DISTINCT day FROM hreg),
+         |contrib AS (
+         |  SELECT g.day, j, max(m_j) AS m_j
+         |  FROM hreg, unnest(generate_series(hreg.day, hreg.day + 6)) AS g(day)
+         |  WHERE g.day IN (SELECT day FROM days)
+         |  GROUP BY 1, 2),
+         |${hllEstSql("contrib", "day", "users_7d_hll")},
+         |ex AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT)
+         |         AS users_day_exact
+         |       FROM src GROUP BY 1)
+         |SELECT ex.day, ex.users_day_exact, hf.users_7d_hll
+         |FROM ex JOIN hf USING (day)""".stripMargin,
     "approx_distinct" ->
       s"""WITH ${hllChainSql("events", "event_type")},
          |${hllEstSql("hreg", "event_type", "approx_users")},
