@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.core.Checkpoints.StableOps
 
 /** Extractive summarization by chunk-level TextRank [EXT] — the
   * Mihalcea & Tarau '04 sentence-extraction recipe adapted to this
@@ -46,7 +47,10 @@ object Summarize {
         array_distinct(filter(
           slice(col("ws"), col("ci") * ChunkLen + 1, lit(ChunkLen)),
           w => length(w) >= MinTokLen)).as("ts"))
+    // both sides of the postings self-join read this — .stable or the
+    // tokenize+chunk producer runs twice (the repo's read-twice rule)
     val toks = chunks.select(col("doc_id"), col("ci"), explode(col("ts")).as("tk"))
+      .stable
     val edges = toks.as("a").join(toks.as("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.tk") === col("b.tk") &&
           col("a.ci") < col("b.ci"))
