@@ -506,6 +506,46 @@ object EventOps {
           / 10000.0).as("p"))
   }
 
+  /** Next-event prediction BACKTEST for the Markov journey model —
+    * the eval harness [[journeyTransitions]] feeds: train the
+    * argmax-next-type table on the first three weeks (days <
+    * [[MarkovSplitDay]] — the testdata contract pins January 2024),
+    * predict the most frequent successor per current type (count
+    * DESC, type ASC tie-break), score on the held-out tail. Output
+    * per current type: the model's prediction, test transitions,
+    * hits, and micro accuracy — all integer counts and one DIV.
+    *
+    * Scale shape: two (types × types)-cell aggregates off one
+    * lag-window pass; the argmax and scoring run on the tiny cell
+    * frames.
+    */
+  val MarkovSplitDay = 19744L // 2024-01-22 (data starts 2024-01-01)
+
+  def markovEval(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        expr("ts DIV 86400000000000").as("day"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val train = steps.filter(col("day") < MarkovSplitDay)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("n"))
+    val wArg = org.apache.spark.sql.expressions.Window
+      .partitionBy("prev_type").orderBy(col("n").desc, col("event_type").asc)
+    val pred = train.withColumn("rk", row_number().over(wArg))
+      .filter(col("rk") === 1)
+      .select(col("prev_type"), col("event_type").as("pred_type"))
+    steps.filter(col("day") >= MarkovSplitDay)
+      .groupBy("prev_type", "event_type").agg(count(lit(1)).as("m"))
+      .join(broadcast(pred), "prev_type")
+      .groupBy("prev_type", "pred_type")
+      .agg(sum("m").as("n_test"),
+        sum(when(col("event_type") === col("pred_type"), col("m"))
+          .otherwise(0L)).as("n_correct"))
+      .withColumn("acc_micro", expr("(n_correct * 1000000) DIV n_test"))
+  }
+
   /** Seasonal-naive forecast BACKTEST: predict the final day's hourly
     * event counts per type from the prior days' hour-of-day means and
     * report the mean absolute error — the baseline every real
@@ -845,6 +885,7 @@ object EventOps {
     "trend_wow" -> trendWow,
     "forecast_baseline" -> forecastBaseline,
     "journey_transitions" -> journeyTransitions,
+    "markov_eval" -> markovEval,
     "user_rfm" -> userRfm,
     "impute_locf_stream" -> imputeLocfStreamBatch,
     "anomaly_seasonal" -> anomalySeasonal,
@@ -1103,6 +1144,36 @@ object EventOps {
           |  CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INTEGER)
           |    AS m_quartile
           |FROM rfm CROSS JOIN h""".stripMargin) +
+      ("markov_eval" ->
+        s"""WITH steps AS (
+          |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
+          |      ORDER BY ts, event_id) AS prev_type,
+          |    event_type,
+          |    CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+          |      AS day
+          |  FROM events),
+          |train AS (SELECT prev_type, event_type, count(*) AS n
+          |          FROM steps
+          |          WHERE prev_type IS NOT NULL AND day < $MarkovSplitDay
+          |          GROUP BY 1, 2),
+          |pred AS (
+          |  SELECT prev_type, event_type AS pred_type FROM (
+          |    SELECT prev_type, event_type,
+          |      row_number() OVER (PARTITION BY prev_type
+          |        ORDER BY n DESC, event_type ASC) AS rk
+          |    FROM train) WHERE rk = 1),
+          |test AS (SELECT prev_type, event_type, count(*) AS m
+          |         FROM steps
+          |         WHERE prev_type IS NOT NULL AND day >= $MarkovSplitDay
+          |         GROUP BY 1, 2)
+          |SELECT t.prev_type, p.pred_type,
+          |  CAST(sum(m) AS BIGINT) AS n_test,
+          |  CAST(sum(CASE WHEN t.event_type = p.pred_type THEN m ELSE 0 END)
+          |    AS BIGINT) AS n_correct,
+          |  CAST(sum(CASE WHEN t.event_type = p.pred_type THEN m ELSE 0 END)
+          |    * 1000000 // sum(m) AS BIGINT) AS acc_micro
+          |FROM test t JOIN pred p USING (prev_type)
+          |GROUP BY 1, 2""".stripMargin) +
       ("journey_transitions" ->
         """WITH steps AS (
           |  SELECT lag(event_type, 1) OVER (PARTITION BY user_id
