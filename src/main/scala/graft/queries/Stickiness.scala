@@ -37,10 +37,54 @@ object Stickiness {
         expr("(dau * 1000000) DIV mau").as("stickiness_micro"))
   }
 
+  /** ROLLING Dn retention — for every day: actives, and the share
+    * still active exactly 1 and 7 days later (classic D1/D7, the
+    * calendar-rolling complement of [[EventOps]]' cohort-anchored
+    * events_retention). Pure equi-joins of the deduplicated user-day
+    * frame against itself shifted by the horizon; rates are integer
+    * micro ratios. Days too close to the end of the observed window
+    * still report (their rate is genuinely what was observed).
+    */
+  def retentionDn(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+      .distinct()
+    def shifted(k: Int, name: String) = ud
+      .select((col("day") - k).as("day"), col("user_id"), lit(1L).as(name))
+    ud.join(shifted(1, "r1"), Seq("day", "user_id"), "left")
+      .join(shifted(7, "r7"), Seq("day", "user_id"), "left")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("r1"), lit(0L))).as("n_d1"),
+        sum(coalesce(col("r7"), lit(0L))).as("n_d7"))
+      .select(col("day"), col("n_active"), col("n_d1"), col("n_d7"),
+        expr("(n_d1 * 1000000) DIV n_active").as("d1_micro"),
+        expr("(n_d7 * 1000000) DIV n_active").as("d7_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dau_mau" -> dauMau)
+    "dau_mau" -> dauMau,
+    "retention_dn" -> retentionDn)
 
   def oracleSql: Map[String, String] = Map(
+    "retention_dn" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+        |    AS BIGINT) AS day, user_id
+        |  FROM events)
+        |SELECT a.day, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN b1.user_id IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_d1,
+        |  CAST(sum(CASE WHEN b7.user_id IS NULL THEN 0 ELSE 1 END)
+        |    AS BIGINT) AS n_d7,
+        |  CAST(sum(CASE WHEN b1.user_id IS NULL THEN 0 ELSE 1 END)
+        |    * 1000000 // count(*) AS BIGINT) AS d1_micro,
+        |  CAST(sum(CASE WHEN b7.user_id IS NULL THEN 0 ELSE 1 END)
+        |    * 1000000 // count(*) AS BIGINT) AS d7_micro
+        |FROM ud a
+        |LEFT JOIN ud b1 ON b1.user_id = a.user_id AND b1.day = a.day + 1
+        |LEFT JOIN ud b7 ON b7.user_id = a.user_id AND b7.day = a.day + 7
+        |GROUP BY a.day""".stripMargin,
     "dau_mau" ->
       s"""WITH ud AS (
          |  SELECT DISTINCT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)

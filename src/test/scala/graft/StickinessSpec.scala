@@ -7,6 +7,24 @@ import graft.queries.Stickiness
   */
 class StickinessSpec extends SparkSuite {
 
+  test("retention_dn equals the sequential shifted-set recompute") {
+    val ud = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("ts DIV 86400000000000 AS day", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = ud.map(_._1).map { d =>
+      val active = ud.filter(_._1 == d).map(_._2)
+      val n = active.size.toLong
+      val d1 = active.count(u => ud((d + 1, u))).toLong
+      val d7 = active.count(u => ud((d + 7, u))).toLong
+      d -> (n, d1, d7, d1 * 1000000L / n, d7 * 1000000L / n)
+    }.toMap
+    val got = Stickiness.retentionDn(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got == expect)
+  }
+
   test("dau_mau equals the sequential trailing-window recompute") {
     val ud = graft.core.Tables.events(spark, sfDir)
       .selectExpr("ts DIV 86400000000000 AS day", "user_id").collect()
