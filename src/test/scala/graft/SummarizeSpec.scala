@@ -10,6 +10,43 @@ import graft.queries.Summarize
   */
 class SummarizeSpec extends SparkSuite {
 
+  test("partition-local rounds equal Cluster.pagerankOf on the same graph") {
+    import org.apache.spark.sql.functions._
+    // rebuild the packed chunk graph exactly as the operator does
+    val chunks = graft.core.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.queries.Dedup.tokensCol(col("text")).as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(expr(s"sequence(0, (n - 1) DIV ${Summarize.ChunkLen})")).as("ci"))
+      .select(col("doc_id"), col("ci"),
+        array_distinct(filter(
+          slice(col("ws"), col("ci") * Summarize.ChunkLen + 1, lit(Summarize.ChunkLen)),
+          w => length(w) >= Summarize.MinTokLen)).as("ts"))
+    val toks = chunks.select(col("doc_id"), col("ci"), explode(col("ts")).as("tk"))
+    val edges = toks.as("a").join(toks.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tk") === col("b.tk") &&
+          col("a.ci") < col("b.ci"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.ci").as("ca"), col("b.ci").as("cb"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= Summarize.MinShared)
+      .select((col("doc_id") * 1024 + col("ca")).as("na"),
+        (col("doc_id") * 1024 + col("cb")).as("nb"))
+    val sym = edges.select(col("na").as("src"), col("nb").as("dst"))
+      .union(edges.select(col("nb").as("src"), col("na").as("dst")))
+    val shared = graft.queries.Cluster.pagerankOf(sym).collect()
+      .map(r => (r.getLong(0) / 1024, r.getLong(0) % 1024) ->
+        math.floor(r.getDouble(1) * 1000000 + 0.5)).toMap
+    val local = Summarize.summarizeExtract(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        math.floor(r.getDouble(3) * 1000000 + 0.5)).toMap
+    // every extracted chunk's rank agrees with the shared distributed
+    // loop at the 6dp output precision
+    local.foreach { case (k, v) =>
+      assert(math.abs(shared(k) - v) <= 1, s"chunk $k rank $v vs shared ${shared(k)}")
+    }
+    assert(local.nonEmpty)
+  }
+
   test("summarize_extract: top-2 per doc, members of the chunk graph, ranks sane") {
     val got = Summarize.summarizeExtract(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
