@@ -62,11 +62,39 @@ object Stickiness {
         expr("(n_d7 * 1000000) DIV n_active").as("d7_micro"))
   }
 
+  /** User-growth curve — per day: first-time users and the cumulative
+    * unique-user count (the acquisition chart). First-seen day is one
+    * hash agg per user; the cumulative sum runs over the
+    * calendar-bounded day frame.
+    */
+  def userGrowth(s: SparkSession, d: String): DataFrame = {
+    val firstSeen = Tables.events(s, d)
+      .select(expr("ts DIV 86400000000000").as("day"), col("user_id"))
+      .groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    firstSeen.withColumn("cum_users", sum("new_users").over(w))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dau_mau" -> dauMau,
-    "retention_dn" -> retentionDn)
+    "retention_dn" -> retentionDn,
+    "user_growth" -> userGrowth)
 
   def oracleSql: Map[String, String] = Map(
+    "user_growth" ->
+      """WITH fs AS (
+        |  SELECT user_id,
+        |    min(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT))
+        |      AS day
+        |  FROM events GROUP BY user_id),
+        |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY day)
+        |SELECT day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM nu""".stripMargin,
     "retention_dn" ->
       """WITH ud AS (
         |  SELECT DISTINCT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)

@@ -7,6 +7,21 @@ import graft.queries.Stickiness
   */
 class StickinessSpec extends SparkSuite {
 
+  test("user_growth equals the sequential first-seen recompute") {
+    val evs = graft.core.Tables.events(spark, sfDir)
+      .selectExpr("ts DIV 86400000000000 AS day", "user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val firstSeen = evs.groupBy(_._2).view.mapValues(_.map(_._1).min)
+    val newBy = firstSeen.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val days = newBy.keys.toSeq.sorted
+    var cum = 0L
+    val expect = days.map { d => cum += newBy(d); d -> (newBy(d), cum) }.toMap
+    val got = Stickiness.userGrowth(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == firstSeen.size.toLong)
+  }
+
   test("retention_dn equals the sequential shifted-set recompute") {
     val ud = graft.core.Tables.events(spark, sfDir)
       .selectExpr("ts DIV 86400000000000 AS day", "user_id").collect()
