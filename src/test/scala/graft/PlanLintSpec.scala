@@ -84,7 +84,9 @@ class PlanLintSpec extends SparkSuite {
     // all-pairs mutual-top1 baseline across the even/odd divide with
     // the smaller pool broadcast — the dedup_embedding class, whose
     // registered scale path is the LSH/IVF retrieval family
-    "knn_classify", "mnn_pairs")
+    "knn_classify", "mnn_pairs",
+    // chunk-granular BM25: same 1-row stats crossJoin as search_bm25
+    "search_chunks")
 
   private lazy val plans: Map[String, String] = {
     val s = spark
