@@ -86,7 +86,9 @@ class PlanLintSpec extends SparkSuite {
     // registered scale path is the LSH/IVF retrieval family
     "knn_classify", "mnn_pairs",
     // chunk-granular BM25: same 1-row stats crossJoin as search_bm25
-    "search_chunks")
+    "search_chunks",
+    // Neyman allocation: two 1-row scalar frames (Σw, shortfall)
+    "sample_neyman")
 
   private lazy val plans: Map[String, String] = {
     val s = spark
