@@ -140,10 +140,95 @@ object Phash {
       .distinct()
   }
 
+  /** INCREMENTAL image ingest — the dedup_incremental contract for
+    * the image modality: the arriving batch mixes late RETOUCHES of
+    * already-indexed images (variant-3 docs of even groups — must be
+    * rejected) with BRAND-NEW image groups (group id ≡ 3 mod 5 —
+    * must be admitted); a batch image is admitted only if no corpus
+    * image sits within [[HammingMax]] of its dHash. Candidate
+    * generation is the same 8-band blocking, CROSS-side only (batch
+    * bands join corpus bands — never batch×batch), so ingest cost
+    * follows the batch size, not the corpus; intra-batch dedup
+    * remains [[dedupPhash]]'s job, per the dedup_incremental
+    * convention. Output: admitted doc_id with its hash halves.
+    */
+  def dedupIncrementalPhash(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Checkpoints.StableOps
+    val h = hashes(s, d).stable
+    def banded(side: DataFrame) = side.select(col("doc_id"), col("h_hi"), col("h_lo"),
+      explode(expr(
+        """array(
+          |  named_struct('k', 0, 'bv', shiftright(h_lo, 0)  & 255),
+          |  named_struct('k', 1, 'bv', shiftright(h_lo, 8)  & 255),
+          |  named_struct('k', 2, 'bv', shiftright(h_lo, 16) & 255),
+          |  named_struct('k', 3, 'bv', shiftright(h_lo, 24) & 255),
+          |  named_struct('k', 4, 'bv', shiftright(h_hi, 0)  & 255),
+          |  named_struct('k', 5, 'bv', shiftright(h_hi, 8)  & 255),
+          |  named_struct('k', 6, 'bv', shiftright(h_hi, 16) & 255),
+          |  named_struct('k', 7, 'bv', shiftright(h_hi, 24) & 255))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("h_hi"), col("h_lo"),
+        col("b.k").as("k"), col("b.bv").as("bv"))
+    val isBatch = expr(
+      "(doc_id % 4 = 3 AND (doc_id DIV 4) % 2 = 0) OR (doc_id DIV 4) % 5 = 3")
+    val batch = banded(h.filter(isBatch))
+    val corpus = banded(h.filter(!isBatch))
+      .select(col("doc_id").as("cid"), col("h_hi").as("hi_c"),
+        col("h_lo").as("lo_c"), col("k"), col("bv"))
+    val dup = batch.join(corpus, Seq("k", "bv"))
+      .filter(expr("bit_count(h_hi ^ hi_c) + bit_count(h_lo ^ lo_c)")
+        <= HammingMax)
+      .select(col("doc_id")).distinct()
+    h.filter(isBatch)
+      .join(dup, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("h_hi"), col("h_lo"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dedup_phash" -> dedupPhash)
+    "dedup_phash" -> dedupPhash,
+    "dedup_incremental_phash" -> dedupIncrementalPhash)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_incremental_phash" ->
+      s"""WITH g AS (
+         |  SELECT d.doc_id, x.x, y.y,
+         |    CASE WHEN d.doc_id % 4 > 0
+         |              AND x.x = d.doc_id % 4 AND y.y = d.doc_id % 4
+         |      THEN (CAST(('0x' || substr(md5('img:' || (d.doc_id // 4)
+         |               || ':' || x.x || ':' || y.y), 1, 4)) AS UBIGINT)
+         |            % 256 + 64) % 256
+         |      ELSE CAST(('0x' || substr(md5('img:' || (d.doc_id // 4)
+         |               || ':' || x.x || ':' || y.y), 1, 4)) AS UBIGINT)
+         |           % 256
+         |    END AS v
+         |  FROM documents d, generate_series(0, ${W - 1}) AS x(x),
+         |       generate_series(0, ${H - 1}) AS y(y)),
+         |bits AS (
+         |  SELECT a.doc_id, a.y * 8 + a.x AS b
+         |  FROM g a JOIN g b2
+         |    ON b2.doc_id = a.doc_id AND b2.y = a.y AND b2.x = a.x + 1
+         |  WHERE a.x < 8 AND b2.v > a.v),
+         |h AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(sum(CASE WHEN b >= 32
+         |      THEN 1::BIGINT << (b - 32) END), 0) AS BIGINT) AS h_hi,
+         |    CAST(coalesce(sum(CASE WHEN b < 32
+         |      THEN 1::BIGINT << b END), 0) AS BIGINT) AS h_lo
+         |  FROM documents d LEFT JOIN bits ON bits.doc_id = d.doc_id
+         |  GROUP BY d.doc_id),
+         |batch AS (SELECT * FROM h
+         |          WHERE (doc_id % 4 = 3 AND (doc_id // 4) % 2 = 0)
+         |             OR (doc_id // 4) % 5 = 3),
+         |corpus AS (SELECT * FROM h
+         |           WHERE NOT ((doc_id % 4 = 3 AND (doc_id // 4) % 2 = 0)
+         |                      OR (doc_id // 4) % 5 = 3)),
+         |dup AS (
+         |  SELECT DISTINCT b.doc_id
+         |  FROM batch b JOIN corpus c
+         |    ON bit_count(xor(b.h_hi, c.h_hi))
+         |     + bit_count(xor(b.h_lo, c.h_lo)) <= $HammingMax)
+         |SELECT b.doc_id, b.h_hi, b.h_lo
+         |FROM batch b LEFT JOIN dup ON dup.doc_id = b.doc_id
+         |WHERE dup.doc_id IS NULL""".stripMargin,
     "dedup_phash" ->
       s"""WITH g AS (
          |  SELECT d.doc_id, x.x, y.y,

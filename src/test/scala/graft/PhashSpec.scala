@@ -25,6 +25,23 @@ class PhashSpec extends SparkSuite {
     }
   }
 
+  test("dedup_incremental_phash admits exactly the brand-new groups") {
+    val nDocs = graft.core.Tables.documents(spark, sfDir).count()
+    def isBatch(id: Long) =
+      (id % 4 == 3 && (id / 4) % 2 == 0) || (id / 4) % 5 == 3
+    val expectAdmit = (0L until nDocs).filter(id =>
+      isBatch(id) && (id / 4) % 5 == 3).toSet
+    val got = graft.multimodal.Phash.dedupIncrementalPhash(spark, sfDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expectAdmit,
+      "admitted set must be exactly the whole-new-group batch members")
+    // the rejected remainder are retouches whose base group sits in
+    // the corpus
+    val rejected = (0L until nDocs).filter(isBatch).toSet -- got
+    assert(rejected.forall(id => id % 4 == 3 && (id / 4) % 2 == 0))
+    assert(rejected.nonEmpty && got.nonEmpty)
+  }
+
   test("dedup_phash finds exactly the planted variant groups") {
     val nDocs = graft.core.Tables.documents(spark, sfDir).count()
     val hs = (0L until nDocs).map(id => id -> refHash(id)).toMap
