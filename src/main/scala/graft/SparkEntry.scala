@@ -106,5 +106,5 @@ object SparkEntry {
     "mnn_pairs", "ts_decompose", "regress_multi", "blocklist_report",
     "join_interval_overlap", "dedup_phash", "quantiles_exact", "forecast_hw",
     "graph_lcc", "bootstrap_ci", "blocklist_native", "summarize_extract",
-    "dau_mau", "dedup_audio_fp", "attribution_decay", "zorder_eval", "privacy_dp_mean", "hll_window", "dedup_quality_lift", "markov_eval", "retention_dn", "lsh_scurve", "user_growth", "token_entropy", "search_chunks", "sample_neyman", "dedup_incremental_phash")
+    "dau_mau", "dedup_audio_fp", "attribution_decay", "zorder_eval", "privacy_dp_mean", "hll_window", "dedup_quality_lift", "markov_eval", "retention_dn", "lsh_scurve", "user_growth", "token_entropy", "search_chunks", "sample_neyman", "dedup_incremental_phash", "forecast_hw_anomaly")
 }

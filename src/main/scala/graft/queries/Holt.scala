@@ -117,48 +117,56 @@ object Holt {
     rows.toSeq.toDF("day", "x", "level_micro", "trend_micro", "pred_micro")
   }
 
+  /** Anomaly threshold: |residual| > AnomalyK · MAD. */
+  val AnomalyK = 6L
+
+  /** Forecast-residual anomaly days — what a forecast is FOR: flag
+    * days whose Holt-Winters one-step prediction error exceeds
+    * [[AnomalyK]]× the (lower-)median absolute residual. Seasonal-
+    * and trend-aware where anomaly_seasonal's hour-profile screen is
+    * not; all integer (the MAD is an order statistic of integer
+    * residuals with a day tie-break).
+    */
+  def forecastHwAnomaly(s: SparkSession, d: String): DataFrame = {
+    val M = 1000000L
+    val perDay = Tables.events(s, d)
+      .select(expr("ts DIV 86400000000000").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (d0, d1) = (perDay.keys.min, perDay.keys.max)
+    val xs = (d0 to d1).map(dd => dd -> perDay.getOrElse(dd, 0L))
+    require(xs.length >= 2 * SeasonLen, "need two full seasons to initialize")
+    val m1 = xs.take(SeasonLen).map(_._2).sum * M / SeasonLen
+    val m2 = xs.slice(SeasonLen, 2 * SeasonLen).map(_._2).sum * M / SeasonLen
+    var l = m1
+    var b = (m2 - m1) / SeasonLen
+    val sArr = Array.tabulate(SeasonLen)(i => xs(i)._2 * M - m1)
+    val res = (SeasonLen until xs.length).map { t =>
+      val slot = t % SeasonLen
+      val (day, x) = xs(t)
+      val pred = l + b + sArr(slot)
+      val lNew = (AlphaMicro * (x * M - sArr(slot)) + (M - AlphaMicro) * (l + b)) / M
+      val bNew = (BetaMicro * (lNew - l) + (M - BetaMicro) * b) / M
+      sArr(slot) = (GammaMicro * (x * M - lNew) + (M - GammaMicro) * sArr(slot)) / M
+      l = lNew; b = bNew
+      (day, x, pred, x * M - pred)
+    }
+    val mad = res.map(r => (math.abs(r._4), r._1))
+      .sorted.apply((res.length + 1) / 2 - 1)._1
+    val sess = s
+    import sess.implicits._
+    res.map { case (day, x, pred, r) =>
+      (day, x, pred, r, if (math.abs(r) > AnomalyK * mad) 1L else 0L)
+    }.toDF("day", "x", "pred_micro", "resid_micro", "is_anomaly")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "forecast_holt" -> forecastHolt,
-    "forecast_hw" -> forecastHw)
+    "forecast_hw" -> forecastHw,
+    "forecast_hw_anomaly" -> forecastHwAnomaly)
 
-  def oracleSql: Map[String, String] = Map(
-    "forecast_holt" ->
-      s"""WITH RECURSIVE per_day AS (
-         |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
-         |    AS day, count(*) AS c
-         |  FROM events GROUP BY 1),
-         |spine AS (
-         |  SELECT unnest(generate_series((SELECT min(day) FROM per_day),
-         |                                (SELECT max(day) FROM per_day))) AS day),
-         |series AS (
-         |  SELECT s.day, CAST(coalesce(p.c, 0) AS BIGINT) AS x,
-         |    row_number() OVER (ORDER BY s.day) AS rn
-         |  FROM spine s LEFT JOIN per_day p ON p.day = s.day),
-         |holt(rn, day, x, l, b, pred) AS (
-         |  SELECT a.rn, a.day, a.x, a.x * 1000000,
-         |    (SELECT x FROM series WHERE rn = 2) * 1000000 - a.x * 1000000,
-         |    CAST(NULL AS BIGINT)
-         |  FROM series a WHERE a.rn = 1
-         |  UNION ALL
-         |  SELECT s.rn, s.day, s.x,
-         |    ($AlphaMicro * s.x * 1000000
-         |      + ${1000000 - AlphaMicro} * (h.l + h.b)) // 1000000,
-         |    ($BetaMicro * (($AlphaMicro * s.x * 1000000
-         |        + ${1000000 - AlphaMicro} * (h.l + h.b)) // 1000000 - h.l)
-         |      + ${1000000 - BetaMicro} * h.b) // 1000000,
-         |    h.l + h.b
-         |  FROM holt h JOIN series s ON s.rn = h.rn + 1),
-         |last AS (SELECT day, l, b FROM holt
-         |         WHERE rn = (SELECT max(rn) FROM holt))
-         |SELECT day, x, l AS level_micro, b AS trend_micro,
-         |  pred AS pred_micro
-         |FROM holt
-         |UNION ALL
-         |SELECT last.day + h.h, NULL, NULL, NULL, last.l + h.h * last.b
-         |FROM last CROSS JOIN
-         |  (SELECT unnest(generate_series(1, $HorizonDays)) AS h) h""".stripMargin,
-    "forecast_hw" ->
-      s"""WITH RECURSIVE per_day AS (
+  private def hwCtes: String =
+    s"""per_day AS (
          |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
          |    AS day, count(*) AS c
          |  FROM events GROUP BY 1),
@@ -200,7 +208,46 @@ object Holt {
          |      h.l + h.b + h.sarr[h.rn % $SeasonLen + 1] AS pred,
          |      ($AlphaMicro * (e.x * 1000000 - h.sarr[h.rn % $SeasonLen + 1])
          |        + ${1000000 - AlphaMicro} * (h.l + h.b)) // 1000000 AS l
-         |    FROM hw h JOIN series e ON e.rn = h.rn + 1)),
+         |    FROM hw h JOIN series e ON e.rn = h.rn + 1))""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "forecast_holt" ->
+      s"""WITH RECURSIVE per_day AS (
+         |  SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+         |    AS day, count(*) AS c
+         |  FROM events GROUP BY 1),
+         |spine AS (
+         |  SELECT unnest(generate_series((SELECT min(day) FROM per_day),
+         |                                (SELECT max(day) FROM per_day))) AS day),
+         |series AS (
+         |  SELECT s.day, CAST(coalesce(p.c, 0) AS BIGINT) AS x,
+         |    row_number() OVER (ORDER BY s.day) AS rn
+         |  FROM spine s LEFT JOIN per_day p ON p.day = s.day),
+         |holt(rn, day, x, l, b, pred) AS (
+         |  SELECT a.rn, a.day, a.x, a.x * 1000000,
+         |    (SELECT x FROM series WHERE rn = 2) * 1000000 - a.x * 1000000,
+         |    CAST(NULL AS BIGINT)
+         |  FROM series a WHERE a.rn = 1
+         |  UNION ALL
+         |  SELECT s.rn, s.day, s.x,
+         |    ($AlphaMicro * s.x * 1000000
+         |      + ${1000000 - AlphaMicro} * (h.l + h.b)) // 1000000,
+         |    ($BetaMicro * (($AlphaMicro * s.x * 1000000
+         |        + ${1000000 - AlphaMicro} * (h.l + h.b)) // 1000000 - h.l)
+         |      + ${1000000 - BetaMicro} * h.b) // 1000000,
+         |    h.l + h.b
+         |  FROM holt h JOIN series s ON s.rn = h.rn + 1),
+         |last AS (SELECT day, l, b FROM holt
+         |         WHERE rn = (SELECT max(rn) FROM holt))
+         |SELECT day, x, l AS level_micro, b AS trend_micro,
+         |  pred AS pred_micro
+         |FROM holt
+         |UNION ALL
+         |SELECT last.day + h.h, NULL, NULL, NULL, last.l + h.h * last.b
+         |FROM last CROSS JOIN
+         |  (SELECT unnest(generate_series(1, $HorizonDays)) AS h) h""".stripMargin,
+    "forecast_hw" ->
+      s"""WITH RECURSIVE $hwCtes,
          |fin AS (SELECT rn, day, l, b, sarr FROM hw
          |        WHERE rn = (SELECT max(rn) FROM hw))
          |SELECT day, x, l AS level_micro, b AS trend_micro,
@@ -210,5 +257,22 @@ object Holt {
          |SELECT fin.day + h.h, NULL, NULL, NULL,
          |  fin.l + h.h * fin.b + fin.sarr[(fin.rn - 1 + h.h) % $SeasonLen + 1]
          |FROM fin CROSS JOIN
-         |  (SELECT unnest(generate_series(1, $HorizonDays)) AS h) h""".stripMargin)
+         |  (SELECT unnest(generate_series(1, $HorizonDays)) AS h) h""".stripMargin,
+    "forecast_hw_anomaly" ->
+      s"""WITH RECURSIVE $hwCtes,
+         |res AS (
+         |  SELECT day, x, pred AS pred_micro,
+         |    x * 1000000 - pred AS resid_micro
+         |  FROM hw WHERE rn > $SeasonLen),
+         |ranked AS (
+         |  SELECT abs(resid_micro) AS ar,
+         |    row_number() OVER (ORDER BY abs(resid_micro), day) AS rk,
+         |    count(*) OVER () AS n
+         |  FROM res),
+         |mad AS (SELECT CAST(ar AS BIGINT) AS mad FROM ranked
+         |        WHERE rk = (n + 1) // 2)
+         |SELECT day, x, pred_micro, resid_micro,
+         |  CAST(CASE WHEN abs(resid_micro) > $AnomalyK * mad.mad
+         |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+         |FROM res CROSS JOIN mad""".stripMargin)
 }

@@ -43,5 +43,23 @@ class HwSpec extends SparkSuite {
     }.toMap
     assert(got == expect.toMap)
     assert(got.size == xs.length - 7 + Holt.HorizonDays)
+
+    // anomaly flags derive from the same state path: residual = x·1e6
+    // − pred, MAD = lower median of |r| (day tie-break), flag at 6×
+    val residByDay = (7 until xs.length).map { t =>
+      val (day, x) = xs(t)
+      val pred = expect(day)._4.get
+      day -> (x, pred, BigInt(x) * M - pred)
+    }
+    val mad = residByDay.map { case (day, (_, _, r)) => (r.abs, day) }
+      .sorted.apply((residByDay.length + 1) / 2 - 1)._1
+    val expAnom = residByDay.map { case (day, (x, pred, r)) =>
+      day -> (x, pred.toLong, r.toLong,
+        if (r.abs > BigInt(Holt.AnomalyK) * mad) 1L else 0L)
+    }.toMap
+    val gotAnom = Holt.forecastHwAnomaly(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(gotAnom == expAnom)
   }
 }
