@@ -23,6 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly like DeflateSize.
   */
 final class AhoCorasick(val patterns: Seq[String]) extends Serializable {
+  // an empty pattern would register its output on the root node and
+  // "match" once per scanned character — reject at construction
+  require(patterns.forall(_.nonEmpty),
+    "AhoCorasick: empty-string patterns are not allowed")
   // dense trie in arrays; goto maps are per-node hash maps (pattern
   // alphabets are tiny relative to text) — built once, read-only after
   private val gotoMaps = scala.collection.mutable.ArrayBuffer(

@@ -82,6 +82,15 @@ object Privacy {
     * cross-engine hash gate can certify), pushed through the exact
     * inverse CDF −sign(u−½)·b·ln(1−2|u−½|). Emits the true count,
     * the micro-quantized noise, and the noised release value.
+    *
+    * NOT A PRIVACY GUARANTEE: the noise here is derived from md5 of
+    * the PUBLIC group key with no secret seed, so anyone can
+    * recompute and subtract it — this demonstrates the mechanism
+    * SHAPE (sensitivity, scale, inverse-CDF sampling, the clipped
+    * two-query mean recipe below), not epsilon-DP. A real deployment
+    * must mix a secret salt into the md5 seed (one literal), at
+    * which point the oracle gate no longer applies. Applies equally
+    * to [[privacyDpMean]], which shares the draw.
     */
   def privacyDpCounts(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)

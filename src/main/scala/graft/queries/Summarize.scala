@@ -58,8 +58,15 @@ object Summarize {
         col("b.ci").as("cb"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= MinShared)
+      // overflow guard: a chunk index >= Pack would silently collide
+      // into the next doc_id's node range (the oracle does the same
+      // arithmetic, so the hash gate could never catch it) — fail
+      // loudly instead. cb is the per-pair max chunk index.
       .select((col("doc_id") * Pack + col("ca")).as("na"),
-        (col("doc_id") * Pack + col("cb")).as("nb"))
+        when(col("cb") < Pack, col("doc_id") * Pack + col("cb"))
+          .otherwise(raise_error(concat(
+            lit(s"summarize_extract: chunk index >= $Pack for doc_id="),
+            col("doc_id").cast("string")))).as("nb"))
     // The chunk graph is DISJOINT per document, so the 10 damped
     // rounds run PARTITION-LOCALLY per doc (one shuffle on doc_id,
     // zero per-round exchanges) instead of through the shared

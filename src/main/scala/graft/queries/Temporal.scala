@@ -291,9 +291,11 @@ object Temporal {
     * (purchase replicated into 2 buckets, exact band predicate last —
     * candidates ∝ true matches, no inequality join operator); the
     * per-purchase fan-out count rides a window on the pair stream and
-    * the per-click rollup is one partial-agg'd groupBy. value/k is a
-    * double ratio of exact inputs; the credit sum rounds half-up at
-    * 1e-4 (lm_score precedent).
+    * the per-click rollup is one partial-agg'd groupBy. Each value/k
+    * term is floor-quantized to int64 micros BEFORE the per-click sum
+    * (the [[attributionPosition]] term_q convention) so the aggregate
+    * is an exact integer sum, merge-order free; the credit reads out
+    * at 1e-4 (lm_score precedent).
     */
   def attributionLinear(s: SparkSession, d: String): DataFrame = {
     val WindowNs = 3600L * NanosPerSec
@@ -311,9 +313,11 @@ object Temporal {
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"))
     pairs
       .withColumn("k", count(lit(1)).over(Window.partitionBy("purchase_id")))
+      .withColumn("term_q",
+        floor(col("value") / col("k") * 1e6 + lit(0.5)).cast("long"))
       .groupBy("click_id", "user_id")
       .agg(count(lit(1)).as("n_purchases"),
-        (floor(sum(col("value") / col("k")) * 10000 + 0.5) / 10000.0).as("credit"))
+        (floor(sum(col("term_q")) / lit(100.0) + lit(0.5)) / 1e4).as("credit"))
   }
 
   /** TIME-DECAY multi-touch attribution — the fourth industry model
@@ -594,11 +598,15 @@ object Temporal {
           |   AND c.event_type = 'click' AND p.event_type = 'purchase'
           |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
           |k AS (SELECT *, count(*) OVER (PARTITION BY purchase_id) AS k
-          |      FROM pairs)
+          |      FROM pairs),
+          |weighted AS (
+          |  SELECT click_id, user_id,
+          |    CAST(floor(value / k * 1e6 + 0.5) AS BIGINT) AS term_q
+          |  FROM k)
           |SELECT click_id, user_id,
           |  count(*) AS n_purchases,
-          |  floor(sum(value / k) * 10000 + 0.5) / 10000.0 AS credit
-          |FROM k GROUP BY click_id, user_id""".stripMargin)
+          |  floor(sum(term_q) / 100.0 + 0.5) / 1e4 AS credit
+          |FROM weighted GROUP BY click_id, user_id""".stripMargin)
 
   private val oracleBase: Map[String, String] = Map(
     // Same union + carry-forward formulation so semantics (incl. the

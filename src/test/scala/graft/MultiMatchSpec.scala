@@ -31,6 +31,12 @@ class MultiMatchSpec extends SparkSuite {
     assert(ac.counts("aaaa")(0) == 3L)
   }
 
+  test("empty-string patterns are rejected at construction") {
+    // an empty pattern would sit on the root node and "match" once
+    // per scanned character — must fail loudly, not count nonsense
+    intercept[IllegalArgumentException](new AhoCorasick(Seq("ok", "")))
+  }
+
   test("codegen'd expression equals direct automaton eval") {
     val sess = spark
     import sess.implicits._

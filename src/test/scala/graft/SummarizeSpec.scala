@@ -79,4 +79,26 @@ class SummarizeSpec extends SparkSuite {
       assert(partner, s"doc $doc chunk $ci has no qualifying sibling")
     }
   }
+
+  test("node packing fails loudly past Pack chunks instead of colliding doc ids") {
+    val sess = spark
+    import sess.implicits._
+    // 1026 chunks of 12 tokens — chunk index 1024+ would silently pack
+    // into doc_id+1's node range without the guard. Six cycling words
+    // make every chunk pair share >= MinShared distinct len>=3 tokens.
+    val words = Seq("alpha", "bravo", "charlie", "delta", "echo", "foxtrot")
+    val text = Seq.tabulate(1026 * Summarize.ChunkLen)(i =>
+      words(i % words.length)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pack").toString
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      Summarize.summarizeExtract(spark, dir).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+        Option(c.getMessage).exists(_.contains("chunk index >= 1024"))),
+      s"expected the overflow guard to fire, got: $e")
+  }
 }
