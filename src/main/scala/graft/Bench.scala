@@ -50,11 +50,41 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // times rounded to ms: enough resolution for any regression gate,
+    // and it keeps the artifact stable/diffable
+    def ms(v: Double): String =
+      if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO write the complete JSON to a repo-tracked file: the
+    // driver's stdout tail-capture has truncated the per-query map
+    // before (BENCH_r09.json "parsed": null) — the official artifact
+    // must never depend on how much of a long line a log keeps.
+    // Pretty-ish line-delimited: header, one "name": sec per line.
+    try {
+      val perQ = results.map { case (k, v) => s"""    "$k": ${ms(v)}""" }
+        .mkString(",\n")
+      val pretty =
+        s"""{
+           |  "metric": "total",
+           |  "value": ${ms(total)},
+           |  "unit": "sec",
+           |  "sf": "$sfDir",
+           |  "errors": $errJson,
+           |  "queries": {
+           |$perQ
+           |  }
+           |}""".stripMargin
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LATEST.json"), pretty + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LATEST.json write failed: $e")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -45,10 +45,17 @@ object SparkEntry {
       Winnow.oracleSql ++ QualityRules.oracleSql ++ Wordpiece.oracleSql ++ Privacy.oracleSql ++ SpanMask.oracleSql ++ Features.oracleSql ++ DataQuality.oracleSql ++ SqlSurface.oracleSql ++ CorpusCard.oracleSql ++ Recommend.oracleSql ++ Stats.oracleSql ++ Graphs.oracleSql ++ Profiling.oracleSql ++ Markov.oracleSql ++
       Trees.oracleSql ++ Bayes.oracleSql ++ Mf.oracleSql ++ Coreset.oracleSql ++ Readability.oracleSql ++ SeqMine.oracleSql ++ Conformal.oracleSql ++ Holt.oracleSql ++ Preference.oracleSql ++ Mlm.oracleSql ++ JoinEst.oracleSql ++ Kfold.oracleSql ++ Behavior.oracleSql ++ Fuzzy.oracleSql ++ Intervals.oracleSql ++ Knn.oracleSql ++ Decompose.oracleSql ++ Regress.oracleSql ++ Blocklist.oracleSql ++ Summarize.oracleSql ++ Stickiness.oracleSql ++ QualityLift.oracleSql ++ Scurve.oracleSql ++ Entropy.oracleSql ++ Passage.oracleSql ++ Neyman.oracleSql ++ Phash.oracleSql ++ AudioFp.oracleSql
 
-  /** Headline queries Bench times at sf0.1 — the scale-representative
-    * subset (scan-agg, fact-fact join, window, text, dedup paths).
+  /** Bench times the FULL registry (every entry is regression-gated —
+    * an unbenched operator is a perf blind spot), in sorted order for
+    * a stable artifact. The warm-up pass runs everything first, so
+    * ordering cannot bias steady-state numbers.
     */
-  def benchQueries: Seq[String] = Seq(
+  def benchQueries: Seq[String] = queries.keys.toSeq.sorted
+
+  /** The historical headline subset (kept for subtotal comparisons
+    * against earlier rounds' BASELINE.md pins).
+    */
+  def headlineQueries: Seq[String] = Seq(
     "q1_pricing", "q3_top_revenue", "q5_region_revenue", "agg_distinct",
     "window_rank", "topk_per_group", "wc", "indexer", "json_extract",
     "union_all_agg", "dedup_exact", "dedup_minhash", "ann_cosine",

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.core.Checkpoints.StableOps
@@ -356,6 +357,102 @@ object Corpus {
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 
+  /** FULL Lee-et-al.-grade exact span dedup — [[dedupSpansApply]]
+    * extended to the complete suffix-array semantics at token
+    * granularity. Two upgrades over the `_apply` form:
+    *
+    *  1. WITHIN-DOCUMENT repeats are excised too. `_apply` gates on
+    *     `countDistinct(doc_id) > 1`, so a verbatim run duplicated
+    *     inside ONE document (repeated boilerplate on the same page —
+    *     a case Lee et al.'s suffix array catches) passes through
+    *     untouched. Here ownership is the global FIRST OCCURRENCE by
+    *     (doc_id, position), and every other occurrence — same doc or
+    *     not — is removed.
+    *  2. The first occurrence is PROTECTED: positions covered by an
+    *     owner window are never excised even when a later overlapping
+    *     occurrence covers them. For a periodic run (token period
+    *     < SpanLen, e.g. 40 repeats of one word) this collapses the
+    *     run to exactly its first SpanLen tokens — the maximal-match
+    *     behavior — where an unprotected union would eat back into
+    *     the occurrence being kept.
+    *
+    * Both sliding-window operators catch boundary-straddling runs by
+    * construction (stride-1 windows — every ≥SpanLen-token duplicated
+    * run contains a duplicated window at its own start); the
+    * fixed-segment form that CAN miss a straddler is
+    * [[dedupParagraph]], which trades that for a segment-digest-only
+    * shuffle.
+    *
+    * Exactness: ownership and excision are integer position algebra;
+    * window identity is md5 over the exact span text, recomputed
+    * identically by DuckDB — full hash gate.
+    *
+    * Scale: windows shuffle as 32-char md5 DIGESTS with (doc_id, p) —
+    * the raw 20-token span text never leaves its partition (unlike
+    * `_apply`, which groups raw span strings — ~5× more shuffle
+    * bytes); one digest-group shuffle, covered-position explodes
+    * bounded by SpanLen·|duplicated windows|, one doc-keyed
+    * anti-join. Linear in corpus + true duplication; no doc pair
+    * materialized.
+    */
+  def dedupSpansExact(s: SparkSession, d: String): DataFrame =
+    dedupSpansExactOn(Tables.documents(s, d))
+
+  /** Core of [[dedupSpansExact]] over any (doc_id, text) frame. */
+  def dedupSpansExactOn(documents: DataFrame): DataFrame = {
+    val base = documents.select(col("doc_id"), toks(col("text")).as("ws"))
+    // every window occurrence as (doc, 1-based pos, digest); okey is
+    // the packed global occurrence order (positions < 1e9 by the
+    // summarize_extract packing-guard class of argument: a 1e9-token
+    // single document is beyond any row this engine stores)
+    val win = base.filter(size(col("ws")) >= SpanLen)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ws")) - (SpanLen - 1)),
+        i => struct(i.as("p"),
+          md5(concat_ws(" ", slice(col("ws"), i, lit(SpanLen)))).as("h"))))
+        .as("w"))
+      .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"),
+        (col("doc_id") * lit(1000000000L) + col("w.p")).as("okey"))
+    val own = win.groupBy("h")
+      .agg(min("okey").as("okey_min"), count(lit(1)).as("nocc"))
+    val dupw = win.join(own, "h").filter(col("nocc") > 1)
+      .select(col("doc_id"), col("p"),
+        (col("okey") === col("okey_min")).as("is_owner"))
+    def covOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SpanLen - 1))).as("pos"))
+      .distinct()
+    // removed = non-owner coverage MINUS owner coverage (protection);
+    // read twice (run census + anti-join) → .stable
+    val cov = covOf(dupw.filter(!col("is_owner")))
+      .join(covOf(dupw.filter(col("is_owner"))),
+        Seq("doc_id", "pos"), "left_anti")
+      .stable
+    // maximal merged excised runs: a removed position starts a run iff
+    // its predecessor position is not removed
+    val runs = cov
+      .withColumn("prev",
+        lag("pos", 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .filter(col("prev").isNull || col("pos") - col("prev") > 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_runs_excised"))
+    val poss = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val agg = poss.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          st => st("tok")), " ").as("text_clean"))
+    base.select(col("doc_id"), size(col("ws")).as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_runs_excised"), lit(0L)).as("n_runs_excised"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** Source-mixture weighting: per-source token counts and the
     * sampling weight that equalizes each source's share of the token
     * budget (uniform target mix — the standard "don't let one crawl
@@ -694,6 +791,7 @@ object Corpus {
     "lm_score_kn" -> lmScoreKn,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_apply" -> dedupSpansApply,
+    "dedup_spans_exact" -> dedupSpansExact,
     "dedup_paragraph" -> dedupParagraph,
     "boilerplate_detect" -> boilerplateDetect,
     "boilerplate_strip" -> boilerplateStrip,
@@ -980,6 +1078,47 @@ object Corpus {
          |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
          |  coalesce(a.text_clean, '') AS text_clean
          |FROM t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // full Lee-et-al. semantics: ownership by packed (doc_id, p) min,
+    // within-doc repeats included (count(*), not count(DISTINCT doc)),
+    // owner coverage protected via the anti-join on cov_keep
+    "dedup_spans_exact" ->
+      s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents),
+         |win AS (SELECT doc_id, p, md5(array_to_string(ws[p:p+19], ' ')) AS h,
+         |               doc_id * 1000000000 + p AS okey
+         |        FROM (SELECT doc_id, ws,
+         |                unnest(generate_series(1, len(ws) - 19)) AS p
+         |              FROM t WHERE len(ws) >= 20)),
+         |own AS (SELECT h, min(okey) AS okey_min, count(*) AS nocc
+         |        FROM win GROUP BY h),
+         |dupw AS (SELECT w.doc_id, w.p, w.okey = o.okey_min AS is_owner
+         |         FROM win w JOIN own o USING (h) WHERE o.nocc > 1),
+         |cov_rem AS (SELECT DISTINCT doc_id,
+         |              unnest(generate_series(p, p + 19)) AS pos
+         |            FROM dupw WHERE NOT is_owner),
+         |cov_keep AS (SELECT DISTINCT doc_id,
+         |               unnest(generate_series(p, p + 19)) AS pos
+         |             FROM dupw WHERE is_owner),
+         |cov AS (SELECT doc_id, pos FROM cov_rem
+         |        ANTI JOIN cov_keep USING (doc_id, pos)),
+         |runs AS (SELECT doc_id, count(*) AS n_runs_excised
+         |         FROM (SELECT doc_id, pos,
+         |                 lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                   AS prev
+         |               FROM cov)
+         |         WHERE prev IS NULL OR pos - prev > 1 GROUP BY doc_id),
+         |poss AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS pos
+         |         FROM t WHERE len(ws) > 0),
+         |kept AS (SELECT p.doc_id, p.pos, p.ws[p.pos] AS tok
+         |         FROM poss p ANTI JOIN cov c USING (doc_id, pos)),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |          string_agg(tok, ' ' ORDER BY pos) AS text_clean
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(t.ws) AS INTEGER) AS n_tokens,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(r.n_runs_excised, 0) AS BIGINT) AS n_runs_excised,
+         |  coalesce(a.text_clean, '') AS text_clean
+         |FROM t LEFT JOIN agg a USING (doc_id)
+         |  LEFT JOIN runs r USING (doc_id)""".stripMargin,
     "snapshot_diff" ->
       """WITH old AS (SELECT doc_id, md5(text) AS h_old FROM documents),
         |new AS (

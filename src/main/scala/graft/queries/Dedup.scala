@@ -308,9 +308,12 @@ object Dedup {
   /** Distinct in-bucket candidate pairs `(doc_a, doc_b, nmin, nmax)`
     * from the LSH band buckets — the pre-verification pair stream every
     * minhash consumer refines. Input: `(doc_id, sh)` with non-empty
-    * shingle arrays.
+    * shingle arrays. Public as the scale-curve diagnostic surface (the
+    * candidate count is the number that must scale linearly with the
+    * corpus for the 100 TB claim to hold — tools/ScaleCurve records it
+    * across a 10× step).
     */
-  private[queries] def minhashCandidateSizes(docs: DataFrame): DataFrame = {
+  def minhashCandidateSizes(docs: DataFrame): DataFrame = {
     // Candidate pairs WITHOUT a self-join on the signature subtree:
     // group doc_ids per (band, bucket) and expand in-bucket pairs with
     // array lambdas — the shingle+signature chain is evaluated exactly

@@ -187,6 +187,24 @@ object Pq {
     * codebooks — the whole composition unrolls in SQL.
     */
   def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val (scored, _) = ivfPqScoredOf(s, d)
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    val exact5 = Similarity.annCosine(s, d).select("query_id", "neighbor_id")
+    val recall = top.select("query_id", "neighbor_id")
+      .join(exact5, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    top.join(recall, Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("score"), 6).as("score_pq"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall_at5"))
+  }
+
+  /** The shared IVF-PQ ADC machinery: returns the (query_id,
+    * neighbor_id, score) ADC frame over probed cells, plus the raw
+    * (vec_id, v, nrm) frame for exact-math consumers.
+    */
+  private def ivfPqScoredOf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     graft.functions.DotProduct.register(s)
     val raw = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -219,21 +237,64 @@ object Pq {
     val scored = assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+    (scored, raw)
+  }
+
+  /** Candidates re-ranked exactly per query before the final top-k. */
+  val Cand = 50
+
+  /** IVF-PQ with EXACT RE-RANK — the production serving shape (FAISS
+    * `IndexRefineFlat` / the standard two-stage retrieval): ADC keeps
+    * a generous top-[[Cand]] candidate set per query (cheap — 4 LUT
+    * lookups per corpus code), then the final top-[[TopK]] is decided
+    * by exact float cosine over just those Cand vectors. Quantization
+    * error then only matters if it pushes a true neighbor below rank
+    * Cand, not rank TopK — recall@k is ≥ the ADC-only path's by
+    * construction whenever the exact neighbors survive the candidate
+    * cut (asserted against [[annIvfPq]] in PqSpec).
+    *
+    * Scale: stage 1 is exactly [[annIvfPq]]'s plan (broadcast probe
+    * table, per-query window). Stage 2 touches Cand·|queries| rows —
+    * two id-keyed joins to fetch raw vectors, never a corpus-wide
+    * float pass. At a billion vectors the refine stage reads ~50
+    * full vectors per query from the id-keyed store while ADC scans
+    * only resident 4-byte codes — the memory layout that makes IVF-PQ
+    * the default billion-scale index.
+    *
+    * Determinism: candidate cut and final rank both order by
+    * (score desc, id asc) on identical float chains (certified LUT
+    * sums; the ann_cosine dot/norm chain) — full hash gate.
+    */
+  def annIvfPqRerank(s: SparkSession, d: String): DataFrame = {
+    val (scored, raw) = ivfPqScoredOf(s, d)
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    val cand = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Cand)
+      .select("query_id", "neighbor_id")
+    // exact cosine over candidates only: fetch both raw vectors by id
+    val rr = cand
+      .join(raw.select(col("vec_id").as("neighbor_id"), col("v").as("vn"),
+        col("nrm").as("nn")), "neighbor_id")
+      .join(raw.select(col("vec_id").as("query_id"), col("v").as("vq"),
+        col("nrm").as("nq")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("vn"), col("vq")) / (col("nn") * col("nq"))).as("cosv"))
+    val w2 = Window.partitionBy("query_id").orderBy(col("cosv").desc, col("neighbor_id").asc)
+    val top = rr.withColumn("rn", row_number().over(w2)).filter(col("rn") <= TopK)
     val exact5 = Similarity.annCosine(s, d).select("query_id", "neighbor_id")
     val recall = top.select("query_id", "neighbor_id")
       .join(exact5, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
     top.join(recall, Seq("query_id"), "left")
       .select(col("query_id"), col("neighbor_id"), col("rn"),
-        round(col("score"), 6).as("score_pq"),
+        round(col("cosv"), 6).as("score_exact"),
         (coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall_at5"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> annPq,
-    "ann_ivfpq" -> annIvfPq)
+    "ann_ivfpq" -> annIvfPq,
+    "ann_ivfpq_rerank" -> annIvfPqRerank)
 
   // ---- shared DuckDB oracle fragments ----
 
@@ -403,5 +464,53 @@ object Pq {
          |  JOIN codes c ON c.vec_id = a.vec_id
          |  JOIN q ON q.vec_id = p.query_id
          |  $pqLutJoin),
-         |$pqTailSql""".stripMargin)
+         |$pqTailSql""".stripMargin,
+    // same ADC chain, generous top-Cand cut, exact cosine re-rank
+    "ann_ivfpq_rerank" ->
+      s"""WITH $pqPrefixSql,
+         |$ivfChainSql,
+         |sc AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    $pqScoreExpr AS score
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+         |  JOIN codes c ON c.vec_id = a.vec_id
+         |  JOIN q ON q.vec_id = p.query_id
+         |  $pqLutJoin),
+         |cand AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rn
+         |    FROM sc)
+         |  WHERE rn <= $Cand),
+         |rr AS (
+         |  SELECT cd.query_id, cd.neighbor_id,
+         |    list_dot_product(en.v, eq.v) / (en.nrm * eq.nrm) AS cosv
+         |  FROM cand cd
+         |  JOIN e en ON en.vec_id = cd.neighbor_id
+         |  JOIN e eq ON eq.vec_id = cd.query_id),
+         |top AS (
+         |  SELECT query_id, neighbor_id, rn, round(cosv, 6) AS score_exact FROM (
+         |    SELECT query_id, neighbor_id, cosv,
+         |      CAST(row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosv DESC, neighbor_id) AS INTEGER) AS rn
+         |    FROM rr)
+         |  WHERE rn <= $TopK),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY eq.vec_id
+         |        ORDER BY list_dot_product(ec.v, eq.v) / (ec.nrm * eq.nrm) DESC,
+         |                 ec.vec_id) AS rn
+         |    FROM e ec JOIN e eq ON eq.vec_id < $QueryCap AND ec.vec_id <> eq.vec_id)
+         |  WHERE rn <= $TopK),
+         |rec AS (
+         |  SELECT t.query_id, count(*) AS hits
+         |  FROM top t JOIN ex ON ex.query_id = t.query_id
+         |            AND ex.neighbor_id = t.neighbor_id
+         |  GROUP BY 1)
+         |SELECT t.query_id, t.neighbor_id, t.rn, t.score_exact,
+         |  CAST(coalesce(rec.hits, 0) AS DOUBLE) / $TopK AS recall_at5
+         |FROM top t LEFT JOIN rec USING (query_id)""".stripMargin)
 }

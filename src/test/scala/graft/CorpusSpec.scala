@@ -88,6 +88,60 @@ class CorpusSpec extends SparkSuite {
       "totally unrelated words that never repeat anywhere else today")))
   }
 
+  test("dedup_spans_exact: within-doc repeat excised (the case _apply provably misses)") {
+    // one doc containing the same 20-token run twice, separated by
+    // filler; no other doc shares it — dedup_spans_apply's
+    // countDistinct(doc_id) > 1 gate passes this through untouched,
+    // the suffix-array semantics excise the second occurrence
+    val run = ('a' to 't').map(c => s"rep$c").mkString(" ")       // 20 toks
+    val mid = "uno dos tres cuatro cinco seis siete ocho nueve diez" // 10
+    val docs = Seq(
+      (3L, s"$run $mid $run"),
+      (7L, "totally unrelated words that never repeat anywhere else today")
+    ).toDF("doc_id", "text")
+    // _apply misses it: both docs pass through token-identical
+    val viaApply = Corpus.dedupSpansApplyOn(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(viaApply(3L) == 50L, "_apply keeps the within-doc repeat (by design)")
+    val got = Corpus.dedupSpansExactOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // exact form: second occurrence (pos 31..50) excised as ONE run;
+    // first occurrence + filler survive
+    assert(got(3L) === ((50, 30L, 1L, s"$run $mid")))
+    assert(got(7L) === ((9, 9L, 0L,
+      "totally unrelated words that never repeat anywhere else today")))
+  }
+
+  test("dedup_spans_exact: periodic run collapses to its first SpanLen tokens") {
+    // 45 repeats of one word: every window identical; owner protection
+    // keeps exactly the first 20 tokens, the rest excise as one run
+    val docs = Seq((1L, Seq.fill(45)("echo").mkString(" "))).toDF("doc_id", "text")
+    val r = Corpus.dedupSpansExactOn(docs).collect().head
+    assert((r.getInt(1), r.getLong(2), r.getLong(3)) === ((45, 20L, 1L)))
+    assert(r.getString(4) == Seq.fill(20)("echo").mkString(" "))
+  }
+
+  test("dedup_spans_exact: cross-doc behavior matches _apply's keeper contract") {
+    // same planted corpus as the _apply test — on cross-doc-only
+    // duplication the two operators must agree on kept tokens
+    val span = ('a' to 'y').map(c => s"shared$c").mkString(" ")
+    val aTail = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bHead = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val docs = Seq(
+      (1L, s"$span $aTail"),
+      (5L, s"$bHead $span"),
+      (9L, "totally unrelated words that never repeat anywhere else today")
+    ).toDF("doc_id", "text")
+    val got = Corpus.dedupSpansExactOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(1L) === ((35, 35L, 0L, s"$span $aTail")))
+    assert(got(5L) === ((35, 10L, 1L, bHead)))
+    assert(got(9L) === ((9, 9L, 0L,
+      "totally unrelated words that never repeat anywhere else today")))
+  }
+
   test("drift_psi: PSI >= 0 for every source; all sources covered") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val nSources = docs.select("source").distinct().count()

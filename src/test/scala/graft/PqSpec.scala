@@ -91,4 +91,30 @@ class PqSpec extends SparkSuite {
       assert(n % 8 === q % 8, s"query $q retrieved cross-cluster neighbor $n")
     }
   }
+
+  test("ann_ivfpq_rerank: exact refine never loses recall vs the ADC-only path") {
+    def recallByQ(name: String): Map[Long, Double] =
+      graft.SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val adc = recallByQ("ann_ivfpq")
+    val rer = recallByQ("ann_ivfpq_rerank")
+    assert(rer.keySet == adc.keySet, "same query set")
+    adc.foreach { case (q, ra) =>
+      assert(rer(q) >= ra,
+        s"query $q: rerank recall ${rer(q)} < ADC recall $ra")
+    }
+    // the refine stage must actually help somewhere, or Cand is
+    // misconfigured (at Cand=50 over probed cells the exact top-5
+    // is recovered whenever it survives the candidate cut)
+    assert(rer.values.sum >= adc.values.sum)
+    // scores are true cosines: bounded and non-increasing by rank
+    val rows = graft.SparkEntry.queries("ann_ivfpq_rerank")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    assert(rows.forall(t => t._3 >= -1.0000001 && t._3 <= 1.0000001))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q: exact scores not non-increasing by rank")
+    }
+  }
 }
