@@ -37,10 +37,14 @@ object ScaleCurve {
 
     def scaled(copies: Int): DataFrame =
       (0 until copies).map { k =>
+        // copy tag must be LETTERS ONLY: the word tokenizer splits on
+        // non-letters, so a digit tag would be stripped and every copy
+        // would share one vocabulary (cross-copy jaccard 1, not 0)
+        val tag = ('a' + k).toChar
         if (k == 0) base
         else base.select(
           (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
-          regexp_replace(col("text"), "(\\p{L}+)", s"$$1zz$k").as("text"))
+          regexp_replace(col("text"), "(\\p{L}+)", s"$$1zz$tag").as("text"))
       }.reduce(_ unionAll _)
 
     def run(tag: String, documents: DataFrame): Unit = {
