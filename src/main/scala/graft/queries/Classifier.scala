@@ -211,9 +211,21 @@ object Classifier {
     * (dim = Dims is the bias) — the model artifact a downstream
     * scoring job broadcasts.
     */
+  /** Train-once/serve-many ([[graft.core.ModelCache]], the Mf
+    * convention): the Dims+1 weight vector is session-cached per dir,
+    * so the four serve entries (predict, gate, calibration, bias)
+    * reuse one GD run; `classifier_train` always retrains and
+    * refreshes (honest trainer cost). The vector is a driver array —
+    * no executor state retained — and GD is integer-deterministic, so
+    * a hit is bit-identical to a fresh run.
+    */
+  private def weightsCached(s: SparkSession, d: String,
+      vec: => DataFrame): Array[Double] =
+    graft.core.ModelCache.cached(s, d, "classifier_w")(trainWeights(vec))
+
   def classifierTrain(s: SparkSession, d: String): DataFrame = {
     val vec = featurize(s, d)
-    val w = trainWeights(vec)
+    val w = graft.core.ModelCache.put(s, d, "classifier_w", trainWeights(vec))
     vec.unpersist(false)
     import s.implicits._
     w.zipWithIndex.map { case (wv, i) => (i, wv) }.toSeq.toDF("dim", "w")
@@ -228,7 +240,7 @@ object Classifier {
     */
   def classifierPredict(s: SparkSession, d: String): DataFrame = {
     val vec = featurize(s, d)
-    val w = trainWeights(vec)
+    val w = weightsCached(s, d, vec)
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val out = vec
       .select(col("y").cast("int").as("label"),
@@ -249,7 +261,7 @@ object Classifier {
     */
   def modelGate(s: SparkSession, d: String): DataFrame = {
     val vec = featurize(s, d)
-    val w = trainWeights(vec)
+    val w = weightsCached(s, d, vec)
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val out = vec
       .select(col("doc_id"),
@@ -273,7 +285,7 @@ object Classifier {
   def classifierCalibration(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vec = featurize(s, d)
-    val w = trainWeights(vec)
+    val w = weightsCached(s, d, vec)
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val scored = vec.select(col("doc_id"), col("y"),
       floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)).cast("long").as("score_q"))
@@ -301,7 +313,7 @@ object Classifier {
     */
   def classifierBiasReport(s: SparkSession, d: String): DataFrame = {
     val vec = featurize(s, d)
-    val w = trainWeights(vec)
+    val w = weightsCached(s, d, vec)
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val scored = vec.select(col("doc_id"),
       (dot(col("x"), wl) >= 0).cast("long").as("accept"))

@@ -97,19 +97,24 @@ object Trees {
         :+ col("n_t").as("n") :+ col("pos_t").as("n_pos")): _*)
   }
 
-  /** Trained depth-2 tree: one row per node — root, L/R internal
-    * children (each with its chosen split), and the four leaves with
-    * majority-vote predictions (tie → 0). */
-  def treeTrain(s: SparkSession, d: String): DataFrame = {
+  /** side assignment predicate against a broadcast (split_feature,
+    * thr) row: L iff the named feature value is <= thr. */
+  private def sideExpr: Column =
+    when(Features.map(f =>
+      col("split_feature") === f && col(f) <= col("thr")).reduce(_ || _), "L")
+      .otherwise(lit("R"))
+
+  /** The TRAINING chain: root and child split frames (both `.stable`,
+    * 1 and 2 rows). Shared by the trainer (which refreshes the session
+    * cache) and the cold-cache serve path.
+    */
+  private def trainSplits(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val wide = featsWide(s, d).stable
     val t = tall(wide)
     val rootCells = t.groupBy("feature", "v")
       .agg(count(lit(1)).as("n"), sum("is_en").as("npos"))
     val root = bestSplit(rootCells, Seq.empty).stable
     // side assignment: broadcast the 1-row root against the wide pass
-    val sideExpr = when(Features.map(f =>
-      col("split_feature") === f && col(f) <= col("thr")).reduce(_ || _), "L")
-      .otherwise(lit("R"))
     val assigned = wide.crossJoin(broadcast(
         root.select(col("split_feature"), col("thr"))))
       .withColumn("side", sideExpr).stable
@@ -117,7 +122,30 @@ object Trees {
       .join(assigned.select("doc_id", "side"), "doc_id")
       .groupBy("side", "feature", "v")
       .agg(count(lit(1)).as("n"), sum("is_en").as("npos"))
-    val children = bestSplit(childCells, Seq("side"))
+    val children = bestSplit(childCells, Seq("side")).stable
+    wide.unpersist(false); assigned.unpersist(false)
+    (root, children)
+  }
+
+  /** Train-once/serve-many ([[graft.core.ModelCache]], the Mf
+    * convention): `tree_predict` reuses the session's trained 3-row
+    * split model; `tree_train` always retrains and refreshes. The
+    * cached frames are 1+2 rows — nothing corpus-sized is retained.
+    */
+  private def splitsCached(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    graft.core.ModelCache.cached(s, d, "tree_splits")(trainSplits(s, d))
+
+  /** Trained depth-2 tree: one row per node — root, L/R internal
+    * children (each with its chosen split), and the four leaves with
+    * majority-vote predictions (tie → 0). */
+  def treeTrain(s: SparkSession, d: String): DataFrame = {
+    val (root, children) =
+      graft.core.ModelCache.put(s, d, "tree_splits", trainSplits(s, d))
+    // leaf census: one fresh feature pass routed through the splits
+    val wide = featsWide(s, d).stable
+    val assigned = wide.crossJoin(broadcast(
+        root.select(col("split_feature"), col("thr"))))
+      .withColumn("side", sideExpr)
     val leaves = assigned
       .join(broadcast(children.select(col("side"),
         col("split_feature").as("cf"), col("thr").as("ct"))), "side")
@@ -137,30 +165,20 @@ object Trees {
         col("split_feature"), col("thr"), col("score_micro"), col("n"),
         col("n_pos"), lit(null).cast("boolean").as("pred")))
     val out = internal.unionAll(leaves).stable
-    wide.unpersist(false); root.unpersist(false); assigned.unpersist(false)
+    wide.unpersist(false)
     out
   }
 
   /** Per-document prediction: leaf id, predicted is_en, actual is_en —
-    * a broadcast of the 3-row split table over the single feature
-    * pass (no second corpus shuffle). */
+    * a broadcast of the (session-cached) 3-row split table over the
+    * single feature pass (no second corpus shuffle; the model is not
+    * retrained when the session already trained it). */
   def treePredict(s: SparkSession, d: String): DataFrame = {
+    val (root, children) = splitsCached(s, d)
     val wide = featsWide(s, d).stable
-    val t = tall(wide)
-    val rootCells = t.groupBy("feature", "v")
-      .agg(count(lit(1)).as("n"), sum("is_en").as("npos"))
-    val root = bestSplit(rootCells, Seq.empty).stable
-    val sideExpr = when(Features.map(f =>
-      col("split_feature") === f && col(f) <= col("thr")).reduce(_ || _), "L")
-      .otherwise(lit("R"))
     val assigned = wide.crossJoin(broadcast(
         root.select(col("split_feature"), col("thr"))))
       .withColumn("side", sideExpr).stable
-    val childCells = tall(assigned.drop("split_feature", "thr"))
-      .join(assigned.select("doc_id", "side"), "doc_id")
-      .groupBy("side", "feature", "v")
-      .agg(count(lit(1)).as("n"), sum("is_en").as("npos"))
-    val children = bestSplit(childCells, Seq("side")).stable
     val leafPred = assigned
       .join(broadcast(children.select(col("side"),
         col("split_feature").as("cf"), col("thr").as("ct"))), "side")
@@ -173,8 +191,7 @@ object Trees {
       .join(broadcast(majorities), "leaf")
       .select(col("doc_id"), col("leaf"), col("pred_en"),
         (col("is_en") === 1L).as("actual_en")).stable
-    wide.unpersist(false); root.unpersist(false)
-    assigned.unpersist(false); children.unpersist(false)
+    wide.unpersist(false); assigned.unpersist(false)
     out
   }
 
