@@ -797,7 +797,49 @@ object Corpus {
     "boilerplate_strip" -> boilerplateStrip,
     "drift_psi" -> driftPsi,
     "source_mix" -> sourceMix,
-    "mix_temperature" -> mixTemperature)
+    "mix_temperature" -> mixTemperature,
+    "quality_ppl_buckets" -> qualityPplBuckets)
+
+  /** CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    * 2020 §4.3): per language, rank documents by the unigram-LM NLL
+    * proxy ([[lmScore]] — CCNet uses a Kneser-Ney LM; the bucketing
+    * rule is the operator here) and split into terciles. "head" =
+    * most-fluent third (lowest NLL), typically kept outright;
+    * "middle" kept or sampled; "tail" dropped or reserved for
+    * diversity sampling. Emits the per-(lang, bucket) census a
+    * curation run keys its keep policy on.
+    *
+    * Determinism: the rank orders on the 1e-4-ROUNDED avg_nll with a
+    * doc_id tie-break (the keywords_textrank convention), and the
+    * bucket mean sums 1e-4-quantized int64 NLLs — exact integer
+    * aggregate, merge-order free. ntile(3) assigns identical bucket
+    * sizes in both engines (first n mod 3 buckets take the extra row).
+    *
+    * Scale: the lm_score chain (one token shuffle) + a per-lang
+    * window over ONE ROW PER DOC (not per token) + a ≤3·|langs|-cell
+    * census. The window partitions by lang — at 100 TB each language
+    * sorts its doc-level rows independently; no global sort.
+    */
+  def qualityPplBuckets(s: SparkSession, d: String): DataFrame = {
+    val scored = lmScore(s, d)
+      .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_nll").asc, col("doc_id").asc)
+    scored
+      .withColumn("bucket", ntile(3).over(w))
+      .withColumn("nll_q",
+        floor(col("avg_nll") * 10000 + lit(0.5)).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        (floor(sum(col("nll_q")).cast("double") / count(lit(1)) + lit(0.5))
+          / 10000.0).as("mean_nll"))
+      .select(col("lang"), col("bucket"),
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle")
+          .otherwise(lit("tail")).as("bucket_name"),
+        col("n_docs"), col("n_tokens"), col("mean_nll"))
+  }
 
   /** Temperature-scaled source mixing (T = 2): resampled share
     * q_s ∝ p_s^(1/T) = √p_s — the multilingual/multi-source sampling
@@ -990,6 +1032,28 @@ object Corpus {
          |  floor(avg(-ln(CAST(cnt AS DOUBLE) / total)) * 10000 + 0.5) / 10000.0 AS avg_nll
          |FROM t JOIN v USING (tok) CROSS JOIN n
          |GROUP BY doc_id""".stripMargin,
+    "quality_ppl_buckets" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS tok FROM documents),
+         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    floor(avg(-ln(CAST(cnt AS DOUBLE) / total)) * 10000 + 0.5)
+         |      / 10000.0 AS avg_nll
+         |  FROM t JOIN v USING (tok) CROSS JOIN n GROUP BY doc_id),
+         |b AS (
+         |  SELECT d.lang, sc.doc_id, sc.n_tokens, sc.avg_nll,
+         |    CAST(ntile(3) OVER (PARTITION BY d.lang
+         |      ORDER BY sc.avg_nll, sc.doc_id) AS INTEGER) AS bucket
+         |  FROM sc JOIN documents d USING (doc_id))
+         |SELECT lang, bucket,
+         |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket_name,
+         |  count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  floor(CAST(sum(CAST(floor(avg_nll * 10000 + 0.5) AS BIGINT))
+         |    AS DOUBLE) / count(*) + 0.5) / 10000.0 AS mean_nll
+         |FROM b GROUP BY lang, bucket""".stripMargin,
     "lm_score_bigram" ->
       s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents),
          |u AS (SELECT unnest(ws) AS tok FROM t),

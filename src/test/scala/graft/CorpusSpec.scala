@@ -142,6 +142,24 @@ class CorpusSpec extends SparkSuite {
       "totally unrelated words that never repeat anywhere else today")))
   }
 
+  test("quality_ppl_buckets: balanced per-lang terciles ordered head<=middle<=tail") {
+    val rows = Corpus.qualityPplBuckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"$lang buckets")
+      // ntile balance: sizes differ by at most 1, earlier >= later
+      val sz = bs.sortBy(_._2).map(_._4)
+      assert(sz.max - sz.min <= 1 && sz.zip(sz.tail).forall(p => p._1 >= p._2),
+        s"$lang sizes $sz")
+      // fluency ordering: head has the lowest mean NLL
+      val mn = bs.sortBy(_._2).map(_._5)
+      assert(mn.zip(mn.tail).forall(p => p._1 <= p._2), s"$lang means $mn")
+    }
+    assert(rows.map(_._3).toSet == Set("head", "middle", "tail"))
+  }
+
   test("drift_psi: PSI >= 0 for every source; all sources covered") {
     val docs = graft.core.Tables.documents(spark, sfDir)
     val nSources = docs.select("source").distinct().count()
