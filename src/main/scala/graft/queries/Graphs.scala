@@ -174,8 +174,67 @@ object Graphs {
     out
   }
 
+  /** PPR power-iteration rounds (fixed — the pagerank convention). */
+  val PprRounds = 8
+  /** Restart probability (1 − damping). */
+  val PprTele = 0.15
+  val PprDamp = 0.85
+
+  /** PERSONALIZED PageRank (random walk with restart, Haveliwala '02 /
+    * Tong et al. '06) from the co-purchase graph's max-degree node:
+    * every restart teleports to the SEED (not uniformly) so the
+    * stationary mass is a similarity-to-seed score — the graph
+    * diffusion form of "items related to X", and the repo's PageRank
+    * family generalized from global centrality to query-conditioned
+    * relevance. Seed choice mirrors [[graphSssp]] (max degree, ties →
+    * smallest id; a 1-row frame, no hard-coded key).
+    *
+    * Exactness: the per-round arithmetic mirrors `pagerank`'s oracle
+    * term by term (0.15·tele + 0.85·Σ rank/outdeg, coalesce-to-0),
+    * output rounded to 6dp — the symmetric graph has no dangling
+    * nodes, so no dangling-mass term. Under the DuckDB gate with the
+    * rounds unrolled as CTEs.
+    *
+    * Scale shape: the rank frame is SPARSE — only nodes the walk has
+    * reached carry rows, so round i costs |E ⋉ reached_i| (frontier-
+    * bounded, like [[graphSssp]]), not |V|; the seed teleport is a
+    * 1-row outer join. Edges pre-hashed on src; stride-3 checkpoints
+    * bound plan depth; no driver action in the loop.
+    */
+  def graphPpr(s: SparkSession, d: String): DataFrame = {
+    val e = weightedEdges(s, d).select("src", "dst")
+      .repartition(col("src")).stable
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    val ann = e.join(deg, "src").repartition(col("src")).stable
+    val seed = deg.orderBy(col("outdeg").desc, col("src").asc).limit(1)
+      .select(col("src").as("node")).stable
+    var r: DataFrame = seed.select(col("node"), lit(1.0).as("rank"))
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to PprRounds) {
+      val contrib = ann.join(r.withColumnRenamed("node", "src"), "src")
+        .groupBy("dst").agg(sum(col("rank") / col("outdeg")).as("in"))
+        .withColumnRenamed("dst", "node")
+      var next = contrib
+        .join(seed.withColumn("tele", lit(1.0)), Seq("node"), "full_outer")
+        .select(col("node"),
+          (lit(PprTele) * coalesce(col("tele"), lit(0.0)) +
+            lit(PprDamp) * coalesce(col("in"), lit(0.0))).as("rank"))
+      val isCkpt = i % 3 == 0 || i == PprRounds
+      next = if (isCkpt) next.stable else next.persist()
+      retired += r
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
+      r = next
+    }
+    val out = r.filter(col("rank") > 0)
+      .select(col("node").as("part_id"), round(col("rank"), 6).as("rank"))
+    retired.foreach(_.unpersist(false))
+    ann.unpersist(false); e.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hits" -> graphHits,
+    "graph_ppr" -> graphPpr,
     "graph_sssp" -> graphSssp)
 
   private val interactionsSql =
@@ -220,6 +279,42 @@ object Graphs {
          |  SELECT 'hub' AS node_type, user_id AS node_id, h AS score,
          |    CAST(row_number() OVER (ORDER BY h DESC, user_id) AS BIGINT) AS rk
          |  FROM h$HitsRounds) WHERE rk <= $HitsK""".stripMargin
+    },
+    "graph_ppr" -> {
+      // sparse rounds mirrored: contributions from reached nodes only,
+      // seed teleport via 1-row full outer join; same double chain as
+      // the Spark side (0.15·tele + 0.85·Σ rank/outdeg)
+      val rounds = (1 to PprRounds).map { i =>
+        s"""r$i AS (
+           |  SELECT coalesce(c.node, sd.node) AS node,
+           |    $PprTele * coalesce(sd.tele, 0.0)
+           |      + $PprDamp * coalesce(c.inr, 0.0) AS rank
+           |  FROM (
+           |    SELECT s.dst AS node, sum(r.rank / d.outdeg) AS inr
+           |    FROM sym s JOIN r${i - 1} r ON r.node = s.src
+           |    JOIN deg d ON d.src = s.src
+           |    GROUP BY s.dst) c
+           |  FULL OUTER JOIN (SELECT node, 1.0 AS tele FROM seed) sd
+           |    ON sd.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS MATERIALIZED (
+         |  SELECT pa AS src, pb AS dst FROM und
+         |  UNION ALL SELECT pb, pa FROM und),
+         |deg AS MATERIALIZED (
+         |  SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
+         |seed AS (SELECT src AS node FROM deg
+         |         ORDER BY outdeg DESC, src ASC LIMIT 1),
+         |r0 AS (SELECT node, 1.0 AS rank FROM seed),
+         |$rounds
+         |SELECT node AS part_id, round(rank, 6) AS rank
+         |FROM r$PprRounds WHERE rank > 0""".stripMargin
     },
     "graph_sssp" -> {
       // MATERIALIZED for the same inlining-blowup reason as graph_hits:

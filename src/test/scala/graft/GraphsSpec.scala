@@ -71,4 +71,49 @@ class GraphsSpec extends SparkSuite {
     assert(got == dist, s"size got ${got.size} exp ${dist.size}")
     assert(got(src) == 0L)
   }
+
+  test("graph_ppr equals the sequential restart walk; mass conserved") {
+    // rebuild the unweighted symmetric co-purchase graph
+    val items = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // .iterator before .collect is load-bearing: Map.collect with a
+    // 2-tuple-producing partial function rebuilds a MAP, collapsing
+    // every pair sharing a first element into one entry
+    val und = items.groupBy(_._1).values.flatMap { es =>
+      val ps = es.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).iterator.collect { case (e, g) if g.size >= 2 => e }.toSeq
+    val sym = und ++ und.map(_.swap)
+    val out = sym.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    val seed = out.toSeq.map { case (n, vs) => (n, vs.size) }
+      .minBy { case (n, dg) => (-dg, n) }._1
+    var r = Map(seed -> 1.0)
+    for (_ <- 1 to Graphs.PprRounds) {
+      val in = scala.collection.mutable.Map.empty[Long, Double]
+      // deterministic accumulation order (node asc) — same rounding
+      // argument as the distributed side's 6dp output quantization
+      r.toSeq.sortBy(_._1).foreach { case (u, ru) =>
+        val vs = out(u)
+        vs.foreach { v => in(v) = in.getOrElse(v, 0.0) + ru / vs.size }
+      }
+      r = (in.keySet + seed).iterator.map { n =>
+        n -> (Graphs.PprTele * (if (n == seed) 1.0 else 0.0)
+          + Graphs.PprDamp * in.getOrElse(n, 0.0))
+      }.toMap
+    }
+    val got = Graphs.graphPpr(spark, sfDir).collect()
+      .map(x => (x.getLong(0), x.getDouble(1))).toMap
+    val exp = r.filter(_._2 > 0)
+      .map { case (n, v) => n -> math.floor(v * 1e6 + 0.5) / 1e6 }
+    assert(got.keySet == exp.keySet,
+      s"reached sets differ: got ${got.size} exp ${exp.size}")
+    got.foreach { case (n, v) =>
+      assert(math.abs(v - exp(n)) <= 2e-6, s"node $n: $v vs ${exp(n)}")
+    }
+    // restart walk conserves mass on a dangling-free graph
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+    // the seed dominates its own neighborhood
+    assert(got(seed) == got.values.max)
+  }
 }
