@@ -52,8 +52,13 @@ class PlanLintSpec extends SparkSuite {
     "events_funnel", "pmi_bigrams", "lm_score_kn", "cluster_topics",
     "drift_embedding",
     // IVF-PQ: probe table is O(queries·NProbe) broadcast; the non-equi
-    // node is the exact-recall audit's broadcast query side
-    "ann_ivfpq",
+    // node is the exact-recall audit's broadcast query side. The
+    // rerank form inherits exactly that audit (its own refine stage is
+    // id-keyed equi joins over Cand·|queries| rows)
+    "ann_ivfpq", "ann_ivfpq_rerank",
+    // lm_score's 1-row vocab-total frame, inherited by the tercile
+    // bucketing on top of it
+    "quality_ppl_buckets",
     // DSIR: 1-row totals frame attached to the NumBuckets-row λ build
     "dsir_weights", "dsir_sample",
     // reviewed this session — all 1-row scalar broadcast attachments:
