@@ -243,6 +243,95 @@ object Pq {
   /** Candidates re-ranked exactly per query before the final top-k. */
   val Cand = 50
 
+  /** IVF-PQ with RESIDUAL encoding — the FAISS-default form the
+    * non-residual [[annIvfPq]] documents as its trade-off: each vector
+    * encodes u − ĉ(cell) (its offset from the assigned cell's UNIT
+    * centroid) instead of u itself, so the codebooks spend their 16
+    * centroids per subspace on the small within-cell residuals rather
+    * than the coarse direction the cell already captured. On
+    * naturally clustered embeddings this is the recall-better layout
+    * (Jégou et al. §IV); on near-uniform synthetic vectors the two
+    * are within tie-break noise (measured on the bench table) — what
+    * is data-INDEPENDENT is the capacity claim: in-cluster ADC scores
+    * genuinely differentiate where flat codes collapse (PqSpec).
+    *
+    * Under the inner-product/cosine metric the classic "per-cell LUT"
+    * cost disappears: dot(q, ĉ + r̂) = dot(q, ĉ) + dot(q, r̂), so
+    * scoring is ONE per-(query, probed-cell) scalar base (map-only,
+    * literal centroids) plus the SAME per-query 4×16 LUTs as flat PQ —
+    * just built against the residual codebooks. Plan shape is
+    * identical to [[annIvfPq]]: zero new shuffles, broadcast probe
+    * table, per-query top-k window.
+    *
+    * Determinism: residuals are exact element-wise differences of
+    * certified chains (unit vectors, SQL-recomputed centroids), the
+    * residual trainer is the same fixed-round Lloyd, and the score is
+    * one fixed-order IEEE sum — full hash gate.
+    */
+  def annIvfPqResidual(s: SparkSession, d: String): DataFrame =
+    annIvfPqResidualOn(
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      Similarity.annCosine(s, d).select("query_id", "neighbor_id"))
+
+  /** Core of [[annIvfPqResidual]] over any (vec_id, v) frame with a
+    * caller-supplied exact top-k (spec tests feed planted corpora). */
+  def annIvfPqResidualOn(emb: DataFrame, exact5: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    graft.functions.DotProduct.register(s)
+    val raw = emb
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = Similarity.trainCentroids(raw)
+    // unit centroids as driver literals: ĉ = cv / ‖cv‖ (same doubles
+    // as the oracle's cv[i]/cn division)
+    val unitCents = cents.map { case (cv, cn) => cv.map(_ / cn) }
+    def centOf(cell: Column): Column =
+      unitCents.indices.foldLeft(lit(null).cast("array<double>")) { (acc, i) =>
+        when(cell === i, array(unitCents(i).map(lit).toIndexedSeq: _*))
+          .otherwise(acc)
+      }
+    val unit = raw
+      .withColumn("u", when(col("nrm") > 0,
+        transform(col("v"), x => x / col("nrm"))).otherwise(col("v")))
+      .withColumn("cell_id",
+        Similarity.bestCellCol(col("v"), col("nrm"), cents))
+    val res = unit.withColumn("r",
+      zip_with(col("u"), centOf(col("cell_id")), (x, y) => x - y))
+    val sample = res.filter(col("vec_id") < PqTrainCap)
+      .orderBy("vec_id").select("vec_id", "r").collect()
+      .map(_.getSeq[Double](1).toArray)
+    val books = trainCodebooks(sample)
+    val assigned = res.select(
+      col("vec_id") +: col("cell_id") +:
+        (0 until SubM).map(m =>
+          codeCol(subCol(col("r"), m), books(m)).as(s"cd$m")): _*)
+    val probes0 = unit.filter(col("vec_id") < QueryCap)
+      .select(col("vec_id").as("query_id"), col("u"),
+        explode(Similarity.probeCellsCol(col("v"), col("nrm"), cents))
+          .as("cell_id"))
+    val probes = probes0.select(
+      col("query_id") +: col("cell_id") +:
+        dot(col("u"), centOf(col("cell_id"))).as("base") +:
+        (0 until SubM).map(m =>
+          array((0 until Ks).map(c =>
+            dot(subCol(col("u"), m), array(books(m)(c).map(lit).toIndexedSeq: _*))): _*)
+            .as(s"lut$m")): _*)
+    val score = (col("base") +: (0 until SubM).map(m =>
+      element_at(col(s"lut$m"), col(s"cd$m") + 1))).reduceLeft(_ + _)
+    val scored = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), score.as("score"))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    val top = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= TopK)
+    val recall = top.select("query_id", "neighbor_id")
+      .join(exact5, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    top.join(recall, Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("rn"),
+        round(col("score"), 6).as("score_pq"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall_at5"))
+  }
+
   /** IVF-PQ with EXACT RE-RANK — the production serving shape (FAISS
     * `IndexRefineFlat` / the standard two-stage retrieval): ADC keeps
     * a generous top-[[Cand]] candidate set per query (cheap — 4 LUT
@@ -294,7 +383,8 @@ object Pq {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
-    "ann_ivfpq_rerank" -> annIvfPqRerank)
+    "ann_ivfpq_rerank" -> annIvfPqRerank,
+    "ann_ivfpq_residual" -> annIvfPqResidual)
 
   // ---- shared DuckDB oracle fragments ----
 
@@ -314,27 +404,29 @@ object Pq {
   // per-subspace trainer: seeds = first Ks sample subvectors; each
   // round assigns by ||c||²−2xc (ties to smallest cell) and recomputes
   // means, empty cells keeping their centroid — the Kmeans oracle's
-  // unroll, once per subspace
-  private def pqSubChain(m: Int): String = {
+  // unroll, once per subspace. `p` prefixes every generated CTE name
+  // and the samp/corp sources, so the residual oracle can run a second
+  // independent trainer chain ("r" prefix) in the same statement.
+  private def pqSubChain(m: Int, p: String = ""): String = {
     val rounds = (1 to PqIters).map { r =>
-      s"""${pqAssignSql(s"a${m}_$r", s"s$m", s"c${m}_${r - 1}")},
-         |m${m}_$r AS (
+      s"""${pqAssignSql(s"${p}a${m}_$r", s"${p}s$m", s"${p}c${m}_${r - 1}")},
+         |${p}m${m}_$r AS (
          |  SELECT a.cell, d.i, sum(t.x[d.i]) AS sv, count(*) AS n
-         |  FROM a${m}_$r a JOIN s$m t ON t.vec_id = a.vec_id
+         |  FROM ${p}a${m}_$r a JOIN ${p}s$m t ON t.vec_id = a.vec_id
          |  CROSS JOIN sdims d GROUP BY a.cell, d.i),
-         |c${m}_$r AS (
+         |${p}c${m}_$r AS (
          |  SELECT prev.cell, coalesce(mm.cv, prev.cv) AS cv
-         |  FROM c${m}_${r - 1} prev LEFT JOIN
+         |  FROM ${p}c${m}_${r - 1} prev LEFT JOIN
          |    (SELECT cell, list(sv / n ORDER BY i) AS cv
-         |     FROM m${m}_$r GROUP BY cell) mm ON mm.cell = prev.cell)""".stripMargin
+         |     FROM ${p}m${m}_$r GROUP BY cell) mm ON mm.cell = prev.cell)""".stripMargin
     }.mkString(",\n")
-    s"""s$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM samp),
-       |c${m}_0 AS (
+    s"""${p}s$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM ${p}samp),
+       |${p}c${m}_0 AS (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         x AS cv
-       |  FROM (SELECT vec_id, x FROM s$m ORDER BY vec_id LIMIT $Ks)),
+       |  FROM (SELECT vec_id, x FROM ${p}s$m ORDER BY vec_id LIMIT $Ks)),
        |$rounds,
-       |${pqAssignSql(s"enc$m", s"corp$m", s"c${m}_$PqIters")}""".stripMargin
+       |${pqAssignSql(s"${p}enc$m", s"${p}corp$m", s"${p}c${m}_$PqIters")}""".stripMargin
   }
 
   /** e (raw + norm), u (unit), samp, the 4 codebook chains, the codes
@@ -344,7 +436,7 @@ object Pq {
   private def pqPrefixSql: String = {
     val corpSlices = (0 until SubM).map(m =>
       s"corp$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM u)").mkString(",\n")
-    val subChains = (0 until SubM).map(pqSubChain).mkString(",\n")
+    val subChains = (0 until SubM).map(m => pqSubChain(m)).mkString(",\n")
     val codeJoin = (0 until SubM).map(m =>
       s"JOIN enc$m e$m ON e$m.vec_id = u.vec_id").mkString(" ")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -364,8 +456,10 @@ object Pq {
        |q AS (SELECT vec_id, u FROM u WHERE vec_id < $QueryCap)""".stripMargin
   }
 
-  private def pqLutJoin = (0 until SubM).map(m =>
-    s"JOIN c${m}_$PqIters k$m ON k$m.cell = c.cd$m").mkString(" ")
+  private def pqLutJoin: String = pqLutJoin("")
+
+  private def pqLutJoin(p: String): String = (0 until SubM).map(m =>
+    s"JOIN ${p}c${m}_$PqIters k$m ON k$m.cell = c.cd$m").mkString(" ")
 
   private def pqScoreExpr = (0 until SubM).map(m =>
     s"list_dot_product(q.u[${lo(m)}:${hi(m)}], k$m.cv)").mkString("\n     + ")
@@ -444,7 +538,48 @@ object Pq {
        |    FROM e CROSS JOIN centn c WHERE e.vec_id < $QueryCap)
        |  WHERE rn <= ${Similarity.NProbe})""".stripMargin
 
+  /** Residual chains: unit centroids, residual vectors (aliased `u` so
+    * [[pqSubChain]]'s slice algebra applies unchanged under the "r"
+    * prefix), the residual sample/corpus slices, trainers, and codes.
+    * Reads `u` from the shared prefix and `assigned`/`centn` from
+    * [[ivfChainSql]]. DuckDB list lambdas take a 1-BASED index.
+    */
+  private def resPrefixSql: String = {
+    val corpSlices = (0 until SubM).map(m =>
+      s"rcorp$m AS (SELECT vec_id, u[${lo(m)}:${hi(m)}] AS x FROM rux)").mkString(",\n")
+    val subChains = (0 until SubM).map(m => pqSubChain(m, "r")).mkString(",\n")
+    val codeJoin = (0 until SubM).map(m =>
+      s"JOIN renc$m e$m ON e$m.vec_id = rux.vec_id").mkString(" ")
+    s"""rcent AS (SELECT cell, list_transform(cv, x -> x / cn) AS ucv
+       |          FROM centn),
+       |rux AS (
+       |  SELECT u.vec_id,
+       |    list_transform(u.u, (x, i) -> x - rc.ucv[i]) AS u
+       |  FROM u JOIN assigned a USING (vec_id)
+       |  JOIN rcent rc ON rc.cell = a.cell_id),
+       |rsamp AS (SELECT vec_id, u FROM rux WHERE vec_id < $PqTrainCap),
+       |$corpSlices,
+       |$subChains,
+       |rcodes AS (SELECT rux.vec_id, ${(0 until SubM).map(m => s"e$m.cell AS cd$m").mkString(", ")}
+       |           FROM rux $codeJoin)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ann_ivfpq_residual" ->
+      s"""WITH $pqPrefixSql,
+         |$ivfChainSql,
+         |$resPrefixSql,
+         |sc AS (
+         |  SELECT p.query_id, c.vec_id AS neighbor_id,
+         |    list_dot_product(q.u, rc.ucv)
+         |     + $pqScoreExpr AS score
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+         |  JOIN rcodes c ON c.vec_id = a.vec_id
+         |  JOIN q ON q.vec_id = p.query_id
+         |  JOIN rcent rc ON rc.cell = p.cell_id
+         |  ${pqLutJoin("r")}),
+         |$pqTailSql""".stripMargin,
     "ann_pq" ->
       s"""WITH $pqPrefixSql,
          |sc AS (

