@@ -750,8 +750,59 @@ object Similarity {
       .unionByName(zeros)
   }
 
+  /** Prefix lengths evaluated by [[annTruncationCurve]]. */
+  val TruncDims: Seq[Int] = Seq(8, 16, 32, 64)
+
+  /** Matryoshka-style TRUNCATION CURVE (Kusupati et al. 2022): recall@5
+    * of cosine search over only the first k dims (k ∈ [[TruncDims]])
+    * vs the full-dimension exact ranking — the storage/quality dial a
+    * large vector store tunes (half the dims = half the bytes scanned;
+    * MRL-trained embeddings keep most recall at small k, and this
+    * measures exactly how much THIS corpus keeps). Emits one row per
+    * (k, query): hit count and recall@5.
+    *
+    * Scale shape: each leg is the ann_cosine plan over a NARROWER
+    * projection (the slice happens before the broadcast join, so leg k
+    * moves k/64 of the float volume); the curve is |dims|·|queries|
+    * rows. Exactness: same certified dot/norm chain per leg, discrete
+    * hit counts — full hash gate.
+    */
+  def annTruncationCurve(s: SparkSession, d: String): DataFrame = {
+    val all = vecs(s, d).stable
+    val exact5 = {
+      val q = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+      val scored = all.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    }.stable
+    val legs = TruncDims.map { k =>
+      val base = all.select(col("vec_id"), slice(col("v"), 1, k).as("vk"))
+        .withColumn("nk", sqrt(dot(col("vk"), col("vk"))))
+      val q = base.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("vk").as("qk"), col("nk").as("qn"))
+      val scored = base.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (dot(col("vk"), col("qk")) / (col("nk") * col("qn"))).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      val hits = scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .join(exact5, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      q.select("query_id").join(hits, Seq("query_id"), "left")
+        .select(lit(k).as("dim_k"), col("query_id"),
+          coalesce(col("hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall_at5"))
+    }
+    legs.reduce(_ unionAll _)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_cosine" -> annCosine,
+    "ann_truncation_curve" -> annTruncationCurve,
     "search_hybrid" -> searchHybrid,
     "ann_quantized" -> annQuantized,
     "mmr_rerank" -> mmrRerank,
@@ -1079,6 +1130,46 @@ object Similarity {
         |SELECT t5.query_id, t5.neighbor_id, t5.rn, round(t5.cosq, 6) AS cos_q,
         |  CAST(coalesce(rc.hits, 0) AS DOUBLE) / 5 AS recall_at5
         |FROM t5 LEFT JOIN rc ON rc.query_id = t5.query_id""".stripMargin,
+    "ann_truncation_curve" -> {
+      val legs = TruncDims.map { k =>
+        s"""t$k AS (SELECT vec_id, v[1:$k] AS vk,
+           |          sqrt(list_dot_product(v[1:$k], v[1:$k])) AS nk FROM e),
+           |top$k AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY list_dot_product(c.vk, q.vk) / (c.nk * q.nk) DESC,
+           |                 c.vec_id) AS rn
+           |    FROM t$k c JOIN t$k q ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+           |  WHERE rn <= 5),
+           |h$k AS (
+           |  SELECT t.query_id, count(*) AS hits
+           |  FROM top$k t JOIN ex ON ex.query_id = t.query_id
+           |            AND ex.neighbor_id = t.neighbor_id
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val union = TruncDims.map { k =>
+        s"""SELECT CAST($k AS INTEGER) AS dim_k, q.vec_id AS query_id,
+           |  CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hits,
+           |  coalesce(h.hits, 0) / 5.0 AS recall_at5
+           |FROM e q LEFT JOIN h$k h ON h.query_id = q.vec_id
+           |WHERE q.vec_id < 8""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings),
+         |en AS (SELECT vec_id, v,
+         |         sqrt(list_dot_product(v, v)) AS nrm FROM e),
+         |ex AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY list_dot_product(c.v, q.v) / (c.nrm * q.nrm) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM en c JOIN en q ON q.vec_id < 8 AND c.vec_id <> q.vec_id)
+         |  WHERE rn <= 5),
+         |$legs
+         |$union""".stripMargin
+    },
     "ann_cosine" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -22,6 +22,9 @@ class PlanLintSpec extends SparkSuite {
     // (search_hybrid composes that scoring with the BM25 stats frame)
     "ann_cosine", "ann_quantized", "ann_pq", "ann_lsh", "ann_lsh_multiprobe",
     "ann_ivf", "mmr_rerank", "semdedup", "search_hybrid",
+    // truncation curve: four ann_cosine-shaped legs, each an 8-row
+    // broadcast query side over a narrower projection
+    "ann_truncation_curve",
     // deliberate cross/cartesian demos and 1-row scalar attachments
     "join_cross", "join_lateral", "text_stats", "corpus_stats",
     "drift_psi", "snapshot_diff", "source_mix", "mix_temperature",

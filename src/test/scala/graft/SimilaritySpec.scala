@@ -328,4 +328,25 @@ class SimilaritySpec extends SparkSuite {
     val gotPairs = got.map { case (q, _, n) => (q, n) }
     assert(gotPairs !== topk, "MMR selections identical to pure top-k — no diversity effect")
   }
+
+  test("ann_truncation_curve: full-dim leg is exact; recall sane per leg") {
+    val rows = Similarity.annTruncationCurve(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length === Similarity.TruncDims.length * 8)
+    assert(rows.forall(t => t._4 >= 0.0 && t._4 <= 1.0 && t._3 == (t._4 * 5).round))
+    // the k = 64 leg IS the exact ranking (same vectors, same
+    // tie-break) — recall@5 must be exactly 1.0 for every query
+    val full = rows.filter(_._1 == 64)
+    assert(full.length == 8 && full.forall(_._4 == 1.0),
+      s"full-dim leg must reproduce the exact top-5: $full")
+    // mean recall over queries is non-decreasing in k on this corpus
+    // (more prefix dims can only add signal for untrained embeddings;
+    // asserted on the MEAN, where per-query flukes average out)
+    val means = Similarity.TruncDims.map { k =>
+      val leg = rows.filter(_._1 == k).map(_._4)
+      leg.sum / leg.length
+    }
+    assert(means.zip(means.tail).forall { case (a, b) => a <= b },
+      s"mean recall should not decrease with more dims: $means")
+  }
 }
