@@ -51,12 +51,16 @@ object Bench {
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
     // times rounded to ms: enough resolution for any regression gate,
-    // and it keeps the artifact stable/diffable
-    def ms(v: Double): String =
-      if (v < 0) "-1" else (math.round(v * 1000) / 1000.0).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    // and it keeps the artifact stable/diffable. Totals are sums of
+    // the ROUNDED per-query values, so the artifact's total always
+    // equals the sum of its own entries.
+    def msv(v: Double): Double =
+      if (v < 0) -1.0 else math.round(v * 1000) / 1000.0
+    def ms(v: Double): String = msv(v).toString
+    val rounded = results.map { case (k, v) => k -> msv(v) }
+    val qs = rounded.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = rounded.map(_._2).filter(_ >= 0).sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
@@ -66,8 +70,11 @@ object Bench {
     // before (BENCH_r09.json "parsed": null) — the official artifact
     // must never depend on how much of a long line a log keeps.
     // Pretty-ish line-delimited: header, one "name": sec per line.
-    try {
-      val perQ = results.map { case (k, v) => s"""    "$k": ${ms(v)}""" }
+    // The path resolves against the repo root (nearest ancestor of the
+    // cwd holding build.sbt, or SPARK_GRAFT_REPO), not the raw cwd —
+    // the artifact is repo-tracked and must land in the repo.
+    val latestSha: String = try {
+      val perQ = rounded.map { case (k, v) => s"""    "$k": $v""" }
         .mkString(",\n")
       val pretty =
         s"""{
@@ -80,11 +87,35 @@ object Bench {
            |$perQ
            |  }
            |}""".stripMargin
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LATEST.json"), pretty + "\n")
+      val root = sys.env.get("SPARK_GRAFT_REPO")
+        .map(java.nio.file.Paths.get(_))
+        .getOrElse {
+          var p = java.nio.file.Paths.get("").toAbsolutePath
+          while (p.getParent != null &&
+            !java.nio.file.Files.exists(p.resolve("build.sbt")))
+            p = p.getParent
+          p
+        }
+      val bytes = (pretty + "\n").getBytes("UTF-8")
+      java.nio.file.Files.write(root.resolve("BENCH_LATEST.json"), bytes)
+      java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+        .map("%02x".format(_)).mkString
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_LATEST.json write failed: $e")
+      System.err.println(s"[bench] BENCH_LATEST.json write failed: $e"); ""
     }
+    // LAST stdout line: a compact, full-schema summary the driver's
+    // bounded tail capture can always parse (the full per-query line
+    // above outgrows it at registry size — BENCH_r10.json parsed
+    // null). "queries" here is only the r2-comparable subset (the 21
+    // queries BASELINE.md's baseline subtotal is defined over); the
+    // complete map lives in BENCH_LATEST.json, fingerprinted by
+    // "bench_latest_sha256".
+    val r2Set = SparkEntry.r2Comparable.toSet
+    val sub = rounded.filter { case (k, v) => r2Set(k) && v >= 0 }
+    val subQs = sub.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","sf":"$sfDir","queries":$subQs,"subtotal_r2_comparable":${ms(sub.map(_._2).sum)},"queries_timed":${rounded.count(_._2 >= 0)},"errors":$errJson,"bench_latest_sha256":"$latestSha"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

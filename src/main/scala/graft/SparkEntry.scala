@@ -52,6 +52,14 @@ object SparkEntry {
     */
   def benchQueries: Seq[String] = queries.keys.toSeq.sorted
 
+  /** The 21 queries BENCH_r02 timed — BASELINE.md's "r2-comparable
+    * subtotal" is defined over exactly these (the first 21 rows of
+    * [[headlineQueries]], in the r2 artifact's order). Bench's compact
+    * final summary line reports this subset so the driver's bounded
+    * tail capture always holds the baseline-gated numbers.
+    */
+  def r2Comparable: Seq[String] = headlineQueries.take(21)
+
   /** The historical headline subset (kept for subtotal comparisons
     * against earlier rounds' BASELINE.md pins).
     */

@@ -52,6 +52,27 @@ object Checkpoints {
     }
   }
 
+  /** Free the storage behind a frame produced by [[stable]] (or a
+    * plain `.persist()`). `Dataset.unpersist` only clears CacheManager
+    * entries, which localCheckpoint bypasses — its blocks hang off the
+    * internal RDD inside the plan's `LogicalRDD` leaf, so we walk the
+    * analyzed plan and unpersist every such RDD directly. Reliable
+    * checkpoint FILES are deliberately left alone (they are the
+    * recovery state — see [[stable]]'s retention note); unpersisting
+    * a non-persisted RDD is a no-op, so this is safe to call on any
+    * frame. Best-effort: a stopped SparkContext makes block removal
+    * moot (executor storage died with it), so errors are swallowed.
+    */
+  def release(df: DataFrame): Unit =
+    try {
+      df.unpersist(false)
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+
   /** `.stable` chain form of [[stable]]. */
   implicit class StableOps(private val df: DataFrame) extends AnyVal {
     def stable: DataFrame = Checkpoints.stable(df)

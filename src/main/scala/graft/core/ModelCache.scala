@@ -19,7 +19,20 @@ import org.apache.spark.sql.SparkSession
   * are small by construction (factor tables, neighbor lists, merge
   * arrays — model-sized, not corpus-sized), so session-lifetime
   * retention is bounded the same way the repo's audited driver
-  * collects are.
+  * collects are. Corpus-sized INPUT frames (ratings, interaction
+  * tables) must NOT be cached here — serve entries rebuild them as
+  * plain plans (exchange reuse dedups repeated reads within one
+  * query) so the cache never pins corpus-scale storage.
+  *
+  * Storage hygiene: replacing or clearing an entry RELEASES the
+  * evicted value's checkpoint blocks ([[Checkpoints.release]] walked
+  * over any DataFrames inside it) — the bench runs every trainer
+  * entry 4× per run (warm-up + 3 timed reps), and without eviction
+  * each rep would leak the previous rep's blocks for the JVM
+  * lifetime. Entries of stopped applications (stale applicationId)
+  * are dropped lazily on the next access: Spark runs one context per
+  * JVM, so a different appId proves the owning context is dead and
+  * its blocks already gone.
   *
   * Determinism note: everything cached here is a pure function of
   * (dir, constants) — md5-seeded inits, fixed round counts — so a
@@ -29,26 +42,69 @@ import org.apache.spark.sql.SparkSession
 object ModelCache {
   private val m = new ConcurrentHashMap[String, AnyRef]()
 
+  /** Unpersist every DataFrame reachable inside a cached value
+    * (bare frame, tuple/case class of frames, or a collection).
+    */
+  private def releaseValue(v: AnyRef): Unit = v match {
+    case ds: org.apache.spark.sql.Dataset[_] => Checkpoints.release(ds.toDF)
+    case p: Product => p.productIterator.foreach {
+      case r: AnyRef => releaseValue(r)
+      case _ => ()
+    }
+    case it: Iterable[_] => it.foreach {
+      case r: AnyRef => releaseValue(r)
+      case _ => ()
+    }
+    case _ => ()
+  }
+
+  /** Drop (without releasing — their context is stopped, blocks are
+    * gone) entries whose applicationId differs from the live one.
+    */
+  private def pruneDead(appId: String): Unit = {
+    val it = m.keySet.iterator
+    while (it.hasNext) if (!it.next().startsWith(appId + "|")) it.remove()
+  }
+
+  /** Peek: the cached value if the live session already built it,
+    * without building (callers that want a custom cold path).
+    */
+  def get[T <: AnyRef](s: SparkSession, d: String, name: String): Option[T] = {
+    val appId = s.sparkContext.applicationId
+    pruneDead(appId)
+    Option(m.get(appId + "|" + d + "|" + name)).map(_.asInstanceOf[T])
+  }
+
   /** Get-or-build `name` for table dir `d` in session `s`. The build
     * runs under the map's bin lock — callers are sequential registry
     * entries, so this only dedups, never blocks real concurrency.
     */
-  def cached[T <: AnyRef](s: SparkSession, d: String, name: String)(build: => T): T =
-    m.computeIfAbsent(s.sparkContext.applicationId + "|" + d + "|" + name,
-      _ => build).asInstanceOf[T]
+  def cached[T <: AnyRef](s: SparkSession, d: String, name: String)(build: => T): T = {
+    val appId = s.sparkContext.applicationId
+    pruneDead(appId)
+    m.computeIfAbsent(appId + "|" + d + "|" + name, _ => build).asInstanceOf[T]
+  }
 
   /** Unconditionally (re)store a freshly trained artifact. Trainer
     * entries call this so their OWN cost stays an honest measure of
     * training (they never skip work on a warm cache), while refreshing
-    * what the serve entries reuse. Evicted values are simply dropped —
-    * they are model-sized and the md5-seeded determinism makes the
-    * replacement bit-identical anyway.
+    * what the serve entries reuse. The evicted value's checkpoint
+    * blocks are released — retention is bounded to ONE live copy per
+    * key no matter how many times a trainer reruns.
     */
   def put[T <: AnyRef](s: SparkSession, d: String, name: String, value: T): T = {
-    m.put(s.sparkContext.applicationId + "|" + d + "|" + name, value)
+    val appId = s.sparkContext.applicationId
+    pruneDead(appId)
+    val old = m.put(appId + "|" + d + "|" + name, value)
+    if ((old ne null) && (old ne value)) releaseValue(old)
     value
   }
 
-  /** Drop everything (specs that need to measure a cold path). */
-  def clear(): Unit = m.clear()
+  /** Drop everything, releasing cached blocks (specs that need to
+    * measure a cold path).
+    */
+  def clear(): Unit = {
+    m.values.forEach(releaseValue(_))
+    m.clear()
+  }
 }

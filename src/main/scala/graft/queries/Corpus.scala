@@ -402,9 +402,19 @@ object Corpus {
   def dedupSpansExactOn(documents: DataFrame): DataFrame = {
     val base = documents.select(col("doc_id"), toks(col("text")).as("ws"))
     // every window occurrence as (doc, 1-based pos, digest); okey is
-    // the packed global occurrence order (positions < 1e9 by the
-    // summarize_extract packing-guard class of argument: a 1e9-token
-    // single document is beyond any row this engine stores)
+    // the packed global occurrence order. The packing silently wraps
+    // past Long.Max for doc_id > ~9.2e9 or a ≥1e9-token doc — and the
+    // oracle does the same arithmetic, so the hash gate could never
+    // catch the corruption. Fail loudly instead (the summarize_extract
+    // guard pattern).
+    val okeyPacked =
+      when(col("doc_id").between(0L, 9223372035L) &&
+          col("w.p") < lit(1000000000),
+        col("doc_id") * lit(1000000000L) + col("w.p"))
+        .otherwise(raise_error(concat(
+          lit("dedup_spans_exact: (doc_id, pos) out of okey packing "
+            + "range for doc_id="),
+          col("doc_id").cast("string"))))
     val win = base.filter(size(col("ws")) >= SpanLen)
       .select(col("doc_id"), explode(transform(
         sequence(lit(1), size(col("ws")) - (SpanLen - 1)),
@@ -412,7 +422,7 @@ object Corpus {
           md5(concat_ws(" ", slice(col("ws"), i, lit(SpanLen)))).as("h"))))
         .as("w"))
       .select(col("doc_id"), col("w.p").as("p"), col("w.h").as("h"),
-        (col("doc_id") * lit(1000000000L) + col("w.p")).as("okey"))
+        okeyPacked.as("okey"))
     val own = win.groupBy("h")
       .agg(min("okey").as("okey_min"), count(lit(1)).as("nocc"))
     val dupw = win.join(own, "h").filter(col("nocc") > 1)

@@ -179,6 +179,10 @@ object Graphs {
   /** Restart probability (1 − damping). */
   val PprTele = 0.15
   val PprDamp = 0.85
+  /** Rank unit: 1.0 of walk mass in int64 nano units. */
+  val PprNano = 1000000000L
+  /** Teleport share per round in nano (0.15 · [[PprNano]]). */
+  val PprTeleNano = 150000000L
 
   /** PERSONALIZED PageRank (random walk with restart, Haveliwala '02 /
     * Tong et al. '06) from the co-purchase graph's max-degree node:
@@ -189,11 +193,14 @@ object Graphs {
     * relevance. Seed choice mirrors [[graphSssp]] (max degree, ties →
     * smallest id; a 1-row frame, no hard-coded key).
     *
-    * Exactness: the per-round arithmetic mirrors `pagerank`'s oracle
-    * term by term (0.15·tele + 0.85·Σ rank/outdeg, coalesce-to-0),
-    * output rounded to 6dp — the symmetric graph has no dangling
-    * nodes, so no dangling-mass term. Under the DuckDB gate with the
-    * rounds unrolled as CTEs.
+    * Exactness (the graph_hits integer convention): rank lives in
+    * int64 NANO units — each round is tele_nano + (Σ rank_nano div
+    * outdeg)·85 div 100, so every sum is an integer sum
+    * (merge-order independent; no knife-edge 6th-decimal flips from
+    * Spark's nondeterministic partial-agg merge order, unlike the
+    * raw-double pagerank precedent). The symmetric graph has no
+    * dangling nodes, so no dangling-mass term. Under the DuckDB gate
+    * with the rounds unrolled as CTEs doing identical arithmetic.
     *
     * Scale shape: the rank frame is SPARSE — only nodes the walk has
     * reached carry rows, so round i costs |E ⋉ reached_i| (frontier-
@@ -208,25 +215,27 @@ object Graphs {
     val ann = e.join(deg, "src").repartition(col("src")).stable
     val seed = deg.orderBy(col("outdeg").desc, col("src").asc).limit(1)
       .select(col("src").as("node")).stable
-    var r: DataFrame = seed.select(col("node"), lit(1.0).as("rank"))
+    var r: DataFrame = seed.select(col("node"), lit(PprNano).as("rank_nano"))
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to PprRounds) {
       val contrib = ann.join(r.withColumnRenamed("node", "src"), "src")
-        .groupBy("dst").agg(sum(col("rank") / col("outdeg")).as("in"))
+        .groupBy("dst")
+        .agg(sum(expr("rank_nano div outdeg")).as("in_nano"))
         .withColumnRenamed("dst", "node")
       var next = contrib
-        .join(seed.withColumn("tele", lit(1.0)), Seq("node"), "full_outer")
+        .join(seed.withColumn("tele_nano", lit(PprTeleNano)),
+          Seq("node"), "full_outer")
         .select(col("node"),
-          (lit(PprTele) * coalesce(col("tele"), lit(0.0)) +
-            lit(PprDamp) * coalesce(col("in"), lit(0.0))).as("rank"))
+          (coalesce(col("tele_nano"), lit(0L)) +
+            expr("coalesce(in_nano, 0L) * 85 div 100")).as("rank_nano"))
       val isCkpt = i % 3 == 0 || i == PprRounds
       next = if (isCkpt) next.stable else next.persist()
       retired += r
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       r = next
     }
-    val out = r.filter(col("rank") > 0)
-      .select(col("node").as("part_id"), round(col("rank"), 6).as("rank"))
+    val out = r.filter(col("rank_nano") > 0)
+      .select(col("node").as("part_id"), col("rank_nano"))
     retired.foreach(_.unpersist(false))
     ann.unpersist(false); e.unpersist(false)
     out
@@ -282,19 +291,23 @@ object Graphs {
     },
     "graph_ppr" -> {
       // sparse rounds mirrored: contributions from reached nodes only,
-      // seed teleport via 1-row full outer join; same double chain as
-      // the Spark side (0.15·tele + 0.85·Σ rank/outdeg)
+      // seed teleport via 1-row full outer join; same int64 nano chain
+      // as the Spark side (tele_nano + (Σ rank_nano // outdeg)·85//100
+      // — integer sums are merge-order independent; DuckDB's // equals
+      // Spark's div on the non-negative values here)
       val rounds = (1 to PprRounds).map { i =>
         s"""r$i AS (
            |  SELECT coalesce(c.node, sd.node) AS node,
-           |    $PprTele * coalesce(sd.tele, 0.0)
-           |      + $PprDamp * coalesce(c.inr, 0.0) AS rank
+           |    CAST(coalesce(sd.tele_nano, 0)
+           |      + coalesce(c.inr, 0) * 85 // 100 AS BIGINT) AS rank_nano
            |  FROM (
-           |    SELECT s.dst AS node, sum(r.rank / d.outdeg) AS inr
+           |    SELECT s.dst AS node,
+           |      CAST(sum(r.rank_nano // d.outdeg) AS BIGINT) AS inr
            |    FROM sym s JOIN r${i - 1} r ON r.node = s.src
            |    JOIN deg d ON d.src = s.src
            |    GROUP BY s.dst) c
-           |  FULL OUTER JOIN (SELECT node, 1.0 AS tele FROM seed) sd
+           |  FULL OUTER JOIN (SELECT node, CAST($PprTeleNano AS BIGINT)
+           |    AS tele_nano FROM seed) sd
            |    ON sd.node = c.node)""".stripMargin
       }.mkString(",\n")
       s"""WITH items AS (
@@ -311,10 +324,10 @@ object Graphs {
          |  SELECT src, count(*) AS outdeg FROM sym GROUP BY src),
          |seed AS (SELECT src AS node FROM deg
          |         ORDER BY outdeg DESC, src ASC LIMIT 1),
-         |r0 AS (SELECT node, 1.0 AS rank FROM seed),
+         |r0 AS (SELECT node, CAST($PprNano AS BIGINT) AS rank_nano FROM seed),
          |$rounds
-         |SELECT node AS part_id, round(rank, 6) AS rank
-         |FROM r$PprRounds WHERE rank > 0""".stripMargin
+         |SELECT node AS part_id, rank_nano
+         |FROM r$PprRounds WHERE rank_nano > 0""".stripMargin
     },
     "graph_sssp" -> {
       // MATERIALIZED for the same inlining-blowup reason as graph_hits:

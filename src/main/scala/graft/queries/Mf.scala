@@ -56,9 +56,13 @@ object Mf {
         concat(lit(s"$kind:"), id.cast("string"), lit(s":$dim"))), 1, 6),
         16, 10).cast("long"), lit(JitterMod)) - lit(100000L)
 
-  /** Runs the GD chain; returns (P, Q, ratings) with P/Q checkpointed. */
-  private def train(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+  /** Runs the GD chain; returns (P, Q) checkpointed. The |R|-row
+    * ratings checkpoint that drives the rounds is RELEASED before
+    * returning — only the model-sized factor frames outlive training
+    * (the ModelCache bounded-retention contract; consumers that need
+    * ratings rebuild the plain plan, one scan).
+    */
+  private def train(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // pre-hashed on u: the per-round join against P (u-partitioned out
     // of its groupBy, checkpoint-preserved) is then exchange-free, and
     // after the i-side join the error frame is i-partitioned so the
@@ -92,7 +96,8 @@ object Mf {
       e.unpersist(false); p.unpersist(false); q.unpersist(false)
       p = pn; q = qn
     }
-    (p, q, rat)
+    graft.core.Checkpoints.release(rat)
+    (p, q)
   }
 
   /** Train-once/serve-many wiring ([[ModelCache]]): `mf_train` always
@@ -101,21 +106,22 @@ object Mf {
     * factor frames when the session already trained, and trains on
     * demand otherwise — each entry stays self-contained, and the
     * md5-seeded integer GD makes a hit bit-identical to a fresh run.
-    * The frames are |U|/|I|/|R|-row `.stable` checkpoints (model-sized,
-    * bounded session retention).
+    * Only the |U|/|I|-row factor checkpoints are cached (model-sized);
+    * the |R|-row ratings input is NEVER cached — `mf_predict` rebuilds
+    * its plain plan (one scan per execution, no pinned storage).
     */
   private def trainRefresh(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) =
+      : (DataFrame, DataFrame) =
     ModelCache.put(s, d, "mf_factors", train(s, d))
 
   private def trainCached(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) =
+      : (DataFrame, DataFrame) =
     ModelCache.cached(s, d, "mf_factors")(train(s, d))
 
   /** Trained factors, tall: (kind, id, f1, f2) for every user and
     * item. */
   def mfTrain(s: SparkSession, d: String): DataFrame = {
-    val (p, q, _) = trainRefresh(s, d)
+    val (p, q) = trainRefresh(s, d)
     p.select(lit("user").as("kind"), col("u").as("id"),
         col("p1").as("f1"), col("p2").as("f2"))
       .unionAll(q.select(lit("item").as("kind"), col("i").as("id"),
@@ -127,8 +133,8 @@ object Mf {
     * top-k lives in [[Recommend]]; scoring unobserved users×items
     * would be a cross product). */
   def mfPredict(s: SparkSession, d: String): DataFrame = {
-    val (p, q, rat) = trainCached(s, d)
-    rat.join(p, "u").join(q, "i")
+    val (p, q) = trainCached(s, d)
+    ratings(s, d).join(p, "u").join(q, "i")
       .select(col("u"), col("i"), col("r"),
         expr("(p1*q1 + p2*q2) div 1000000L").as("pred_micro"),
         expr("r * 1000000L - (p1*q1 + p2*q2) div 1000000L").as("err_micro"))

@@ -64,22 +64,25 @@ object Recommend {
     * build, the vote join, and the freshness anti-join.
     */
   def itemCf(s: SparkSession, d: String): DataFrame =
-    ModelCache.put(s, d, "recommend_nbrs", itemCfOn(posCached(s, d)).stable)
+    ModelCache.put(s, d, "recommend_nbrs", itemCfOn(positives(s, d)).stable)
 
   /** Train-once/serve-many wiring ([[ModelCache]]): `item_cf` always
     * rebuilds the neighbor model (its cost stays an honest measure of
     * the CF build) and refreshes the session cache; `item_recommend`
     * reuses the trained neighbor lists when present and builds on
-    * demand otherwise. The interaction table is a shared input
-    * materialization both entries start from. All frames are `.stable`
-    * checkpoints (model-sized: capped interactions, TopK rows per
-    * item) with bounded session retention.
+    * demand otherwise. Only the NEIGHBOR frame is cached — it is
+    * model-sized (≤ TopK rows per item). The corpus-sized interaction
+    * table is deliberately NOT cached or checkpointed: within one
+    * plan its repeated reads share a single identical subtree, so
+    * Spark's ReuseExchange computes the distinct's shuffle once and
+    * feeds every consumer from it (deg + both self-join sides in the
+    * CF build; vote join + freshness anti-join in serving) — the
+    * single-materialization perf WITHOUT pinning |users×items| blocks
+    * for the session lifetime (the ModelCache bounded-retention
+    * contract).
     */
-  private def posCached(s: SparkSession, d: String): DataFrame =
-    ModelCache.cached(s, d, "recommend_pos")(positives(s, d).stable)
-
   private def nbrsCached(s: SparkSession, d: String): DataFrame =
-    ModelCache.cached(s, d, "recommend_nbrs")(itemCfOn(posCached(s, d)).stable)
+    ModelCache.cached(s, d, "recommend_nbrs")(itemCfOn(positives(s, d)).stable)
 
   private def itemCfOn(pos: DataFrame): DataFrame = {
     val base = cappedOf(pos)
@@ -112,11 +115,12 @@ object Recommend {
     * ties break on item id.
     */
   def itemRecommend(s: SparkSession, d: String): DataFrame = {
-    // one materialization of the interaction table feeds the CF build
-    // (which walks it three more times), the vote join, and the
-    // freshness anti-join — without it the orderkey join re-runs 5×.
-    // Both artifacts come from the session cache, shared with item_cf.
-    val pos = posCached(s, d)
+    // the interaction table appears twice below (vote join +
+    // freshness anti-join) as one identical subtree — ReuseExchange
+    // shares the distinct's shuffle, so the orderkey join runs once
+    // per execution and nothing corpus-sized is pinned. The neighbor
+    // model comes from the session cache, shared with item_cf.
+    val pos = positives(s, d)
     val nbrs = nbrsCached(s, d)
     val votes = pos.join(nbrs, "part_id")
       .groupBy(col("user_id"), col("neighbor_id").as("rec_id"))

@@ -113,6 +113,27 @@ class CorpusSpec extends SparkSuite {
       "totally unrelated words that never repeat anywhere else today")))
   }
 
+  test("dedup_spans_exact: okey packing fails loudly instead of wrapping") {
+    // doc_id * 1e9 + p overflows Long for doc_id > ~9.2e9; silent
+    // wrap would corrupt owner selection IDENTICALLY in the oracle
+    // (same arithmetic), so the hash gate can't catch it — the guard
+    // must raise instead
+    val run = ('a' to 't').map(c => s"big$c").mkString(" ") // 20 toks
+    val docs = Seq((10000000000L, run)).toDF("doc_id", "text")
+    val ex = intercept[Throwable] {
+      Corpus.dedupSpansExactOn(docs).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("okey packing")),
+      s"expected the packing guard, got: $ex")
+    // in-range ids still flow
+    val ok = Corpus.dedupSpansExactOn(
+      Seq((9223372035L, run)).toDF("doc_id", "text")).collect()
+    assert(ok.length == 1 && ok.head.getLong(2) == 20L)
+  }
+
   test("dedup_spans_exact: periodic run collapses to its first SpanLen tokens") {
     // 45 repeats of one word: every window identical; owner protection
     // keeps exactly the first 20 tokens, the rest excise as one run

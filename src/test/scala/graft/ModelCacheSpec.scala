@@ -43,4 +43,37 @@ class ModelCacheSpec extends SparkSuite {
     assert(rows(Recommend.itemRecommend(spark, sfDir)) == coldRec)
     assert(rows(Wordpiece.wordpieceEncode(spark, sfDir)) == coldWp)
   }
+
+  test("put and clear release the evicted values' checkpoint blocks") {
+    import graft.core.Checkpoints.StableOps
+    import org.apache.spark.storage.StorageLevel
+    def ckptRdd(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.head
+    ModelCache.clear()
+    // bare frame: replaced value's localCheckpoint blocks are freed
+    val df1 = spark.range(16).toDF("x").stable
+    assert(ckptRdd(df1).getStorageLevel != StorageLevel.NONE,
+      "stable frames start persisted")
+    ModelCache.put(spark, "/x", "rel", df1)
+    val df2 = spark.range(16).toDF("x").stable
+    ModelCache.put(spark, "/x", "rel", df2)
+    assert(ckptRdd(df1).getStorageLevel == StorageLevel.NONE,
+      "eviction must unpersist the replaced frame's checkpoint RDD")
+    assert(ckptRdd(df2).getStorageLevel != StorageLevel.NONE,
+      "the live entry stays persisted")
+    // tuple values: every frame inside the evicted product is walked
+    val ta = spark.range(8).toDF("a").stable
+    val tb = spark.range(8).toDF("b").stable
+    ModelCache.put(spark, "/x", "tup", (ta, tb))
+    ModelCache.put(spark, "/x", "tup",
+      (spark.range(8).toDF("a").stable, spark.range(8).toDF("b").stable))
+    assert(ckptRdd(ta).getStorageLevel == StorageLevel.NONE)
+    assert(ckptRdd(tb).getStorageLevel == StorageLevel.NONE)
+    // clear() releases everything still held
+    ModelCache.clear()
+    assert(ckptRdd(df2).getStorageLevel == StorageLevel.NONE,
+      "clear must release cached frames")
+  }
 }
