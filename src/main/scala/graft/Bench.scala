@@ -21,7 +21,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev-only restriction for re-pin protocol runs (BASELINE.md's
+    // min-of-3 drift re-measurements need THIS tool's session config,
+    // not TimeQuery's — the two are not comparable); unset = full
+    // registry, which is what the driver runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up pass: run EVERY benched query once, uncounted, so the
     // timed pass measures steady state (JIT + whole-stage-codegen
     // compilation + parquet footer caches excluded). One-shot codegen
@@ -73,7 +80,7 @@ object Bench {
     // The path resolves against the repo root (nearest ancestor of the
     // cwd holding build.sbt, or SPARK_GRAFT_REPO), not the raw cwd —
     // the artifact is repo-tracked and must land in the repo.
-    val latestSha: String = try {
+    val latestSha: String = if (only.nonEmpty) "" else try {
       val perQ = rounded.map { case (k, v) => s"""    "$k": $v""" }
         .mkString(",\n")
       val pretty =

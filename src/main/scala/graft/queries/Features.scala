@@ -48,17 +48,25 @@ object Features {
   }
 
   private val NegK = 3   // negatives per user
-  private val Buckets = 64 // candidate bucket fan-out (the scale knob)
+  /** Target candidate-pool size per user — the SCALE-INVARIANT form of
+    * the bucket knob: the fan-out derives from |parts| inside the plan
+    * (buckets = max(1, |parts| div [[TargetCands]])), so each user
+    * draws ~TargetCands candidates at ANY corpus size. The previous
+    * fixed 64-bucket constant made candidate volume |users|·|parts|/64
+    * — bilinear in scale; at 100× the per-user pool would be 100×.
+    */
+  private[graft] val TargetCands = 128L
 
   /** Deterministic negative sampling for implicit-feedback pairs
     * (user, purchased part → k parts the user did NOT buy). Sampling
     * must be reproducible across runs/backfills, so randomness is
-    * md5-derived: each part lands in one of [[Buckets]] hash buckets,
-    * each user draws candidates from ITS md5 bucket only
-    * (|parts|/Buckets candidates per user — the knob that keeps the
-    * candidate join linear instead of |users|×|parts|), positives are
-    * anti-joined away, and the top [[NegK]] by md5(user-part) are the
-    * user's negatives.
+    * md5-derived: each part lands in one of nb = |parts| div
+    * [[TargetCands]] hash buckets (a 1-row broadcast aggregate — the
+    * knob that keeps per-user candidates ~constant and the candidate
+    * join linear instead of |users|×|parts|), each user draws
+    * candidates from ITS md5 bucket only, positives are anti-joined
+    * away, and the top [[NegK]] by md5(user-part) are the user's
+    * negatives.
     */
   def sampleNegatives(s: SparkSession, d: String): DataFrame = {
     val h32 = (c: org.apache.spark.sql.Column) =>
@@ -67,11 +75,17 @@ object Features {
       .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
       .distinct()
+    val nb = Tables.part(s, d)
+      .agg(greatest(lit(1L), expr(s"count(1) div $TargetCands")).as("nb"))
     val users = positives.select("user_id").distinct()
-      .withColumn("bucket", h32(concat(lit("u"), col("user_id"))) % Buckets)
+      .crossJoin(broadcast(nb))
+      .withColumn("bucket", h32(concat(lit("u"), col("user_id"))) % col("nb"))
+      .drop("nb")
     val parts = Tables.part(s, d)
       .select(col("p_partkey").as("part_id"))
-      .withColumn("bucket", h32(concat(lit("p"), col("part_id"))) % Buckets)
+      .crossJoin(broadcast(nb))
+      .withColumn("bucket", h32(concat(lit("p"), col("part_id"))) % col("nb"))
+      .drop("nb")
     val cands = users.join(parts, "bucket").drop("bucket")
     val rankW = Window.partitionBy("user_id")
       .orderBy(col("rk").asc, col("part_id").asc)
@@ -108,19 +122,21 @@ object Features {
         |    * 10000 + 0.5) / 10000.0 AS priority_te
         |FROM o, g""".stripMargin,
     "sample_negatives" ->
-      """WITH positives AS (
+      s"""WITH positives AS (
         |  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS part_id
         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |nb AS (SELECT CAST(greatest(1, count(*) // $TargetCands) AS BIGINT)
+        |       AS nb FROM part),
         |users AS (
         |  SELECT DISTINCT user_id,
         |    CAST(('0x' || substr(md5('u' || CAST(user_id AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 64 AS bucket
-        |  FROM positives),
+        |      AS BIGINT) % nb.nb AS bucket
+        |  FROM positives, nb),
         |parts AS (
         |  SELECT p_partkey AS part_id,
         |    CAST(('0x' || substr(md5('p' || CAST(p_partkey AS VARCHAR)), 1, 8))
-        |      AS BIGINT) % 64 AS bucket
-        |  FROM part),
+        |      AS BIGINT) % nb.nb AS bucket
+        |  FROM part, nb),
         |cands AS (
         |  SELECT u.user_id, p.part_id
         |  FROM users u JOIN parts p USING (bucket)

@@ -55,4 +55,31 @@ class FeaturesSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(again === negs.toSet)
   }
+
+  test("negative-sampling fan-out derives from |parts|: per-user candidates scale-invariant") {
+    // the bucket count is max(1, |parts| div TargetCands), so the
+    // expected per-user candidate pool is ~TargetCands at ANY corpus
+    // size (the fixed-64 knob made it |parts|/64 — bilinear in scale).
+    // Reproduce the derivation and check the md5 bucket assignment
+    // yields pools in a generous binomial band around the target.
+    val nParts = graft.core.Tables.part(spark, sfDir).count()
+    val nb = math.max(1L, nParts / Features.TargetCands)
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val partIds = graft.core.Tables.part(spark, sfDir)
+      .select("p_partkey").collect().map(_.getLong(0))
+    val perBucket = partIds.groupBy(p => h32(s"p$p") % nb)
+      .map(_._2.length)
+    // every bucket within 3x of the target on either side (md5 is
+    // uniform; at nParts >= 2000 the binomial spread is far tighter)
+    perBucket.foreach { n =>
+      assert(n <= Features.TargetCands * 3 &&
+        n >= Features.TargetCands / 3,
+        s"bucket size $n vs target ${Features.TargetCands} (nb=$nb)")
+    }
+  }
 }

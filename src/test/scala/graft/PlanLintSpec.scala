@@ -50,6 +50,10 @@ class PlanLintSpec extends SparkSuite {
     // KMV audience overlap: the pairwise join is over k-capped sketch
     // rows (bottom-k signatures), never raw user sets
     "audience_overlap", "audience_overlap_exact",
+    // 1-row broadcast bucket-count aggregate (nb = |parts| div
+    // TargetCands) attached to the user and part sides — the
+    // scale-invariant fan-out knob; the candidate join itself is equi
+    "sample_negatives",
     // 1-row scalar frames (funnel step totals, PMI / bigram-type /
     // token-grand totals, PSI cell-count/snap-literal frames)
     "events_funnel", "pmi_bigrams", "lm_score_kn", "cluster_topics",
