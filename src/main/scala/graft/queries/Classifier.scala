@@ -219,13 +219,26 @@ object Classifier {
     * no executor state retained — and GD is integer-deterministic, so
     * a hit is bit-identical to a fresh run.
     */
+  private val WConstants = s"dims=$Dims,iters=$Iters,lr0=$Lr0,tau=$SwTau"
+
+  private def wFrames(s: SparkSession)(w: Array[Double]): Seq[DataFrame] = {
+    import s.implicits._
+    Seq(w.zipWithIndex.map { case (wv, i) => (i, wv) }.toSeq.toDF("dim", "w"))
+  }
+
+  private def wOfFrames(fs: Seq[DataFrame]): Array[Double] =
+    fs.head.collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+
   private def weightsCached(s: SparkSession, d: String,
       vec: => DataFrame): Array[Double] =
-    graft.core.ModelCache.cached(s, d, "classifier_w")(trainWeights(vec))
+    graft.core.ModelStore.cachedDurable(s, d, "classifier_w",
+      WConstants, 1)(trainWeights(vec))(wFrames(s))(wOfFrames)
 
   def classifierTrain(s: SparkSession, d: String): DataFrame = {
     val vec = featurize(s, d)
-    val w = graft.core.ModelCache.put(s, d, "classifier_w", trainWeights(vec))
+    val w = graft.core.ModelStore.putDurable(s, d, "classifier_w",
+      WConstants, trainWeights(vec))(wFrames(s))
     vec.unpersist(false)
     import s.implicits._
     w.zipWithIndex.map { case (wv, i) => (i, wv) }.toSeq.toDF("dim", "w")

@@ -109,14 +109,27 @@ object Mf {
     * Only the |U|/|I|-row factor checkpoints are cached (model-sized);
     * the |R|-row ratings input is NEVER cached — `mf_predict` rebuilds
     * its plain plan (one scan per execution, no pinned storage).
+    *
+    * Durable tier ([[graft.core.ModelStore]]): when
+    * `spark.graft.modelDir` is set, `mf_train` also persists the
+    * factor frames as parquet and a NEW session's `mf_predict`
+    * warm-starts from disk — training survives the JVM.
     */
+  private val ModelKey = "mf_factors"
+  private val ModelConstants =
+    s"rounds=$Rounds,lr=$LrMicro,rcap=$RCap,jit=$JitterMod"
+
   private def trainRefresh(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    ModelCache.put(s, d, "mf_factors", train(s, d))
+    graft.core.ModelStore.putDurable(s, d, ModelKey, ModelConstants,
+      train(s, d)) { case (p, q) => Seq(p, q) }
 
   private def trainCached(s: SparkSession, d: String)
       : (DataFrame, DataFrame) =
-    ModelCache.cached(s, d, "mf_factors")(train(s, d))
+    graft.core.ModelStore.cachedDurable(s, d, ModelKey, ModelConstants, 2)(
+      train(s, d)) { case (p, q) => Seq(p, q) } {
+      case Seq(p, q) => (p, q)
+    }
 
   /** Trained factors, tall: (kind, id, f1, f2) for every user and
     * item. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.{ModelCache, Tables}
+import graft.core.Tables
 import graft.core.Checkpoints.StableOps
 
 /** Item-item collaborative filtering ([EXT]) — the classic
@@ -64,7 +64,8 @@ object Recommend {
     * build, the vote join, and the freshness anti-join.
     */
   def itemCf(s: SparkSession, d: String): DataFrame =
-    ModelCache.put(s, d, "recommend_nbrs", itemCfOn(positives(s, d)).stable)
+    graft.core.ModelStore.putDurable(s, d, "recommend_nbrs",
+      NbrConstants, itemCfOn(positives(s, d)).stable)(Seq(_))
 
   /** Train-once/serve-many wiring ([[ModelCache]]): `item_cf` always
     * rebuilds the neighbor model (its cost stays an honest measure of
@@ -81,8 +82,12 @@ object Recommend {
     * for the session lifetime (the ModelCache bounded-retention
     * contract).
     */
+  private val NbrConstants =
+    s"basket=$MaxBasket,comin=$CoMin,topk=$TopK"
+
   private def nbrsCached(s: SparkSession, d: String): DataFrame =
-    ModelCache.cached(s, d, "recommend_nbrs")(itemCfOn(positives(s, d)).stable)
+    graft.core.ModelStore.cachedDurable(s, d, "recommend_nbrs",
+      NbrConstants, 1)(itemCfOn(positives(s, d)).stable)(Seq(_))(_.head)
 
   private def itemCfOn(pos: DataFrame): DataFrame = {
     val base = cappedOf(pos)

@@ -157,14 +157,29 @@ object Tokenize {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
       .toSeq
 
+  private def mergeFrames(s: SparkSession)(
+      m: Seq[(Int, String, String, Long)]): Seq[DataFrame] = {
+    import s.implicits._
+    Seq(m.toDF("rank", "left", "right", "cnt"))
+  }
+
+  private def mergesOfFrames(
+      fs: Seq[DataFrame]): Seq[(Int, String, String, Long)] =
+    fs.head.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+
   private[queries] def mergesFor(s: SparkSession, d: String,
       nMerges: Int = NMerges): Seq[(Int, String, String, Long)] =
-    ModelCache.cached(s, d, s"bpe_merges_$nMerges")(trainMerges(s, d, nMerges))
+    graft.core.ModelStore.cachedDurable(s, d, s"bpe_merges_$nMerges",
+      s"n=$nMerges", 1)(trainMerges(s, d, nMerges))(mergeFrames(s))(
+      mergesOfFrames)
 
   def bpeTrain(s: SparkSession, d: String): DataFrame = {
     val sess = s
     import sess.implicits._
-    ModelCache.put(s, d, s"bpe_merges_$NMerges", trainMerges(s, d, NMerges))
+    graft.core.ModelStore.putDurable(s, d, s"bpe_merges_$NMerges",
+      s"n=$NMerges", trainMerges(s, d, NMerges))(mergeFrames(s))
       .toDF("rank", "left", "right", "cnt")
   }
 

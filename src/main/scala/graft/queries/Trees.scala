@@ -132,15 +132,21 @@ object Trees {
     * split model; `tree_train` always retrains and refreshes. The
     * cached frames are 1+2 rows — nothing corpus-sized is retained.
     */
+  private val SplitConstants = "depth=2,gini-int64"
+
   private def splitsCached(s: SparkSession, d: String): (DataFrame, DataFrame) =
-    graft.core.ModelCache.cached(s, d, "tree_splits")(trainSplits(s, d))
+    graft.core.ModelStore.cachedDurable(s, d, "tree_splits",
+      SplitConstants, 2)(trainSplits(s, d)) {
+      case (r, c) => Seq(r, c)
+    } { case Seq(r, c) => (r, c) }
 
   /** Trained depth-2 tree: one row per node — root, L/R internal
     * children (each with its chosen split), and the four leaves with
     * majority-vote predictions (tie → 0). */
   def treeTrain(s: SparkSession, d: String): DataFrame = {
     val (root, children) =
-      graft.core.ModelCache.put(s, d, "tree_splits", trainSplits(s, d))
+      graft.core.ModelStore.putDurable(s, d, "tree_splits",
+        SplitConstants, trainSplits(s, d)) { case (r, c) => Seq(r, c) }
     // leaf census: one fresh feature pass routed through the splits
     val wide = featsWide(s, d).stable
     val assigned = wide.crossJoin(broadcast(

@@ -131,4 +131,44 @@ class FormatsSpec extends SparkSuite {
     assert(plan.contains("dynamicpruning"),
       s"no dynamic partition pruning subquery in:\n$plan")
   }
+
+  test("model store: trained artifacts survive the session (cold serve loads from disk)") {
+    // the real serving contract: train with spark.graft.modelDir set,
+    // kill the session cache (≈ new JVM), and the serve entry must
+    // warm-start from the saved parquet with bit-identical rows
+    import graft.core.{ModelCache, ModelStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft-models")
+      .toString
+    spark.conf.set("spark.graft.modelDir", dir)
+    try {
+      ModelCache.clear()
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      // trainers persist to disk
+      val trained = rows(graft.queries.Mf.mfTrain(spark, sfDir))
+      graft.queries.Recommend.itemCf(spark, sfDir).count()
+      val warmPredict = rows(graft.queries.Mf.mfPredict(spark, sfDir))
+      val warmRec = rows(graft.queries.Recommend.itemRecommend(spark, sfDir))
+      // the store holds complete models
+      assert(ModelStore.load(spark, sfDir, "mf_factors",
+        s"rounds=${graft.queries.Mf.Rounds},lr=${graft.queries.Mf.LrMicro}," +
+          s"rcap=${graft.queries.Mf.RCap},jit=${graft.queries.Mf.JitterMod}",
+        2).isDefined, "mf factors not persisted")
+      // ≈ new JVM: the session cache is gone, only the disk remains
+      ModelCache.clear()
+      val coldPredict = rows(graft.queries.Mf.mfPredict(spark, sfDir))
+      val coldRec = rows(graft.queries.Recommend.itemRecommend(spark, sfDir))
+      assert(coldPredict == warmPredict,
+        "disk-loaded factors must score identically")
+      assert(coldRec == warmRec,
+        "disk-loaded neighbor lists must recommend identically")
+      assert(trained.nonEmpty && coldPredict.nonEmpty)
+      // a wrong constants hash is a MISS (stale models never served)
+      assert(ModelStore.load(spark, sfDir, "mf_factors", "rounds=999", 2)
+        .isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.modelDir")
+      ModelCache.clear()
+    }
+  }
 }
