@@ -55,7 +55,7 @@ object Pipeline {
     * per-doc split labels. Callers MUST unpersist s1 and clusters when
     * done (after stabling their own output).
     */
-  private case class Stages(corpus: DataFrame, s1: DataFrame,
+  private[graft] case class Stages(corpus: DataFrame, s1: DataFrame,
       clusters: DataFrame, s2: DataFrame, s3: DataFrame, splits: DataFrame)
 
   /** Stage-1 ranking functions: both keep the per-lang top 75%, they
@@ -65,7 +65,7 @@ object Pipeline {
     * without touching the budget is exactly how production pipelines
     * A/B heuristic-vs-model filtering.
     */
-  private def heuristicKeptIds(corpus: DataFrame): DataFrame =
+  private[graft] def heuristicKeptIds(corpus: DataFrame): DataFrame =
     TextOps.qualityPerDoc(corpus)
       .withColumn("thr", expr("percentile(quality, 0.25)")
         .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
@@ -120,9 +120,16 @@ object Pipeline {
 
   private def curateStages(s: SparkSession, d: String,
       edgeProducer: DataFrame => DataFrame,
-      keptIdsOf: DataFrame => DataFrame = heuristicKeptIds): Stages = {
+      keptIdsOf: DataFrame => DataFrame = heuristicKeptIds): Stages =
+    curateStagesOn(s, Tables.documents(s, d), edgeProducer, keptIdsOf)
+
+  /** [[curateStages]] over any documents frame (the ScaleCurve tool
+    * feeds replicated corpora).
+    */
+  private[graft] def curateStagesOn(s: SparkSession, docs: DataFrame,
+      edgeProducer: DataFrame => DataFrame,
+      keptIdsOf: DataFrame => DataFrame): Stages = {
     graft.functions.WordShingles.register(s)
-    val docs = Tables.documents(s, d)
     val corpus = docs.filter(col("doc_id") >= BenchCap)
 
     // stage 1 — per-lang p25 gate over the configured scorer

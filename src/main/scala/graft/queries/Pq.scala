@@ -204,10 +204,17 @@ object Pq {
     * neighbor_id, score) ADC frame over probed cells, plus the raw
     * (vec_id, v, nrm) frame for exact-math consumers.
     */
-  private def ivfPqScoredOf(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  private def ivfPqScoredOf(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    ivfPqScoredOn(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")))
+
+  /** [[ivfPqScoredOf]] over any (vec_id, v) frame (the ScaleCurve
+    * tool feeds replicated corpora).
+    */
+  private[graft] def ivfPqScoredOn(emb: DataFrame): (DataFrame, DataFrame) = {
+    val s = emb.sparkSession
     graft.functions.DotProduct.register(s)
-    val raw = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val raw = emb
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val cents = Similarity.trainCentroids(raw)
     val unit = raw

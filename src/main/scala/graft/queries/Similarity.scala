@@ -400,7 +400,7 @@ object Similarity {
 
   // IVF parameters: 16 coarse cells, queries probe the 2 nearest.
   private[queries] val NCells = 16
-  private[queries] val NProbe = 2
+  private[graft] val NProbe = 2
 
   /** Coarse quantizer: deterministic seeds (vec_id < NCells) refined by
     * one Lloyd iteration over a BOUNDED deterministic training set
