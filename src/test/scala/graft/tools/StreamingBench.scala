@@ -51,6 +51,10 @@ object StreamingBench {
       try {
         val t0 = System.nanoTime()
         chunks.foreach { c => mem.addData(c); q.processAllAvailable() }
+        // flush: one far-future event advances the watermark so
+        // session/window state closes and append-mode rows emit
+        mem.addData(Seq((new Timestamp(base + 86400000L * 2), 0L, "view", 0.0)))
+        q.processAllAvailable()
         val wall = (System.nanoTime() - t0) / 1e9
         results(name) = (wall, spark.table(sink).count())
       } finally q.stop()
@@ -73,7 +77,7 @@ object StreamingBench {
       val mem = MemoryStream[(Long, Double)](spark)
       val q = StreamingOps.runningCounts(mem.toDS()).toDF()
         .writeStream.format("memory").queryName("sb_running")
-        .outputMode(OutputMode.Complete()).start()
+        .outputMode(OutputMode.Update()).start()
       try {
         val t0 = System.nanoTime()
         rows.map(r => (r._2, r._4)).grouped(math.max(1, n / Chunks))
@@ -93,7 +97,10 @@ object StreamingBench {
         .writeStream.format("memory").queryName("sb_ssjoin")
         .outputMode(OutputMode.Append()).start()
       try {
-        val (imps, clicks) = rows.partition(_._2 % 2 == 0)
+        // alternate rows between the two sides so every user appears
+        // on both (a parity-by-user split would have zero matches)
+        val (ie, ce) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+        val imps = ie.map(_._1); val clicks = ce.map(_._1)
         val ic = imps.grouped(math.max(1, imps.size / Chunks)).toSeq
         val cc = clicks.grouped(math.max(1, clicks.size / Chunks)).toSeq
         val t0 = System.nanoTime()
@@ -103,6 +110,9 @@ object StreamingBench {
             if (b.nonEmpty) mc.addData(b)
             q.processAllAvailable()
         }
+        val flush = Seq((new Timestamp(base + 86400000L * 2), 0L, "x", 0.0))
+        mi.addData(flush); mc.addData(flush)
+        q.processAllAvailable()
         results("stream_stream_join") =
           ((System.nanoTime() - t0) / 1e9, spark.table("sb_ssjoin").count())
       } finally q.stop()
