@@ -33,15 +33,92 @@ object SqlSurface {
       |FROM orders JOIN rev ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin
 
-  def sqlSurface(s: SparkSession, d: String): DataFrame = {
+  /** Second wave of the verbatim surface: the dialect-clean TPC-H
+    * heads (q1/q4/q6/q12/q14/q17 class), each ONE string shipped to
+    * both engines. Conventions that keep the shared text exact:
+    * money terms floor-quantized to int64 cents INSIDE the SQL
+    * (integer sums are merge-order independent in both engines;
+    * DuckDB's HUGEINT sums CAST back to BIGINT), TIMESTAMP literals
+    * (the parquet date columns are timestamps), and filter windows
+    * that match the generated 1995–2001 data. l_quantity is
+    * integral-valued, so its double avg is an exact-integer-sum
+    * divide — identical IEEE in both engines (q17's correlated
+    * threshold).
+    */
+  val PortableSql2: Map[String, String] = Map(
+    "sql_q1_verbatim" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_c,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_base_c,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+        |    * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "sql_q4_verbatim" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity > 45)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "sql_q6_verbatim" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5)
+        |  AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "sql_q12_verbatim" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |                  OR o_orderpriority = '2-HIGH'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
+        |                 AND o_orderpriority <> '2-HIGH'
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_linestatus""".stripMargin,
+    "sql_q14_verbatim" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      AS BIGINT) ELSE 0 END) AS DOUBLE)
+        |  / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |      + 0.5) AS BIGINT)) AS DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "sql_q17_verbatim" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |  AS BIGINT) AS small_qty_rev_c
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size = 1
+        |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+        |                      FROM lineitem l2
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+
+  private def runVerbatim(sql: String)(s: SparkSession, d: String): DataFrame = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.orders(s, d).createOrReplaceTempView("orders")
-    s.sql(PortableSql)
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(sql)
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sql_surface" -> sqlSurface)
+  def sqlSurface(s: SparkSession, d: String): DataFrame =
+    runVerbatim(PortableSql)(s, d)
 
-  def oracleSql: Map[String, String] = Map(
-    "sql_surface" -> PortableSql)
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("sql_surface" -> (sqlSurface _)) ++
+      PortableSql2.map { case (n, sql) => n -> (runVerbatim(sql) _) }
+
+  def oracleSql: Map[String, String] =
+    Map("sql_surface" -> PortableSql) ++ PortableSql2
 }
