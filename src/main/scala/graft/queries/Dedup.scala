@@ -940,7 +940,64 @@ object Dedup {
     collected
   }
 
+  /** b-bit MinHash (Li & König 2010, b = 1): keep only the LOWEST BIT
+    * of each of the [[NumHashes]] signature minima, packed into ONE
+    * int64 mask — a 48× smaller sketch than the full int signature
+    * (the storage/bandwidth regime the paper targets: at 100 TB the
+    * resident sketch store shrinks from 384 B to 8 B per doc, and the
+    * pair comparison is a single XOR + popcount instead of 48 int
+    * compares). Estimator (paper Thm 1 with b = 1, near-symmetric
+    * sets): E[bit agreement] = ½ + R/2, so R̂ = max(0, 2·(m/48) − 1).
+    * Candidates come from the SAME LSH band buckets as
+    * [[minhashScored]] (full signatures route, 1-bit codes compare),
+    * and the exact verified Jaccard is emitted next to the estimate —
+    * the output is the estimator's own calibration report. Everything
+    * is md5/mod-P/bit arithmetic → full DuckDB hash gate.
+    */
+  def dedupMinhashBbit(s: SparkSession, d: String): DataFrame =
+    dedupMinhashBbitOn(Tables.documents(s, d))
+
+  /** Core of [[dedupMinhashBbit]] over any (doc_id, text) frame. */
+  def dedupMinhashBbitOn(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
+    graft.functions.WordShingles.register(s)
+    graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
+    val docs = documents
+      .select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+      .filter(size(col("sh")) > 0)
+    // the bucket fold minus the band finish: the raw 48 minima
+    val sig = aggregate(
+      transform(col("sh"),
+        x => conv(substring(md5(x), 1, 12), 16, 10).cast("long") % P),
+      array_repeat(lit(P), NumHashes),
+      (acc, h) => zip_with(acc,
+        zip_with(hashA, hashB, (a, b) => (a * h + b) % P),
+        (x, y) => least(x, y)))
+    // low bit of each minimum, MSB-first fold → bit j weighs 2^(47-j)
+    val mask = aggregate(transform(sig, v => pmod(v, lit(2L))),
+      lit(0L), (a, b) => a * 2 + b)
+    val withMask = docs.withColumn("mask", mask)
+    val cand = minhashCandidateSizes(docs).select("doc_a", "doc_b")
+    cand
+      .join(withMask.select(col("doc_id").as("doc_a"), col("sh").as("sa"),
+        col("mask").as("ma")), "doc_a")
+      .join(withMask.select(col("doc_id").as("doc_b"), col("sh").as("sb"),
+        col("mask").as("mb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"$NumHashes - bit_count(ma ^ mb)").as("bit_matches"),
+        size(array_intersect(col("sa"), col("sb"))).as("common"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"), col("bit_matches").cast("long").as("bit_matches"),
+        round(greatest(lit(0.0),
+          lit(2.0) * col("bit_matches") / NumHashes - 1.0), 4).as("jac_bbit"),
+        round(col("common").cast("double")
+          / (col("na") + col("nb") - col("common")), 4).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_bbit" -> dedupMinhashBbit,
     "dedup_cross_source" -> dedupCrossSource,
     "ngram_novelty" -> ngramNovelty,
     "dedup_bucket_stats" -> dedupBucketStats,
@@ -1042,6 +1099,25 @@ object Dedup {
       minhashScoredSql(threshold)
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_bbit" ->
+      ("WITH " + shSqlOver("documents") + ",\n" + minhashBucketsSql + ",\n" +
+        minhashScoredSql(None) + ",\n" +
+        s"""bmask AS (
+           |  SELECT doc_id,
+           |    CAST(sum((mn % 2) * (CAST(1 AS BIGINT) << CAST(47 - j AS INTEGER)))
+           |      AS BIGINT) AS mask
+           |  FROM sig GROUP BY doc_id)
+           |SELECT doc_a, doc_b,
+           |  CAST($NumHashes - bit_count(xor(a.mask, b.mask)) AS BIGINT)
+           |    AS bit_matches,
+           |  round(greatest(0.0,
+           |    2.0 * ($NumHashes - bit_count(xor(a.mask, b.mask)))
+           |      / $NumHashes - 1.0), 4) AS jac_bbit,
+           |  round(jac, 4) AS jac
+           |FROM scored JOIN bmask a ON a.doc_id = doc_a
+           |JOIN bmask b ON b.doc_id = doc_b
+           |ORDER BY round(jac, 4) DESC, doc_a ASC, doc_b ASC
+           |LIMIT 50""".stripMargin),
     "dedup_cross_source" ->
       """WITH dg AS (
         |  SELECT DISTINCT source, sha256(text) AS dg FROM documents),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -83,20 +83,31 @@ object Privacy {
     * inverse CDF −sign(u−½)·b·ln(1−2|u−½|). Emits the true count,
     * the micro-quantized noise, and the noised release value.
     *
-    * NOT A PRIVACY GUARANTEE: the noise here is derived from md5 of
-    * the PUBLIC group key with no secret seed, so anyone can
-    * recompute and subtract it — this demonstrates the mechanism
-    * SHAPE (sensitivity, scale, inverse-CDF sampling, the clipped
-    * two-query mean recipe below), not epsilon-DP. A real deployment
-    * must mix a secret salt into the md5 seed (one literal), at
-    * which point the oracle gate no longer applies. Applies equally
-    * to [[privacyDpMean]], which shares the draw.
+    * PRIVACY STATUS depends on `spark.graft.dpSalt`: UNSET (the
+    * default, and the only form a cross-engine hash gate can certify)
+    * the noise derives from md5 of the PUBLIC group key, so anyone
+    * can recompute and subtract it — a mechanism-shape demo
+    * (sensitivity, scale, inverse-CDF sampling, the clipped two-query
+    * mean recipe below), NOT epsilon-DP. SET to a secret value, the
+    * salt mixes into every md5 seed ([[dpSeed]]) and the release is
+    * the real seeded-Laplace mechanism: ε = 1 against any observer
+    * who does not hold the salt, still reproducible for backfills by
+    * whoever does. The driver's oracle runs with the conf unset, so
+    * the certified rows are unchanged; PrivacySpec exercises the
+    * salted path. Applies equally to [[privacyDpMean]], which shares
+    * the draw.
     */
+  private def dpSeed(s: SparkSession, tag: String, key: Column): Column =
+    s.conf.getOption("spark.graft.dpSalt").filter(_.nonEmpty) match {
+      case Some(salt) => concat(lit(salt), lit("|"), lit(tag), key)
+      case None => concat(lit(tag), key)
+    }
+
   def privacyDpCounts(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .groupBy("c_nationkey").agg(count(lit(1)).as("n_true"))
       .withColumn("u",
-        (pmod(conv(substring(md5(concat(lit("dp:"),
+        (pmod(conv(substring(md5(dpSeed(s, "dp:",
           col("c_nationkey").cast("string"))), 1, 6), 16, 10).cast("long"),
           lit(1000000L)).cast("double") + 0.5) / 1000000.0)
       .withColumn("noise_micro",
@@ -125,7 +136,7 @@ object Privacy {
     */
   def privacyDpMean(s: SparkSession, d: String): DataFrame = {
     def lap(tag: String, scale: Double) = {
-      val u = (pmod(conv(substring(md5(concat(lit(tag),
+      val u = (pmod(conv(substring(md5(dpSeed(s, tag,
         col("event_type"))), 1, 6), 16, 10).cast("long"),
         lit(1000000L)).cast("double") + 0.5) / 1000000.0
       floor(-signum(u - 0.5) * scale

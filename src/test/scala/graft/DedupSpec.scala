@@ -58,6 +58,25 @@ class DedupSpec extends SparkSuite {
     assert(!asMap.contains((0L, 2L)) || asMap((0L, 2L)) < 0.2, "unrelated not near-dup")
   }
 
+  test("b-bit minhash: exact dups 48/48 bits; estimator tracks exact jaccard") {
+    val rows = Dedup.dedupMinhashBbitOn(corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // exact dup: identical signatures → all 48 bits agree, R̂ = 1
+    val (m03, est03, jac03) = rows((0L, 3L))
+    assert(m03 == Dedup.NumHashes && est03 == 1.0 && jac03 == 1.0)
+    // near dup: high agreement; the b=1 estimator sits within the
+    // binomial band of the exact jaccard (k = 48 ⇒ sd of R̂ ≈
+    // 2·sqrt(p(1−p)/48) ≈ 0.14 at p ≈ 0.9 — allow 3σ)
+    val (m01, est01, jac01) = rows((0L, 1L))
+    assert(m01 > Dedup.NumHashes / 2, s"near-dup agreement $m01")
+    assert(math.abs(est01 - jac01) < 0.45, s"estimate $est01 vs exact $jac01")
+    // estimates are clamped to [0, 1]
+    rows.values.foreach { case (m, est, _) =>
+      assert(m >= 0 && m <= Dedup.NumHashes && est >= 0.0 && est <= 1.0)
+    }
+  }
+
   test("minhash candidates agree with exact ngram ground truth on near-dups") {
     val exact = Dedup.ngramPairs(corpus)
       .filter(col("jac") >= 0.5)

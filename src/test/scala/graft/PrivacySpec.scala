@@ -87,4 +87,35 @@ class PrivacySpec extends SparkSuite {
       assert(math.abs(gnm) <= 14000000L)
     }
   }
+
+  test("spark.graft.dpSalt turns the DP demo into the salted mechanism") {
+    import graft.queries.Privacy
+    def noiseMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r =>
+        r.getAs[Number](0).longValue -> r.getLong(2)).toMap
+    val public = noiseMap(Privacy.privacyDpCounts(spark, sfDir))
+    spark.conf.set("spark.graft.dpSalt", "s3cr3t-salt")
+    try {
+      val salted = noiseMap(Privacy.privacyDpCounts(spark, sfDir))
+      // same release surface (groups, schema), different draws — an
+      // observer without the salt can no longer reconstruct the noise
+      assert(salted.keySet == public.keySet)
+      assert(salted != public,
+        "salted noise must differ from the public-seed demo")
+      // still Laplace-bounded and reproducible under the same salt
+      salted.values.foreach(nm => assert(math.abs(nm) <= 14000000L))
+      assert(noiseMap(Privacy.privacyDpCounts(spark, sfDir)) == salted,
+        "same salt must replay identically (backfillable release)")
+      // the mean shares the seed path
+      val meanPub = {
+        spark.conf.unset("spark.graft.dpSalt")
+        Privacy.privacyDpMean(spark, sfDir).collect()
+          .map(_.toSeq.mkString("|")).sorted.toSeq
+      }
+      spark.conf.set("spark.graft.dpSalt", "s3cr3t-salt")
+      val meanSalted = Privacy.privacyDpMean(spark, sfDir).collect()
+        .map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(meanSalted != meanPub)
+    } finally spark.conf.unset("spark.graft.dpSalt")
+  }
 }
