@@ -96,6 +96,59 @@ object SqlSurface {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin,
+    "sql_q3_verbatim" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  o_orderdate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue_c DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "sql_q5_verbatim" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "sql_q10_verbatim" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |    + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_c DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "sql_q19_verbatim" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+        |  + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size >= 1 AND p_size <= 15
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#12' AND p_size >= 1 AND p_size <= 25
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#13' AND p_size >= 1 AND p_size <= 35
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
     "sql_q17_verbatim" ->
       """SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
         |  AS BIGINT) AS small_qty_rev_c
@@ -109,6 +162,10 @@ object SqlSurface {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.region(s, d).createOrReplaceTempView("region")
     s.sql(sql)
   }
 
