@@ -387,11 +387,70 @@ object Pq {
         (coalesce(col("hits"), lit(0L)).cast("double") / TopK).as("recall_at5"))
   }
 
+  /** Probe depths swept by [[annNprobeCurve]]. */
+  val MaxProbe = 4
+
+  /** IVF ROUTING recall curve — the nprobe sibling of
+    * ann_truncation_curve (embedding width) and lsh_scurve (band
+    * calibration): sweep nprobe = 1..[[MaxProbe]], score each probed
+    * candidate with EXACT cosine so the curve isolates cell-routing
+    * loss from PQ quantization loss, and emit per setting the scanned
+    * candidate volume (the cost axis — ≈ nprobe/NCells of the corpus)
+    * and recall@[[TopK]] against the exact neighbors. The dashboard a
+    * serving team reads to pick the probe depth: cost grows linearly
+    * in nprobe while recall saturates.
+    *
+    * Scale: one literal-centroid map pass assigns the corpus; the
+    * probe table is queries × MaxProbe broadcast rows; candidates are
+    * id-keyed joins over the probed fraction; the nprobe fan-out is a
+    * 4-row broadcast. Integer hit counts → the recall ratio is exact
+    * in both engines (full hash gate).
+    */
+  def annNprobeCurve(s: SparkSession, d: String): DataFrame = {
+    graft.functions.DotProduct.register(s)
+    val sess = s
+    import sess.implicits._
+    val raw = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cents = Similarity.trainCentroids(raw)
+    val assigned = raw.withColumn("cell_id",
+      Similarity.bestCellCol(col("v"), col("nrm"), cents))
+    val probes = raw.filter(col("vec_id") < QueryCap)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"),
+        posexplode(Similarity.probeCellsColK(col("v"), col("nrm"), cents,
+          MaxProbe)))
+      .withColumnRenamed("pos", "pr0")
+      .withColumnRenamed("col", "cell_id")
+    val cand = assigned.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (col("pr0") + 1).as("pr"),
+        (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("cosv"))
+    val ks = (1 to MaxProbe).toDF("nprobe")
+    val withK = cand.join(broadcast(ks), col("pr") <= col("nprobe"))
+    val w = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("cosv").desc, col("neighbor_id").asc)
+    val top = withK.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TopK)
+    val exact = Similarity.annCosine(s, d).select("query_id", "neighbor_id")
+    val hits = top.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("hits"))
+    withK.groupBy("nprobe").agg(count(lit(1)).as("cand_rows"))
+      .join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe").cast("long").as("nprobe"), col("cand_rows"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)).cast("double")
+          / (TopK * QueryCap), 4).as("recall_at5"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_pq" -> annPq,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_rerank" -> annIvfPqRerank,
-    "ann_ivfpq_residual" -> annIvfPqResidual)
+    "ann_ivfpq_residual" -> annIvfPqResidual,
+    "ann_nprobe_curve" -> annNprobeCurve)
 
   // ---- shared DuckDB oracle fragments ----
 
@@ -504,7 +563,7 @@ object Pq {
     * cosine assignment with ties to the smallest cell) plus the
     * NProbe probe table — reads the shared `e`.
     */
-  private def ivfChainSql: String =
+  private def ivfCellsSql: String =
     s"""dims AS (
        |  SELECT unnest(generate_series(1,
        |    (SELECT CAST(max(len(v)) AS INTEGER) FROM e))) AS i),
@@ -535,7 +594,10 @@ object Pq {
        |        ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
        |                 c.cell) AS rn
        |    FROM e CROSS JOIN centn c)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+
+  private def ivfChainSql: String =
+    s"""$ivfCellsSql,
        |probes AS (
        |  SELECT vec_id AS query_id, cell_id FROM (
        |    SELECT e.vec_id, c.cell AS cell_id,
@@ -572,6 +634,58 @@ object Pq {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "ann_nprobe_curve" -> {
+      val eSql =
+        """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+          |             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+          |                                   CAST(embedding AS DOUBLE[]))) AS nrm
+          |           FROM embeddings)""".stripMargin
+      val tail =
+        s"""probes4 AS (
+           |  SELECT vec_id AS query_id, cell_id, rn AS pr FROM (
+           |    SELECT e.vec_id, c.cell AS cell_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY list_dot_product(e.v, c.cv) / (e.nrm * c.cn) DESC,
+           |                 c.cell) AS rn
+           |    FROM e CROSS JOIN centn c WHERE e.vec_id < $QueryCap)
+           |  WHERE rn <= $MaxProbe),
+           |ks AS (SELECT unnest(generate_series(1, $MaxProbe)) AS nprobe),
+           |cand AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id, p.pr,
+           |    list_dot_product(ec.v, eq.v) / (ec.nrm * eq.nrm) AS cosv
+           |  FROM probes4 p
+           |  JOIN assigned a ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+           |  JOIN e ec ON ec.vec_id = a.vec_id
+           |  JOIN e eq ON eq.vec_id = p.query_id),
+           |wk AS (SELECT c.*, k.nprobe FROM cand c JOIN ks k ON c.pr <= k.nprobe),
+           |top AS (
+           |  SELECT nprobe, query_id, neighbor_id FROM (
+           |    SELECT nprobe, query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY nprobe, query_id
+           |        ORDER BY cosv DESC, neighbor_id) AS rn
+           |    FROM wk) WHERE rn <= $TopK),
+           |ex AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT eq.vec_id AS query_id, ec.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY eq.vec_id
+           |        ORDER BY list_dot_product(ec.v, eq.v) / (ec.nrm * eq.nrm) DESC,
+           |                 ec.vec_id) AS rn
+           |    FROM e ec JOIN e eq ON eq.vec_id < $QueryCap AND ec.vec_id <> eq.vec_id)
+           |  WHERE rn <= $TopK),
+           |hits AS (
+           |  SELECT t.nprobe, count(*) AS hits
+           |  FROM top t JOIN ex ON ex.query_id = t.query_id
+           |            AND ex.neighbor_id = t.neighbor_id
+           |  GROUP BY 1),
+           |cost AS (SELECT nprobe, count(*) AS cand_rows FROM wk GROUP BY 1)
+           |SELECT CAST(c.nprobe AS BIGINT) AS nprobe,
+           |  CAST(c.cand_rows AS BIGINT) AS cand_rows,
+           |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+           |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / ${TopK * QueryCap}, 4)
+           |    AS recall_at5
+           |FROM cost c LEFT JOIN hits h USING (nprobe)""".stripMargin
+      "WITH " + eSql + ",\n" + ivfCellsSql + ",\n" + tail
+    },
     "ann_ivfpq_residual" ->
       s"""WITH $pqPrefixSql,
          |$ivfChainSql,

@@ -471,12 +471,20 @@ object Similarity {
     * array_sort on (-cos, cell_id) structs, slice NProbe.
     */
   private[queries] def probeCellsCol(v: Column, nrm: Column,
-      cents: Array[(Array[Double], Double)]): Column = {
+      cents: Array[(Array[Double], Double)]): Column =
+    probeCellsColK(v, nrm, cents, NProbe)
+
+  /** The k nearest cell ids (cosine to the literal centroids,
+    * ties → smallest cell), nearest first — [[probeCellsCol]] with the
+    * probe depth as a parameter (the nprobe recall curve sweeps it).
+    */
+  private[graft] def probeCellsColK(v: Column, nrm: Column,
+      cents: Array[(Array[Double], Double)], k: Int): Column = {
     val scored = cents.zipWithIndex.map { case ((cv, cn), i) =>
       struct((-(dot(v, array(cv.map(lit).toIndexedSeq: _*)) / (nrm * lit(cn)))).as("negcos"),
         lit(i).as("cell_id"))
     }
-    transform(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, NProbe), x => x.getField("cell_id"))
+    transform(slice(array_sort(array(scored.toIndexedSeq: _*)), 1, k), x => x.getField("cell_id"))
   }
 
   /** IVF (inverted-file) ANN — the cluster-then-probe scale path:

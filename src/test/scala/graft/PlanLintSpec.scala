@@ -25,6 +25,9 @@ class PlanLintSpec extends SparkSuite {
     // truncation curve: four ann_cosine-shaped legs, each an 8-row
     // broadcast query side over a narrower projection
     "ann_truncation_curve",
+    // nprobe curve: candidates fan out over a 4-row broadcast probe-
+    // depth frame (pr <= nprobe) + the 8-query exact-recall audit
+    "ann_nprobe_curve",
     // deliberate cross/cartesian demos and 1-row scalar attachments
     "join_cross", "join_lateral", "text_stats", "corpus_stats",
     "drift_psi", "snapshot_diff", "source_mix", "mix_temperature",

@@ -185,4 +185,26 @@ class PqSpec extends SparkSuite {
         s"query $q: exact scores not non-increasing by rank")
     }
   }
+
+  test("ann_nprobe_curve: cost grows and recall is monotone in the probe depth") {
+    val rows = Pq.annNprobeCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to Pq.MaxProbe).toSeq)
+    // probing more cells can only ADD candidates (cost axis strictly
+    // grows while any probed cell is non-empty) and can never LOSE a
+    // hit (the k-cell candidate set contains the (k-1)-cell set)
+    rows.sliding(2).foreach {
+      case Array((_, c1, h1, r1), (_, c2, h2, r2)) =>
+        assert(c2 >= c1, s"candidate volume must not shrink: $c1 -> $c2")
+        assert(h2 >= h1 && r2 >= r1, s"recall must be monotone: $r1 -> $r2")
+      case _ => ()
+    }
+    rows.foreach { case (k, cands, hits, rec) =>
+      assert(rec >= 0.0 && rec <= 1.0 && hits <= 5L * Pq.QueryCap)
+      assert(cands > 0, s"nprobe=$k scanned nothing")
+    }
+    // deeper probing must reach decent routing recall on this table
+    assert(rows.last._4 >= 0.5, s"nprobe=4 recall ${rows.last._4}")
+  }
 }
