@@ -248,6 +248,77 @@ object Corpus {
           .as("avg_nll_kn"))
   }
 
+  /** Adjacent-trigram struct array (the order-3 [[bigramsFromTokens]]). */
+  def trigramsFromTokens(ws: Column): Column =
+    when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2),
+        i => struct(element_at(ws, i).as("w1"),
+          element_at(ws, i + 1).as("w2"),
+          element_at(ws, i + 2).as("w3"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+
+  /** Interpolated Kneser-Ney TRIGRAM scoring ([EXT], Chen & Goodman
+    * '98 eq. 4.25 at order 3 — the CCNet-class 5-gram KenLM scorer's
+    * shape, one order above [[lmScoreKn]]): the highest order
+    * discounts raw trigram counts, the middle order runs entirely on
+    * CONTINUATION counts over trigram TYPES (N1+(·w₂w₃)/N1+(·w₂·)),
+    * and the unigram floor is [[lmScoreKn]]'s bigram-type
+    * continuation probability —
+    * p(w₃|w₁w₂) = max(c(w₁w₂w₃)−D,0)/c(w₁w₂·)
+    *   + D/c(w₁w₂·)·N1+(w₁w₂·)·p_KN(w₃|w₂), with
+    * p_KN(w₃|w₂) = max(N1+(·w₂w₃)−D,0)/N1+(·w₂·)
+    *   + D/N1+(·w₂·)·N1+(w₂·)·Pcont(w₃).
+    *
+    * Scale design: one trigram explode (linear in tokens); every
+    * model table is a partial-agg'd groupBy over trigram/bigram TYPE
+    * tables (strictly smaller than the token stream); scoring joins
+    * are token-keyed and AQE size-picked — the [[lmScoreKn]] envelope
+    * with one extra order of (small) type tables. Float surface: the
+    * per-doc avg under r4 — the accepted lm_score class.
+    */
+  def lmScoreKn3(s: SparkSession, d: String): DataFrame =
+    lmScoreKn3On(Tables.documents(s, d))
+
+  def lmScoreKn3On(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), toks(col("text")).as("ws"))
+    val tri = base
+      .select(col("doc_id"), explode(trigramsFromTokens(col("ws"))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+    val tt = tri.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+    val cc3 = tri.groupBy("w1", "w2").agg(count(lit(1)).as("cc3"))
+    val f3 = tt.groupBy("w1", "w2").agg(count(lit(1)).as("f3"))
+    val midc = tt.groupBy("w2", "w3").agg(count(lit(1)).as("n1mid"))
+    val midctx = tt.groupBy("w2").agg(count(lit(1)).as("n1mx"))
+    val bi = base
+      .select(explode(bigramsFromTokens(col("ws"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val ub = bi.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val f2 = ub.groupBy("w1").agg(count(lit(1)).as("f2"))
+      .withColumnRenamed("w1", "w2")
+    val n1b = ub.groupBy("w2").agg(count(lit(1)).as("n1b"))
+      .withColumnRenamed("w2", "w3")
+    val btypes = ub.agg(count(lit(1)).cast("double").as("bt"))
+    val pcont =
+      greatest(col("n1mid").cast("double") - lit(KnD), lit(0.0)) / col("n1mx") +
+        lit(KnD) / col("n1mx") * col("f2") * (col("n1b") / col("bt"))
+    tri
+      .join(tt, Seq("w1", "w2", "w3"))
+      .join(cc3, Seq("w1", "w2"))
+      .join(f3, Seq("w1", "w2"))
+      .join(midc, Seq("w2", "w3"))
+      .join(midctx, Seq("w2"))
+      .join(f2, Seq("w2"))
+      .join(n1b, Seq("w3"))
+      .crossJoin(broadcast(btypes))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        r4(avg(-log(
+          greatest(col("ct").cast("double") - lit(KnD), lit(0.0)) / col("cc3")
+            + lit(KnD) / col("cc3") * col("f3") * pcont)))
+          .as("avg_nll_kn3"))
+  }
+
   // 20-token windows — the span length of Lee et al.'s exact-substring
   // dedup (50 BPE tokens ≈ 20-25 words; 20 keeps short docs in play).
   private val SpanLen = 20
@@ -799,6 +870,7 @@ object Corpus {
     "lm_score" -> lmScore,
     "lm_score_bigram" -> lmScoreBigram,
     "lm_score_kn" -> lmScoreKn,
+    "lm_score_kn3" -> lmScoreKn3,
     "dedup_spans" -> dedupSpans,
     "dedup_spans_apply" -> dedupSpansApply,
     "dedup_spans_exact" -> dedupSpansExact,
@@ -1108,6 +1180,41 @@ object Corpus {
          |JOIN back USING (w2)
          |CROSS JOIN bt
          |GROUP BY b.doc_id""".stripMargin,
+    "lm_score_kn3" ->
+      s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS ws FROM documents),
+         |tri AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+         |        FROM (SELECT doc_id, ws,
+         |                unnest(generate_series(1, len(ws) - 2)) AS i
+         |              FROM t WHERE len(ws) >= 3)),
+         |tt AS (SELECT w1, w2, w3, count(*) AS ct FROM tri GROUP BY 1, 2, 3),
+         |cc3 AS (SELECT w1, w2, count(*) AS cc3 FROM tri GROUP BY 1, 2),
+         |f3 AS (SELECT w1, w2, count(*) AS f3 FROM tt GROUP BY 1, 2),
+         |midc AS (SELECT w2, w3, count(*) AS n1mid FROM tt GROUP BY 1, 2),
+         |midctx AS (SELECT w2, count(*) AS n1mx FROM tt GROUP BY 1),
+         |bi AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+         |       FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |             FROM t WHERE len(ws) >= 2)),
+         |ub AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY 1, 2),
+         |f2 AS (SELECT w1 AS w2, count(*) AS f2 FROM ub GROUP BY 1),
+         |n1b AS (SELECT w2 AS w3, count(*) AS n1b FROM ub GROUP BY 1),
+         |bt AS (SELECT CAST(count(*) AS DOUBLE) AS bt FROM ub)
+         |SELECT g.doc_id, count(*) AS n_trigrams,
+         |  floor(avg(-ln(
+         |    greatest(CAST(ct AS DOUBLE) - $KnD, 0.0) / cc3
+         |    + $KnD / cc3 * f3 * (
+         |        greatest(CAST(n1mid AS DOUBLE) - $KnD, 0.0) / n1mx
+         |        + $KnD / n1mx * f2 * (n1b / bt.bt))))
+         |        * 10000 + 0.5) / 10000.0 AS avg_nll_kn3
+         |FROM tri g
+         |JOIN tt USING (w1, w2, w3)
+         |JOIN cc3 USING (w1, w2)
+         |JOIN f3 USING (w1, w2)
+         |JOIN midc USING (w2, w3)
+         |JOIN midctx USING (w2)
+         |JOIN f2 USING (w2)
+         |JOIN n1b USING (w3)
+         |CROSS JOIN bt
+         |GROUP BY g.doc_id""".stripMargin,
     "dedup_spans" ->
       s"""WITH t AS (SELECT doc_id, $tokSqlDuck AS w FROM documents),
          |sp AS (SELECT doc_id,

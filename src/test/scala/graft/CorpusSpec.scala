@@ -296,6 +296,46 @@ class CorpusSpec extends SparkSuite {
     assert(n1b(("francisco")) < n1b(("cat")))
   }
 
+  test("lm_score_kn3 ≡ sequential trigram Kneser-Ney reference") {
+    import spark.implicits._
+    val texts = Map(
+      1L -> "san francisco bay san francisco bay san francisco bay area",
+      2L -> "the cat sat on the mat a cat ran over the mat",
+      3L -> "alpha beta gamma delta alpha beta gamma epsilon beta gamma")
+    val docs = texts.toSeq.toDF("doc_id", "text")
+    val got = graft.queries.Corpus.lmScoreKn3On(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val toks = texts.view.mapValues(_.split(" ").toSeq).toMap
+    val tris = toks.toSeq.flatMap { case (_, ws) =>
+      ws.sliding(3).map(t => (t(0), t(1), t(2))).toSeq }
+    val bis = toks.toSeq.flatMap { case (_, ws) =>
+      ws.sliding(2).map(p => (p(0), p(1))).toSeq }
+    val ct = tris.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cc3 = tris.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val f3 = ct.keys.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val n1mid = ct.keys.groupBy(t => (t._2, t._3)).view.mapValues(_.size.toLong).toMap
+    val n1mx = ct.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val cbT = bis.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val f2 = cbT.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1b = cbT.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val bt = cbT.size.toDouble
+    val D = graft.queries.Corpus.KnD
+    val ref = toks.map { case (id, ws) =>
+      val ts = ws.sliding(3).map(t => (t(0), t(1), t(2))).toSeq
+      val nll = ts.map { t =>
+        val pcont = math.max(n1mid((t._2, t._3)).toDouble - D, 0.0) / n1mx(t._2) +
+          D / n1mx(t._2) * f2(t._2) * (n1b(t._3) / bt)
+        -math.log(math.max(ct(t).toDouble - D, 0.0) / cc3((t._1, t._2))
+          + D / cc3((t._1, t._2)) * f3((t._1, t._2)) * pcont)
+      }
+      id -> ((ts.size.toLong,
+        math.floor(nll.sum / nll.size * 10000 + 0.5) / 10000.0))
+    }
+    assert(got === ref)
+    // the heavily templated doc 1 is the most predictable at order 3
+    assert(got(1L)._2 < got(2L)._2 && got(1L)._2 < got(3L)._2)
+  }
+
   test("boilerplate: planted per-source header detected with share 1.0 and stripped cleanly") {
     val detect = Corpus.boilerplateDetect(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
