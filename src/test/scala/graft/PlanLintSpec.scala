@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSuite {
     "pipeline_pretrain_minhash", "pipeline_pretrain_model",
     "pipeline_pretrain_model_minhash", "pipeline_pretrain_dsir",
     "pipeline_pretrain_dsir_minhash",
-    "lm_score", "lm_score_bigram", "unigram_train", "unigram_encode",
+    "lm_score", "lm_score_bigram", "lm_score_kn3", "unigram_train",
+    "unigram_encode",
     "classifier_train", "classifier_predict", "pca_top", "pca_topk",
     "embed_project", "embed_quantize", "events_retention", "recursive_cte",
     "dedup_ngram", "dedup_spans", "dedup_spans_apply", "join_similarity",
