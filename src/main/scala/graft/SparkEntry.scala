@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.multimodal.{Multimodal, Phash, AudioFp}
-import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Tpch, Unigram, Winnow, QualityRules, Wordpiece, Privacy, SpanMask, Features, DataQuality, SqlSurface, CorpusCard, Recommend, Stats, Graphs, Profiling, Markov, Trees, Bayes, Mf, Coreset, Readability, SeqMine, Conformal, Holt, Preference, Mlm, JoinEst, Kfold, Behavior, Fuzzy, Intervals, Knn, Decompose, Regress, Blocklist, Summarize, Stickiness, QualityLift, Scurve, Entropy, Passage, Neyman}
+import graft.queries.{Advanced, Classifier, Cluster, Corpus, Curation, Dedup, Dsir, Embeddings, EventOps, Kmeans, Parity, Pipeline, Pq, Relational, Sharding, Similarity, Sketches, Skew, Temporal, TextOps, Tokenize, Tpch, Unigram, Winnow, QualityRules, Wordpiece, Privacy, SpanMask, Features, DataQuality, SqlSurface, CorpusCard, Recommend, Stats, Graphs, Profiling, Markov, Trees, Bayes, Mf, Coreset, Readability, SeqMine, Conformal, Holt, Preference, Mlm, JoinEst, Kfold, Behavior, Fuzzy, Intervals, Knn, Decompose, Regress, Blocklist, Summarize, Stickiness, QualityLift, Scurve, Entropy, Passage, Neyman, TextLaws, Evals}
 import graft.sources.Formats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -28,7 +28,7 @@ object SparkEntry {
       Kmeans.queries ++ Embeddings.queries ++ Pipeline.queries ++ Curation.queries ++
       Classifier.queries ++ Unigram.queries ++ Pq.queries ++ Dsir.queries ++
       Tpch.queries ++ Winnow.queries ++ QualityRules.queries ++ Wordpiece.queries ++ Privacy.queries ++ SpanMask.queries ++ Features.queries ++ DataQuality.queries ++ SqlSurface.queries ++ CorpusCard.queries ++ Recommend.queries ++ Stats.queries ++ Graphs.queries ++ Profiling.queries ++ Markov.queries ++
-      Trees.queries ++ Bayes.queries ++ Mf.queries ++ Coreset.queries ++ Readability.queries ++ SeqMine.queries ++ Conformal.queries ++ Holt.queries ++ Preference.queries ++ Mlm.queries ++ JoinEst.queries ++ Kfold.queries ++ Behavior.queries ++ Fuzzy.queries ++ Intervals.queries ++ Knn.queries ++ Decompose.queries ++ Regress.queries ++ Blocklist.queries ++ Summarize.queries ++ Stickiness.queries ++ QualityLift.queries ++ Scurve.queries ++ Entropy.queries ++ Passage.queries ++ Neyman.queries ++ Phash.queries ++ AudioFp.queries
+      Trees.queries ++ Bayes.queries ++ Mf.queries ++ Coreset.queries ++ Readability.queries ++ SeqMine.queries ++ Conformal.queries ++ Holt.queries ++ Preference.queries ++ Mlm.queries ++ JoinEst.queries ++ Kfold.queries ++ Behavior.queries ++ Fuzzy.queries ++ Intervals.queries ++ Knn.queries ++ Decompose.queries ++ Regress.queries ++ Blocklist.queries ++ Summarize.queries ++ Stickiness.queries ++ QualityLift.queries ++ Scurve.queries ++ Entropy.queries ++ Passage.queries ++ Neyman.queries ++ TextLaws.queries ++ Evals.queries ++ Phash.queries ++ AudioFp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver records a weaker
@@ -43,7 +43,7 @@ object SparkEntry {
       Pipeline.oracleSql ++ Curation.oracleSql ++ Classifier.oracleSql ++
       Unigram.oracleSql ++ Pq.oracleSql ++ Dsir.oracleSql ++ Tpch.oracleSql ++
       Winnow.oracleSql ++ QualityRules.oracleSql ++ Wordpiece.oracleSql ++ Privacy.oracleSql ++ SpanMask.oracleSql ++ Features.oracleSql ++ DataQuality.oracleSql ++ SqlSurface.oracleSql ++ CorpusCard.oracleSql ++ Recommend.oracleSql ++ Stats.oracleSql ++ Graphs.oracleSql ++ Profiling.oracleSql ++ Markov.oracleSql ++
-      Trees.oracleSql ++ Bayes.oracleSql ++ Mf.oracleSql ++ Coreset.oracleSql ++ Readability.oracleSql ++ SeqMine.oracleSql ++ Conformal.oracleSql ++ Holt.oracleSql ++ Preference.oracleSql ++ Mlm.oracleSql ++ JoinEst.oracleSql ++ Kfold.oracleSql ++ Behavior.oracleSql ++ Fuzzy.oracleSql ++ Intervals.oracleSql ++ Knn.oracleSql ++ Decompose.oracleSql ++ Regress.oracleSql ++ Blocklist.oracleSql ++ Summarize.oracleSql ++ Stickiness.oracleSql ++ QualityLift.oracleSql ++ Scurve.oracleSql ++ Entropy.oracleSql ++ Passage.oracleSql ++ Neyman.oracleSql ++ Phash.oracleSql ++ AudioFp.oracleSql
+      Trees.oracleSql ++ Bayes.oracleSql ++ Mf.oracleSql ++ Coreset.oracleSql ++ Readability.oracleSql ++ SeqMine.oracleSql ++ Conformal.oracleSql ++ Holt.oracleSql ++ Preference.oracleSql ++ Mlm.oracleSql ++ JoinEst.oracleSql ++ Kfold.oracleSql ++ Behavior.oracleSql ++ Fuzzy.oracleSql ++ Intervals.oracleSql ++ Knn.oracleSql ++ Decompose.oracleSql ++ Regress.oracleSql ++ Blocklist.oracleSql ++ Summarize.oracleSql ++ Stickiness.oracleSql ++ QualityLift.oracleSql ++ Scurve.oracleSql ++ Entropy.oracleSql ++ Passage.oracleSql ++ Neyman.oracleSql ++ TextLaws.oracleSql ++ Evals.oracleSql ++ Phash.oracleSql ++ AudioFp.oracleSql
 
   /** Bench times the FULL registry (every entry is regression-gated —
     * an unbenched operator is a perf blind spot), in sorted order for

@@ -74,10 +74,79 @@ object Fuzzy {
       .distinct() // the two band emissions can produce the same pair twice
   }
 
+  /** Phonetic blocking key — a Russell/Odell-style soundex code
+    * (first letter + first 3 consonant-class digits, adjacent same-
+    * class letters collapsed; vowels/H/W/Y map to 0 and BREAK runs —
+    * the simplified Odell variant, deliberately omitting full
+    * soundex's H/W run-transparency refinement), built as ONE
+    * dialect-shared SQL expression: upper/strip → translate to class
+    * digits → collapse runs (7 backreference-free regexes — DuckDB's
+    * RE2 has no backrefs) → drop the first letter's own run → strip
+    * vowel zeros → pad to 3. Identical text runs through Spark's
+    * expr() and the DuckDB oracle, so the key itself sits under the
+    * hash gate.
+    */
+  def phoneticKeySql(c: String): String = {
+    val letters = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+    val digits = "11112222222233455600000000"
+    val u = s"upper(regexp_replace($c, '[^A-Za-z]', ''))"
+    val t = s"translate($u, '$letters', '$digits')"
+    val collapsed = (0 to 6).foldLeft(t) { (acc, dd) =>
+      s"regexp_replace($acc, '$dd$dd+', '$dd')"
+    }
+    s"concat(substr($u, 1, 1), " +
+      s"rpad(substr(replace(substr($collapsed, 2, 64), '0', ''), 1, 3), 3, '0'))"
+  }
+
+  /** Entity resolution with a PHONETIC block ([[Advanced]] er_block's
+    * sound-alike companion): where er_block's exact last-word block
+    * separates spelling variants of the same-sounding word
+    * (gear/geer), the soundex-class key co-blocks them; the verify
+    * step is the same levenshtein ≤ 2 on the full name. Scale: blocks
+    * are keyed by a 4-char code over the DISTINCT-name vocabulary —
+    * the er_block law (names dedup first, bodies never move).
+    */
+  def erPhonetic(s: SparkSession, d: String): DataFrame = {
+    val names = Tables.part(s, d)
+      .groupBy("p_name")
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("canon_key"))
+      .withColumn("word", element_at(split(col("p_name"), " "), -1))
+      .withColumn("block", expr(phoneticKeySql("word")))
+    val a = names.select(col("p_name").as("name_a"), col("canon_key").as("canon_a"),
+      col("block"))
+    val b = names.select(col("p_name").as("name_b"), col("canon_key").as("canon_b"),
+      col("block"))
+    a.join(b, "block")
+      .filter(col("name_a") < col("name_b") &&
+        levenshtein(col("name_a"), col("name_b")) <= 2)
+      .select(col("block"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("dist"),
+        col("canon_a"), col("canon_b"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "fuzzy_join_lev" -> fuzzyJoinLev)
+    "fuzzy_join_lev" -> fuzzyJoinLev,
+    "er_phonetic" -> erPhonetic)
+
+  private def erPhoneticOracle: String = {
+    val key = phoneticKeySql("word")
+    s"""WITH names AS (
+       |  SELECT p_name, min(p_partkey) AS canon_key
+       |  FROM part GROUP BY p_name),
+       |keyed AS (
+       |  SELECT p_name, canon_key, $key AS block
+       |  FROM (SELECT p_name, canon_key,
+       |          string_split(p_name, ' ')[-1] AS word FROM names))
+       |SELECT a.block, a.p_name AS name_a, b.p_name AS name_b,
+       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+       |  a.canon_key AS canon_a, b.canon_key AS canon_b
+       |FROM keyed a JOIN keyed b
+       |  ON a.block = b.block AND a.p_name < b.p_name
+       |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
+    "er_phonetic" -> erPhoneticOracle,
     "fuzzy_join_lev" ->
       s"""WITH k AS (
          |  SELECT doc_id, lang, lower(substr(text, 1, $KeyLen)) AS key

@@ -156,7 +156,193 @@ object SqlSurface {
         |WHERE p.p_size = 1
         |  AND l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
         |                      FROM lineitem l2
-        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+        |                      WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+    // Third wave — the REMAINING 12 heads, completing all 22 TPC-H
+    // query shapes as ONE dialect-shared string each. New portability
+    // conventions proven here: `avg(BIGINT)` scalar-subquery
+    // thresholds (exact — integer partial sums below 2^53 make the
+    // double division identical IEEE in both engines), `NOT IN`
+    // null-aware anti joins over non-null keys, qualified self-join
+    // aliases (nation ns/nc), `year()` normalized via CAST( AS
+    // INTEGER) (DuckDB returns BIGINT, Spark INT), and
+    // `+ INTERVAL 60 DAY` timestamp arithmetic (identical literal
+    // grammar both engines).
+    "sql_q2_verbatim" ->
+      """WITH cells AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS price_c,
+        |    CAST(sum(l_quantity) AS BIGINT) AS qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size = 10
+        |  GROUP BY l_partkey, l_suppkey),
+        |costs AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(floor(price_c * 10000.0 / qty) AS BIGINT) AS cost_micro
+        |  FROM cells),
+        |best AS (
+        |  SELECT l_partkey, min(cost_micro) AS best_micro FROM costs
+        |  GROUP BY l_partkey),
+        |pick AS (
+        |  SELECT c.l_partkey AS p_partkey, min(c.l_suppkey) AS pick_suppkey,
+        |    b.best_micro
+        |  FROM costs c JOIN best b
+        |    ON c.l_partkey = b.l_partkey AND c.cost_micro = b.best_micro
+        |  GROUP BY c.l_partkey, b.best_micro)
+        |SELECT p_partkey, s_suppkey, s_name, best_micro
+        |FROM pick JOIN supplier ON pick_suppkey = s_suppkey
+        |ORDER BY best_micro ASC, p_partkey ASC
+        |LIMIT 100""".stripMargin,
+    "sql_q7_verbatim" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY ns.n_name, nc.n_name, CAST(year(l_shipdate) AS INTEGER)""".stripMargin,
+    "sql_q8_verbatim" ->
+      """WITH base AS (
+        |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |    CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+        |      AS rev_c,
+        |    ns.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_c ELSE 0 END)
+        |    AS BIGINT) AS nation_rev_c,
+        |  CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+        |  CAST(floor(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev_c
+        |      ELSE 0 END) AS DOUBLE) / CAST(sum(rev_c) AS DOUBLE) * 10000 + 0.5)
+        |    AS BIGINT) AS mkt_share_bp
+        |FROM base GROUP BY o_year""".stripMargin,
+    "sql_q9_verbatim" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+        |    - p_retailprice * 0.8 * l_quantity) * 1000000.0 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS profit_micro
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)""".stripMargin,
+    "sql_q11_verbatim" ->
+      """WITH per_part AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey AS p_partkey, value_c
+        |FROM per_part
+        |WHERE value_c > (SELECT avg(value_c) * 1.2 FROM per_part)
+        |ORDER BY value_c DESC, p_partkey ASC""".stripMargin,
+    "sql_q13_verbatim" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "sql_q15_verbatim" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+        |      AS BIGINT)) AS BIGINT) AS total_rev_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_c
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_c = (SELECT max(total_rev_c) FROM rev)""".stripMargin,
+    "sql_q16_verbatim" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin,
+    "sql_q18_verbatim" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c, sum_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice_c DESC, o_orderkey ASC
+        |LIMIT 100""".stripMargin,
+    "sql_q20_verbatim" ->
+      """WITH per_supp AS (
+        |  SELECT l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS widget_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%widget%'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, n_name, widget_qty
+        |FROM per_supp
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE widget_qty > (SELECT avg(widget_qty) * 1.1 FROM per_supp)
+        |ORDER BY widget_qty DESC, s_suppkey ASC""".stripMargin,
+    "sql_q21_verbatim" ->
+      """WITH os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |        THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_orderkey, l_suppkey),
+        |per_order AS (
+        |  SELECT l_orderkey, count(*) AS n_supp,
+        |    CAST(sum(late) AS BIGINT) AS n_late
+        |  FROM os GROUP BY l_orderkey)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM os
+        |JOIN per_order ON os.l_orderkey = per_order.l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late = 1 AND n_late = 1 AND n_supp >= 2
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey ASC
+        |LIMIT 20""".stripMargin,
+    "sql_q22_verbatim" ->
+      """WITH pool AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+        |  FROM customer
+        |  WHERE c_nationkey IN (1, 2, 3, 4, 5)),
+        |thr AS (SELECT avg(acctbal_c) AS bal_thr_c FROM pool WHERE acctbal_c > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(acctbal_c) AS BIGINT) AS totacctbal_c
+        |FROM pool
+        |WHERE acctbal_c > (SELECT bal_thr_c FROM thr)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey ASC""".stripMargin)
 
   private val AllTables: Seq[(String, (SparkSession, String) => DataFrame)] =
     Seq("lineitem" -> (Tables.lineitem _), "orders" -> (Tables.orders _),

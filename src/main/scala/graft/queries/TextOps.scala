@@ -581,6 +581,29 @@ object TextOps {
       .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
   }
 
+  /** Deterministic fixed-size UNIFORM sample (the reservoir-sampling
+    * contract, hash-keyed): exactly k = 25 docs per source, ranked by
+    * md5 of the row identity. Equivalent in distribution to Vitter's
+    * algorithm R (each subset of size k equally likely under the hash
+    * model), but a pure function of the rows — retries, stragglers,
+    * re-runs, and both engines reproduce the identical sample, which
+    * streaming reservoir state cannot promise. Complements
+    * [[stratifiedSample]] (rate-based, size varies with |stratum|)
+    * and [[sampleWeighted]] (weighted A-ES): this is the exact-k
+    * uniform-per-stratum primitive. Scale: per-group top-k window →
+    * WindowGroupLimit pushes rank ≤ k below the shuffle, so each
+    * partition forwards at most k rows per source.
+    */
+  def sampleReservoir(s: SparkSession, d: String): DataFrame = {
+    val key = md5(concat(lit("rs:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy("source").orderBy(col("key").asc, col("doc_id").asc)
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), key.as("key"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 25)
+      .select(col("source"), col("rk"), col("doc_id"))
+  }
+
   /** Percentile-gated quality filter: drop each language's bottom
     * quartile by composite quality. The per-lang threshold is an exact
     * interpolated percentile computed as a whole-partition window — no
@@ -685,6 +708,7 @@ object TextOps {
     "quality_compress" -> qualityCompress,
     "quality_ensemble" -> qualityEnsemble,
     "sample_weighted" -> sampleWeighted,
+    "sample_reservoir" -> sampleReservoir,
     "dedup_url" -> dedupUrl,
     "pmi_bigrams" -> pmiBigrams,
     "pii_mask" -> piiMask,
@@ -1001,6 +1025,16 @@ object TextOps {
         |        PARTITION BY lang ORDER BY key DESC, doc_id) AS rk
         |      FROM k)
         |WHERE rk <= 5""".stripMargin,
+    "sample_reservoir" ->
+      """WITH k AS (
+        |  SELECT source, doc_id,
+        |    md5('rs:' || CAST(doc_id AS VARCHAR)) AS key
+        |  FROM documents)
+        |SELECT source, CAST(rk AS INTEGER) AS rk, doc_id
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY source ORDER BY key ASC, doc_id) AS rk
+        |      FROM k)
+        |WHERE rk <= 25""".stripMargin,
     "bm25_terms" ->
       s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS n_td FROM t GROUP BY 1, 2),

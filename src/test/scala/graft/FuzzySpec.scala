@@ -40,4 +40,28 @@ class FuzzySpec extends SparkSuite {
     assert(got == expect, s"got=${got.size} expect=${expect.size}")
     assert(expect.nonEmpty, "test corpus should contain fuzzy pairs")
   }
+
+  test("phonetic key matches textbook soundex on run-free words") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // cases that avoid the H/W-transparency refinement the simplified
+    // Odell variant deliberately omits (documented in Fuzzy.scala)
+    val cases = Seq("Robert" -> "R163", "Rupert" -> "R163",
+      "widget" -> "W323", "gear" -> "G600", "anvil" -> "A514",
+      "bolt" -> "B430", "Tymczak" -> "T522")
+    val got = cases.map(_._1).toDF("word")
+      .select(expr(Fuzzy.phoneticKeySql("word")).as("k"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == cases.map(_._2), s"got ${got.toSeq}")
+  }
+
+  test("er_phonetic co-blocks every er_block pair (exact word ⊆ sound-alike)") {
+    val exact = graft.queries.Advanced.erBlock(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val phon = Fuzzy.erPhonetic(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(exact.subsetOf(phon),
+      s"er_block pairs missing from er_phonetic: ${exact -- phon}")
+    phon.foreach { case (a, b) => assert(a < b, "pair order contract") }
+  }
 }

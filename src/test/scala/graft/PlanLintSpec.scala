@@ -72,6 +72,9 @@ class PlanLintSpec extends SparkSuite {
     "quality_ppl_buckets",
     // DSIR: 1-row totals frame attached to the NumBuckets-row λ build
     "dsir_weights", "dsir_sample",
+    // corpus-law fits: 1-row totals frames (vocab/token grand totals,
+    // doc-count D) broadcast onto a vocab-bounded fit/top-64 frame
+    "zipf_fit", "token_burstiness",
     // reviewed this session — all 1-row scalar broadcast attachments:
     // benford/cusum/did/survival/frequent_seq/nb_train attach a
     // grand-total or midpoint frame; conformal attaches the 1-row fit,

@@ -76,6 +76,26 @@ class TextOpsSpec extends SparkSuite {
       s"weighted sample mean $selMean not above population mean $popMean")
   }
 
+  test("sample_reservoir: exact min(k, |stratum|) per source, hash-rank exact") {
+    val k = 25
+    val rows = TextOps.sampleReservoir(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val strata = graft.core.Tables.documents(spark, sfDir)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    // exact-k contract (capped by stratum size) + the sample IS the
+    // k smallest md5 keys, sequentially recomputed
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long): String =
+      md.digest(s"rs:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    strata.foreach { case (src, docs) =>
+      val got = rows.filter(_._1 == src).sortBy(_._2).map(_._3).toSeq
+      val expect = docs.map(_._2).sortBy(id => (key(id), id)).take(k).toSeq
+      assert(got == expect, s"$src reservoir mismatch")
+    }
+    assert(rows.length == strata.values.map(d => math.min(k, d.length)).sum)
+  }
+
   test("search_bm25: planted rare-term overlap ranks the target doc first") {
     import spark.implicits._
     // query doc 0 shares the rare term "zyzzyva" only with doc 10;
