@@ -316,6 +316,47 @@ object Classifier {
     out
   }
 
+  /** Exact ROC-AUC of the trained gate via the Mann-Whitney U
+    * statistic — AUC = P(score⁺ > score⁻) + ½P(tie), the
+    * threshold-free companion to [[classifierCalibration]]'s
+    * reliability curve. Tie handling is the textbook average rank,
+    * kept INTEGER throughout: for a doc in a tie group of size c with
+    * min rank r, 2·avg_rank = 2r + c − 1 exactly — rank() (min rank
+    * over the score order) plus count() (per-score partition), no
+    * float rank sums anywhere. AUC_micro then derives from three
+    * exact integers: Σ₊2·avg_rank, P, N.
+    *
+    * Scale note: the rank window is a total order over the scored
+    * eval frame — the same single-partition contract as
+    * classifier_calibration's ntile (metrics run on eval sets, not
+    * the corpus; for corpus-sized frames the decile/histogram form is
+    * the scale path).
+    */
+  def classifierAuc(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = featurize(s, d)
+    val w = weightsCached(s, d, vec)
+    val wl = array(w.map(lit).toIndexedSeq: _*)
+    val scored = vec.select(col("doc_id"), col("y"),
+      floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)).cast("long").as("score_q"))
+    val ranked = scored
+      .withColumn("r_min", rank().over(Window.orderBy(col("score_q").asc)))
+      .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("score_q"))))
+      .select(col("y"),
+        (lit(2L) * col("r_min") + col("ties") - lit(1L)).as("ar2"))
+    val out = ranked.agg(
+        sum(col("y").cast("long")).as("n_pos"),
+        (count(lit(1)) - sum(col("y").cast("long"))).as("n_neg"),
+        sum(when(col("y") === 1.0, col("ar2")).otherwise(lit(0L))).as("sum_ar2"))
+      .select(col("n_pos"), col("n_neg"),
+        floor((col("sum_ar2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")) * 1e6 + lit(0.5))
+          .cast("long").as("auc_micro"))
+      .stable
+    vec.unpersist(false)
+    out
+  }
+
   /** Fairness/bias audit of the trained gate: per ingest source, the
     * model's accept rate (margin ≥ 0) against the corpus-wide rate —
     * the demographic-parity disparity table a data-governance review
@@ -348,6 +389,7 @@ object Classifier {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_auc" -> classifierAuc,
     "classifier_bias_report" -> classifierBiasReport,
     "classifier_calibration" -> classifierCalibration,
     "classifier_train" -> classifierTrain,
@@ -405,6 +447,27 @@ object Classifier {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "classifier_auc" ->
+      s"""WITH
+         |$chainSql,
+         |sc AS (SELECT d.doc_id, d.y,
+         |         CAST(floor(sum(d.x * w.w) * 1e6 + 0.5) AS BIGINT) AS score_q
+         |       FROM dd d JOIN $finalWeightsCte w USING (dim)
+         |       GROUP BY d.doc_id, d.y),
+         |ranked AS (
+         |  SELECT y,
+         |    2 * CAST(rank() OVER (ORDER BY score_q ASC) AS BIGINT)
+         |      + CAST(count(*) OVER (PARTITION BY score_q) AS BIGINT) - 1 AS ar2
+         |  FROM sc),
+         |m AS (
+         |  SELECT CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         |    CAST(count(*) - sum(CAST(y AS BIGINT)) AS BIGINT) AS n_neg,
+         |    CAST(sum(CASE WHEN y = 1 THEN ar2 ELSE 0 END) AS BIGINT) AS sum_ar2
+         |  FROM ranked)
+         |SELECT n_pos, n_neg,
+         |  CAST(floor(CAST(sum_ar2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |    / (2.0 * n_pos * n_neg) * 1e6 + 0.5) AS BIGINT) AS auc_micro
+         |FROM m""".stripMargin,
     "classifier_bias_report" ->
       s"""WITH
          |$chainSql,

@@ -85,4 +85,29 @@ class ClassifierSpec extends SparkSuite {
     // it actually fires on positives (not the all-negative degenerate model)
     assert(cm.getOrElse((1, 1), 0L) > 0, s"never predicts positive on a positive: $cm")
   }
+
+  test("classifier_auc equals the naive pairwise P(s+ > s-) + half-ties count") {
+    // per-doc (score_q, y): labels from the featurized frame, scores
+    // from model_gate's 1e-6-quantized margins (the same chain the
+    // operator ranks)
+    val y = Classifier.featurize(spark, sfDir)
+      .select("doc_id", "y").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val scored = Classifier.modelGate(spark, sfDir).collect().map { r =>
+      (math.floor(r.getDouble(1) * 1e6 + 0.5).toLong, y(r.getLong(0)))
+    }
+    val pos = scored.filter(_._2 == 1.0).map(_._1)
+    val neg = scored.filter(_._2 == 0.0).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val expect = math.floor(wins.toDouble
+      / (2.0 * pos.length * neg.length) * 1e6 + 0.5).toLong
+    val row = Classifier.classifierAuc(spark, sfDir).collect().head
+    assert((row.getLong(0), row.getLong(1)) ==
+      ((pos.length.toLong, neg.length.toLong)))
+    assert(row.getLong(2) == expect,
+      s"AUC ${row.getLong(2)} != naive pairwise $expect")
+    // the learned gate must rank positives above chance
+    assert(row.getLong(2) > 500000L, "AUC not above 0.5 for a trained model")
+  }
 }

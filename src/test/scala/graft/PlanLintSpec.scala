@@ -49,6 +49,10 @@ class PlanLintSpec extends SparkSuite {
     "lm_score", "lm_score_bigram", "lm_score_kn3", "unigram_train",
     "unigram_encode",
     "classifier_train", "classifier_predict", "pca_top", "pca_topk",
+    // classifier_auc inherits the trainer chain's 1-row n0 frame; the
+    // JS matrix's only non-equi node is the |sources|² pair frame
+    // (dimension × dimension, corpus-size-free)
+    "classifier_auc", "source_divergence_js", "lm_cross_ppl",
     "embed_project", "embed_quantize", "events_retention", "recursive_cte",
     "dedup_ngram", "dedup_spans", "dedup_spans_apply", "join_similarity",
     // KMV audience overlap: the pairwise join is over k-capped sketch
