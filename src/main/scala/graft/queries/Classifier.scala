@@ -388,7 +388,56 @@ object Classifier {
     out
   }
 
+  /** Cohen's κ between the two quality raters every curation stack
+    * runs side by side — the cheap HEURISTIC gate (the stopword-density
+    * label y, rater A) and the TRAINED model gate (margin > 0, rater
+    * B): chance-corrected agreement κ = (p_o − p_e)/(1 − p_e) over the
+    * 2×2 confusion matrix, the statistic that answers "did the
+    * distilled model actually learn the heuristic, or does raw
+    * accuracy just reflect the base rate?" (a gate that accepts 95%
+    * of docs agrees 90%+ with ANY other permissive gate — κ strips
+    * that chance floor out). Kept exact: the four cells and both
+    * marginal products are integer; κ's numerator n·(n11+n00) −
+    * (a1·b1 + a0·b0) and denominator n² − (a1·b1 + a0·b0) are exact
+    * longs, with ONE double division micro-quantized at the end —
+    * merge-order free, and bit-identical across engines.
+    *
+    * Scale shape: one featurize pass (shared via the session model
+    * cache) + a single global 5-integer aggregate; nothing about the
+    * corpus reaches the driver but the final row.
+    */
+  def classifierKappa(s: SparkSession, d: String): DataFrame = {
+    val vec = featurize(s, d)
+    val w = weightsCached(s, d, vec)
+    val wl = array(w.map(lit).toIndexedSeq: _*)
+    val cells = vec
+      .select(col("y").cast("long").as("a"),
+        (dot(col("x"), wl) > 0).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    val a1 = col("n11") + col("n10")
+    val b1 = col("n11") + col("n01")
+    val pe = a1 * b1 + (col("n") - a1) * (col("n") - b1)
+    val out = cells
+      .select(col("n").as("n_docs"), col("n11"), col("n10"), col("n01"),
+        col("n00"),
+        floor((col("n11") + col("n00")).cast("double") / col("n") * 1e6
+          + lit(0.5)).cast("long").as("po_micro"),
+        floor(pe.cast("double") / (col("n") * col("n")) * 1e6 + lit(0.5))
+          .cast("long").as("pe_micro"),
+        floor((col("n") * (col("n11") + col("n00")) - pe).cast("double")
+          / (col("n") * col("n") - pe) * 1e6 + lit(0.5))
+          .cast("long").as("kappa_micro"))
+      .stable
+    vec.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "classifier_kappa" -> classifierKappa,
     "classifier_auc" -> classifierAuc,
     "classifier_bias_report" -> classifierBiasReport,
     "classifier_calibration" -> classifierCalibration,
@@ -447,6 +496,32 @@ object Classifier {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "classifier_kappa" ->
+      s"""WITH
+         |$chainSql,
+         |sc AS (SELECT d.doc_id, CAST(d.y AS BIGINT) AS a,
+         |         CASE WHEN sum(d.x * w.w) > 0 THEN 1 ELSE 0 END AS b
+         |       FROM dd d JOIN $finalWeightsCte w USING (dim)
+         |       GROUP BY d.doc_id, d.y),
+         |cells AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(a * b) AS BIGINT) AS n11,
+         |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+         |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+         |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+         |  FROM sc)
+         |SELECT n AS n_docs, n11, n10, n01, n00,
+         |  CAST(floor(CAST(n11 + n00 AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
+         |    AS po_micro,
+         |  CAST(floor(CAST((n11 + n10) * (n11 + n01)
+         |      + (n - n11 - n10) * (n - n11 - n01) AS DOUBLE)
+         |    / (n * n) * 1e6 + 0.5) AS BIGINT) AS pe_micro,
+         |  CAST(floor(CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+         |      + (n - n11 - n10) * (n - n11 - n01)) AS DOUBLE)
+         |    / (n * n - ((n11 + n10) * (n11 + n01)
+         |      + (n - n11 - n10) * (n - n11 - n01))) * 1e6 + 0.5) AS BIGINT)
+         |    AS kappa_micro
+         |FROM cells""".stripMargin,
     "classifier_auc" ->
       s"""WITH
          |$chainSql,

@@ -113,9 +113,154 @@ object Evals {
         expr("CAST(sum(p2_t) AS BIGINT) DIV count(1)").as("p2_micro"),
         expr("CAST(sum(bleu_t) AS BIGINT) DIV count(1)").as("bleu2_micro"))
 
+  /** chrF₂ (Popović 2015) of the lead against the body — the
+    * character-n-gram F-score companion to the token-level
+    * ROUGE/BLEU pair (robust to tokenization and morphology; the
+    * standard MT/generation eval third leg). Same deterministic
+    * lead-20%/body harness; candidate and reference are the
+    * space-joined token streams, grams are character 2- and 3-grams.
+    *
+    * Exactness: with P = m/ca and R = m/cb, the β=2 F-score
+    * 5PR/(4P+R) collapses algebraically to 5m/(ca + 4cb) — ONE
+    * double division of exact integers per (doc, n), micro-quantized;
+    * the 2/3-gram blend is (f2+f3+1) DIV 2 and per-source averages
+    * are integer sums DIV counts. No libm anywhere.
+    *
+    * Scale shape: char-gram explode is text-linear (bounded fan-out
+    * ×2 over the token explode), then the same (doc, gram) equi-join
+    * reduction as [[perDoc]] — absent grams never materialize.
+    */
+  def evalChrf(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        Dedup.tokensCol(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"), col("ws"),
+        size(col("ws")).as("len"))
+      .filter(col("len") >= MinTokens)
+      .select(col("doc_id"), col("source"),
+        ceil(col("len") / lit(5.0)).cast("int").as("c_len"), col("len"),
+        col("ws"))
+      .select(col("doc_id"), col("source"),
+        concat_ws(" ", slice(col("ws"), lit(1), col("c_len"))).as("cand"),
+        concat_ws(" ",
+          slice(col("ws"), col("c_len") + lit(1), col("len") - col("c_len")))
+          .as("ref"))
+    def grams(src: String, n: Int) = transform(
+      sequence(lit(1), length(col(src)) - (n - 1)),
+      i => substring(col(src), i, lit(n)))
+    val sides = base.select(col("doc_id"), col("source"),
+      grams("cand", 2).as("c2"), grams("ref", 2).as("r2"),
+      grams("cand", 3).as("c3"), grams("ref", 3).as("r3"))
+
+    def cnt(arr: String) = sides
+      .select(col("doc_id"), explode(col(arr)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    def clippedN(a: String, b: String, out: String) =
+      cnt(a).withColumnRenamed("c", "x")
+        .join(cnt(b).withColumnRenamed("c", "y"), Seq("doc_id", "g"))
+        .groupBy("doc_id").agg(sum(least(col("x"), col("y"))).as(out))
+    sides.select(col("doc_id"), col("source"),
+        size(col("c2")).cast("long").as("ca2"),
+        size(col("r2")).cast("long").as("cb2"),
+        size(col("c3")).cast("long").as("ca3"),
+        size(col("r3")).cast("long").as("cb3"))
+      .join(clippedN("c2", "r2", "m2"), Seq("doc_id"), "left")
+      .join(clippedN("c3", "r3", "m3"), Seq("doc_id"), "left")
+      .select(col("source"),
+        floor(lit(5.0) * coalesce(col("m2"), lit(0L)) * 1e6
+          / (col("ca2") + lit(4L) * col("cb2")) + lit(0.5))
+          .cast("long").as("f2"),
+        floor(lit(5.0) * coalesce(col("m3"), lit(0L)) * 1e6
+          / (col("ca3") + lit(4L) * col("cb3")) + lit(0.5))
+          .cast("long").as("f3"))
+      .select(col("source"), col("f2"), col("f3"),
+        expr("(f2 + f3 + 1) DIV 2").as("fb"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(f2) AS BIGINT) DIV count(1)").as("chrf2_micro"),
+        expr("CAST(sum(f3) AS BIGINT) DIV count(1)").as("chrf3_micro"),
+        expr("CAST(sum(fb) AS BIGINT) DIV count(1)").as("chrf_micro"))
+  }
+
+  /** DCG position weights w(i) = round(1e6/log2(i+1)) for ranks
+    * 1..SearchTopK, and their prefix sums (the ideal-DCG table) —
+    * embedded as literals in BOTH engines' plans, so no cross-engine
+    * libm log enters the metric.
+    */
+  private val DcgW: IndexedSeq[Long] =
+    (1 to TextOps.SearchTopK).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+  private val DcgCum: IndexedSeq[Long] = DcgW.scanLeft(0L)(_ + _).tail
+
+  /** Ranking-quality eval of the BM25 retrieval path — MRR and
+    * nDCG@k, the metrics a retrieval pipeline reports next to the
+    * recall@k the ANN family already emits. Workload: each query
+    * doc's 1st/3rd/5th tokens form a 3-key-term query; the GROUND
+    * TRUTH for a query is the conjunctive match set (corpus docs
+    * whose distinct-token set contains every distinct key term — the
+    * boolean-retrieval oracle), and the SYSTEM under eval is the
+    * shared BM25 ranker ([[TextOps.bm25RankedOn]]) run on the same
+    * key terms. Binary gains: DCG = Σ_{relevant hits} w(rank),
+    * IDCG = Σ_{i≤min(|rel|,k)} w(i), both integer sums of the literal
+    * micro weight table, so MRR and nDCG are each ONE double division
+    * micro-quantized — merge-order free.
+    *
+    * Scale shape: the ranker's index build is the search_bm25 plan
+    * (token-linear, broadcast query side); the truth side is one
+    * distinct-posting join pruned to the key terms' postings. Both
+    * metric joins are id-keyed over O(queries·k) rows.
+    */
+  def searchRankEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val qkeys = docs.filter(col("doc_id") < TextOps.SearchQueryDocs)
+      .select(col("doc_id").as("query_id"),
+        Dedup.tokensCol(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("query_id"), array(element_at(col("ws"), 1),
+        element_at(col("ws"), 3), element_at(col("ws"), 5)).as("qs"))
+    val qterms = qkeys.select(col("query_id"), explode(col("qs")).as("term"))
+    val ranked = TextOps.bm25RankedOn(docs, qterms)
+    val qset = qkeys
+      .select(col("query_id"), explode(array_distinct(col("qs"))).as("term"))
+    val nq = qset.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val corpusTerms = docs.filter(col("doc_id") >= TextOps.SearchQueryDocs)
+      .select(col("doc_id"),
+        explode(array_distinct(Dedup.tokensCol(col("text")))).as("term"))
+    val rel = corpusTerms.join(broadcast(qset), "term")
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("n_match"))
+      .join(broadcast(nq), "query_id")
+      .filter(col("n_match") === col("n_terms"))
+      .select("query_id", "doc_id")
+    val nrel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val wArr = array(DcgW.map(lit).toIndexedSeq: _*)
+    val cumArr = array(DcgCum.map(lit).toIndexedSeq: _*)
+    val hits = ranked.join(rel, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hits"), min("rk").as("fr"),
+        sum(element_at(wArr, col("rk"))).as("dcg"))
+    qkeys.select("query_id")
+      .join(nrel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("fr"), lit(0)).cast("int").as("first_rank"),
+        when(col("fr").isNull, lit(0L))
+          .otherwise(floor(lit(1e6) / col("fr") + lit(0.5)).cast("long"))
+          .as("mrr_micro"),
+        when(coalesce(col("n_rel"), lit(0L)) === 0, lit(0L))
+          .otherwise(floor(coalesce(col("dcg"), lit(0L)).cast("double")
+            * 1e6 / element_at(cumArr,
+              least(col("n_rel"), lit(TextOps.SearchTopK.toLong)).cast("int"))
+            + lit(0.5)).cast("long"))
+          .as("ndcg_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "eval_rouge" -> evalRouge,
-    "eval_bleu" -> evalBleu)
+    "eval_bleu" -> evalBleu,
+    "eval_chrf" -> evalChrf,
+    "search_rank_eval" -> searchRankEval)
 
   /** Shared per-doc CTE chain (DuckDB): lead/body split, both n-gram
     * orders, clipped matches via (doc, gram) joins.
@@ -169,6 +314,109 @@ object Evals {
          |  CAST(sum(CAST(floor(CAST(m2 AS DOUBLE) / (b_len - 1) * 1e6 + 0.5)
          |    AS BIGINT)) AS BIGINT) // count(*) AS rouge2_micro
          |FROM per_doc GROUP BY source""".stripMargin,
+    "eval_chrf" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source,
+         |    array_to_string(ws[1 : CAST(ceil(len(ws) / 5.0) AS INTEGER)],
+         |      ' ') AS cand,
+         |    array_to_string(
+         |      ws[CAST(ceil(len(ws) / 5.0) AS INTEGER) + 1 : len(ws)],
+         |      ' ') AS ref
+         |  FROM (SELECT doc_id, source,
+         |          list_filter(string_split_regex(text, '[^\\p{L}]+'),
+         |                      x -> len(x) > 0) AS ws
+         |        FROM documents)
+         |  WHERE len(ws) >= $MinTokens),
+         |sides AS (
+         |  SELECT doc_id, source,
+         |    list_transform(generate_series(1, length(cand) - 1),
+         |      i -> substr(cand, i, 2)) AS c2,
+         |    list_transform(generate_series(1, length(ref) - 1),
+         |      i -> substr(ref, i, 2)) AS r2,
+         |    list_transform(generate_series(1, length(cand) - 2),
+         |      i -> substr(cand, i, 3)) AS c3,
+         |    list_transform(generate_series(1, length(ref) - 2),
+         |      i -> substr(ref, i, 3)) AS r3
+         |  FROM base),
+         |cc2 AS (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(c2) AS g FROM sides)
+         |        GROUP BY 1, 2),
+         |cr2 AS (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(r2) AS g FROM sides)
+         |        GROUP BY 1, 2),
+         |cc3 AS (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(c3) AS g FROM sides)
+         |        GROUP BY 1, 2),
+         |cr3 AS (SELECT doc_id, g, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(r3) AS g FROM sides)
+         |        GROUP BY 1, 2),
+         |m2 AS (SELECT cc2.doc_id, CAST(sum(least(cc2.c, cr2.c)) AS BIGINT) AS m
+         |       FROM cc2 JOIN cr2 ON cc2.doc_id = cr2.doc_id AND cc2.g = cr2.g
+         |       GROUP BY 1),
+         |m3 AS (SELECT cc3.doc_id, CAST(sum(least(cc3.c, cr3.c)) AS BIGINT) AS m
+         |       FROM cc3 JOIN cr3 ON cc3.doc_id = cr3.doc_id AND cc3.g = cr3.g
+         |       GROUP BY 1),
+         |f AS (
+         |  SELECT s.source,
+         |    CAST(floor(5.0 * coalesce(m2.m, 0) * 1e6
+         |      / (len(s.c2) + 4 * len(s.r2)) + 0.5) AS BIGINT) AS f2,
+         |    CAST(floor(5.0 * coalesce(m3.m, 0) * 1e6
+         |      / (len(s.c3) + 4 * len(s.r3)) + 0.5) AS BIGINT) AS f3
+         |  FROM sides s
+         |  LEFT JOIN m2 ON s.doc_id = m2.doc_id
+         |  LEFT JOIN m3 ON s.doc_id = m3.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(f2) AS BIGINT) // count(*) AS chrf2_micro,
+         |  CAST(sum(f3) AS BIGINT) // count(*) AS chrf3_micro,
+         |  CAST(sum((f2 + f3 + 1) // 2) AS BIGINT) // count(*) AS chrf_micro
+         |FROM f GROUP BY source""".stripMargin,
+    "search_rank_eval" -> {
+      val K = TextOps.SearchTopK
+      val qdCtes =
+        s"""qk AS (
+           |  SELECT doc_id AS query_id, ws[1] AS w1, ws[3] AS w3, ws[5] AS w5
+           |  FROM (SELECT doc_id, ${TextOps.tokSqlDuck} AS ws FROM documents
+           |        WHERE doc_id < ${TextOps.SearchQueryDocs})
+           |  WHERE len(ws) >= 5),
+           |qd AS (SELECT query_id, unnest([w1, w3, w5]) AS term FROM qk)""".stripMargin
+      s"""WITH ${TextOps.searchBm25SqlCtesWith(qdCtes)},
+         |qset AS (SELECT DISTINCT query_id, term FROM qd),
+         |nq AS (SELECT query_id, count(*) AS n_terms FROM qset GROUP BY 1),
+         |ct AS (SELECT doc_id, unnest(list_distinct(${TextOps.tokSqlDuck}))
+         |         AS term
+         |       FROM documents WHERE doc_id >= ${TextOps.SearchQueryDocs}),
+         |relc AS (SELECT q.query_id, ct.doc_id, count(*) AS n_match
+         |         FROM ct JOIN qset q USING (term) GROUP BY 1, 2),
+         |rel AS (SELECT relc.query_id, relc.doc_id
+         |        FROM relc JOIN nq USING (query_id)
+         |        WHERE n_match = n_terms),
+         |nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+         |         FROM rel GROUP BY 1),
+         |wt AS (SELECT unnest(generate_series(1, $K)) AS rk,
+         |         unnest([${DcgW.mkString(", ")}]) AS w,
+         |         unnest([${DcgCum.mkString(", ")}]) AS cw),
+         |hits AS (
+         |  SELECT l.query_id, CAST(count(*) AS BIGINT) AS n_hits,
+         |    CAST(min(l.rk) AS INTEGER) AS fr,
+         |    CAST(sum(wt.w) AS BIGINT) AS dcg
+         |  FROM lex l JOIN rel USING (query_id, doc_id)
+         |  JOIN wt ON wt.rk = l.rk
+         |  GROUP BY 1)
+         |SELECT qk.query_id,
+         |  coalesce(nrel.n_rel, 0) AS n_rel,
+         |  coalesce(hits.n_hits, 0) AS n_hits,
+         |  CAST(coalesce(hits.fr, 0) AS INTEGER) AS first_rank,
+         |  CASE WHEN hits.fr IS NULL THEN 0
+         |       ELSE CAST(floor(1e6 / hits.fr + 0.5) AS BIGINT)
+         |  END AS mrr_micro,
+         |  CASE WHEN coalesce(nrel.n_rel, 0) = 0 THEN 0
+         |       ELSE CAST(floor(CAST(coalesce(hits.dcg, 0) AS DOUBLE) * 1e6
+         |         / (SELECT cw FROM wt
+         |            WHERE rk = least(nrel.n_rel, $K)) + 0.5) AS BIGINT)
+         |  END AS ndcg_micro
+         |FROM qk LEFT JOIN nrel USING (query_id)
+         |LEFT JOIN hits USING (query_id)""".stripMargin
+    },
     "eval_bleu" ->
       s"""WITH $PerDocDuck
          |SELECT source, count(*) AS n_docs,

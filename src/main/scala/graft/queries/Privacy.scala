@@ -72,6 +72,67 @@ object Privacy {
         countDistinct("band").as("n_sensitive"))
       .withColumn("violates_l", col("n_sensitive") < L)
 
+  /** t-closeness threshold (Li et al. 2007): a class violates when its
+    * sensitive-attribute distribution sits more than T (ordered EMD)
+    * from the global one. 0.2 is the paper's worked example.
+    */
+  val Tclose = 0.2
+
+  /** t-closeness census over the same (nation, segment) QID classes
+    * and balance-band sensitive attribute as [[privacyLdiversity]] —
+    * the next rung of the release ladder: a class can be k-anonymous
+    * AND l-diverse yet still leak when its sensitive values skew far
+    * from the table-wide distribution (all-l-distinct-but-extreme
+    * bands). Distance is the ORDERED-attribute Earth Mover's Distance
+    * of Li et al. §5.2: with bands sorted, EMD = Σᵢ|Pᵢ−Qᵢ|/(m−1) over
+    * cumulative distributions. Kept exact end to end: the cumulative
+    * difference cum_c·N − cum_g·n is an integer (class counts × global
+    * total minus global counts × class size), each band's term is ONE
+    * double division micro-quantized, and the per-class EMD is an
+    * integer sum DIV (m−1) — merge-order free.
+    *
+    * Scale shape: two hash aggregates over (QID) and (QID, band), a
+    * |bands|-row broadcast zero-fill (the attribute domain, not the
+    * table), and a per-class window over ≤ m rows. Nothing row-scaled
+    * leaves the executors.
+    */
+  def privacyTcloseness(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor((col("c_acctbal") + 1000) / 2000).cast("long").as("band"))
+    val global = banded.groupBy("band").agg(count(lit(1)).as("g"))
+    val totals = global.agg(sum("g").as("nn"), count(lit(1)).as("m"))
+    val classes = banded.groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("class_size"))
+    val cells = banded.groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("c"))
+    val wdw = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    classes
+      .crossJoin(broadcast(global))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("band"), col("m"),
+        (coalesce(col("c"), lit(0L)) * col("nn")
+          - col("g") * col("class_size")).as("diff"),
+        (col("class_size") * col("nn")).as("den"))
+      .withColumn("cum", sum(col("diff")).over(wdw))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        col("m"),
+        floor(abs(col("cum")).cast("double") * 1e6 / col("den") + lit(0.5))
+          .cast("long").as("term"))
+      .groupBy("c_nationkey", "c_mktsegment", "class_size", "m")
+      .agg(sum("term").as("t_sum"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
+        floor(col("t_sum").cast("double") / (col("m") - 1) + lit(0.5))
+          .cast("long").as("emd_micro"))
+      .withColumn("violates_t",
+        col("emd_micro") > lit((Tclose * 1e6).toLong))
+  }
+
   /** Laplace scale b = Δf/ε with sensitivity 1 and ε = 1. */
   val DpScale = 1.0
 
@@ -166,6 +227,7 @@ object Privacy {
     "privacy_dp_mean" -> privacyDpMean,
     "privacy_dp_counts" -> privacyDpCounts,
     "privacy_ldiversity" -> privacyLdiversity,
+    "privacy_tcloseness" -> privacyTcloseness,
     "privacy_kanon" -> privacyKanon,
     "privacy_kanon_generalize" -> privacyKanonGeneralize)
 
@@ -223,6 +285,41 @@ object Privacy {
          |  count(DISTINCT CAST(floor((c_acctbal + 1000) / 2000) AS BIGINT))
          |    < $L AS violates_l
          |FROM customer GROUP BY 1, 2""".stripMargin,
+    "privacy_tcloseness" ->
+      s"""WITH banded AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |    CAST(floor((c_acctbal + 1000) / 2000) AS BIGINT) AS band
+         |  FROM customer),
+         |g AS (SELECT band, CAST(count(*) AS BIGINT) AS g
+         |      FROM banded GROUP BY 1),
+         |t AS (SELECT CAST(sum(g) AS BIGINT) AS nn,
+         |             CAST(count(*) AS BIGINT) AS m FROM g),
+         |cls AS (SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+         |        FROM banded GROUP BY 1, 2),
+         |cell AS (SELECT c_nationkey, c_mktsegment, band,
+         |           CAST(count(*) AS BIGINT) AS c
+         |         FROM banded GROUP BY 1, 2, 3),
+         |cum AS (
+         |  SELECT cls.c_nationkey, cls.c_mktsegment, cls.class_size, t.m,
+         |    sum(coalesce(cell.c, 0) * t.nn - g.g * cls.class_size)
+         |      OVER (PARTITION BY cls.c_nationkey, cls.c_mktsegment
+         |            ORDER BY g.band
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |    cls.class_size * t.nn AS den
+         |  FROM cls CROSS JOIN g CROSS JOIN t
+         |  LEFT JOIN cell ON cell.c_nationkey = cls.c_nationkey
+         |    AND cell.c_mktsegment = cls.c_mktsegment AND cell.band = g.band),
+         |agg AS (
+         |  SELECT c_nationkey, c_mktsegment, class_size, m,
+         |    CAST(sum(CAST(floor(abs(CAST(cum AS DOUBLE)) * 1e6 / den + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS t_sum
+         |  FROM cum GROUP BY 1, 2, 3, 4)
+         |SELECT c_nationkey, c_mktsegment, class_size,
+         |  CAST(floor(CAST(t_sum AS DOUBLE) / (m - 1) + 0.5) AS BIGINT)
+         |    AS emd_micro,
+         |  CAST(floor(CAST(t_sum AS DOUBLE) / (m - 1) + 0.5) AS BIGINT)
+         |    > ${(Tclose * 1e6).toLong} AS violates_t
+         |FROM agg""".stripMargin,
     "privacy_kanon" ->
       s"""SELECT c_nationkey, c_mktsegment, count(*) AS class_size,
          |  count(*) < $K AS violates

@@ -330,7 +330,72 @@ object Stats {
         col("ci_lo_micro"), col("ci_hi_micro"))
   }
 
+  /** Robust per-source length statistics — exact rank-based median,
+    * MAD, 10%-trimmed mean, and 10%-winsorized mean of document token
+    * counts: the outlier-resistant dashboard row a corpus review
+    * reads instead of a mean that one 10M-token crawl artifact can
+    * drag arbitrarily (robust location/scale is how length anomalies
+    * actually get caught). Definitions are rank-exact, no
+    * interpolation: median = value at row (n+1) DIV 2 in (len,
+    * doc_id) order (deterministic tie-break); MAD = same lower
+    * median over |len − median|; trimmed mean averages rows with
+    * floor(n/10) cut from EACH side; winsorized clamps to the values
+    * at those cut ranks. Lengths are integers, means are integer
+    * sums micro-quantized at one division — every emitted number
+    * derives from exact integers.
+    *
+    * Scale note: the per-source rank windows are total orders WITHIN
+    * a source (one partition per source) — the exact-statistics
+    * contract shared with classifier_calibration's ntile; the
+    * sketch-based quantile operator is the registered scale path for
+    * corpus-sized groups.
+    */
+  def robustStats(s: SparkSession, d: String): DataFrame = {
+    val lens = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(graft.queries.Dedup.tokensCol(col("text"))).cast("long")
+          .as("len"))
+    val w = Window.partitionBy("source").orderBy(col("len").asc,
+      col("doc_id").asc)
+    val ws = Window.partitionBy("source")
+    val ranked = lens
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(ws))
+      .withColumn("cut", expr("CAST(n DIV 10 AS BIGINT)"))
+    val firstPass = ranked.groupBy("source")
+      .agg(max(col("n")).as("n_docs"), max(col("cut")).as("cut"),
+        max(when(col("rn") === expr("(n + 1) DIV 2"), col("len")))
+          .as("p50"),
+        max(when(col("rn") === col("cut") + 1, col("len"))).as("lo_val"),
+        max(when(col("rn") === col("n") - col("cut"), col("len")))
+          .as("hi_val"),
+        sum(when(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"),
+          col("len"))).as("trim_sum"))
+    val joined = lens.join(broadcast(firstPass), "source")
+    val dev = joined
+      .select(col("source"), col("doc_id"), col("n_docs"), col("cut"),
+        col("p50"), col("lo_val"), col("hi_val"), col("trim_sum"),
+        abs(col("len") - col("p50")).as("ad"),
+        greatest(least(col("len"), col("hi_val")), col("lo_val")).as("wl"))
+    val wd = Window.partitionBy("source").orderBy(col("ad").asc,
+      col("doc_id").asc)
+    dev.withColumn("rd", row_number().over(wd))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"), max(col("p50")).as("p50"),
+        max(when(col("rd") === expr("(n_docs + 1) DIV 2"), col("ad")))
+          .as("mad"),
+        max(col("trim_sum")).as("trim_sum"), max(col("cut")).as("cut"),
+        sum(col("wl")).as("wins_sum"))
+      .select(col("source"), col("n_docs"), col("p50"), col("mad"),
+        floor(col("trim_sum").cast("double") * 1e6
+          / (col("n_docs") - lit(2L) * col("cut")) + lit(0.5)).cast("long")
+          .as("trimmed_mean_micro"),
+        floor(col("wins_sum").cast("double") * 1e6 / col("n_docs")
+          + lit(0.5)).cast("long").as("winsor_mean_micro"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "robust_stats" -> robustStats,
     "bootstrap_ci" -> bootstrapCi,
     "quantiles_exact" -> quantilesExact,
     "survival_km" -> survivalKm,
@@ -341,6 +406,42 @@ object Stats {
     "did_readout" -> didReadout)
 
   def oracleSql: Map[String, String] = Map(
+    "robust_stats" ->
+      """WITH lens AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '[^\p{L}]+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS len
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, doc_id, len,
+        |    row_number() OVER (PARTITION BY source ORDER BY len, doc_id)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM lens),
+        |fp AS (
+        |  SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |    CAST(max(n // 10) AS BIGINT) AS cut,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN len END) AS p50,
+        |    max(CASE WHEN rn = n // 10 + 1 THEN len END) AS lo_val,
+        |    max(CASE WHEN rn = n - n // 10 THEN len END) AS hi_val,
+        |    CAST(sum(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+        |      THEN len END) AS BIGINT) AS trim_sum
+        |  FROM ranked GROUP BY source),
+        |dev AS (
+        |  SELECT l.source, fp.n_docs, fp.cut, fp.p50, fp.trim_sum,
+        |    abs(l.len - fp.p50) AS ad,
+        |    greatest(least(l.len, fp.hi_val), fp.lo_val) AS wl,
+        |    row_number() OVER (PARTITION BY l.source
+        |      ORDER BY abs(l.len - fp.p50), l.doc_id) AS rd
+        |  FROM lens l JOIN fp USING (source))
+        |SELECT source, max(n_docs) AS n_docs, max(p50) AS p50,
+        |  max(CASE WHEN rd = (n_docs + 1) // 2 THEN ad END) AS mad,
+        |  CAST(floor(CAST(max(trim_sum) AS DOUBLE) * 1e6
+        |    / (max(n_docs) - 2 * max(cut)) + 0.5) AS BIGINT)
+        |    AS trimmed_mean_micro,
+        |  CAST(floor(CAST(sum(wl) AS DOUBLE) * 1e6 / max(n_docs) + 0.5)
+        |    AS BIGINT) AS winsor_mean_micro
+        |FROM dev GROUP BY source""".stripMargin,
     "bootstrap_ci" ->
       s"""WITH r AS (
          |  SELECT event_type, event_id,

@@ -263,11 +263,18 @@ object TextOps {
     * (sint DESC, doc_id) carries zero float-merge-order risk. The
     * reported score is the exact integer sum rescaled.
     */
-  def searchBm25On(docs: DataFrame): DataFrame = {
+  def searchBm25On(docs: DataFrame): DataFrame =
+    bm25RankedOn(docs,
+      docs.filter(col("doc_id") < SearchQueryDocs)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(toks(col("text")))).as("term")))
+
+  /** BM25 top-k over an arbitrary (query_id, term) workload frame —
+    * the ranking core [[searchBm25On]] and Evals.search_rank_eval
+    * share (one corpus-side index build, broadcast query side).
+    */
+  private[queries] def bm25RankedOn(docs: DataFrame, qterms: DataFrame): DataFrame = {
     val corpus = docs.filter(col("doc_id") >= SearchQueryDocs)
-    val qterms = docs.filter(col("doc_id") < SearchQueryDocs)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(toks(col("text")))).as("term"))
     val tf = corpus
       .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
       .filter(col("term").isNotNull)
@@ -714,7 +721,7 @@ object TextOps {
     "pii_mask" -> piiMask,
     "keywords_textrank" -> keywordsTextrank)
 
-  private val tokSqlDuck =
+  private[queries] val tokSqlDuck =
     "list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0)"
 
   /** CTE chain ending in `lex(query_id, doc_id, rk, score)` — the full
@@ -722,10 +729,16 @@ object TextOps {
     * integer-sum ranking), shared by `search_bm25` and the hybrid
     * fusion oracle in [[Similarity]].
     */
-  private[queries] def searchBm25SqlCtes: String =
+  private[queries] def searchBm25SqlCtes: String = searchBm25SqlCtesWith(
     s"""qd AS (
        |  SELECT doc_id AS query_id, unnest(list_distinct($tokSqlDuck)) AS term
-       |  FROM documents WHERE doc_id < $SearchQueryDocs),
+       |  FROM documents WHERE doc_id < $SearchQueryDocs)""".stripMargin)
+
+  /** The BM25 CTE chain over an arbitrary `qd(query_id, term)` CTE —
+    * shared with Evals.search_rank_eval's 3-key-term workload.
+    */
+  private[queries] def searchBm25SqlCtesWith(qdCte: String): String =
+    s"""$qdCte,
        |t AS (SELECT doc_id, unnest($tokSqlDuck) AS term
        |      FROM documents WHERE doc_id >= $SearchQueryDocs),
        |tf AS (SELECT doc_id, term, count(*) AS n_td FROM t GROUP BY 1, 2),

@@ -110,4 +110,26 @@ class ClassifierSpec extends SparkSuite {
     // the learned gate must rank positives above chance
     assert(row.getLong(2) > 500000L, "AUC not above 0.5 for a trained model")
   }
+
+  test("classifier_kappa equals the chance-corrected recompute from the confusion matrix") {
+    // the cells come from classifier_predict (its own oracle-gated
+    // aggregation path); kappa's arithmetic is mirrored exactly
+    val cm = Classifier.classifierPredict(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .withDefaultValue(0L)
+    val (n11, n10, n01, n00) = (cm((1, 1)), cm((1, 0)), cm((0, 1)), cm((0, 0)))
+    val n = n11 + n10 + n01 + n00
+    val pe = (n11 + n10) * (n11 + n01) + (n - n11 - n10) * (n - n11 - n01)
+    def micro(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    val row = Classifier.classifierKappa(spark, sfDir).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+      row.getLong(4)) == ((n, n11, n10, n01, n00)))
+    assert(row.getLong(5) == micro((n11 + n00).toDouble / n), "p_o")
+    assert(row.getLong(6) == micro(pe.toDouble / (n * n)), "p_e")
+    assert(row.getLong(7) ==
+      micro((n * (n11 + n00) - pe).toDouble / (n * n - pe)), "kappa")
+    // chance-corrected agreement of a genuinely-learned gate is
+    // positive and strictly below raw agreement
+    assert(row.getLong(7) > 0L && row.getLong(7) < row.getLong(5))
+  }
 }

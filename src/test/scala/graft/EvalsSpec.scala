@@ -72,4 +72,99 @@ class EvalsSpec extends SparkSuite {
       assert(p1 <= 1000000L && bl <= p1, s"$src BLEU above its precision leg")
     }
   }
+
+  test("eval_chrf equals the sequential char-n-gram recompute") {
+    def charGrams(s: String, n: Int): Seq[String] =
+      if (s.length < n) Seq.empty
+      else (0 to s.length - n).map(i => s.substring(i, i + n))
+    val perDocF = graft.core.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), tokens(r.getString(1)).toSeq))
+      .filter(_._2.length >= 10)
+      .map { case (src, ws) =>
+        val c = math.ceil(ws.length / 5.0).toInt
+        val (lead, body) = ws.splitAt(c)
+        val (cand, ref) = (lead.mkString(" "), body.mkString(" "))
+        def f(n: Int): Long = {
+          val (ca, cb) = (charGrams(cand, n), charGrams(ref, n))
+          val m = clipped(ca, cb)
+          math.floor(5.0 * m * 1e6 / (ca.length + 4L * cb.length) + 0.5).toLong
+        }
+        val (f2, f3) = (f(2), f(3))
+        (src, f2, f3, (f2 + f3 + 1) / 2)
+      }.toSeq
+    val expect = perDocF.groupBy(_._1).map { case (src, rows) =>
+      (src, rows.size.toLong, rows.map(_._2).sum / rows.size,
+        rows.map(_._3).sum / rows.size, rows.map(_._4).sum / rows.size)
+    }.toSet
+    val got = Evals.evalChrf(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expect)
+    got.foreach { case (src, _, f2, f3, fb) =>
+      assert(f2 >= 0 && f2 <= 1000000L && f3 >= 0 && f3 <= 1000000L
+        && fb <= 1000000L, s"$src chrF outside [0,1]")
+    }
+  }
+
+  test("search_rank_eval equals the sequential BM25 + conjunctive-truth recompute") {
+    val all = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> tokens(r.getString(1)).toSeq).toMap
+    val corpus = all.filter(_._1 >= 5)
+    val qs = all.collect { case (q, ws) if q < 5 && ws.length >= 5 =>
+      q -> Seq(ws(0), ws(2), ws(4))
+    }
+    val tf: Map[(Long, String), Long] = corpus.toSeq
+      .flatMap { case (d, ws) =>
+        ws.groupBy(identity).map { case (t, g) => (d, t) -> g.length.toLong }
+      }.toMap
+    val df = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val dl = corpus.view.mapValues(_.length.toLong).toMap
+    val totalTok = dl.values.sum.toDouble
+    val nDocs = corpus.size.toLong
+    def cint(d: Long, t: String): Long = {
+      val idf = math.floor(math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5)
+        + 1.0) * 1e6 + 0.5) / 1e6
+      val ntd = tf((d, t)).toDouble
+      math.floor(idf * (ntd * 2.2)
+        / (ntd + 1.2 * (0.25 + 0.75 * dl(d) / (totalTok / nDocs)))
+        * 1e9 + 0.5).toLong
+    }
+    val k = graft.queries.TextOps.SearchTopK
+    val dcgW = (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
+    val cumW = dcgW.scanLeft(0L)(_ + _).tail
+    val expect = qs.map { case (q, keys) =>
+      val scored = corpus.keys.toSeq.collect {
+        case d if keys.exists(t => tf.contains((d, t))) =>
+          d -> keys.filter(t => tf.contains((d, t))).map(t => cint(d, t)).sum
+      }
+      val ranked = scored.sortBy { case (d, s) => (-s, d) }.take(k).map(_._1)
+      val relSet = corpus.collect {
+        case (d, ws) if keys.distinct.forall(ws.contains) => d
+      }.toSet
+      val hitRanks = ranked.zipWithIndex.collect {
+        case (d, i) if relSet(d) => i + 1
+      }
+      val fr = if (hitRanks.isEmpty) 0 else hitRanks.min
+      val dcg = hitRanks.map(i => dcgW(i - 1)).sum
+      val nRel = relSet.size.toLong
+      q -> (nRel, hitRanks.length.toLong, fr,
+        if (fr == 0) 0L else math.floor(1e6 / fr + 0.5).toLong,
+        if (nRel == 0) 0L
+        else math.floor(dcg.toDouble * 1e6
+          / cumW(math.min(nRel, k.toLong).toInt - 1) + 0.5).toLong)
+    }
+    val got = Evals.searchRankEval(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (q, e) => assert(got(q) == e, s"query $q") }
+    // the conjunctive truth and the metrics are live at this SF
+    assert(expect.values.exists(_._1 > 0), "no query has any relevant doc")
+    got.values.foreach { case (_, _, _, mrr, ndcg) =>
+      assert(mrr >= 0 && mrr <= 1000000L && ndcg >= 0 && ndcg <= 1000000L)
+    }
+  }
 }

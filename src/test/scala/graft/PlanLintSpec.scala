@@ -53,6 +53,15 @@ class PlanLintSpec extends SparkSuite {
     // JS matrix's only non-equi node is the |sources|² pair frame
     // (dimension × dimension, corpus-size-free)
     "classifier_auc", "source_divergence_js", "lm_cross_ppl",
+    // kappa inherits the trainer chain's 1-row frames (same class as
+    // classifier_predict); the agreement agg itself is one global row
+    "classifier_kappa",
+    // t-closeness: |bands|-row (attribute domain) zero-fill + 1-row
+    // totals frame, both broadcast
+    "privacy_tcloseness",
+    // rank eval: the search_bm25 1-row stats frame + the O(queries)
+    // key-term broadcast on the truth side
+    "search_rank_eval",
     "embed_project", "embed_quantize", "events_retention", "recursive_cte",
     "dedup_ngram", "dedup_spans", "dedup_spans_apply", "join_similarity",
     // KMV audience overlap: the pairwise join is over k-capped sketch

@@ -61,6 +61,41 @@ class PrivacySpec extends SparkSuite {
     }
   }
 
+  test("privacy_tcloseness equals the sequential ordered-EMD recompute") {
+    val rows = graft.core.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"), col("c_mktsegment"),
+        col("c_acctbal")).collect()
+      .map(r => ((r.getLong(0), r.getString(1)),
+        math.floor((r.getDouble(2) + 1000) / 2000).toLong))
+    val global = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bands = global.keys.toSeq.sorted
+    val nn = rows.length.toLong
+    val m = bands.length.toLong
+    assert(m >= 2, "sensitive attribute needs >= 2 bands for EMD")
+    val exp = rows.groupBy(_._1).map { case (key, g) =>
+      val cs = g.length.toLong
+      val cnt = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var cum = 0L
+      val tSum = bands.map { b =>
+        cum += cnt.getOrElse(b, 0L) * nn - global(b) * cs
+        math.floor(math.abs(cum.toDouble) * 1e6 / (cs * nn) + 0.5).toLong
+      }.sum
+      key -> (cs, math.floor(tSum.toDouble / (m - 1) + 0.5).toLong)
+    }
+    val got = Privacy.privacyTcloseness(spark, sfDir).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(got.size == exp.size)
+    exp.foreach { case (key, (cs, emd)) =>
+      val (gcs, gemd, viol) = got(key)
+      assert(gcs == cs && gemd == emd, s"class $key")
+      assert(viol == (emd > (Privacy.Tclose * 1e6).toLong))
+      assert(emd >= 0 && emd <= 1000000L, s"EMD outside [0,1] for $key")
+    }
+    // distance is live: some class sits away from the global mix
+    assert(exp.values.exists(_._2 > 0))
+  }
+
   test("privacy_dp_counts noise replays from md5 and is Laplace-shaped") {
     def md5mod(seed: String, mod: Long): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

@@ -163,4 +163,38 @@ class StatsSpec extends SparkSuite {
     assert(r.getLong(6) == mcp && r.getLong(7) == mcq)
     assert(r.getLong(8) == (mtq - mtp) - (mcq - mcp))
   }
+
+  test("robust_stats equals the sequential rank-based recompute") {
+    def toks(text: String): Long =
+      "[^\\p{L}]+".r.split(text).count(_.nonEmpty).toLong
+    val lens = graft.core.Tables.documents(spark, sfDir)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1), toks(r.getString(2))))
+    val exp = lens.groupBy(_._1).map { case (src, g) =>
+      val sorted = g.sortBy(r => (r._3, r._2))
+      val n = sorted.length
+      val cut = n / 10
+      val p50 = sorted((n + 1) / 2 - 1)._3
+      val loVal = sorted(cut)._3
+      val hiVal = sorted(n - cut - 1)._3
+      val trimmed = sorted.slice(cut, n - cut).map(_._3)
+      val devs = g.map(r => (math.abs(r._3 - p50), r._2)).sortBy(identity)
+      val mad = devs((n + 1) / 2 - 1)._1
+      val wins = g.map(r => math.max(math.min(r._3, hiVal), loVal)).sum
+      src -> (n.toLong, p50, mad,
+        math.floor(trimmed.sum.toDouble * 1e6 / (n - 2 * cut) + 0.5).toLong,
+        math.floor(wins.toDouble * 1e6 / n + 0.5).toLong)
+    }
+    val got = Stats.robustStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (src, e) => assert(got(src) == e, s"source $src") }
+    // robustness sanity: winsorized/trimmed means sit within the
+    // clamp rails, and MAD is a genuine spread (nonzero somewhere)
+    exp.values.foreach { case (_, p50, mad, tm, wm) =>
+      assert(p50 > 0 && tm > 0 && wm > 0 && mad >= 0)
+    }
+    assert(exp.values.exists(_._3 > 0), "MAD degenerate everywhere")
+  }
 }
