@@ -940,6 +940,53 @@ object Dedup {
     collected
   }
 
+  /** Pairwise verbatim overlap between SOURCES at SHINGLE granularity
+    * — the asymmetric-containment companion to [[dedupCrossSource]]'s
+    * whole-doc digest matrix and source_divergence_js's
+    * distributional one: partial reuse (syndication, quoting, shared
+    * boilerplate families) never collides whole-doc hashes and only
+    * blurs token distributions, but it lights up here. For each
+    * ORDERED pair (a, b): containment = |shingles(a) ∩ shingles(b)| /
+    * |shingles(a)| — asymmetric by design (a wire service is
+    * contained in its republishers, not vice versa).
+    *
+    * Scale shape: shingles hash to md5 at the scan (the cross-engine
+    * digest convention — text never shuffles); ONE distinct over
+    * (source, digest); the intersection comes from a per-digest
+    * collect_set(source) whose size is bounded by |sources| (the
+    * dimension, not the corpus), exploded to ordered pairs; the
+    * output is the |sources|² matrix.
+    */
+  def sourceOverlapShingles(s: SparkSession, d: String): DataFrame = {
+    graft.functions.WordShingles.register(s)
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(expr("word_shingles(text)")).as("g"))
+      .select(col("source"), md5(col("g")).as("sd"))
+      .distinct()
+      .persist()
+    val sizes = sh.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.groupBy("sd").agg(collect_set(col("source")).as("ss"))
+      .select(explode(col("ss")).as("source_a"), col("ss"))
+      .select(col("source_a"), explode(col("ss")).as("source_b"))
+      .filter(col("source_a") =!= col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_shared"))
+    // full ordered-pair spine: zero-overlap pairs stay in the report
+    val spine = sizes.select(col("source").as("source_a"),
+        col("n_shingles").as("n_shingles_a"))
+      .join(sizes.select(col("source").as("source_b")),
+        col("source_a") =!= col("source_b"))
+    val out = spine
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_shingles_a"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("containment_micro",
+        floor(col("n_shared").cast("double") * 1e6 / col("n_shingles_a")
+          + lit(0.5)).cast("long"))
+    val collected = graft.core.Checkpoints.stable(out)
+    sh.unpersist(false)
+    collected
+  }
+
   /** b-bit MinHash (Li & König 2010, b = 1): keep only the LOWEST BIT
     * of each of the [[NumHashes]] signature minima, packed into ONE
     * int64 mask — a 48× smaller sketch than the full int signature
@@ -999,6 +1046,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_bbit" -> dedupMinhashBbit,
     "dedup_cross_source" -> dedupCrossSource,
+    "source_overlap_shingles" -> sourceOverlapShingles,
     "ngram_novelty" -> ngramNovelty,
     "dedup_bucket_stats" -> dedupBucketStats,
     "dedup_exact" -> dedupExact,
@@ -1118,6 +1166,33 @@ object Dedup {
            |JOIN bmask b ON b.doc_id = doc_b
            |ORDER BY round(jac, 4) DESC, doc_a ASC, doc_b ASC
            |LIMIT 50""".stripMargin),
+    "source_overlap_shingles" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT source, md5(g) AS sd
+        |  FROM (SELECT source, unnest(
+        |      CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(
+        |        generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |      ELSE [] END) AS g
+        |    FROM (SELECT source,
+        |            list_filter(string_split_regex(text, '[^\p{L}]+'),
+        |                        x -> len(x) > 0) AS w
+        |          FROM documents))),
+        |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |          FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM sh a JOIN sh b ON a.sd = b.sd AND a.source <> b.source
+        |  GROUP BY 1, 2)
+        |SELECT sa.source AS source_a, sb.source AS source_b,
+        |  sa.n AS n_shingles_a,
+        |  coalesce(i.n_shared, 0) AS n_shared,
+        |  CAST(floor(CAST(coalesce(i.n_shared, 0) AS DOUBLE) * 1e6 / sa.n
+        |    + 0.5) AS BIGINT) AS containment_micro
+        |FROM sizes sa JOIN sizes sb ON sa.source <> sb.source
+        |LEFT JOIN inter i
+        |  ON i.source_a = sa.source AND i.source_b = sb.source""".stripMargin,
     "dedup_cross_source" ->
       """WITH dg AS (
         |  SELECT DISTINCT source, sha256(text) AS dg FROM documents),

@@ -182,6 +182,57 @@ object Evals {
         expr("CAST(sum(fb) AS BIGINT) DIV count(1)").as("chrf_micro"))
   }
 
+  /** pass@k sample budget. */
+  val PassK = 10
+  private val SwList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  /** Stopword-density acceptance threshold — the same heuristic gate
+    * convention the classifier distills (Classifier.SwTau).
+    */
+  private val SwTau = 0.11
+
+  /** pass@k (Chen et al. 2021) as a CURATION-YIELD metric: per
+    * source, the probability that a uniform k-doc sample contains at
+    * least one doc the heuristic quality gate accepts — the unbiased
+    * estimator 1 − C(n−c, k)/C(n, k), exactly the statistic an eval
+    * harness computes per problem from n samples with c passes (swap
+    * the gate column for unit-test verdicts and this is the code-eval
+    * pass@k, unchanged). Tells a pipeline how large a per-source
+    * sample must be before it reliably sees usable text.
+    *
+    * Exactness: the binomial ratio unrolls to the k-term product
+    * Π (n−c−i)/(n−i) — a FIXED left-associated chain of k IEEE
+    * divisions and multiplies over exact integers, identical in both
+    * engines, micro-quantized once. If the gate-failing pool is
+    * smaller than k a factor hits exactly 0 and pass@k = 1 — the
+    * estimator's own boundary semantics, no special-casing.
+    *
+    * Scale shape: one tokenize pass → per-source (n, c) cells —
+    * a map-side-combinable aggregate; the product is per-CELL
+    * arithmetic over |sources| rows.
+    */
+  def evalPassAtK(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .select(col("source"), Dedup.tokensCol(col("text")).as("ws"))
+      .select(col("source"), size(col("ws")).as("n_tok"),
+        size(filter(col("ws"), w => w.isInCollection(SwList))).as("nsw"))
+      .filter(col("n_tok") > 0)
+      .select(col("source"),
+        (col("nsw").cast("double") / col("n_tok") >= SwTau)
+          .cast("long").as("acc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("acc").as("n_pass"))
+      .filter(col("n_docs") >= PassK)
+    val prod = (0 until PassK).map { i =>
+      (col("n_docs") - col("n_pass") - lit(i)).cast("double") /
+        (col("n_docs") - lit(i)).cast("double")
+    }.reduceLeft(_ * _)
+    cells.select(col("source"), col("n_docs"), col("n_pass"),
+      floor(col("n_pass").cast("double") / col("n_docs") * 1e6 + lit(0.5))
+        .cast("long").as("pass1_micro"),
+      floor((lit(1.0) - prod) * 1e6 + lit(0.5)).cast("long")
+        .as("pass10_micro"))
+  }
+
   /** DCG position weights w(i) = round(1e6/log2(i+1)) for ranks
     * 1..SearchTopK, and their prefix sums (the ideal-DCG table) —
     * embedded as literals in BOTH engines' plans, so no cross-engine
@@ -260,6 +311,7 @@ object Evals {
     "eval_rouge" -> evalRouge,
     "eval_bleu" -> evalBleu,
     "eval_chrf" -> evalChrf,
+    "eval_pass_at_k" -> evalPassAtK,
     "search_rank_eval" -> searchRankEval)
 
   /** Shared per-doc CTE chain (DuckDB): lead/body split, both n-gram
@@ -314,6 +366,30 @@ object Evals {
          |  CAST(sum(CAST(floor(CAST(m2 AS DOUBLE) / (b_len - 1) * 1e6 + 0.5)
          |    AS BIGINT)) AS BIGINT) // count(*) AS rouge2_micro
          |FROM per_doc GROUP BY source""".stripMargin,
+    "eval_pass_at_k" -> {
+      val factors = (0 until PassK).map(i =>
+        s"(CAST(n_docs - n_pass - $i AS DOUBLE) / CAST(n_docs - $i AS DOUBLE))")
+        .mkString(" * ")
+      s"""WITH cells AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN CAST(len(list_filter(ws,
+         |        x -> list_contains([${SwList.map(w => s"'$w'").mkString(",")}],
+         |          x))) AS DOUBLE) / len(ws) >= $SwTau
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         |  FROM (SELECT source,
+         |          list_filter(string_split_regex(text, '[^\\p{L}]+'),
+         |                      x -> len(x) > 0) AS ws
+         |        FROM documents)
+         |  WHERE len(ws) > 0
+         |  GROUP BY source
+         |  HAVING count(*) >= $PassK)
+         |SELECT source, n_docs, n_pass,
+         |  CAST(floor(CAST(n_pass AS DOUBLE) / n_docs * 1e6 + 0.5) AS BIGINT)
+         |    AS pass1_micro,
+         |  CAST(floor((1.0 - $factors) * 1e6 + 0.5) AS BIGINT)
+         |    AS pass10_micro
+         |FROM cells""".stripMargin
+    },
     "eval_chrf" ->
       s"""WITH base AS (
          |  SELECT doc_id, source,

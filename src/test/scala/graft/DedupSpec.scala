@@ -422,4 +422,37 @@ class DedupSpec extends SparkSuite {
       assert(jac == shared * 1000000L / (na + nb - shared))
     }
   }
+
+  test("source_overlap_shingles equals shingle set algebra (asymmetric containment)") {
+    def toks(t: String): Seq[String] =
+      "[^\\p{L}]+".r.split(t).filter(_.nonEmpty).toSeq
+    def shingles(t: String): Set[String] = {
+      val w = toks(t)
+      if (w.length < 3) Set.empty
+      else w.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val sets = docs.groupBy(_._1).map { case (s0, g) =>
+      s0 -> g.map(d => shingles(d._2)).reduce(_ ++ _)
+    }
+    val srcs = sets.keys.toSeq.sorted
+    val got = Dedup.sourceOverlapShingles(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.size == srcs.size * (srcs.size - 1))
+    for (a <- srcs; b <- srcs if a != b) {
+      val shared = (sets(a) & sets(b)).size.toLong
+      val (na, gs, cm) = got((a, b))
+      assert(na == sets(a).size && gs == shared, s"($a,$b)")
+      assert(cm ==
+        math.floor(shared.toDouble * 1e6 / sets(a).size + 0.5).toLong)
+    }
+    // asymmetry is structural: containment(a,b) and (b,a) share the
+    // numerator but not the denominator
+    val anyPair = (for (a <- srcs; b <- srcs if a != b) yield (a, b)).head
+    val (x, y) = anyPair
+    assert(got((x, y))._2 == got((y, x))._2)
+  }
 }

@@ -107,6 +107,38 @@ class EvalsSpec extends SparkSuite {
     }
   }
 
+  test("eval_pass_at_k equals the sequential binomial recompute; boundary hits 1") {
+    val Stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
+    val cells = graft.core.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), tokens(r.getString(1)).toSeq))
+      .filter(_._2.nonEmpty)
+      .map { case (src, ws) =>
+        (src, if (ws.count(Stop).toDouble / ws.length >= 0.11) 1L else 0L)
+      }
+    val exp = cells.groupBy(_._1).collect {
+      case (src, g) if g.length >= 10 =>
+        val n = g.length.toLong
+        val c = g.map(_._2).sum
+        val prod = (0 until 10).map(i =>
+          (n - c - i).toDouble / (n - i).toDouble).reduceLeft(_ * _)
+        src -> (n, c,
+          math.floor(c.toDouble / n * 1e6 + 0.5).toLong,
+          math.floor((1.0 - prod) * 1e6 + 0.5).toLong)
+    }
+    val got = Evals.evalPassAtK(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (src, e) => assert(got(src) == e, s"source $src") }
+    // boundary semantics: fewer than k gate-failing docs forces a zero
+    // factor and pass@k = 1 exactly
+    exp.values.foreach { case (n, c, _, p10) =>
+      if (n - c < 10) assert(p10 == 1000000L)
+      assert(p10 >= 0 && p10 <= 1000000L)
+    }
+  }
+
   test("search_rank_eval equals the sequential BM25 + conjunctive-truth recompute") {
     val all = graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
