@@ -141,6 +141,60 @@ object Corpus {
         r4(avg(-log(col("cnt").cast("double") / col("total")))).as("avg_nll"))
   }
 
+  /** Good-Turing discount cutoff (Katz's k): counts above GtK keep
+    * their MLE estimate — the frequency-of-frequencies table is only
+    * reliable for small r.
+    */
+  val GtK = 5
+
+  /** Good-Turing discounted unigram scoring (Good 1953; Katz 1987) —
+    * the classical-smoothing fourth leg next to add-1
+    * ([[lmCrossPpl]]), interpolated bigram ([[lmScoreBigram]]) and
+    * Kneser-Ney (lm_score_kn/kn3): adjusted count
+    * r* = (r+1)·N_{r+1}/N_r for r ≤ [[GtK]] (MLE above the cutoff,
+    * or when N_{r+1} is empty), p(w) = r* / N. The discount moves mass
+    * toward the unseen exactly as the singleton/doubleton structure
+    * dictates — rare-word-heavy docs score HIGHER NLL than under MLE,
+    * which is the quality-gate-relevant difference.
+    *
+    * Exactness: r* is a ratio of exact integers per COUNT CLASS (the
+    * freq-of-freqs table N_r, |{r}| ≤ √(2N) rows — a dimension, not
+    * the corpus); per-doc scoring follows [[lmScore]]'s convention
+    * (raw-double avg absorbed by the 1e-4 rounding).
+    *
+    * Scale shape: one token explode, the vocab aggregate, a
+    * vocab⋈N_r join AQE size-picks (same law as lm_score), and the
+    * scoring join on token keys. The N total travels as a 1-row
+    * broadcast.
+    */
+  def lmScoreGt(s: SparkSession, d: String): DataFrame =
+    lmScoreGtOn(Tables.documents(s, d))
+
+  /** [[lmScoreGt]] over any (doc_id, …, text) frame — the planted-
+    * corpus form CorpusSpec certifies the discount branches on (the
+    * driver tables' synthetic 31-word vocabulary has no rare words,
+    * so the r ≤ GtK adjustment is only live on real/planted text).
+    */
+  def lmScoreGtOn(documents: DataFrame): DataFrame = {
+    val terms = documents
+      .select(col("doc_id"), explode_outer(toks(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+    val vocab = terms.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val nr = vocab.groupBy("cnt").agg(count(lit(1)).as("n_r"))
+    val nr1 = nr.select((col("cnt") - 1).as("cnt"), col("n_r").as("n_r1"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val adj = vocab.join(nr, "cnt").join(nr1, Seq("cnt"), "left")
+      .select(col("tok"),
+        when(col("cnt") <= GtK && col("n_r1").isNotNull,
+          (col("cnt") + 1).cast("double") * col("n_r1") / col("n_r"))
+          .otherwise(col("cnt").cast("double")).as("cstar"))
+    terms.join(adj, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        r4(avg(-log(col("cstar") / col("total")))).as("avg_nll_gt"))
+  }
+
   /** Interpolation weight of [[lmScoreBigram]]:
     * p(w₂|w₁) = LmLam·cb/cc + (1−LmLam)·cu/N. BOTH constants are
     * explicit literals (0.25, not 1−0.75 — IEEE-identical here, but
@@ -868,6 +922,7 @@ object Corpus {
     "quality_repetition" -> qualityRepetition,
     "snapshot_diff" -> snapshotDiff,
     "lm_score" -> lmScore,
+    "lm_score_gt" -> lmScoreGt,
     "lm_score_bigram" -> lmScoreBigram,
     "lm_score_kn" -> lmScoreKn,
     "lm_score_kn3" -> lmScoreKn3,
@@ -1113,6 +1168,23 @@ object Corpus {
          |SELECT doc_id, count(*) AS n_tokens,
          |  floor(avg(-ln(CAST(cnt AS DOUBLE) / total)) * 10000 + 0.5) / 10000.0 AS avg_nll
          |FROM t JOIN v USING (tok) CROSS JOIN n
+         |GROUP BY doc_id""".stripMargin,
+    "lm_score_gt" ->
+      s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS tok FROM documents),
+         |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+         |nr AS (SELECT cnt, count(*) AS n_r FROM v GROUP BY 1),
+         |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+         |adj AS (
+         |  SELECT v.tok,
+         |    CASE WHEN v.cnt <= $GtK AND nr1.n_r IS NOT NULL
+         |      THEN CAST(v.cnt + 1 AS DOUBLE) * nr1.n_r / nr.n_r
+         |      ELSE CAST(v.cnt AS DOUBLE) END AS cstar
+         |  FROM v JOIN nr ON v.cnt = nr.cnt
+         |  LEFT JOIN nr nr1 ON nr1.cnt = v.cnt + 1)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  floor(avg(-ln(cstar / total)) * 10000 + 0.5) / 10000.0
+         |    AS avg_nll_gt
+         |FROM t JOIN adj USING (tok) CROSS JOIN n
          |GROUP BY doc_id""".stripMargin,
     "quality_ppl_buckets" ->
       s"""WITH t AS (SELECT doc_id, unnest($tokSqlDuck) AS tok FROM documents),

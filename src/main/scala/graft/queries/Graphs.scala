@@ -121,7 +121,7 @@ object Graphs {
   /** Co-purchase edges (parts bought together in ≥2 orders — the
     * adamic-adar producer) with int64 micro-unit weights
     * w = 1e6/support: stronger ties are shorter. Symmetrized. */
-  private def weightedEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def weightedEdges(s: SparkSession, d: String): DataFrame = {
     val items = Tables.lineitem(s, d)
       .select("l_orderkey", "l_partkey").distinct()
     val ia = items.select(col("l_orderkey"), col("l_partkey").as("pa"))

@@ -218,6 +218,63 @@ class CorpusSpec extends SparkSuite {
     assert(psi("c") > psi("a"), s"shifted ${psi("c")} vs in-dist ${psi("a")}")
   }
 
+  test("lm_score_gt ≡ sequential Good-Turing reference on sf0.001") {
+    val docs = graft.core.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        "[^\\p{L}]+".r.split(r.getString(1)).filter(_.nonEmpty).toSeq)
+      .filter(_._2.nonEmpty)
+    val uni = docs.flatMap(_._2).groupBy(identity)
+      .map { case (t, v) => t -> v.size.toLong }
+    val nr = uni.values.groupBy(identity)
+      .map { case (r, v) => r -> v.size.toLong }
+    val total = uni.values.sum.toDouble
+    def cstar(r: Long): Double =
+      if (r <= Corpus.GtK && nr.contains(r + 1))
+        (r + 1).toDouble * nr(r + 1) / nr(r)
+      else r.toDouble
+    val ref = docs.map { case (id, ws) =>
+      val nll = ws.map(w => -math.log(cstar(uni(w)) / total)).sum / ws.size
+      id -> (ws.size.toLong, math.floor(nll * 10000 + 0.5) / 10000.0)
+    }.toMap
+    val got = Corpus.lmScoreGt(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == ref)
+    // at this SF the synthetic 31-word vocab has no rare words — the
+    // MLE fallback above the cutoff must carry everything
+    assert(uni.values.forall(_ > Corpus.GtK))
+  }
+
+  test("lm_score_gt discount branches: adjusted singletons, N_{r+1}-gap and cutoff fallbacks") {
+    // planted counts: a=7 (above GtK -> MLE), d,e=2 (N_3 absent -> MLE
+    // fallback), b,c,f=1 with N_1=3, N_2=2 -> cstar(1) = 2*2/3 = 4/3
+    val docs = Seq((1L, "a a a a a a a b c"), (2L, "d d e e f"))
+      .toDF("doc_id", "text")
+    val uni = Map("a" -> 7L, "b" -> 1L, "c" -> 1L, "d" -> 2L, "e" -> 2L,
+      "f" -> 1L)
+    val total = 14.0
+    def cstar(r: Long): Double = if (r == 1L) 4.0 / 3 else r.toDouble
+    val ref = Map(
+      1L -> Seq("a", "a", "a", "a", "a", "a", "a", "b", "c"),
+      2L -> Seq("d", "d", "e", "e", "f")
+    ).map { case (id, ws) =>
+      val nll = ws.map(w => -math.log(cstar(uni(w)) / total)).sum / ws.size
+      id -> (ws.size.toLong, math.floor(nll * 10000 + 0.5) / 10000.0)
+    }
+    val got = Corpus.lmScoreGtOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == ref)
+    // the discount genuinely moved the singleton estimate off MLE
+    val mle = Map(
+      1L -> Seq(7L, 7L, 7L, 7L, 7L, 7L, 7L, 1L, 1L),
+      2L -> Seq(2L, 2L, 2L, 2L, 1L)
+    ).map { case (id, rs) =>
+      val nll = rs.map(r => -math.log(r / total)).sum / rs.size
+      id -> math.floor(nll * 10000 + 0.5) / 10000.0
+    }
+    assert(got(1L)._2 != mle(1L) && got(2L)._2 != mle(2L))
+  }
+
   test("lm_score_bigram ≡ sequential reference; sees word order unigram NLL cannot") {
     // planted: same unigram profile, different bigram orderliness
     val docs = Seq(

@@ -46,7 +46,8 @@ class PlanLintSpec extends SparkSuite {
     "pipeline_pretrain_minhash", "pipeline_pretrain_model",
     "pipeline_pretrain_model_minhash", "pipeline_pretrain_dsir",
     "pipeline_pretrain_dsir_minhash",
-    "lm_score", "lm_score_bigram", "lm_score_kn3", "unigram_train",
+    "lm_score", "lm_score_bigram", "lm_score_kn3", "lm_score_gt",
+    "unigram_train",
     "unigram_encode",
     "classifier_train", "classifier_predict", "pca_top", "pca_topk",
     // classifier_auc inherits the trainer chain's 1-row n0 frame; the
