@@ -241,9 +241,73 @@ object Graphs {
     out
   }
 
+  /** Closeness BFS round budget (hop horizon) and seed count. */
+  val ClosenessRounds = 6
+  val ClosenessSeeds = 4
+
+  /** Closeness centrality (Wasserman-Faust normalized for
+    * disconnected graphs) of the [[ClosenessSeeds]] top-degree nodes:
+    * multi-source BFS to the [[ClosenessRounds]]-hop horizon, then
+    * CC(u) = ((r−1)/(n−1)) · ((r−1)/Σdist) with r = reached nodes —
+    * the "how central are my hubs really" read that degree alone
+    * cannot give (a high-degree node on the periphery reaches the
+    * rest of the graph slowly; closeness sees that, degree doesn't).
+    *
+    * Exactness: hop distances are integers, the reached/Σdist cells
+    * are integer sums, and CC is ONE micro-quantized double division
+    * of exact integers — merge-order free; the oracle unrolls the
+    * same min-relaxation rounds as CTEs.
+    *
+    * Scale shape: the distance frame holds only (seed, reached-node)
+    * rows — |seeds| × frontier, never |V|² — and each round is one
+    * |E ⋉ reached| join + a min groupBy, the graphSssp contract with
+    * a seed dimension threaded through. Seeds are a |seeds|-row
+    * broadcast; no driver action in the loop.
+    */
+  def graphCloseness(s: SparkSession, d: String): DataFrame = {
+    val e = weightedEdges(s, d).select("src", "dst")
+      .repartition(col("src")).stable
+    val nv = e.select(col("src").as("n"))
+      .union(e.select(col("dst").as("n"))).distinct()
+      .agg(count(lit(1)).as("n_nodes"))
+    val seeds = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .orderBy(col("outdeg").desc, col("src").asc).limit(ClosenessSeeds)
+      .select(col("src").as("seed")).stable
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist"))
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to ClosenessRounds) {
+      val relaxed = e.join(dist.withColumnRenamed("node", "src"), "src")
+        .select(col("seed"), col("dst").as("node"),
+          (col("dist") + lit(1L)).as("dist"))
+      var next = dist.unionAll(relaxed)
+        .groupBy("seed", "node").agg(min("dist").as("dist"))
+      val isCkpt = i % 3 == 0 || i == ClosenessRounds
+      next = if (isCkpt) next.stable else next.persist()
+      retired += dist
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
+      dist = next
+    }
+    val out = dist.groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"), sum("dist").as("sum_dist"))
+      .crossJoin(broadcast(nv))
+      .select(col("seed"), col("n_reached"), col("sum_dist"),
+        when(col("sum_dist") > 0,
+          floor(((col("n_reached") - 1) * (col("n_reached") - 1))
+            .cast("double") * 1e6
+            / ((col("n_nodes") - 1) * col("sum_dist")) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(0L)).as("closeness_micro"))
+      .stable
+    retired.foreach(_.unpersist(false))
+    e.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_hits" -> graphHits,
     "graph_ppr" -> graphPpr,
+    "graph_closeness" -> graphCloseness,
     "graph_sssp" -> graphSssp)
 
   private val interactionsSql =
@@ -328,6 +392,43 @@ object Graphs {
          |$rounds
          |SELECT node AS part_id, rank_nano
          |FROM r$PprRounds WHERE rank_nano > 0""".stripMargin
+    },
+    "graph_closeness" -> {
+      val rounds = (1 to ClosenessRounds).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT seed, node, min(dist) AS dist FROM (
+           |    SELECT seed, node, dist FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT p.seed, s.dst AS node, p.dist + 1 AS dist
+           |    FROM sym s JOIN d${i - 1} p ON p.node = s.src)
+           |  GROUP BY seed, node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |und AS (
+         |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM items a JOIN items b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |sym AS MATERIALIZED (
+         |  SELECT pa AS src, pb AS dst FROM und
+         |  UNION ALL SELECT pb, pa FROM und),
+         |nv AS (SELECT CAST(count(DISTINCT n) AS BIGINT) AS n_nodes
+         |       FROM (SELECT src AS n FROM sym
+         |             UNION ALL SELECT dst FROM sym)),
+         |d0 AS (SELECT src AS seed, src AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM (SELECT src FROM sym GROUP BY src
+         |             ORDER BY count(*) DESC, src ASC
+         |             LIMIT $ClosenessSeeds)),
+         |$rounds
+         |SELECT seed, count(*) AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |  CASE WHEN sum(dist) > 0
+         |    THEN CAST(floor(CAST((count(*) - 1) * (count(*) - 1) AS DOUBLE)
+         |      * 1e6 / ((nv.n_nodes - 1) * sum(dist)) + 0.5) AS BIGINT)
+         |    ELSE 0 END AS closeness_micro
+         |FROM d$ClosenessRounds CROSS JOIN nv
+         |GROUP BY seed, nv.n_nodes""".stripMargin
     },
     "graph_sssp" -> {
       // MATERIALIZED for the same inlining-blowup reason as graph_hits:

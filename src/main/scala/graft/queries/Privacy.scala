@@ -223,7 +223,64 @@ object Privacy {
           .cast("long"))
   }
 
+  /** ε=1 EXPONENTIAL-MECHANISM median (McSherry & Talwar '07; Dwork &
+    * Roth §3.4) of the balance band per nation — the DP battery's
+    * third primitive (counts → Laplace, mean → clipped two-query,
+    * quantile → exp-mech, the one Laplace cannot give you because a
+    * quantile has unbounded value sensitivity but rank utility has
+    * sensitivity 1). Candidates are the |bands| attribute domain;
+    * utility u(b) = −|2·cum(b) − n| (twice the rank distance to the
+    * median — half-unit-free integers, sensitivity 2); the release is
+    * the Gumbel-max sampling identity argmax_b [ε·u(b)/(2Δu) + G_b]
+    * = argmax_b [u(b)/4 + G_b], with G_b = −ln(−ln(U_b)) and U_b the
+    * md5-seeded uniform of the (nation, band) cell.
+    *
+    * PRIVACY STATUS: identical contract to [[privacyDpCounts]] — with
+    * `spark.graft.dpSalt` unset the draw replays from public keys (a
+    * certified mechanism-shape demo); set, it is the real seeded
+    * mechanism (PrivacySpec exercises the salted path).
+    *
+    * Scale shape: one (nation, band) hash aggregate, a |bands|-row
+    * broadcast zero-fill, per-class windows over ≤ m rows — the
+    * privacy_tcloseness envelope, nothing row-scaled leaves the
+    * executors.
+    */
+  def privacyDpQuantile(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val banded = Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        floor((col("c_acctbal") + 1000) / 2000).cast("long").as("band"))
+    val domain = banded.select("band").distinct()
+    val cells = banded.groupBy("c_nationkey", "band")
+      .agg(count(lit(1)).as("c"))
+    val classes = cells.groupBy("c_nationkey").agg(sum("c").as("n"))
+    val cumW = Window.partitionBy("c_nationkey").orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = Window.partitionBy("c_nationkey")
+      .orderBy(col("score").desc, col("band").asc)
+    classes
+      .crossJoin(broadcast(domain))
+      .join(cells, Seq("c_nationkey", "band"), "left")
+      .withColumn("cum", sum(coalesce(col("c"), lit(0L))).over(cumW))
+      .withColumn("u_int", -abs(lit(2L) * col("cum") - col("n")))
+      .withColumn("uu",
+        (pmod(conv(substring(md5(dpSeed(s, "dpq:",
+          concat(col("c_nationkey").cast("string"), lit(":"),
+            col("band").cast("string")))), 1, 6), 16, 10).cast("long"),
+          lit(1000000L)).cast("double") + 0.5) / 1000000.0)
+      .withColumn("score",
+        col("u_int").cast("double") / 4.0 - log(-log(col("uu"))))
+      .withColumn("true_band",
+        min(when(lit(2L) * col("cum") >= col("n"), col("band")))
+          .over(Window.partitionBy("c_nationkey")))
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("c_nationkey"), col("n"), col("true_band"),
+        col("band").as("released_band"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "privacy_dp_quantile" -> privacyDpQuantile,
     "privacy_dp_mean" -> privacyDpMean,
     "privacy_dp_counts" -> privacyDpCounts,
     "privacy_ldiversity" -> privacyLdiversity,
@@ -232,6 +289,39 @@ object Privacy {
     "privacy_kanon_generalize" -> privacyKanonGeneralize)
 
   def oracleSql: Map[String, String] = Map(
+    "privacy_dp_quantile" ->
+      """WITH banded AS (
+        |  SELECT c_nationkey,
+        |    CAST(floor((c_acctbal + 1000) / 2000) AS BIGINT) AS band
+        |  FROM customer),
+        |dom AS (SELECT DISTINCT band FROM banded),
+        |cells AS (SELECT c_nationkey, band, CAST(count(*) AS BIGINT) AS c
+        |          FROM banded GROUP BY 1, 2),
+        |cls AS (SELECT c_nationkey, CAST(sum(c) AS BIGINT) AS n
+        |        FROM cells GROUP BY 1),
+        |f AS (
+        |  SELECT cls.c_nationkey, cls.n, dom.band,
+        |    sum(coalesce(cells.c, 0)) OVER (PARTITION BY cls.c_nationkey
+        |      ORDER BY dom.band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cls CROSS JOIN dom
+        |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+        |    AND cells.band = dom.band),
+        |sc AS (
+        |  SELECT c_nationkey, n, band,
+        |    CAST(-abs(2 * cum - n) AS DOUBLE) / 4.0
+        |      - ln(-ln((CAST(('0x' || substr(md5('dpq:'
+        |          || CAST(c_nationkey AS VARCHAR) || ':'
+        |          || CAST(band AS VARCHAR)), 1, 6))::UBIGINT
+        |          % 1000000 AS DOUBLE) + 0.5) / 1000000.0)) AS score,
+        |    min(CASE WHEN 2 * cum >= n THEN band END)
+        |      OVER (PARTITION BY c_nationkey) AS true_band
+        |  FROM f)
+        |SELECT c_nationkey, n, true_band, band AS released_band
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_nationkey
+        |        ORDER BY score DESC, band ASC) AS rk
+        |      FROM sc)
+        |WHERE rk = 1""".stripMargin,
     "privacy_dp_mean" ->
       s"""WITH c AS (
          |  SELECT event_type, count(*) AS n_true,

@@ -115,4 +115,45 @@ class GraphsSpec extends SparkSuite {
     // the seed dominates its own neighborhood
     assert(got(seed) == got.values.max)
   }
+
+  test("graph_closeness equals the sequential multi-source BFS recompute") {
+    val items = graft.core.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val co = items.groupBy(_._1).values.flatMap { es =>
+      val ps = es.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).toSeq // toSeq BEFORE collect: a Map.collect
+      // yielding 2-tuples would rebuild a Map and collapse pa keys
+      .collect { case ((x, y), g) if g.size >= 2 => (x, y) }
+    val sym = co ++ co.map { case (x, y) => (y, x) }
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nNodes = sym.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+    val seeds = sym.groupBy(_._1).toSeq
+      .map { case (n, es) => (n, es.size) }
+      .sortBy { case (n, deg) => (-deg, n) }
+      .take(Graphs.ClosenessSeeds).map(_._1)
+    val exp = seeds.map { s0 =>
+      var dist = Map(s0 -> 0L)
+      for (_ <- 1 to Graphs.ClosenessRounds) {
+        val relaxed = dist.toSeq.flatMap { case (u, du) =>
+          adj.getOrElse(u, Seq.empty).map(v => v -> (du + 1L)) }
+        dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+          .map { case (n, ds) => n -> ds.map(_._2).min }
+      }
+      val r = dist.size.toLong
+      val sd = dist.values.sum
+      val cc = if (sd == 0) 0L
+        else math.floor(((r - 1) * (r - 1)).toDouble * 1e6
+          / ((nNodes - 1) * sd) + 0.5).toLong
+      s0 -> (r, sd, cc)
+    }.toMap
+    val got = Graphs.graphCloseness(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == exp, s"seeds got ${got.keySet} exp ${exp.keySet}")
+    // hub sanity: every seed reaches beyond itself at this SF
+    got.values.foreach { case (r, _, cc) => assert(r > 1 && cc > 0) }
+  }
 }

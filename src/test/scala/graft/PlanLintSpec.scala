@@ -57,9 +57,9 @@ class PlanLintSpec extends SparkSuite {
     // kappa inherits the trainer chain's 1-row frames (same class as
     // classifier_predict); the agreement agg itself is one global row
     "classifier_kappa",
-    // t-closeness: |bands|-row (attribute domain) zero-fill + 1-row
-    // totals frame, both broadcast
-    "privacy_tcloseness",
+    // t-closeness / dp-quantile: |bands|-row (attribute domain)
+    // zero-fill + 1-row totals frame, both broadcast
+    "privacy_tcloseness", "privacy_dp_quantile",
     // rank eval: the search_bm25 1-row stats frame + the O(queries)
     // key-term broadcast on the truth side
     "search_rank_eval",

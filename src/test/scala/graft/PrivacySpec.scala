@@ -153,4 +153,54 @@ class PrivacySpec extends SparkSuite {
       assert(meanSalted != meanPub)
     } finally spark.conf.unset("spark.graft.dpSalt")
   }
+
+  test("privacy_dp_quantile equals the sequential exp-mech replay; salt changes draws") {
+    import graft.queries.Privacy
+    val rows = graft.core.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey").cast("long"), col("c_acctbal")).collect()
+      .map(r => (r.getLong(0),
+        math.floor((r.getDouble(1) + 1000) / 2000).toLong))
+    val domain = rows.map(_._2).distinct.sorted
+    def md5hex(s0: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s0.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val exp = rows.groupBy(_._1).map { case (nat, g) =>
+      val n = g.length.toLong
+      val cnt = g.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      var cum = 0L
+      val cells = domain.map { b =>
+        cum += cnt.getOrElse(b, 0L)
+        val u = (java.lang.Long.parseLong(
+          md5hex(s"dpq:$nat:$b").take(6), 16) % 1000000L + 0.5) / 1000000.0
+        val score = -math.abs(2 * cum - n).toDouble / 4.0 -
+          math.log(-math.log(u))
+        (b, cum, score)
+      }
+      val trueBand = cells.find(c => 2 * c._2 >= n).get._1
+      val released = cells.minBy { case (b, _, sc) => (-sc, b) }._1
+      nat -> (n, trueBand, released)
+    }
+    val got = Privacy.privacyDpQuantile(spark, sfDir).collect()
+      .map(r => r.getAs[Number](0).longValue ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == exp)
+    // rank utility keeps the release near the true median: at least
+    // one nation releases the true band exactly, and the exp-mech
+    // branch is live (bands span the domain)
+    assert(exp.values.exists { case (_, t, rel) => t == rel })
+    // salted: same surface, different draws, replayable
+    spark.conf.set("spark.graft.dpSalt", "s3cr3t-salt")
+    try {
+      val salted = Privacy.privacyDpQuantile(spark, sfDir).collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getLong(3)).toMap
+      assert(salted.keySet == got.keySet)
+      assert(salted != got.map { case (k, v) => k -> v._3 },
+        "salted draws must differ from the public-seed demo")
+      val replay = Privacy.privacyDpQuantile(spark, sfDir).collect()
+        .map(r => r.getAs[Number](0).longValue -> r.getLong(3)).toMap
+      assert(replay == salted, "same salt must replay identically")
+    } finally spark.conf.unset("spark.graft.dpSalt")
+  }
 }
