@@ -436,7 +436,50 @@ object Classifier {
     out
   }
 
+  /** Suspect-list size of [[labelNoiseReport]]. */
+  val NoiseTopK = 20
+
+  /** Confident-learning-style label-noise triage (the core signal of
+    * Northcutt et al. 2021, reduced to the ranked list a curation
+    * review actually eyeballs): the [[NoiseTopK]] docs where the
+    * trained gate DISAGREES with its own training label at the
+    * LARGEST margin. In a distillation setting these are precisely
+    * the docs whose cheap heuristic label is most suspect — the model
+    * has seen the whole corpus and is confidently contradicting the
+    * rule it was taught. Margins are the 1e-6-quantized chain scores
+    * (prediction = score_q > 0, self-consistent with the emitted
+    * column); ranking is (|margin| desc, doc_id asc) — integer-exact
+    * and total, so the list is stable across engines and retries.
+    *
+    * Scale shape: one featurize pass (model-cache shared), a map-only
+    * scoring pass, and a top-k over the disagreement subset — the
+    * rank window runs on eval-sized survivors, and the id-keyed
+    * source join fetches [[NoiseTopK]] rows.
+    */
+  def labelNoiseReport(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vec = featurize(s, d)
+    val w = weightsCached(s, d, vec)
+    val wl = array(w.map(lit).toIndexedSeq: _*)
+    val scored = vec.select(col("doc_id"), col("y").cast("int").as("label"),
+      floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)).cast("long")
+        .as("margin_micro"))
+    val out = scored
+      .filter((col("margin_micro") > 0) =!= (col("label") === 1))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(abs(col("margin_micro")).desc, col("doc_id").asc)))
+      .filter(col("rk") <= NoiseTopK)
+      .join(graft.core.Tables.documents(s, d).select("doc_id", "source"),
+        "doc_id")
+      .select(col("rk"), col("doc_id"), col("source"), col("label"),
+        col("margin_micro"))
+      .stable
+    vec.unpersist(false)
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "label_noise_report" -> labelNoiseReport,
     "classifier_kappa" -> classifierKappa,
     "classifier_auc" -> classifierAuc,
     "classifier_bias_report" -> classifierBiasReport,
@@ -496,6 +539,23 @@ object Classifier {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "label_noise_report" ->
+      s"""WITH
+         |$chainSql,
+         |sc AS (SELECT d.doc_id, CAST(d.y AS INTEGER) AS label,
+         |         CAST(floor(sum(d.x * w.w) * 1e6 + 0.5) AS BIGINT)
+         |           AS margin_micro
+         |       FROM dd d JOIN $finalWeightsCte w USING (dim)
+         |       GROUP BY d.doc_id, d.y),
+         |dis AS (
+         |  SELECT doc_id, label, margin_micro,
+         |    CAST(row_number() OVER (ORDER BY abs(margin_micro) DESC,
+         |      doc_id ASC) AS INTEGER) AS rk
+         |  FROM sc
+         |  WHERE (margin_micro > 0) <> (label = 1))
+         |SELECT rk, dis.doc_id, doc.source, label, margin_micro
+         |FROM dis JOIN documents doc ON dis.doc_id = doc.doc_id
+         |WHERE rk <= $NoiseTopK""".stripMargin,
     "classifier_kappa" ->
       s"""WITH
          |$chainSql,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -182,6 +182,54 @@ object Evals {
         expr("CAST(sum(fb) AS BIGINT) DIV count(1)").as("chrf_micro"))
   }
 
+  /** distinct-n diversity (Li et al. 2016 "A Diversity-Promoting
+    * Objective") — the generation-diversity leg of the eval family
+    * and the mode-collapse detector for synthetic corpora: per doc,
+    * distinct-1 = |unique unigrams|/|unigrams| and distinct-2
+    * likewise over adjacent bigrams; per source, the micro-quantized
+    * integer average plus the corpus-level pooled ratio (unique
+    * grams of the whole source over its token volume — the number
+    * that drops when a generator repeats itself ACROSS docs, which
+    * per-doc ratios cannot see).
+    *
+    * Exactness: every ratio is |distinct set| / count — two integers,
+    * one micro-quantized division; per-source averages are integer
+    * sums DIV counts.
+    *
+    * Scale shape: one tokenize pass; per-doc ratios come from
+    * size(array_distinct(...)) map-side; the pooled leg is a
+    * (source, gram) distinct + count — the vocab-aggregate envelope.
+    */
+  def evalDistinctN(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        Dedup.tokensCol(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    def bigrams(arr: Column) = transform(
+      sequence(lit(1), size(arr) - 1),
+      i => concat_ws(" ", element_at(arr, i), element_at(arr, i + 1)))
+    val perDocD = base
+      .select(col("doc_id"), col("source"), col("ws"),
+        bigrams(col("ws")).as("b2"))
+      .select(col("source"),
+        floor(size(array_distinct(col("ws"))).cast("double") * 1e6
+          / size(col("ws")) + lit(0.5)).cast("long").as("d1"),
+        floor(size(array_distinct(col("b2"))).cast("double") * 1e6
+          / size(col("b2")) + lit(0.5)).cast("long").as("d2"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(d1) AS BIGINT) DIV count(1)").as("distinct1_micro"),
+        expr("CAST(sum(d2) AS BIGINT) DIV count(1)").as("distinct2_micro"))
+    val pooled = base
+      .select(col("source"), explode(col("ws")).as("g"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("g")).as("n_uniq"))
+      .select(col("source"),
+        floor(col("n_uniq").cast("double") * 1e6 / col("n_tok") + lit(0.5))
+          .cast("long").as("pooled1_micro"))
+    perDocD.join(pooled, "source")
+  }
+
   /** pass@k sample budget. */
   val PassK = 10
   private val SwList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
@@ -312,6 +360,7 @@ object Evals {
     "eval_bleu" -> evalBleu,
     "eval_chrf" -> evalChrf,
     "eval_pass_at_k" -> evalPassAtK,
+    "eval_distinct_n" -> evalDistinctN,
     "search_rank_eval" -> searchRankEval)
 
   /** Shared per-doc CTE chain (DuckDB): lead/body split, both n-gram
@@ -366,6 +415,37 @@ object Evals {
          |  CAST(sum(CAST(floor(CAST(m2 AS DOUBLE) / (b_len - 1) * 1e6 + 0.5)
          |    AS BIGINT)) AS BIGINT) // count(*) AS rouge2_micro
          |FROM per_doc GROUP BY source""".stripMargin,
+    "eval_distinct_n" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, ws,
+        |    list_transform(generate_series(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1]) AS b2
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split_regex(text, '[^\p{L}]+'),
+        |                      x -> len(x) > 0) AS ws
+        |        FROM documents)
+        |  WHERE len(ws) >= 2),
+        |pd AS (
+        |  SELECT source,
+        |    CAST(floor(CAST(len(list_distinct(ws)) AS DOUBLE) * 1e6
+        |      / len(ws) + 0.5) AS BIGINT) AS d1,
+        |    CAST(floor(CAST(len(list_distinct(b2)) AS DOUBLE) * 1e6
+        |      / len(b2) + 0.5) AS BIGINT) AS d2
+        |  FROM base),
+        |agg AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(d1) AS BIGINT) // count(*) AS distinct1_micro,
+        |    CAST(sum(d2) AS BIGINT) // count(*) AS distinct2_micro
+        |  FROM pd GROUP BY source),
+        |pooled AS (
+        |  SELECT source,
+        |    CAST(floor(CAST(count(DISTINCT g) AS DOUBLE) * 1e6 / count(*)
+        |      + 0.5) AS BIGINT) AS pooled1_micro
+        |  FROM (SELECT source, unnest(ws) AS g FROM base)
+        |  GROUP BY source)
+        |SELECT agg.source, n_docs, distinct1_micro, distinct2_micro,
+        |  pooled1_micro
+        |FROM agg JOIN pooled ON agg.source = pooled.source""".stripMargin,
     "eval_pass_at_k" -> {
       val factors = (0 until PassK).map(i =>
         s"(CAST(n_docs - n_pass - $i AS DOUBLE) / CAST(n_docs - $i AS DOUBLE))")

@@ -132,4 +132,26 @@ class ClassifierSpec extends SparkSuite {
     // positive and strictly below raw agreement
     assert(row.getLong(7) > 0L && row.getLong(7) < row.getLong(5))
   }
+
+  test("label_noise_report ranks the largest-margin disagreements exactly") {
+    val y = Classifier.featurize(spark, sfDir)
+      .select("doc_id", "y").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1).toInt).toMap
+    // modelGate's scores are the same quantized margins the report uses
+    val margins = Classifier.modelGate(spark, sfDir).collect().map { r =>
+      r.getLong(0) -> math.floor(r.getDouble(1) * 1e6 + 0.5).toLong
+    }.toMap
+    val expect = margins.toSeq
+      .filter { case (id, m) => (m > 0) != (y(id) == 1) }
+      .sortBy { case (id, m) => (-math.abs(m), id) }
+      .take(Classifier.NoiseTopK).zipWithIndex
+      .map { case ((id, m), i) => (i + 1, id, y(id), m) }
+    val got = Classifier.labelNoiseReport(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == expect, "suspect ranking diverged")
+    // the triage list is non-degenerate: a 0.97-accuracy gate still
+    // disagrees somewhere, and confidently so
+    assert(got.nonEmpty && got.head._4 != 0L)
+  }
 }

@@ -107,6 +107,38 @@ class EvalsSpec extends SparkSuite {
     }
   }
 
+  test("eval_distinct_n equals the sequential diversity recompute; pooled <= per-doc") {
+    def micro(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val base = graft.core.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), tokens(r.getString(1)).toSeq))
+      .filter(_._2.length >= 2)
+    val exp = base.groupBy(_._1).map { case (src, g) =>
+      val d1s = g.map { case (_, ws) =>
+        micro(ws.distinct.size.toDouble / ws.size) }
+      val d2s = g.map { case (_, ws) =>
+        val b2 = ws.zip(ws.tail).map { case (a, b) => s"$a $b" }
+        micro(b2.distinct.size.toDouble / b2.size)
+      }
+      val all = g.flatMap(_._2)
+      src -> (g.length.toLong, d1s.sum / g.length, d2s.sum / g.length,
+        micro(all.distinct.size.toDouble / all.size))
+    }
+    val got = Evals.evalDistinctN(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (src, e) => assert(got(src) == e, s"source $src") }
+    // ratios live in [0, 1]; cross-doc repetition is visible: the
+    // pooled ratio sits below 1 even where per-doc ratios are high
+    got.values.foreach { case (_, d1, d2, pooled) =>
+      assert(d1 <= 1000000L && d2 <= 1000000L && pooled <= 1000000L)
+    }
+    assert(got.values.exists { case (_, d1, _, pooled) => pooled < d1 },
+      "pooled diversity never dropped below per-doc average — " +
+        "cross-doc repetition invisible")
+  }
+
   test("eval_pass_at_k equals the sequential binomial recompute; boundary hits 1") {
     val Stop = Set("the", "a", "of", "and", "to", "in", "is", "it")
     val cells = graft.core.Tables.documents(spark, sfDir)
