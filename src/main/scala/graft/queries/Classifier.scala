@@ -428,9 +428,13 @@ object Classifier {
           + lit(0.5)).cast("long").as("po_micro"),
         floor(pe.cast("double") / (col("n") * col("n")) * 1e6 + lit(0.5))
           .cast("long").as("pe_micro"),
-        floor((col("n") * (col("n11") + col("n00")) - pe).cast("double")
-          / (col("n") * col("n") - pe) * 1e6 + lit(0.5))
-          .cast("long").as("kappa_micro"))
+        // pe == n² iff both raters are fully one-sided the same way
+        // (a1 = b1 ∈ {0, n}) — κ is 0/0 there; report 0 (no
+        // chance-corrected signal) instead of a cross-engine NaN split
+        when(col("n") * col("n") - pe > 0,
+          floor((col("n") * (col("n11") + col("n00")) - pe).cast("double")
+            / (col("n") * col("n") - pe) * 1e6 + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("kappa_micro"))
       .stable
     vec.unpersist(false)
     out
@@ -576,11 +580,13 @@ object Classifier {
          |  CAST(floor(CAST((n11 + n10) * (n11 + n01)
          |      + (n - n11 - n10) * (n - n11 - n01) AS DOUBLE)
          |    / (n * n) * 1e6 + 0.5) AS BIGINT) AS pe_micro,
-         |  CAST(floor(CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
-         |      + (n - n11 - n10) * (n - n11 - n01)) AS DOUBLE)
-         |    / (n * n - ((n11 + n10) * (n11 + n01)
-         |      + (n - n11 - n10) * (n - n11 - n01))) * 1e6 + 0.5) AS BIGINT)
-         |    AS kappa_micro
+         |  CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
+         |      + (n - n11 - n10) * (n - n11 - n01)) > 0
+         |    THEN CAST(floor(CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
+         |        + (n - n11 - n10) * (n - n11 - n01)) AS DOUBLE)
+         |      / (n * n - ((n11 + n10) * (n11 + n01)
+         |        + (n - n11 - n10) * (n - n11 - n01))) * 1e6 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS kappa_micro
          |FROM cells""".stripMargin,
     "classifier_auc" ->
       s"""WITH

@@ -34,11 +34,14 @@ object Evals {
     */
   private val MinTokens = 10
 
-  /** Per-doc frame: doc_id, source, c_len (lead tokens), b_len (body
-    * tokens), m1/m2 (clipped unigram/bigram matches).
+  /** Shared lead-20%/body split as TOKEN ARRAYS — ROUGE/BLEU's
+    * clipped token counting and chrF's char-gram counting both build
+    * on this frame, so the split convention (MinTokens floor,
+    * ceil(len/5) lead) lives in ONE place and the metrics cannot
+    * silently diverge.
     */
-  private def perDoc(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+  private def leadBody(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"), Dedup.tokensCol(col("text")).as("ws"))
       .select(col("doc_id"), col("source"), col("ws"), size(col("ws")).as("len"))
       .filter(col("len") >= MinTokens)
@@ -50,27 +53,38 @@ object Evals {
         slice(col("ws"), lit(1), col("c_len")).as("lead"),
         slice(col("ws"), col("c_len") + lit(1), col("len") - col("c_len"))
           .as("body"))
+
+  /** Clipped matches Σ_g min(count_a(g), count_b(g)) per doc over any
+    * (doc_id, gram-array, gram-array) frame — the counting core every
+    * n-gram-overlap metric here shares.
+    */
+  private def clippedOn(frame: DataFrame, a: String, b: String,
+      out: String): DataFrame = {
+    def cnt(arr: String) = frame
+      .select(col("doc_id"), explode(col(arr)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    cnt(a).withColumnRenamed("c", "ca")
+      .join(cnt(b).withColumnRenamed("c", "cb"), Seq("doc_id", "g"))
+      .groupBy("doc_id").agg(sum(least(col("ca"), col("cb"))).as(out))
+  }
+
+  /** Per-doc frame: doc_id, source, c_len (lead tokens), b_len (body
+    * tokens), m1/m2 (clipped unigram/bigram matches).
+    */
+  private def perDoc(s: SparkSession, d: String): DataFrame = {
     // bigram arrays from MATERIALIZED token-array attributes (HOFs
     // re-evaluate non-attribute subtrees per element — Dedup.shingles'
     // rule)
     def bigrams(arr: String) = transform(
       sequence(lit(1), size(col(arr)) - 1),
       i => concat_ws(" ", element_at(col(arr), i), element_at(col(arr), i + 1)))
-    val sides = base.select(col("doc_id"), col("source"), col("c_len"),
-      col("b_len"), col("lead"), col("body"),
+    val sides = leadBody(s, d).select(col("doc_id"), col("source"),
+      col("c_len"), col("b_len"), col("lead"), col("body"),
       bigrams("lead").as("lead2"), bigrams("body").as("body2"))
 
-    def cnt(arr: String) = sides
-      .select(col("doc_id"), explode(col(arr)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-    def clipped(a: String, b: String, out: String) =
-      cnt(a).withColumnRenamed("c", "ca")
-        .join(cnt(b).withColumnRenamed("c", "cb"), Seq("doc_id", "g"))
-        .groupBy("doc_id").agg(sum(least(col("ca"), col("cb"))).as(out))
-
     sides.select("doc_id", "source", "c_len", "b_len")
-      .join(clipped("lead", "body", "m1"), Seq("doc_id"), "left")
-      .join(clipped("lead2", "body2", "m2"), Seq("doc_id"), "left")
+      .join(clippedOn(sides, "lead", "body", "m1"), Seq("doc_id"), "left")
+      .join(clippedOn(sides, "lead2", "body2", "m2"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("source"), col("c_len"), col("b_len"),
         coalesce(col("m1"), lit(0L)).as("m1"),
         coalesce(col("m2"), lit(0L)).as("m2"))
@@ -131,20 +145,10 @@ object Evals {
     * reduction as [[perDoc]] — absent grams never materialize.
     */
   def evalChrf(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+    val base = leadBody(s, d)
       .select(col("doc_id"), col("source"),
-        Dedup.tokensCol(col("text")).as("ws"))
-      .select(col("doc_id"), col("source"), col("ws"),
-        size(col("ws")).as("len"))
-      .filter(col("len") >= MinTokens)
-      .select(col("doc_id"), col("source"),
-        ceil(col("len") / lit(5.0)).cast("int").as("c_len"), col("len"),
-        col("ws"))
-      .select(col("doc_id"), col("source"),
-        concat_ws(" ", slice(col("ws"), lit(1), col("c_len"))).as("cand"),
-        concat_ws(" ",
-          slice(col("ws"), col("c_len") + lit(1), col("len") - col("c_len")))
-          .as("ref"))
+        concat_ws(" ", col("lead")).as("cand"),
+        concat_ws(" ", col("body")).as("ref"))
     def grams(src: String, n: Int) = transform(
       sequence(lit(1), length(col(src)) - (n - 1)),
       i => substring(col(src), i, lit(n)))
@@ -152,13 +156,8 @@ object Evals {
       grams("cand", 2).as("c2"), grams("ref", 2).as("r2"),
       grams("cand", 3).as("c3"), grams("ref", 3).as("r3"))
 
-    def cnt(arr: String) = sides
-      .select(col("doc_id"), explode(col(arr)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
     def clippedN(a: String, b: String, out: String) =
-      cnt(a).withColumnRenamed("c", "x")
-        .join(cnt(b).withColumnRenamed("c", "y"), Seq("doc_id", "g"))
-        .groupBy("doc_id").agg(sum(least(col("x"), col("y"))).as(out))
+      clippedOn(sides, a, b, out)
     sides.select(col("doc_id"), col("source"),
         size(col("c2")).cast("long").as("ca2"),
         size(col("r2")).cast("long").as("cb2"),
@@ -232,11 +231,12 @@ object Evals {
 
   /** pass@k sample budget. */
   val PassK = 10
-  private val SwList = Seq("the", "a", "of", "and", "to", "in", "is", "it")
-  /** Stopword-density acceptance threshold — the same heuristic gate
-    * convention the classifier distills (Classifier.SwTau).
+  /** The heuristic gate pass@k measures yield against — BY REFERENCE
+    * to the single stopword list and threshold the classifier distills
+    * (no third private copy to drift when the gate is tuned).
     */
-  private val SwTau = 0.11
+  private def SwList: Seq[String] = TextOps.StopwordsPub
+  private def SwTau: Double = Classifier.SwTau
 
   /** pass@k (Chen et al. 2021) as a CURATION-YIELD metric: per
     * source, the probability that a uniform k-doc sample contains at

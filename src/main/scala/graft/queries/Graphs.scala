@@ -215,10 +215,27 @@ object Graphs {
     val ann = e.join(deg, "src").repartition(col("src")).stable
     val seed = deg.orderBy(col("outdeg").desc, col("src").asc).limit(1)
       .select(col("src").as("node")).stable
+    val r = pprRoundsOn(ann, seed)
+    val out = r.filter(col("rank_nano") > 0)
+      .select(col("node").as("part_id"), col("rank_nano"))
+    ann.unpersist(false); e.unpersist(false)
+    out
+  }
+
+  /** The PPR round loop over a pre-annotated (src, dst, outdeg) edge
+    * frame — shared by [[graphPpr]] and tools/GraphScaleCurve (whose
+    * `census` hook counts each round's frontier join), so the
+    * scale-curve evidence measures THIS arithmetic, never a copy that
+    * can drift.
+    */
+  private[graft] def pprRoundsOn(ann: DataFrame, seed: DataFrame,
+      census: DataFrame => Unit = _ => ()): DataFrame = {
     var r: DataFrame = seed.select(col("node"), lit(PprNano).as("rank_nano"))
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (i <- 1 to PprRounds) {
-      val contrib = ann.join(r.withColumnRenamed("node", "src"), "src")
+      val joined = ann.join(r.withColumnRenamed("node", "src"), "src")
+      census(joined)
+      val contrib = joined
         .groupBy("dst")
         .agg(sum(expr("rank_nano div outdeg")).as("in_nano"))
         .withColumnRenamed("dst", "node")
@@ -234,11 +251,8 @@ object Graphs {
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       r = next
     }
-    val out = r.filter(col("rank_nano") > 0)
-      .select(col("node").as("part_id"), col("rank_nano"))
     retired.foreach(_.unpersist(false))
-    ann.unpersist(false); e.unpersist(false)
-    out
+    r
   }
 
   /** Closeness BFS round budget (hop horizon) and seed count. */

@@ -127,8 +127,13 @@ object Privacy {
       .groupBy("c_nationkey", "c_mktsegment", "class_size", "m")
       .agg(sum("term").as("t_sum"))
       .select(col("c_nationkey"), col("c_mktsegment"), col("class_size"),
-        floor(col("t_sum").cast("double") / (col("m") - 1) + lit(0.5))
-          .cast("long").as("emd_micro"))
+        // m == 1 (a single-band sensitive domain) makes EMD 0/0; the
+        // distance is 0 by definition — every distribution over one
+        // category is the global one. Guarded so a merely-concentrated
+        // table reports 0 instead of a cross-engine NaN split.
+        when(col("m") > 1,
+          floor(col("t_sum").cast("double") / (col("m") - 1) + lit(0.5))
+            .cast("long")).otherwise(lit(0L)).as("emd_micro"))
       .withColumn("violates_t",
         col("emd_micro") > lit((Tclose * 1e6).toLong))
   }
@@ -405,10 +410,12 @@ object Privacy {
          |      AS BIGINT)) AS BIGINT) AS t_sum
          |  FROM cum GROUP BY 1, 2, 3, 4)
          |SELECT c_nationkey, c_mktsegment, class_size,
-         |  CAST(floor(CAST(t_sum AS DOUBLE) / (m - 1) + 0.5) AS BIGINT)
-         |    AS emd_micro,
-         |  CAST(floor(CAST(t_sum AS DOUBLE) / (m - 1) + 0.5) AS BIGINT)
-         |    > ${(Tclose * 1e6).toLong} AS violates_t
+         |  CASE WHEN m > 1
+         |    THEN CAST(floor(CAST(t_sum AS DOUBLE) / (m - 1) + 0.5) AS BIGINT)
+         |    ELSE 0 END AS emd_micro,
+         |  CASE WHEN m > 1
+         |    THEN CAST(floor(CAST(t_sum AS DOUBLE) / (m - 1) + 0.5) AS BIGINT)
+         |    ELSE 0 END > ${(Tclose * 1e6).toLong} AS violates_t
          |FROM agg""".stripMargin,
     "privacy_kanon" ->
       s"""SELECT c_nationkey, c_mktsegment, count(*) AS class_size,

@@ -50,35 +50,19 @@ object GraphScaleCurve {
       val nRank = pr.count()
       val tPr = (System.nanoTime() - t0) / 1e9
 
-      // personalized pagerank: frontier-bounded rounds (graph_ppr's
-      // integer arithmetic), per-round |E ⋉ reached| census
+      // personalized pagerank: frontier-bounded rounds — THE
+      // registered graph_ppr arithmetic (Graphs.pprRoundsOn is the
+      // shared loop), with the census hook counting |E ⋉ reached_i|
       t0 = System.nanoTime()
       val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
       val ann = e.join(deg, "src").repartition(col("src")).stable
       val seed = deg.orderBy(col("outdeg").desc, col("src").asc).limit(1)
         .select(col("src").as("node")).stable
-      var r: DataFrame = seed.select(col("node"),
-        lit(Graphs.PprNano).as("rank_nano"))
       val frontier = scala.collection.mutable.ArrayBuffer.empty[Long]
-      for (i <- 1 to Graphs.PprRounds) {
-        val joined = ann.join(r.withColumnRenamed("node", "src"), "src")
-        frontier += joined.count() // |E ⋉ reached_i|
-        val contrib = joined.groupBy("dst")
-          .agg(sum(expr("rank_nano div outdeg")).as("in_nano"))
-          .withColumnRenamed("dst", "node")
-        var next = contrib
-          .join(seed.withColumn("tele_nano", lit(Graphs.PprTeleNano)),
-            Seq("node"), "full_outer")
-          .select(col("node"),
-            (coalesce(col("tele_nano"), lit(0L)) +
-              expr("coalesce(in_nano, 0L) * 85 div 100")).as("rank_nano"))
-        next = if (i % 3 == 0 || i == Graphs.PprRounds) next.stable
-          else next.persist()
-        r = next
-      }
+      val r = Graphs.pprRoundsOn(ann, seed, j => frontier += j.count())
       val nReached = r.filter(col("rank_nano") > 0).count()
       val tPpr = (System.nanoTime() - t0) / 1e9
-      ann.unpersist(false); e.unpersist(false)
+      r.unpersist(false); ann.unpersist(false); e.unpersist(false)
 
       println(f"[graph-scale] $tag V=$nV E=$nE pagerank_rows=$nRank " +
         f"pr_wall=$tPr%.2f s ppr_frontier=${frontier.mkString(",")} " +
