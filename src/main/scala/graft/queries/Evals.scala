@@ -355,7 +355,50 @@ object Evals {
           .as("ndcg_micro"))
   }
 
+  /** PRF feedback depth and expansion-list size. */
+  val PrfFbDocs = 3
+  val PrfExpK = 5
+
+  /** Pseudo-relevance-feedback query expansion (the RM3 recipe of
+    * Lavrenko & Croft / Abdul-Jaleel et al., reduced to its
+    * term-selection core): run the BM25 ranker, take each query's top
+    * [[PrfFbDocs]] feedback docs, and mine the [[PrfExpK]] highest-
+    * weight NEW terms from them (summed per-doc BM25 contribution,
+    * original query terms anti-joined away). The emitted table is the
+    * expansion artifact a retrieval stack feeds back into a second
+    * round — and a corpus-health read on its own (junk expansion
+    * terms = topically incoherent feedback docs).
+    *
+    * Exactness: weights are integer sums of the ranker's nano-int
+    * contributions; ranking is (w_nano desc, term asc) — total, no
+    * floats anywhere past the already-quantized index.
+    *
+    * Scale shape: one contrib-table build (the search_bm25 plan),
+    * the O(queries·FbDocs) feedback spine joined id-keyed against the
+    * contrib rows of just those docs, a broadcast anti-join on the
+    * query terms, and a top-k window over O(queries · doc-vocab)
+    * candidates.
+    */
+  def searchExpandPrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val qterms = TextOps.bm25DefaultQterms(docs)
+    val contrib = TextOps.bm25ContribOn(docs)
+    val top = TextOps.bm25RankedFrom(contrib, qterms)
+      .filter(col("rk") <= PrfFbDocs).select("query_id", "doc_id")
+    val cand = contrib.select("doc_id", "term", "cint")
+      .join(top, "doc_id")
+      .groupBy("query_id", "term").agg(sum("cint").as("w_nano"))
+      .join(broadcast(qterms), Seq("query_id", "term"), "left_anti")
+    cand.withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("w_nano").desc, col("term").asc)))
+      .filter(col("rk") <= PrfExpK)
+      .select(col("query_id"), col("rk"), col("term"), col("w_nano"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_expand_prf" -> searchExpandPrf,
     "eval_rouge" -> evalRouge,
     "eval_bleu" -> evalBleu,
     "eval_chrf" -> evalChrf,
@@ -415,6 +458,23 @@ object Evals {
          |  CAST(sum(CAST(floor(CAST(m2 AS DOUBLE) / (b_len - 1) * 1e6 + 0.5)
          |    AS BIGINT)) AS BIGINT) // count(*) AS rouge2_micro
          |FROM per_doc GROUP BY source""".stripMargin,
+    "search_expand_prf" ->
+      ("WITH " + TextOps.searchBm25SqlCtes + s""",
+        |top AS (SELECT query_id, doc_id FROM lex WHERE rk <= $PrfFbDocs),
+        |cand AS (
+        |  SELECT t.query_id, c.term, CAST(sum(c.cint) AS BIGINT) AS w_nano
+        |  FROM c JOIN top t ON c.doc_id = t.doc_id
+        |  GROUP BY 1, 2),
+        |fresh AS (
+        |  SELECT cand.query_id, cand.term, cand.w_nano
+        |  FROM cand LEFT JOIN qd
+        |    ON qd.query_id = cand.query_id AND qd.term = cand.term
+        |  WHERE qd.term IS NULL)
+        |SELECT query_id, rk, term, w_nano FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY w_nano DESC, term ASC) AS INTEGER) AS rk
+        |  FROM fresh)
+        |WHERE rk <= $PrfExpK""".stripMargin),
     "eval_distinct_n" ->
       """WITH base AS (
         |  SELECT doc_id, source, ws,

@@ -264,16 +264,29 @@ object TextOps {
     * reported score is the exact integer sum rescaled.
     */
   def searchBm25On(docs: DataFrame): DataFrame =
-    bm25RankedOn(docs,
-      docs.filter(col("doc_id") < SearchQueryDocs)
-        .select(col("doc_id").as("query_id"),
-          explode(array_distinct(toks(col("text")))).as("term")))
+    bm25RankedOn(docs, bm25DefaultQterms(docs))
+
+  /** The default query workload: every distinct term of each query
+    * doc (doc_id < SearchQueryDocs) — shared by search_bm25 and
+    * search_expand_prf so they expand the SAME queries.
+    */
+  private[queries] def bm25DefaultQterms(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < SearchQueryDocs)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(toks(col("text")))).as("term"))
 
   /** BM25 top-k over an arbitrary (query_id, term) workload frame —
     * the ranking core [[searchBm25On]] and Evals.search_rank_eval
     * share (one corpus-side index build, broadcast query side).
     */
-  private[queries] def bm25RankedOn(docs: DataFrame, qterms: DataFrame): DataFrame = {
+  private[queries] def bm25RankedOn(docs: DataFrame, qterms: DataFrame): DataFrame =
+    bm25RankedFrom(bm25ContribOn(docs), qterms)
+
+  /** The per-(doc, term) BM25 contribution table (nano-int weights) —
+    * the index half of the ranker, shared by [[bm25RankedOn]] and
+    * Evals.search_expand_prf (which mines expansion terms from it).
+    */
+  private[queries] def bm25ContribOn(docs: DataFrame): DataFrame = {
     val corpus = docs.filter(col("doc_id") >= SearchQueryDocs)
     val tf = corpus
       .select(col("doc_id"), explode_outer(toks(col("text"))).as("term"))
@@ -282,7 +295,7 @@ object TextOps {
     // map-only 1-row stats — see bm25Terms' exchange-reuse note
     val stats = corpus.select(size(toks(col("text"))).as("dl"))
       .agg(sum("dl").cast("double").as("total_tok"), count(lit(1)).as("n_docs"))
-    val contrib = tf.crossJoin(broadcast(stats))
+    tf.crossJoin(broadcast(stats))
       .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
       .withColumn("dl", sum("n_td").over(Window.partitionBy("doc_id")))
       .withColumn("idf",
@@ -293,6 +306,13 @@ object TextOps {
           (col("n_td") + lit(1.2) *
             (lit(0.25) + lit(0.75) * col("dl") / (col("total_tok") / col("n_docs"))))
           * lit(1e9) + lit(0.5)).cast("long"))
+  }
+
+  /** The scoring half: broadcast the query terms against the contrib
+    * table, sum, rank, cut at [[SearchTopK]].
+    */
+  private[queries] def bm25RankedFrom(contrib: DataFrame,
+      qterms: DataFrame): DataFrame = {
     val scored = contrib.join(broadcast(qterms), "term")
       .groupBy("query_id", "doc_id").agg(sum("cint").as("sint"))
     val w = Window.partitionBy("query_id").orderBy(col("sint").desc, col("doc_id").asc)

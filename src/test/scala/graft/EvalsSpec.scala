@@ -171,30 +171,44 @@ class EvalsSpec extends SparkSuite {
     }
   }
 
-  test("search_rank_eval equals the sequential BM25 + conjunctive-truth recompute") {
-    val all = graft.core.Tables.documents(spark, sfDir)
+  // ---- shared sequential BM25 index mirror (corpus = doc_id >= 5) ----
+  private lazy val allDocs: Map[Long, Seq[String]] =
+    graft.core.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> tokens(r.getString(1)).toSeq).toMap
-    val corpus = all.filter(_._1 >= 5)
+  private lazy val corpusDocs = allDocs.filter(_._1 >= 5)
+  private lazy val bmTf: Map[(Long, String), Long] = corpusDocs.toSeq
+    .flatMap { case (d, ws) =>
+      ws.groupBy(identity).map { case (t, g) => (d, t) -> g.length.toLong }
+    }.toMap
+  private lazy val bmDf =
+    bmTf.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+  private lazy val bmDl = corpusDocs.view.mapValues(_.length.toLong).toMap
+  private lazy val bmTotal = bmDl.values.sum.toDouble
+  private lazy val bmN = corpusDocs.size.toLong
+  private def bmCint(d: Long, t: String): Long = {
+    val idf = math.floor(math.log((bmN - bmDf(t) + 0.5) / (bmDf(t) + 0.5)
+      + 1.0) * 1e6 + 0.5) / 1e6
+    val ntd = bmTf((d, t)).toDouble
+    math.floor(idf * (ntd * 2.2)
+      / (ntd + 1.2 * (0.25 + 0.75 * bmDl(d) / (bmTotal / bmN)))
+      * 1e9 + 0.5).toLong
+  }
+  /** Top-k BM25 docs for a query-term multiset, mirror of the ranker. */
+  private def bmTopK(keys: Seq[String], k: Int): Seq[Long] =
+    corpusDocs.keys.toSeq.collect {
+      case d if keys.exists(t => bmTf.contains((d, t))) =>
+        d -> keys.filter(t => bmTf.contains((d, t))).map(t => bmCint(d, t)).sum
+    }.sortBy { case (d, s) => (-s, d) }.take(k).map(_._1)
+
+  test("search_rank_eval equals the sequential BM25 + conjunctive-truth recompute") {
+    val all = allDocs
+    val corpus = corpusDocs
     val qs = all.collect { case (q, ws) if q < 5 && ws.length >= 5 =>
       q -> Seq(ws(0), ws(2), ws(4))
     }
-    val tf: Map[(Long, String), Long] = corpus.toSeq
-      .flatMap { case (d, ws) =>
-        ws.groupBy(identity).map { case (t, g) => (d, t) -> g.length.toLong }
-      }.toMap
-    val df = tf.keys.toSeq.groupBy(_._2).view.mapValues(_.length.toLong).toMap
-    val dl = corpus.view.mapValues(_.length.toLong).toMap
-    val totalTok = dl.values.sum.toDouble
-    val nDocs = corpus.size.toLong
-    def cint(d: Long, t: String): Long = {
-      val idf = math.floor(math.log((nDocs - df(t) + 0.5) / (df(t) + 0.5)
-        + 1.0) * 1e6 + 0.5) / 1e6
-      val ntd = tf((d, t)).toDouble
-      math.floor(idf * (ntd * 2.2)
-        / (ntd + 1.2 * (0.25 + 0.75 * dl(d) / (totalTok / nDocs)))
-        * 1e9 + 0.5).toLong
-    }
+    val tf = bmTf
+    def cint(d: Long, t: String): Long = bmCint(d, t)
     val k = graft.queries.TextOps.SearchTopK
     val dcgW = (1 to k).map(i =>
       math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0)) + 0.5).toLong)
@@ -229,6 +243,32 @@ class EvalsSpec extends SparkSuite {
     assert(expect.values.exists(_._1 > 0), "no query has any relevant doc")
     got.values.foreach { case (_, _, _, mrr, ndcg) =>
       assert(mrr >= 0 && mrr <= 1000000L && ndcg >= 0 && ndcg <= 1000000L)
+    }
+  }
+
+  test("search_expand_prf equals the sequential RM3 term mining") {
+    val queries = allDocs.collect { case (q, ws) if q < 5 && ws.nonEmpty =>
+      q -> ws.distinct
+    }
+    val expect = queries.flatMap { case (q, qset) =>
+      val fb = bmTopK(qset, Evals.PrfFbDocs)
+      val cand = fb.flatMap(d => corpusDocs(d).distinct.map(t => t -> bmCint(d, t)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        .filterNot { case (t, _) => qset.contains(t) }
+      cand.toSeq.sortBy { case (t, w) => (-w, t) }
+        .take(Evals.PrfExpK).zipWithIndex
+        .map { case ((t, w), i) => (q, i + 1, t, w) }
+    }.toSet
+    val got = Evals.searchExpandPrf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == expect)
+    // expansion is live: every query with feedback docs gains NEW
+    // terms, none of which echo the query
+    assert(got.nonEmpty)
+    got.foreach { case (q, _, t, w) =>
+      assert(!queries(q).contains(t), s"query $q expanded with its own term $t")
+      assert(w > 0L)
     }
   }
 }

@@ -60,9 +60,9 @@ class PlanLintSpec extends SparkSuite {
     // t-closeness / dp-quantile: |bands|-row (attribute domain)
     // zero-fill + 1-row totals frame, both broadcast
     "privacy_tcloseness", "privacy_dp_quantile",
-    // rank eval: the search_bm25 1-row stats frame + the O(queries)
-    // key-term broadcast on the truth side
-    "search_rank_eval",
+    // rank eval / PRF expansion: the search_bm25 1-row stats frame +
+    // the O(queries) term broadcast (PRF's anti-join side included)
+    "search_rank_eval", "search_expand_prf",
     "embed_project", "embed_quantize", "events_retention", "recursive_cte",
     "dedup_ngram", "dedup_spans", "dedup_spans_apply", "join_similarity",
     // KMV audience overlap: the pairwise join is over k-capped sketch
