@@ -29,6 +29,23 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
+    // Cross-query block hygiene: iterative/stage-shared operators
+    // truncate lineage via localCheckpoint, whose blocks hang off plan
+    // leaves and BYPASS Dataset.unpersist/catalog cache — over a full
+    // registry run (431 queries x warm-up + 3 reps) they accumulate in
+    // executor storage until eviction/GC pressure poisons later
+    // queries' timings (the r11 dedup_cluster_minhash 17.2 s driver
+    // reading vs 1.87 s isolated — same binary). Dropping EVERY
+    // persisted RDD between executions makes each rep measure the same
+    // clean-storage steady state regardless of registry position; no
+    // query reuses blocks across reps (each call builds fresh frames),
+    // so this costs nothing but the bookkeeping.
+    def clean(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+        try r.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
     // Warm-up pass: run EVERY benched query once, uncounted, so the
     // timed pass measures steady state (JIT + whole-stage-codegen
     // compilation + parquet footer caches excluded). One-shot codegen
@@ -38,6 +55,7 @@ object Bench {
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () } // failures surface in the timed pass
+      clean()
     }
     // A failed query is recorded as -1 (never a plausible elapsed time)
     // and listed in "errors"; the process exits non-zero so a crashing
@@ -49,11 +67,14 @@ object Bench {
     val results = names.map { name =>
       val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name: $e"); errors += name; None
-        }
+        val r =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name: $e"); errors += name; None
+          }
+        clean() // outside the timed span: reps start from identical storage state
+        r
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }

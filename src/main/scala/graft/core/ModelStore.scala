@@ -98,6 +98,16 @@ object ModelStore {
       }
     }
 
+  /** Observability for the cold-start measurement
+    * (tools/ModelStoreCold): how many [[cachedDurable]] resolutions
+    * that missed the session cache were served by the DISK store vs
+    * retrained. JVM-wide monotone counters — the measurement tool
+    * reads them to PROVE a fresh JVM warm-started from
+    * `spark.graft.modelDir` rather than silently retraining.
+    */
+  @volatile var diskHits: Long = 0L
+  @volatile var retrains: Long = 0L
+
   /** Get-or-train through BOTH tiers: session cache first, then the
     * disk store, then `train` (whose result is saved for the next
     * session). `fromFrames`/`toFrames` adapt the family's model type
@@ -107,7 +117,10 @@ object ModelStore {
       constants: String, n: Int)(train: => T)(
       toFrames: T => Seq[DataFrame])(fromFrames: Seq[DataFrame] => T): T =
     ModelCache.cached(s, d, name) {
-      load(s, d, name, constants, n).map(fromFrames).getOrElse {
+      load(s, d, name, constants, n).map { fs =>
+        diskHits += 1; fromFrames(fs)
+      }.getOrElse {
+        retrains += 1
         val m = train
         save(s, d, name, constants, toFrames(m))
         m

@@ -257,7 +257,8 @@ object Classifier {
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val out = vec
       .select(col("y").cast("int").as("label"),
-        (dot(col("x"), wl) > 0).cast("int").as("pred"))
+        (floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)) > 0).cast("int")
+          .as("pred"))
       .groupBy("label", "pred").agg(count(lit(1)).as("n_docs"))
       .stable
     vec.unpersist(false)
@@ -370,7 +371,8 @@ object Classifier {
     val w = weightsCached(s, d, vec)
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val scored = vec.select(col("doc_id"),
-      (dot(col("x"), wl) >= 0).cast("long").as("accept"))
+      (floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)) >= 0).cast("long")
+        .as("accept"))
     val bySource = scored
       .join(graft.core.Tables.documents(s, d).select("doc_id", "source"), "doc_id")
       .groupBy("source")
@@ -396,11 +398,16 @@ object Classifier {
     * distilled model actually learn the heuristic, or does raw
     * accuracy just reflect the base rate?" (a gate that accepts 95%
     * of docs agrees 90%+ with ANY other permissive gate — κ strips
-    * that chance floor out). Kept exact: the four cells and both
-    * marginal products are integer; κ's numerator n·(n11+n00) −
-    * (a1·b1 + a0·b0) and denominator n² − (a1·b1 + a0·b0) are exact
-    * longs, with ONE double division micro-quantized at the end —
-    * merge-order free, and bit-identical across engines.
+    * that chance floor out). Kept exact: the four cells are integer,
+    * and the marginal products a1·b1 + a0·b0 (and n²) are carried in
+    * DECIMAL(38,0) — the corr_matrix convention — because int64
+    * products overflow once the corpus passes ~3e9 docs; κ's
+    * numerator n·(n11+n00) − pe and denominator n² − pe stay exact at
+    * any corpus size, with ONE double division micro-quantized at the
+    * end — merge-order free, and bit-identical across engines.
+    * Rater B's prediction is the family-wide quantized convention
+    * (floor(margin·1e6 + 0.5) > 0), so κ's cells, classifier_predict,
+    * and label_noise_report all describe the SAME disagreement set.
     *
     * Scale shape: one featurize pass (shared via the session model
     * cache) + a single global 5-integer aggregate; nothing about the
@@ -412,28 +419,31 @@ object Classifier {
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val cells = vec
       .select(col("y").cast("long").as("a"),
-        (dot(col("x"), wl) > 0).cast("long").as("b"))
+        (floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)) > 0).cast("long")
+          .as("b"))
       .agg(count(lit(1)).as("n"),
         sum(col("a") * col("b")).as("n11"),
         sum(col("a") * (lit(1L) - col("b"))).as("n10"),
         sum((lit(1L) - col("a")) * col("b")).as("n01"),
         sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
-    val a1 = col("n11") + col("n10")
-    val b1 = col("n11") + col("n01")
-    val pe = a1 * b1 + (col("n") - a1) * (col("n") - b1)
+    val nD = col("n").cast("decimal(38,0)")
+    val a1 = (col("n11") + col("n10")).cast("decimal(38,0)")
+    val b1 = (col("n11") + col("n01")).cast("decimal(38,0)")
+    val pe = a1 * b1 + (nD - a1) * (nD - b1)
     val out = cells
       .select(col("n").as("n_docs"), col("n11"), col("n10"), col("n01"),
         col("n00"),
         floor((col("n11") + col("n00")).cast("double") / col("n") * 1e6
           + lit(0.5)).cast("long").as("po_micro"),
-        floor(pe.cast("double") / (col("n") * col("n")) * 1e6 + lit(0.5))
+        floor(pe.cast("double") / (nD * nD).cast("double") * 1e6 + lit(0.5))
           .cast("long").as("pe_micro"),
         // pe == n² iff both raters are fully one-sided the same way
         // (a1 = b1 ∈ {0, n}) — κ is 0/0 there; report 0 (no
         // chance-corrected signal) instead of a cross-engine NaN split
-        when(col("n") * col("n") - pe > 0,
-          floor((col("n") * (col("n11") + col("n00")) - pe).cast("double")
-            / (col("n") * col("n") - pe) * 1e6 + lit(0.5)).cast("long"))
+        when((nD * nD - pe) > lit(0).cast("decimal(38,0)"),
+          floor((nD * (col("n11") + col("n00")).cast("decimal(38,0)") - pe)
+            .cast("double")
+            / (nD * nD - pe).cast("double") * 1e6 + lit(0.5)).cast("long"))
           .otherwise(lit(0L)).as("kappa_micro"))
       .stable
     vec.unpersist(false)
@@ -564,7 +574,8 @@ object Classifier {
       s"""WITH
          |$chainSql,
          |sc AS (SELECT d.doc_id, CAST(d.y AS BIGINT) AS a,
-         |         CASE WHEN sum(d.x * w.w) > 0 THEN 1 ELSE 0 END AS b
+         |         CASE WHEN CAST(floor(sum(d.x * w.w) * 1e6 + 0.5) AS BIGINT)
+         |           > 0 THEN 1 ELSE 0 END AS b
          |       FROM dd d JOIN $finalWeightsCte w USING (dim)
          |       GROUP BY d.doc_id, d.y),
          |cells AS (
@@ -573,21 +584,25 @@ object Classifier {
          |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
          |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
          |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
-         |  FROM sc)
+         |  FROM sc),
+         |wide AS (
+         |  SELECT n, n11, n10, n01, n00,
+         |    CAST(n AS HUGEINT) AS nd,
+         |    CAST(n11 + n10 AS HUGEINT) * CAST(n11 + n01 AS HUGEINT)
+         |      + CAST(n - n11 - n10 AS HUGEINT)
+         |        * CAST(n - n11 - n01 AS HUGEINT) AS pe
+         |  FROM cells)
          |SELECT n AS n_docs, n11, n10, n01, n00,
          |  CAST(floor(CAST(n11 + n00 AS DOUBLE) / n * 1e6 + 0.5) AS BIGINT)
          |    AS po_micro,
-         |  CAST(floor(CAST((n11 + n10) * (n11 + n01)
-         |      + (n - n11 - n10) * (n - n11 - n01) AS DOUBLE)
-         |    / (n * n) * 1e6 + 0.5) AS BIGINT) AS pe_micro,
-         |  CASE WHEN n * n - ((n11 + n10) * (n11 + n01)
-         |      + (n - n11 - n10) * (n - n11 - n01)) > 0
-         |    THEN CAST(floor(CAST(n * (n11 + n00) - ((n11 + n10) * (n11 + n01)
-         |        + (n - n11 - n10) * (n - n11 - n01)) AS DOUBLE)
-         |      / (n * n - ((n11 + n10) * (n11 + n01)
-         |        + (n - n11 - n10) * (n - n11 - n01))) * 1e6 + 0.5) AS BIGINT)
+         |  CAST(floor(CAST(pe AS DOUBLE) / CAST(nd * nd AS DOUBLE) * 1e6 + 0.5)
+         |    AS BIGINT) AS pe_micro,
+         |  CASE WHEN nd * nd - pe > 0
+         |    THEN CAST(floor(
+         |        CAST(nd * CAST(n11 + n00 AS HUGEINT) - pe AS DOUBLE)
+         |      / CAST(nd * nd - pe AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
          |    ELSE 0 END AS kappa_micro
-         |FROM cells""".stripMargin,
+         |FROM wide""".stripMargin,
     "classifier_auc" ->
       s"""WITH
          |$chainSql,
@@ -613,7 +628,8 @@ object Classifier {
       s"""WITH
          |$chainSql,
          |sc AS (SELECT d.doc_id,
-         |         CASE WHEN sum(d.x * w.w) >= 0 THEN 1 ELSE 0 END AS accept
+         |         CASE WHEN CAST(floor(sum(d.x * w.w) * 1e6 + 0.5) AS BIGINT)
+         |           >= 0 THEN 1 ELSE 0 END AS accept
          |       FROM dd d JOIN $finalWeightsCte w USING (dim)
          |       GROUP BY d.doc_id),
          |bys AS (
@@ -652,7 +668,8 @@ object Classifier {
     "classifier_predict" ->
       s"""WITH
          |$chainSql,
-         |sc AS (SELECT d.doc_id, d.y, sum(d.x * w.w) AS m
+         |sc AS (SELECT d.doc_id, d.y,
+         |         CAST(floor(sum(d.x * w.w) * 1e6 + 0.5) AS BIGINT) AS m
          |       FROM dd d JOIN w$Iters w USING (dim)
          |       GROUP BY d.doc_id, d.y)
          |SELECT CAST(y AS INTEGER) AS label,

@@ -127,7 +127,13 @@ object Evals {
         expr("CAST(sum(p2_t) AS BIGINT) DIV count(1)").as("p2_micro"),
         expr("CAST(sum(bleu_t) AS BIGINT) DIV count(1)").as("bleu2_micro"))
 
-  /** chrF₂ (Popović 2015) of the lead against the body — the
+  /** chrF-STYLE score (β=2, after Popović 2015's chrF₂ — but NOT the
+    * reference metric: standard chrF averages n=1..6 char-gram
+    * F-scores over whitespace-STRIPPED text, while this harness blends
+    * only 2-/3-grams over the space-joined token streams, so grams
+    * span token boundaries and scores are deliberately not comparable
+    * to sacrebleu-style chrF numbers; cross-engine agreement is what
+    * the gate certifies) of the lead against the body — the
     * character-n-gram F-score companion to the token-level
     * ROUGE/BLEU pair (robust to tokenization and morphology; the
     * standard MT/generation eval third leg). Same deterministic

@@ -238,7 +238,13 @@ object Privacy {
     * median — half-unit-free integers, sensitivity 2); the release is
     * the Gumbel-max sampling identity argmax_b [ε·u(b)/(2Δu) + G_b]
     * = argmax_b [u(b)/4 + G_b], with G_b = −ln(−ln(U_b)) and U_b the
-    * md5-seeded uniform of the (nation, band) cell.
+    * md5-seeded uniform of the (nation, band) cell. The argmax ranks
+    * the INTEGER score u·250000 − round(G·1e6): the libm-log Gumbel
+    * term is micro-quantized BEFORE the row_number pick, so a 1-ulp
+    * cross-engine ln() difference cannot flip which band wins a
+    * near-tie (the selection analogue of dp_counts' released-value
+    * quantization; distribution shift from 1e-6 rounding is
+    * negligible vs. the Gumbel scale of 1).
     *
     * PRIVACY STATUS: identical contract to [[privacyDpCounts]] — with
     * `spark.graft.dpSalt` unset the draw replays from public keys (a
@@ -273,8 +279,16 @@ object Privacy {
           concat(col("c_nationkey").cast("string"), lit(":"),
             col("band").cast("string")))), 1, 6), 16, 10).cast("long"),
           lit(1000000L)).cast("double") + 0.5) / 1000000.0)
+      // Integer score: u/4 − Gumbel, carried as micro-units. u_int·250000
+      // is exact (long · long), and the libm-sourced Gumbel term is
+      // quantized BEFORE the argmax — unlike dp_counts, where log feeds a
+      // released value, here it feeds a row_number SELECTION, and a 1-ulp
+      // cross-engine log difference could flip which band wins a near-tie.
+      // After quantization both engines rank identical longs. (Exact-long
+      // rail: |u_int|·250000 overflows past ~3.7e13 rows per class.)
       .withColumn("score",
-        col("u_int").cast("double") / 4.0 - log(-log(col("uu"))))
+        col("u_int") * lit(250000L) -
+          floor(log(-log(col("uu"))) * lit(1e6) + lit(0.5)).cast("long"))
       .withColumn("true_band",
         min(when(lit(2L) * col("cum") >= col("n"), col("band")))
           .over(Window.partitionBy("c_nationkey")))
@@ -314,11 +328,12 @@ object Privacy {
         |    AND cells.band = dom.band),
         |sc AS (
         |  SELECT c_nationkey, n, band,
-        |    CAST(-abs(2 * cum - n) AS DOUBLE) / 4.0
-        |      - ln(-ln((CAST(('0x' || substr(md5('dpq:'
+        |    CAST(-abs(2 * cum - n) AS BIGINT) * 250000
+        |      - CAST(floor(ln(-ln((CAST(('0x' || substr(md5('dpq:'
         |          || CAST(c_nationkey AS VARCHAR) || ':'
         |          || CAST(band AS VARCHAR)), 1, 6))::UBIGINT
-        |          % 1000000 AS DOUBLE) + 0.5) / 1000000.0)) AS score,
+        |          % 1000000 AS DOUBLE) + 0.5) / 1000000.0))
+        |          * 1e6 + 0.5) AS BIGINT) AS score,
         |    min(CASE WHEN 2 * cum >= n THEN band END)
         |      OVER (PARTITION BY c_nationkey) AS true_band
         |  FROM f)

@@ -33,6 +33,38 @@ class RegistryCountsSpec extends AnyFunSuite {
         s"${SparkEntry.benchQueries.size}")
   }
 
+  /** Round-11 verdict: §2.4 lagged the registry by 6 operator NAMES
+    * while the counts line stayed green — counts can't see which rows
+    * are missing. This makes name coverage mechanical too: every
+    * registry key must appear in SURVEY.md, where the prose may use
+    * the three established shorthands — a parenthesized optional
+    * suffix inside one backtick pair (`dedup_containment(_sketch)`),
+    * a trailing (+`_minhash`)-style suffix after a backticked base,
+    * and the `sql_q1..q22_verbatim` range.
+    */
+  test("every registry query name appears in SURVEY.md §2.4 prose") {
+    val survey = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("SURVEY.md"))
+    val names = scala.collection.mutable.Set.empty[String]
+    for (m <- "`([a-z0-9_().+]+)`".r.findAllMatchIn(survey)) {
+      val tok = m.group(1)
+      "^([a-z0-9_]+)\\((_[a-z0-9_]+)\\)$".r.findFirstMatchIn(tok) match {
+        case Some(p) => names += p.group(1); names += p.group(1) + p.group(2)
+        case None => names += tok
+      }
+    }
+    for (m <- "`([a-z0-9_]+)`\\s*\\(\\+`(_[a-z0-9_]+)`\\)".r
+        .findAllMatchIn(survey))
+      names += m.group(1) + m.group(2)
+    for (m <- "([a-z0-9_]*q)(\\d+)\\.\\.q(\\d+)(_[a-z0-9_]+)".r
+        .findAllMatchIn(survey);
+        i <- m.group(2).toInt to m.group(3).toInt)
+      names += s"${m.group(1).stripSuffix("q")}q$i${m.group(4)}"
+    val missing = SparkEntry.queries.keySet.filterNot(names)
+    assert(missing.isEmpty,
+      s"registry queries with no SURVEY.md mention: ${missing.toSeq.sorted}")
+  }
+
   test("registry structural invariants") {
     // every oracle row points at a registered query
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -59,9 +59,21 @@ object GraphScaleCurve {
       val seed = deg.orderBy(col("outdeg").desc, col("src").asc).limit(1)
         .select(col("src").as("node")).stable
       val frontier = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val r = Graphs.pprRoundsOn(ann, seed, j => frontier += j.count())
+      // Persist each round's frontier join BEFORE the census count:
+      // counting the unpersisted join would execute it a second time
+      // when the round's contrib aggregation materializes downstream,
+      // overstating ppr_wall vs. the census-free graph_ppr arithmetic
+      // this curve exists to measure. Freed after the run (bounded:
+      // ≤ PprRounds cached frontier joins, each |E ⋉ reached| rows).
+      val censusJoins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val r = Graphs.pprRoundsOn(ann, seed, { j =>
+        val cached = j.persist()
+        censusJoins += cached
+        frontier += cached.count()
+      })
       val nReached = r.filter(col("rank_nano") > 0).count()
       val tPpr = (System.nanoTime() - t0) / 1e9
+      censusJoins.foreach(_.unpersist(false))
       r.unpersist(false); ann.unpersist(false); e.unpersist(false)
 
       println(f"[graph-scale] $tag V=$nV E=$nE pagerank_rows=$nRank " +

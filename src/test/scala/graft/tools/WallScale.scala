@@ -1,0 +1,110 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.SparkEntry
+
+/** WALL-CLOCK scale evidence on real ON-DISK datasets (dev tool) —
+  * the round-11 verdict's gap #3: the ×10 curves measured per-stage
+  * ROW growth on in-memory replications; this measures elapsed
+  * SECONDS for the headline linear operators against materialized
+  * parquet at ×1 / ×10 / ×100 of sf0.1, where parquet scan, shuffle
+  * and memory pressure are real.
+  *
+  * Dataset construction (written once per factor under the work
+  * root): copy c of the corpus remaps ids (`doc_id + c·10⁷`) and tags
+  * every whitespace word with a letter-only copy suffix (the
+  * tokenizer splits on non-letter runs, so a digit/underscore tag
+  * would vanish — letters survive), making copies token-disjoint:
+  * NO cross-copy near-dups, so each copy carries exactly the base
+  * corpus's duplicate structure and every dedup family's true output
+  * (and candidate volume) scales LINEARLY with the factor — the
+  * property the 100 TB design claims and this tool exists to time.
+  * A naive exact replication would instead create k-clique duplicate
+  * groups (k(k−1)/2 pair blowup — quadratic in the factor) and
+  * measure a workload the design explicitly avoids. Embeddings
+  * replicate as-is (cell populations scale uniformly; trainers are
+  * sample-capped so only assignment/serving grows).
+  *
+  * Usage: sbt "Test/runMain graft.tools.WallScale [factors] [workRoot]"
+  * (defaults "1,10,100" /tmp/graft_wallscale). Prints one line per
+  * (factor, op): rows, wall seconds, and the ratio vs that op's ×1
+  * time — the number to paste into BASELINE.md.
+  */
+object WallScale {
+  val Base = "/root/testdata/sf0.1"
+  // headline linear-path operators that read only documents/embeddings
+  val Ops: Seq[String] = Seq("dedup_exact", "dedup_minhash",
+    "dedup_keep_minhash", "quality_score", "lm_score", "ann_ivf")
+
+  private def tag(c: Int): String = {
+    // letter-only base-26 copy tag ("zaa", "zab", …)
+    val a = ('a' + c / 26).toChar; val b = ('a' + c % 26).toChar
+    s"z$a$b"
+  }
+
+  def writeFactor(s: SparkSession, root: String, k: Int): String = {
+    val dir = s"$root/x$k"
+    val docs = s.read.parquet(s"$Base/documents.parquet")
+    val embs = s.read.parquet(s"$Base/embeddings.parquet")
+    val dcopies = (0 until k).map { c =>
+      docs.select(
+        (col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          w => concat(lit(tag(c)), w)), " ").as("text"),
+        col("lang"), col("source"))
+    }
+    dcopies.reduce(_ unionAll _)
+      .withColumn("n_chars", length(col("text")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ecopies = (0 until k).map { c =>
+      embs.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }
+    ecopies.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factors = args.headOption.getOrElse("1,10,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val root = args.drop(1).headOption.getOrElse("/tmp/graft_wallscale")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def clean(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+        try r.unpersist(blocking = false) catch { case _: Throwable => () }
+      }
+    }
+    // JIT/codegen warm-up on the untouched base dir so ×1 is steady state
+    Ops.foreach { op =>
+      SparkEntry.queries(op)(spark, Base).count(); clean()
+    }
+    val x1 = scala.collection.mutable.Map.empty[String, Double]
+    factors.foreach { k =>
+      val t0 = System.nanoTime()
+      val dir = writeFactor(spark, root, k)
+      println(f"[wall-scale] x$k%-3d generated in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      Ops.foreach { op =>
+        val t1 = System.nanoTime()
+        val rows = SparkEntry.queries(op)(spark, dir).count()
+        val sec = (System.nanoTime() - t1) / 1e9
+        clean()
+        if (k == factors.min) x1(op) = sec
+        val ratio = x1.get(op).map(b => f"${sec / b}%.1f").getOrElse("-")
+        println(f"[wall-scale] x$k%-3d $op%-20s rows=$rows%-9d wall=$sec%7.2f s  vs_x1=$ratio")
+      }
+    }
+    spark.stop()
+  }
+}
