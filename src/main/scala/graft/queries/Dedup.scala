@@ -191,6 +191,190 @@ object Dedup {
     */
   val HotShingleCap = 128
 
+  /** [[dedupTfidf]] emit threshold on the micro-quantized cosine. */
+  val TfidfMinCos = 0.6
+
+  /** TF-IDF-WEIGHTED near-dup pairs ([EXT]): cosine similarity of
+    * tf·idf-weighted 3-gram vectors — the WEIGHTED complement to
+    * [[dedupNgram]]'s set Jaccard. Jaccard treats every shingle
+    * equally, so two docs sharing lots of common phrasing score the
+    * same as two sharing rare, distinctive passages; idf weighting
+    * scores the rare-overlap pair higher (the SPOTSIGS/near-dup-IR
+    * convention), and tf (shingles counted WITH multiplicity, unlike
+    * the distinct-shingle Jaccard chain) lets repeated passages count.
+    * Top-50 pairs with micro-quantized cosine ≥ [[TfidfMinCos]],
+    * (cos desc, ids) total order.
+    *
+    * Cross-engine exactness: the single libm term ln((N+1)/(df+1)) is
+    * quantized to int 1e-4 units immediately (the bm25 convention);
+    * weights w = tf·idf_q, dots Σ wa·wb and norms Σ w² are then exact
+    * int64 (rail: tf ≤ 100-ish and ln N ≤ 25 keep Σw² < 2^63 up to
+    * ~millions of shingles per doc), and the one double division is
+    * micro-quantized before the threshold/order.
+    *
+    * Scale: the [[ngramScoredFull]] envelope — corpus shingled and
+    * shuffled ONCE to (shingle) groups, df > [[HotShingleCap]] groups
+    * dropped BEFORE pair expansion (the capped term SPACE defines the
+    * operator: boilerplate shingles carry ~zero idf anyway), pairs
+    * stream through the same two-stage O(k)-memory expansion, dot
+    * products partial-agg'd; norms are one doc-keyed aggregate of the
+    * posting frame. Cost ∝ Σ df² over capped shingles — never n².
+    */
+  def dedupTfidf(s: SparkSession, d: String): DataFrame =
+    dedupTfidfOn(Tables.documents(s, d))
+
+  /** `(sh, ids(doc_id, tf), n_docs, idf_q)` over the capped shingle
+    * space — the weighted term frame [[dedupTfidfOn]] and its LSH
+    * scale twin [[dedupTfidfSimhashOn]] both derive from (3-gram
+    * multiplicity counts, df-capped groups, 1e-4-quantized idf).
+    */
+  private def tfidfByTerm(docs: DataFrame): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val grams = toks.select(col("doc_id"),
+      explode(transform(sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .as("sh"))
+    val tf = grams.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    tf.groupBy("sh")
+      .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ids"))
+      .filter(size(col("ids")) <= lit(HotShingleCap))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_q",
+        floor(log((col("n_docs") + lit(1)).cast("double") /
+          (size(col("ids")) + lit(1))) * lit(1e4) + lit(0.5)).cast("long"))
+  }
+
+  /** `(doc_id, sh, w)` integer tf·idf postings from [[tfidfByTerm]]. */
+  private def tfidfPostings(byTerm: DataFrame): DataFrame =
+    byTerm.select(col("sh"), col("idf_q"), explode(col("ids")).as("p"))
+      .select(col("p.doc_id").as("doc_id"), col("sh"),
+        (col("p.tf") * col("idf_q")).as("w"))
+
+  /** [[dedupTfidf]] over any (doc_id, text) frame (spec surface). */
+  def dedupTfidfOn(docs: DataFrame): DataFrame = {
+    val byTerm = tfidfByTerm(docs)
+    val wt = tfidfPostings(byTerm)
+    val nrm = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2"))
+    val pairs = byTerm
+      .filter(size(col("ids")) > 1)
+      .select(col("idf_q"), col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("idf_q"),
+        explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+          b => when(col("a")("doc_id") < b("doc_id"),
+            struct(col("a")("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+              (col("a")("tf") * b("tf")).as("tt")))
+            .otherwise(
+              struct(b("doc_id").as("doc_a"), col("a")("doc_id").as("doc_b"),
+                (col("a")("tf") * b("tf")).as("tt"))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        (col("p.tt") * col("idf_q") * col("idf_q")).as("ww"))
+    pairs.groupBy("doc_a", "doc_b")
+      .agg(sum("ww").as("dot"), count(lit(1)).as("n_shared"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm2").as("na2")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm2").as("nb2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (floor(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
+      .filter(col("cos") >= TfidfMinCos)
+      .orderBy(col("cos").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+
+  /** The LINEAR SCALE FORM of [[dedupTfidf]]: WEIGHTED SimHash
+    * (Charikar '02 random-hyperplane sketching with integer tf·idf
+    * weights) — a 96-bit signature BANDED 16 × 6 for candidates
+    * instead of the Σdf² pair expansion, then EXACT weighted cosine
+    * verifies just the candidates. Signature bit i is
+    * sign(Σ_shingles ±w) with the sign drawn from md5-bit i of the
+    * shingle — ALL integer, so both engines build bit-identical
+    * signatures, unlike the classic float-projection form. Identical
+    * docs ⇒ identical signatures ⇒ all 16 bands collide; a pair at
+    * angle θ matches a band with p_hit = (1 − θ/π)⁶, so miss =
+    * (1 − p_hit)¹⁶ ≈ 1e-7 at cos 0.97, 0.9% at cos 0.8, ~12% at the
+    * 0.6 emit threshold — the same banded S-curve contract as the
+    * MinHash family, with [[dedupTfidf]] as the quadratic
+    * verification oracle (the dedup_minhash / dedup_ngram pairing
+    * carried to the weighted family). Cost: one posting shuffle for
+    * signatures, one bucket shuffle for candidates (zero joins in the
+    * candidate plan — the minhashBuckets shape), candidate-bounded
+    * verify joins — never corpus².
+    */
+  def dedupTfidfSimhash(s: SparkSession, d: String): DataFrame =
+    dedupTfidfSimhashOn(Tables.documents(s, d))
+
+  /** [[dedupTfidfSimhash]] over any (doc_id, text) frame. */
+  def dedupTfidfSimhashOn(docs: DataFrame): DataFrame = {
+    val byTerm = tfidfByTerm(docs)
+    val wt = tfidfPostings(byTerm)
+    val nrm = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2"))
+    // 96 hyperplane signs per shingle from the first 24 md5 hex chars
+    // (two exact 48-bit halves — BIGINT-safe in both engines)
+    val hw = wt.select(col("doc_id"), col("w"),
+      expr("CAST(conv(substring(md5(sh), 1, 12), 16, 10) AS BIGINT)").as("h1"),
+      expr("CAST(conv(substring(md5(sh), 13, 12), 16, 10) AS BIGINT)").as("h2"))
+    val acc = hw.groupBy("doc_id")
+      .agg(collect_list(struct(col("h1"), col("h2"), col("w"))).as("hw"))
+      .select(col("doc_id"), expr(
+        """aggregate(hw, array_repeat(CAST(0 AS BIGINT), 96),
+          |  (acc, e) -> transform(acc, (a, i) ->
+          |    a + IF(IF(i < 48, (e.h1 >> i) & 1, (e.h2 >> (i - 48)) & 1) = 1,
+          |           e.w, -e.w)))""".stripMargin).as("acc"))
+    val sig = acc.select(col("doc_id"),
+      expr("aggregate(transform(slice(acc, 1, 48), (a, i) -> " +
+        "IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (s, x) -> s + x)").as("s1"),
+      expr("aggregate(transform(slice(acc, 49, 48), (a, i) -> " +
+        "IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+        "CAST(0 AS BIGINT), (s, x) -> s + x)").as("s2"),
+      expr("transform(sequence(0, 15), b -> CAST(b AS BIGINT) * 64 + " +
+        "aggregate(sequence(0, 5), CAST(0 AS BIGINT), (k, j) -> " +
+        "k + IF(element_at(acc, b * 6 + j + 1) > 0, " +
+        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))").as("buckets"))
+    val buckets = sig.select(col("doc_id"), col("s1"), col("s2"),
+      explode(col("buckets")).as("bucket"))
+    val cand = buckets
+      .groupBy("bucket")
+      .agg(collect_list(struct(col("doc_id"), col("s1"), col("s2"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
+        b => when(col("a")("doc_id") < b("doc_id"),
+          struct(col("a")("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
+            col("a")("s1").as("s1a"), col("a")("s2").as("s2a"),
+            b("s1").as("s1b"), b("s2").as("s2b")))
+          .otherwise(
+            struct(b("doc_id").as("doc_a"), col("a")("doc_id").as("doc_b"),
+              b("s1").as("s1a"), b("s2").as("s2a"),
+              col("a")("s1").as("s1b"), col("a")("s2").as("s2b"))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.s1a").as("s1a"), col("p.s2a").as("s2a"),
+        col("p.s1b").as("s1b"), col("p.s2b").as("s2b"))
+      .distinct()
+    cand
+      .join(wt.select(col("doc_id").as("doc_a"), col("sh"), col("w").as("wa")),
+        "doc_a")
+      .join(wt.select(col("doc_id").as("doc_b"), col("sh"), col("w").as("wb")),
+        Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b", "s1a", "s2a", "s1b", "s2b")
+      .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_shared"))
+      .join(nrm.select(col("doc_id").as("doc_a"), col("nrm2").as("na2")), "doc_a")
+      .join(nrm.select(col("doc_id").as("doc_b"), col("nrm2").as("nb2")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
+          bit_count(col("s2a").bitwiseXOR(col("s2b")))).as("hamming"),
+        col("n_shared"),
+        (floor(col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
+      .filter(col("cos") >= TfidfMinCos)
+      .orderBy(col("cos").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+  }
+
   // MinHash parameters: 48 universal hashes h_i(x) = (a_i x + b_i) mod P
   // over md5-derived shingle hashes (first 48 md5 bits mod P — the one
   // hash family both Spark and DuckDB compute bit-identically, which is
@@ -1052,6 +1236,8 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_savings" -> dedupSavings,
     "dedup_ngram" -> dedupNgram,
+    "dedup_tfidf" -> dedupTfidf,
+    "dedup_tfidf_simhash" -> dedupTfidfSimhash,
     "dedup_eval" -> dedupEval,
     "dedup_containment" -> dedupContainment,
     "dedup_containment_sketch" -> dedupContainmentSketch,
@@ -1076,6 +1262,35 @@ object Dedup {
     * the same 3-gram letters-only distinct shingle definition every
     * dedup oracle inlines.
     */
+  /** CTE chain `wsx, g, tf, nd, dfs, wt, nrm` — the tf·idf weighted
+    * posting space (3-gram multiplicity counts, df-capped, 1e-4
+    * quantized idf, integer weights w = tf·idf_q, per-doc norms) —
+    * shared by `dedup_tfidf` and `dedup_tfidf_simhash`. Pre-stripped
+    * (no margin pipes) so it can interpolate into an outer
+    * stripMargin without being eaten.
+    */
+  private[queries] def tfidfWtSqlCtes: String =
+    s"""wsx AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '[^\\p{L}]+'), x -> len(x) > 0) AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |  FROM wsx WHERE len(ws) >= 3),
+       |tf AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS tf
+       |       FROM g GROUP BY 1, 2),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |dfs AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |wt AS (
+       |  SELECT tf.doc_id, tf.sh,
+       |    tf.tf * CAST(floor(ln((nd.n_docs + 1.0) / (dfs.df + 1.0)) * 1e4
+       |      + 0.5) AS BIGINT) AS w
+       |  FROM tf JOIN dfs USING (sh) CROSS JOIN nd
+       |  WHERE dfs.df <= $HotShingleCap),
+       |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm2
+       |        FROM wt GROUP BY 1)""".stripMargin
+
   private[queries] def shSqlOver(src: String): String =
     s"""sh AS (
        |  SELECT doc_id,
@@ -1350,6 +1565,76 @@ object Dedup {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 12
         |ORDER BY hamming, doc_a, doc_b LIMIT 50""".stripMargin,
+    "dedup_tfidf" ->
+      s"""WITH $tfidfWtSqlCtes,
+        |dt AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM wt a JOIN wt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT doc_a, doc_b, n_shared,
+        |    floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE))
+        |      * sqrt(CAST(nb.nrm2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cos
+        |  FROM dt JOIN nrm na ON dt.doc_a = na.doc_id
+        |    JOIN nrm nb ON dt.doc_b = nb.doc_id)
+        |SELECT doc_a, doc_b, n_shared, cos
+        |FROM (SELECT *, row_number() OVER (ORDER BY cos DESC, doc_a ASC,
+        |        doc_b ASC) AS rk
+        |      FROM sc WHERE cos >= $TfidfMinCos)
+        |WHERE rk <= 50""".stripMargin,
+    "dedup_tfidf_simhash" ->
+      s"""WITH $tfidfWtSqlCtes,
+        |wh AS (
+        |  SELECT doc_id, w,
+        |    CAST(('0x' || substr(md5(sh), 1, 12))::UBIGINT AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(sh), 13, 12))::UBIGINT AS BIGINT) AS h2
+        |  FROM wt),
+        |bits AS (SELECT doc_id, i.i,
+        |           sum(CASE WHEN (CASE WHEN i.i < 48 THEN (h1 >> i.i)
+        |                 ELSE (h2 >> (i.i - 48)) END) & 1 = 1
+        |               THEN w ELSE -w END) AS s
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 95)) AS i) i
+        |         GROUP BY doc_id, i.i),
+        |sgn AS (SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b
+        |        FROM bits),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CASE WHEN i < 48 AND b = 1
+        |            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS s1,
+        |          CAST(sum(CASE WHEN i >= 48 AND b = 1
+        |            THEN (CAST(1 AS BIGINT) << (i - 48)) ELSE 0 END) AS BIGINT) AS s2
+        |        FROM sgn GROUP BY doc_id),
+        |bkt AS (SELECT doc_id,
+        |          CAST(i // 6 AS BIGINT) * 64
+        |            + CAST(sum(CAST(b AS BIGINT) << (i % 6)) AS BIGINT) AS bucket
+        |        FROM sgn GROUP BY doc_id, i // 6),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |         FROM bkt x JOIN bkt y
+        |           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |dt AS (
+        |  SELECT cand.doc_a, cand.doc_b,
+        |    CAST(sum(a.w * b.w) AS BIGINT) AS dot,
+        |    CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM cand JOIN wt a ON a.doc_id = cand.doc_a
+        |    JOIN wt b ON b.doc_id = cand.doc_b AND b.sh = a.sh
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT dt.doc_a, dt.doc_b,
+        |    CAST(bit_count(xor(sa.s1, sb.s1))
+        |      + bit_count(xor(sa.s2, sb.s2)) AS INTEGER) AS hamming,
+        |    n_shared,
+        |    floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE))
+        |      * sqrt(CAST(nb.nrm2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cos
+        |  FROM dt JOIN nrm na ON dt.doc_a = na.doc_id
+        |    JOIN nrm nb ON dt.doc_b = nb.doc_id
+        |    JOIN sig sa ON dt.doc_a = sa.doc_id
+        |    JOIN sig sb ON dt.doc_b = sb.doc_id)
+        |SELECT doc_a, doc_b, hamming, n_shared, cos
+        |FROM (SELECT *, row_number() OVER (ORDER BY cos DESC, doc_a ASC,
+        |        doc_b ASC) AS rk
+        |      FROM sc WHERE cos >= $TfidfMinCos)
+        |WHERE rk <= 50""".stripMargin,
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id,

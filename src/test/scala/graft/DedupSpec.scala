@@ -87,6 +87,71 @@ class DedupSpec extends SparkSuite {
     assert(mh === exact, "minhash must recover all high-jaccard pairs here")
   }
 
+  test("dedupTfidf: exact/reordered copies hit cos 1.0, disjoint docs absent, rare overlap outranks common overlap") {
+    // exact copy pair → cosine exactly 1.0 (identical weight vectors)
+    val out = Dedup.dedupTfidfOn(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out((0L, 3L)) === 1.0)
+    // disjoint-vocabulary doc shares no shingle with anything → no pair
+    assert(!out.keySet.exists { case (a, b) => a == 2L || b == 2L })
+    // weighting: two pairs with the SAME shared-shingle count, but one
+    // shares a corpus-rare phrase (df=2) and the other a phrase planted
+    // in many docs (df high → idf near the floor). tf-idf must rank the
+    // rare-overlap pair strictly higher; unweighted Jaccard ties them.
+    import spark.implicits._
+    // filler uniqueness must be LETTERS: the tokenizer splits on
+    // non-letter runs, so "unique$i" would collapse to one token and
+    // make all fillers exact dups (flooding the top-50 with 1.0 pairs)
+    val filler = (0 until 20).map { i =>
+      val t = ('a' + i).toChar
+      (100L + i, s"common boilerplate phrase here plus u$t v$t w$t")
+    }
+    val planted = Seq(
+      // rare pair: shares 3 shingles, all corpus-rare (df 2)
+      (10L, "alpha beta gamma delta epsilon xxa"),
+      (11L, "alpha beta gamma delta epsilon yyb"),
+      // common pair: also shares 3 shingles, but 2 of them are planted
+      // in every filler doc (df 22 → idf near the floor)
+      (12L, "common boilerplate phrase here also zza"),
+      (13L, "common boilerplate phrase here also qqb")) ++ filler
+    val p = Dedup.dedupTfidfOn(planted.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    val (nRare, cosRare) = p((10L, 11L))
+    val cosCommon = p.get((12L, 13L)).map(_._2).getOrElse(0.0)
+    assert(nRare === 3L)
+    assert(cosRare > cosCommon,
+      s"rare-phrase overlap ($cosRare) must outrank boilerplate overlap ($cosCommon)")
+  }
+
+  test("dedupTfidfSimhash: exact dups hamming 0 with cos 1.0; high-cos pairs ≡ dedup_tfidf on planted + sf0.001") {
+    val out = Dedup.dedupTfidfSimhashOn(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(4))).toMap
+    // exact copies: identical integer signatures → hamming 0, cos 1.0
+    assert(out((0L, 3L)) === ((0, 1.0)))
+    // the LSH path must recover the exact path's confident pairs —
+    // identical-signature recall is guaranteed; near-dups here share
+    // almost all weighted mass so their signatures collide too
+    def strong(m: Map[(Long, Long), Double]) =
+      m.filter(_._2 >= 0.8).keySet
+    val exact = Dedup.dedupTfidfOn(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(strong(out.view.mapValues(_._2).toMap) === strong(exact))
+    // same agreement on the real sf0.001 corpus: every pair the exact
+    // form scores ≥ 0.8 must surface with the IDENTICAL quantized cos
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val lsh = Dedup.dedupTfidfSimhashOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    val ex = Dedup.dedupTfidfOn(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val exStrong = ex.filter(_._2 >= 0.8)
+    assert(exStrong.nonEmpty, "sf0.001 must plant some high-cos pairs")
+    exStrong.foreach { case (k, v) =>
+      assert(lsh.get(k).contains(v), s"pair $k: exact cos $v, lsh ${lsh.get(k)}")
+    }
+  }
+
   test("simhash: identical docs hamming 0, near-dups close, unrelated far") {
     val sims = corpus.filter(length(col("text")) > 0)
       .select(col("doc_id"), expr(Dedup.simhashSql("text")).as("h"))
