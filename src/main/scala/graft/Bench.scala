@@ -32,18 +32,23 @@ object Bench {
     // Cross-query block hygiene: iterative/stage-shared operators
     // truncate lineage via localCheckpoint, whose blocks hang off plan
     // leaves and BYPASS Dataset.unpersist/catalog cache — over a full
-    // registry run (431 queries x warm-up + 3 reps) they accumulate in
-    // executor storage until eviction/GC pressure poisons later
+    // registry run (431+ queries x warm-up + 3 reps) they accumulate
+    // in executor storage until eviction/GC pressure poisons later
     // queries' timings (the r11 dedup_cluster_minhash 17.2 s driver
-    // reading vs 1.87 s isolated — same binary). Dropping EVERY
-    // persisted RDD between executions makes each rep measure the same
-    // clean-storage steady state regardless of registry position; no
-    // query reuses blocks across reps (each call builds fresh frames),
-    // so this costs nothing but the bookkeeping.
+    // reading vs 1.87 s isolated — same binary). Dropping leaked
+    // persisted RDDs between executions makes each rep measure the
+    // same clean-storage steady state regardless of registry position.
+    // EXEMPT: blocks backing live ModelCache entries — cached model
+    // frames are checkpoint-truncated, so their blocks are the only
+    // copy; dropping one leaves the next serve-entry cache hit holding
+    // a dead frame (ModelCache.liveRddIds documents the failure mode).
     def clean(): Unit = {
       try spark.catalog.clearCache() catch { case _: Throwable => () }
+      val keep = try graft.core.ModelCache.liveRddIds
+        catch { case _: Throwable => Set.empty[Int] }
       spark.sparkContext.getPersistentRDDs.values.foreach { r =>
-        try r.unpersist(blocking = false) catch { case _: Throwable => () }
+        if (!keep.contains(r.id))
+          try r.unpersist(blocking = false) catch { case _: Throwable => () }
       }
     }
     // Warm-up pass: run EVERY benched query once, uncounted, so the

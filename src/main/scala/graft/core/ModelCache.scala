@@ -107,4 +107,35 @@ object ModelCache {
     m.values.forEach(releaseValue(_))
     m.clear()
   }
+
+  /** RDD ids backing every DataFrame reachable from a LIVE cached
+    * value. A bench-wide storage sweep (Bench.clean drops leaked
+    * localCheckpoint blocks between query executions) must skip
+    * these: cached model frames are checkpoint-truncated, so their
+    * blocks are the ONLY copy — unpersisting one turns the next cache
+    * hit into a dead frame (no lineage to recompute), which is
+    * exactly the r12 bench failure mode this accessor exists to
+    * prevent.
+    */
+  def liveRddIds: Set[Int] = {
+    val acc = scala.collection.mutable.Set.empty[Int]
+    def walk(v: AnyRef): Unit = v match {
+      case ds: org.apache.spark.sql.Dataset[_] =>
+        try ds.toDF.queryExecution.analyzed.foreach {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => acc += lr.rdd.id
+          case _ => ()
+        } catch { case _: Throwable => () }
+      case p: Product => p.productIterator.foreach {
+        case r: AnyRef => walk(r)
+        case _ => ()
+      }
+      case it: Iterable[_] => it.foreach {
+        case r: AnyRef => walk(r)
+        case _ => ()
+      }
+      case _ => ()
+    }
+    m.values.forEach(walk(_))
+    acc.toSet
+  }
 }

@@ -228,7 +228,7 @@ object Dedup {
     * scale twin [[dedupTfidfSimhashOn]] both derive from (3-gram
     * multiplicity counts, df-capped groups, 1e-4-quantized idf).
     */
-  private def tfidfByTerm(docs: DataFrame): DataFrame = {
+  private[graft] def tfidfByTerm(docs: DataFrame): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val toks = docs.select(col("doc_id"), tokensCol(col("text")).as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -248,7 +248,7 @@ object Dedup {
   }
 
   /** `(doc_id, sh, w)` integer tf·idf postings from [[tfidfByTerm]]. */
-  private def tfidfPostings(byTerm: DataFrame): DataFrame =
+  private[graft] def tfidfPostings(byTerm: DataFrame): DataFrame =
     byTerm.select(col("sh"), col("idf_q"), explode(col("ids")).as("p"))
       .select(col("p.doc_id").as("doc_id"), col("sh"),
         (col("p.tf") * col("idf_q")).as("w"))
@@ -284,89 +284,115 @@ object Dedup {
       .limit(50)
   }
 
+  /** All C(6,3) = 20 index triples over the 6 signature blocks of
+    * [[dedupTfidfSimhash]] — the Manku-et-al. table set: a pair within
+    * hamming 3 has ≥ 3 clean blocks, so at least one triple matches.
+    */
+  private[graft] val SimhashBlockCombos: Seq[(Int, Int, Int)] =
+    for (a <- 0 until 6; b <- (a + 1) until 6; c <- (b + 1) until 6)
+      yield (a, b, c)
+
+  /** Per-doc 60-bit weighted-SimHash signature as SIX 10-bit block
+    * values `(doc_id, blk: array<long>[6])` — block j packs signature
+    * bits 10j..10j+9, bit i = sign(Σ_shingles ±w) with the sign drawn
+    * from md5-bit i of the shingle. ALL integer, so both engines build
+    * bit-identical blocks. Shared by [[dedupTfidfSimhashOn]] and the
+    * spec's hamming-guarantee check.
+    */
+  private[graft] def tfidfBlocks(wt: DataFrame): DataFrame = {
+    // 60 hyperplane signs per shingle: 48 bits from md5 hex chars 1-12
+    // plus 12 bits from chars 13-15 (exact BIGINT conversions in both
+    // engines). Built RELATIONALLY — explode the 60 bit positions and
+    // hash-aggregate the signed weights — rather than a per-posting
+    // array lambda: higher-order functions run interpreted and
+    // allocate a 60-long array per step (measured 11 s at sf0.1 for
+    // 260k postings), while the explode + two partial-agg'd groupBys
+    // stay inside whole-stage codegen.
+    val contrib = wt.select(col("doc_id"), col("w"),
+      expr("CAST(conv(substring(md5(sh), 1, 12), 16, 10) AS BIGINT)").as("h1"),
+      expr("CAST(conv(substring(md5(sh), 13, 3), 16, 10) AS BIGINT)").as("h2"))
+      .select(col("doc_id"), col("w"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(59))).as("i"))
+      .select(col("doc_id"), col("i"),
+        when(expr("IF(i < 48, (h1 >> i) & 1, (h2 >> (i - 48)) & 1) = 1"),
+          col("w")).otherwise(-col("w")).as("c"))
+    val bits = contrib.groupBy("doc_id", "i")
+      .agg(sum("c").as("s"))
+      .select(col("doc_id"), col("i"), (col("s") > 0).cast("long").as("b"))
+    bits.groupBy("doc_id")
+      .agg(array((0 until 6).map(j =>
+        sum(when(expr("i DIV 10") === j,
+          col("b") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 10 AS INT))"))
+          .otherwise(lit(0L)))): _*).as("blk"))
+  }
+
   /** The LINEAR SCALE FORM of [[dedupTfidf]]: WEIGHTED SimHash
-    * (Charikar '02 random-hyperplane sketching with integer tf·idf
-    * weights) — a 96-bit signature BANDED 16 × 6 for candidates
-    * instead of the Σdf² pair expansion, then EXACT weighted cosine
-    * verifies just the candidates. Signature bit i is
-    * sign(Σ_shingles ±w) with the sign drawn from md5-bit i of the
-    * shingle — ALL integer, so both engines build bit-identical
-    * signatures, unlike the classic float-projection form. Identical
-    * docs ⇒ identical signatures ⇒ all 16 bands collide; a pair at
-    * angle θ matches a band with p_hit = (1 − θ/π)⁶, so miss =
-    * (1 − p_hit)¹⁶ ≈ 1e-7 at cos 0.97, 0.9% at cos 0.8, ~12% at the
-    * 0.6 emit threshold — the same banded S-curve contract as the
-    * MinHash family, with [[dedupTfidf]] as the quadratic
-    * verification oracle (the dedup_minhash / dedup_ngram pairing
-    * carried to the weighted family). Cost: one posting shuffle for
-    * signatures, one bucket shuffle for candidates (zero joins in the
-    * candidate plan — the minhashBuckets shape), candidate-bounded
-    * verify joins — never corpus².
+    * (Charikar '02 hyperplane sketching with integer tf·idf weights)
+    * under the Manku/Jain/Das Sarma WWW'07 block-permutation search —
+    * a 60-bit signature in 6 blocks of 10 bits; every doc posts
+    * [[SimhashBlockCombos]].size = 20 bucket keys (one per 3-block
+    * combination, ~30-bit key space), a pair within HAMMING ≤ 3 has
+    * ≥ 3 clean blocks so at least one key collides — the pigeonhole
+    * GUARANTEE — and exact weighted cosine verifies only the
+    * candidates (identical docs: hamming 0, every key collides).
+    * Higher-hamming pairs surface best-effort; moderate-similarity
+    * recall is [[dedupTfidf]]'s and [[dedupMinhash]]'s job — simhash
+    * block search is the published design for the near-duplicate
+    * regime (cos ≳ 0.99 ⇔ hamming ≲ 3 at 60 bits), which is what a
+    * crawl dedup pass hunts. Scale: keys are ~30-bit (bucket
+    * population ∝ N/2³⁰ per combo — no band floods at any corpus the
+    * key width covers; widen blocks to scale further), candidates ∝
+    * true near-dups + N²/2³⁰ noise, verify joins candidate-bounded —
+    * never corpus².
     */
   def dedupTfidfSimhash(s: SparkSession, d: String): DataFrame =
     dedupTfidfSimhashOn(Tables.documents(s, d))
 
   /** [[dedupTfidfSimhash]] over any (doc_id, text) frame. */
   def dedupTfidfSimhashOn(docs: DataFrame): DataFrame = {
+    import graft.core.Checkpoints.StableOps
     val byTerm = tfidfByTerm(docs)
-    val wt = tfidfPostings(byTerm)
+    // the posting frame feeds FOUR consumers (norms, signatures, both
+    // verify fetches) — materialize once or the tf/df chain re-runs
+    // per consumer (measured 4×5 s at sf0.1 unpersisted)
+    val wt = tfidfPostings(byTerm).stable
     val nrm = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2"))
-    // 96 hyperplane signs per shingle from the first 24 md5 hex chars
-    // (two exact 48-bit halves — BIGINT-safe in both engines)
-    val hw = wt.select(col("doc_id"), col("w"),
-      expr("CAST(conv(substring(md5(sh), 1, 12), 16, 10) AS BIGINT)").as("h1"),
-      expr("CAST(conv(substring(md5(sh), 13, 12), 16, 10) AS BIGINT)").as("h2"))
-    val acc = hw.groupBy("doc_id")
-      .agg(collect_list(struct(col("h1"), col("h2"), col("w"))).as("hw"))
-      .select(col("doc_id"), expr(
-        """aggregate(hw, array_repeat(CAST(0 AS BIGINT), 96),
-          |  (acc, e) -> transform(acc, (a, i) ->
-          |    a + IF(IF(i < 48, (e.h1 >> i) & 1, (e.h2 >> (i - 48)) & 1) = 1,
-          |           e.w, -e.w)))""".stripMargin).as("acc"))
-    val sig = acc.select(col("doc_id"),
-      expr("aggregate(transform(slice(acc, 1, 48), (a, i) -> " +
-        "IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-        "CAST(0 AS BIGINT), (s, x) -> s + x)").as("s1"),
-      expr("aggregate(transform(slice(acc, 49, 48), (a, i) -> " +
-        "IF(a > 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
-        "CAST(0 AS BIGINT), (s, x) -> s + x)").as("s2"),
-      expr("transform(sequence(0, 15), b -> CAST(b AS BIGINT) * 64 + " +
-        "aggregate(sequence(0, 5), CAST(0 AS BIGINT), (k, j) -> " +
-        "k + IF(element_at(acc, b * 6 + j + 1) > 0, " +
-        "shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))))").as("buckets"))
-    val buckets = sig.select(col("doc_id"), col("s1"), col("s2"),
-      explode(col("buckets")).as("bucket"))
-    val cand = buckets
+    val sig = tfidfBlocks(wt)
+    val keyed = sig.select(col("doc_id"), col("blk"),
+      explode(array(SimhashBlockCombos.zipWithIndex.map {
+        case ((a, b, c), i) =>
+          lit(i.toLong) * lit(1L << 30) +
+            element_at(col("blk"), a + 1) * lit(1L << 20) +
+            element_at(col("blk"), b + 1) * lit(1L << 10) +
+            element_at(col("blk"), c + 1)
+      }: _*)).as("bucket"))
+    val cand = keyed
       .groupBy("bucket")
-      .agg(collect_list(struct(col("doc_id"), col("s1"), col("s2"))).as("ids"))
+      .agg(collect_list(struct(col("doc_id"), col("blk"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(explode(transform(slice(col("ids"), col("i") + 2, size(col("ids"))),
         b => when(col("a")("doc_id") < b("doc_id"),
           struct(col("a")("doc_id").as("doc_a"), b("doc_id").as("doc_b"),
-            col("a")("s1").as("s1a"), col("a")("s2").as("s2a"),
-            b("s1").as("s1b"), b("s2").as("s2b")))
+            col("a")("blk").as("blka"), b("blk").as("blkb")))
           .otherwise(
             struct(b("doc_id").as("doc_a"), col("a")("doc_id").as("doc_b"),
-              b("s1").as("s1a"), b("s2").as("s2a"),
-              col("a")("s1").as("s1b"), col("a")("s2").as("s2b"))))).as("p"))
+              b("blk").as("blka"), col("a")("blk").as("blkb"))))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.s1a").as("s1a"), col("p.s2a").as("s2a"),
-        col("p.s1b").as("s1b"), col("p.s2b").as("s2b"))
+        (0 until 6).map(j => bit_count(element_at(col("p.blka"), j + 1)
+          .bitwiseXOR(element_at(col("p.blkb"), j + 1)))).reduce(_ + _)
+          .as("hamming"))
       .distinct()
     cand
       .join(wt.select(col("doc_id").as("doc_a"), col("sh"), col("w").as("wa")),
         "doc_a")
       .join(wt.select(col("doc_id").as("doc_b"), col("sh"), col("w").as("wb")),
         Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b", "s1a", "s2a", "s1b", "s2b")
+      .groupBy("doc_a", "doc_b", "hamming")
       .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_shared"))
       .join(nrm.select(col("doc_id").as("doc_a"), col("nrm2").as("na2")), "doc_a")
       .join(nrm.select(col("doc_id").as("doc_b"), col("nrm2").as("nb2")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (bit_count(col("s1a").bitwiseXOR(col("s1b"))) +
-          bit_count(col("s2a").bitwiseXOR(col("s2b")))).as("hamming"),
-        col("n_shared"),
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("n_shared"),
         (floor(col("dot").cast("double") /
           (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
@@ -1262,6 +1288,11 @@ object Dedup {
     * the same 3-gram letters-only distinct shingle definition every
     * dedup oracle inlines.
     */
+  /** `(c, x, y, z)` VALUES rows mirroring [[SimhashBlockCombos]]. */
+  private[queries] def simhashCombosSql: String =
+    SimhashBlockCombos.zipWithIndex
+      .map { case ((a, b, c), i) => s"($i, $a, $b, $c)" }.mkString(", ")
+
   /** CTE chain `wsx, g, tf, nd, dfs, wt, nrm` — the tf·idf weighted
     * posting space (3-gram multiplicity counts, df-capped, 1e-4
     * quantized idf, integer weights w = tf·idf_q, per-doc norms) —
@@ -1589,29 +1620,33 @@ object Dedup {
         |wh AS (
         |  SELECT doc_id, w,
         |    CAST(('0x' || substr(md5(sh), 1, 12))::UBIGINT AS BIGINT) AS h1,
-        |    CAST(('0x' || substr(md5(sh), 13, 12))::UBIGINT AS BIGINT) AS h2
+        |    CAST(('0x' || substr(md5(sh), 13, 3))::UBIGINT AS BIGINT) AS h2
         |  FROM wt),
         |bits AS (SELECT doc_id, i.i,
-        |           sum(CASE WHEN (CASE WHEN i.i < 48 THEN (h1 >> i.i)
+        |           CASE WHEN sum(CASE WHEN (CASE WHEN i.i < 48 THEN (h1 >> i.i)
         |                 ELSE (h2 >> (i.i - 48)) END) & 1 = 1
-        |               THEN w ELSE -w END) AS s
-        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 95)) AS i) i
+        |               THEN w ELSE -w END) > 0 THEN 1 ELSE 0 END AS b
+        |         FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) i
         |         GROUP BY doc_id, i.i),
-        |sgn AS (SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b
-        |        FROM bits),
-        |sig AS (SELECT doc_id,
-        |          CAST(sum(CASE WHEN i < 48 AND b = 1
-        |            THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS s1,
-        |          CAST(sum(CASE WHEN i >= 48 AND b = 1
-        |            THEN (CAST(1 AS BIGINT) << (i - 48)) ELSE 0 END) AS BIGINT) AS s2
-        |        FROM sgn GROUP BY doc_id),
-        |bkt AS (SELECT doc_id,
-        |          CAST(i // 6 AS BIGINT) * 64
-        |            + CAST(sum(CAST(b AS BIGINT) << (i % 6)) AS BIGINT) AS bucket
-        |        FROM sgn GROUP BY doc_id, i // 6),
-        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |         FROM bkt x JOIN bkt y
-        |           ON x.bucket = y.bucket AND x.doc_id < y.doc_id),
+        |blk AS (SELECT doc_id, CAST(i // 10 AS INTEGER) AS bno,
+        |          CAST(sum(CAST(b AS BIGINT) << (i % 10)) AS BIGINT) AS v
+        |        FROM bits GROUP BY doc_id, i // 10),
+        |combos(c, x, y, z) AS (VALUES $simhashCombosSql),
+        |bkt AS (SELECT bx.doc_id,
+        |          CAST(cm.c AS BIGINT) * 1073741824 + bx.v * 1048576
+        |            + by_.v * 1024 + bz.v AS bucket
+        |        FROM combos cm
+        |        JOIN blk bx ON bx.bno = cm.x
+        |        JOIN blk by_ ON by_.doc_id = bx.doc_id AND by_.bno = cm.y
+        |        JOIN blk bz ON bz.doc_id = bx.doc_id AND bz.bno = cm.z),
+        |cand AS (SELECT DISTINCT xx.doc_id AS doc_a, yy.doc_id AS doc_b
+        |         FROM bkt xx JOIN bkt yy
+        |           ON xx.bucket = yy.bucket AND xx.doc_id < yy.doc_id),
+        |ham AS (SELECT cand.doc_a, cand.doc_b,
+        |          CAST(sum(bit_count(xor(ba.v, bb.v))) AS INTEGER) AS hamming
+        |        FROM cand JOIN blk ba ON ba.doc_id = cand.doc_a
+        |          JOIN blk bb ON bb.doc_id = cand.doc_b AND bb.bno = ba.bno
+        |        GROUP BY 1, 2),
         |dt AS (
         |  SELECT cand.doc_a, cand.doc_b,
         |    CAST(sum(a.w * b.w) AS BIGINT) AS dot,
@@ -1620,16 +1655,12 @@ object Dedup {
         |    JOIN wt b ON b.doc_id = cand.doc_b AND b.sh = a.sh
         |  GROUP BY 1, 2),
         |sc AS (
-        |  SELECT dt.doc_a, dt.doc_b,
-        |    CAST(bit_count(xor(sa.s1, sb.s1))
-        |      + bit_count(xor(sa.s2, sb.s2)) AS INTEGER) AS hamming,
-        |    n_shared,
+        |  SELECT dt.doc_a, dt.doc_b, ham.hamming, n_shared,
         |    floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE))
         |      * sqrt(CAST(nb.nrm2 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cos
-        |  FROM dt JOIN nrm na ON dt.doc_a = na.doc_id
-        |    JOIN nrm nb ON dt.doc_b = nb.doc_id
-        |    JOIN sig sa ON dt.doc_a = sa.doc_id
-        |    JOIN sig sb ON dt.doc_b = sb.doc_id)
+        |  FROM dt JOIN ham ON ham.doc_a = dt.doc_a AND ham.doc_b = dt.doc_b
+        |    JOIN nrm na ON dt.doc_a = na.doc_id
+        |    JOIN nrm nb ON dt.doc_b = nb.doc_id)
         |SELECT doc_a, doc_b, hamming, n_shared, cos
         |FROM (SELECT *, row_number() OVER (ORDER BY cos DESC, doc_a ASC,
         |        doc_b ASC) AS rk

@@ -124,32 +124,35 @@ class DedupSpec extends SparkSuite {
       s"rare-phrase overlap ($cosRare) must outrank boilerplate overlap ($cosCommon)")
   }
 
-  test("dedupTfidfSimhash: exact dups hamming 0 with cos 1.0; high-cos pairs ≡ dedup_tfidf on planted + sf0.001") {
+  test("dedupTfidfSimhash: exact dups hamming 0 / cos 1.0; the hamming≤3 pigeonhole guarantee holds on sf0.001") {
     val out = Dedup.dedupTfidfSimhashOn(corpus)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getInt(2), r.getDouble(4))).toMap
     // exact copies: identical integer signatures → hamming 0, cos 1.0
     assert(out((0L, 3L)) === ((0, 1.0)))
-    // the LSH path must recover the exact path's confident pairs —
-    // identical-signature recall is guaranteed; near-dups here share
-    // almost all weighted mass so their signatures collide too
-    def strong(m: Map[(Long, Long), Double]) =
-      m.filter(_._2 >= 0.8).keySet
-    val exact = Dedup.dedupTfidfOn(corpus)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
-    assert(strong(out.view.mapValues(_._2).toMap) === strong(exact))
-    // same agreement on the real sf0.001 corpus: every pair the exact
-    // form scores ≥ 0.8 must surface with the IDENTICAL quantized cos
+    // sf0.001: DETERMINISTIC recall contract — every exact-form pair
+    // whose signature hamming is ≤ 3 has ≥ 3 clean blocks, so some
+    // 3-block key collides and the pair MUST be in the LSH output,
+    // with the identical quantized cosine (the Manku pigeonhole; pairs
+    // beyond hamming 3 are best-effort by design and not asserted)
     val docs = graft.core.Tables.documents(spark, sfDir)
+    val blk = Dedup.tfidfBlocks(Dedup.tfidfPostings(Dedup.tfidfByTerm(docs)))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def hamming(a: Long, b: Long): Int =
+      blk(a).zip(blk(b)).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
     val lsh = Dedup.dedupTfidfSimhashOn(docs)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(4))).toMap
     val ex = Dedup.dedupTfidfOn(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
-    val exStrong = ex.filter(_._2 >= 0.8)
-    assert(exStrong.nonEmpty, "sf0.001 must plant some high-cos pairs")
-    exStrong.foreach { case (k, v) =>
-      assert(lsh.get(k).contains(v), s"pair $k: exact cos $v, lsh ${lsh.get(k)}")
+    val guaranteed = ex.filter { case ((a, b), _) => hamming(a, b) <= 3 }
+    assert(guaranteed.nonEmpty, "sf0.001 must plant some hamming≤3 pairs")
+    guaranteed.foreach { case (k, v) =>
+      assert(lsh.get(k).map(_._2).contains(v),
+        s"pair $k (hamming ${hamming(k._1, k._2)}): exact cos $v, lsh ${lsh.get(k)}")
     }
+    // the output's hamming column must equal the signature recompute
+    lsh.foreach { case ((a, b), (h, _)) => assert(h === hamming(a, b)) }
   }
 
   test("simhash: identical docs hamming 0, near-dups close, unrelated far") {

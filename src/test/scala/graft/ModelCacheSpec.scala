@@ -76,4 +76,35 @@ class ModelCacheSpec extends SparkSuite {
     assert(ckptRdd(df2).getStorageLevel == StorageLevel.NONE,
       "clear must release cached frames")
   }
+
+  /** The r12 bench regression in miniature: Bench.clean sweeps leaked
+    * localCheckpoint blocks between query executions, but cached model
+    * frames are checkpoint-truncated — their blocks are the ONLY copy.
+    * The sweep must honor [[ModelCache.liveRddIds]], and a serve entry
+    * re-run after the sweep must ride the surviving cache entry and
+    * return identical rows (the exact path that crashed 9 bench
+    * queries when the first sweep dropped everything).
+    */
+  test("a liveRddIds-respecting storage sweep keeps warm serve entries alive") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    ModelCache.clear()
+    val cold = rows(Mf.mfPredict(spark, sfDir)) // trains + caches factors
+    assert(ModelCache.liveRddIds.nonEmpty,
+      "the trained factor frames must surface their checkpoint RDD ids")
+    // Bench.clean's sweep, verbatim semantics
+    spark.catalog.clearCache()
+    val keep = ModelCache.liveRddIds
+    spark.sparkContext.getPersistentRDDs.values.foreach { r =>
+      if (!keep.contains(r.id)) r.unpersist(blocking = false)
+    }
+    // cache hit over swept storage: must not die, must not drift
+    assert(rows(Mf.mfPredict(spark, sfDir)) == cold)
+    // control: the exemption is load-bearing — the cached frames' RDDs
+    // really are persisted storage a blanket sweep would have dropped
+    val persisted = spark.sparkContext.getPersistentRDDs.keySet
+    assert(keep.exists(persisted.contains),
+      "cached model frames must live in persistent storage (else this spec guards nothing)")
+    ModelCache.clear()
+  }
 }

@@ -33,9 +33,12 @@ import graft.SparkEntry
   */
 object WallScale {
   val Base = "/root/testdata/sf0.1"
-  // headline linear-path operators that read only documents/embeddings
+  // headline linear-path operators that read only documents/embeddings;
+  // the tfidf pair times the quadratic-oracle form against its banded
+  // weighted-SimHash scale twin on the same data
   val Ops: Seq[String] = Seq("dedup_exact", "dedup_minhash",
-    "dedup_keep_minhash", "quality_score", "lm_score", "ann_ivf")
+    "dedup_keep_minhash", "quality_score", "lm_score", "ann_ivf",
+    "dedup_tfidf", "dedup_tfidf_simhash")
 
   private def tag(c: Int): String = {
     // letter-only base-26 copy tag ("zaa", "zab", …)
