@@ -247,9 +247,12 @@ object Classifier {
   /** Registered entry: train, then score the corpus with the trained
     * weights (literal array ⇒ map-only scoring pass) and emit the
     * (label, pred) confusion census — the evaluation artifact of the
-    * distilled filter. Margins after training sit O(0.1) from the
-    * decision boundary; cross-engine margin noise is ~1e-15, so the
-    * discrete counts are stable under the hash gate.
+    * distilled filter. Prediction uses the FAMILY-WIDE quantized
+    * convention (floor(margin·1e6 + 0.5) > 0 — the same threshold
+    * classifier_kappa's rater B and label_noise_report apply, so the
+    * three artifacts describe one disagreement set); margins after
+    * training sit O(0.1) from the boundary, so quantization moves no
+    * real doc and the discrete counts stay stable under the hash gate.
     */
   def classifierPredict(s: SparkSession, d: String): DataFrame = {
     val vec = featurize(s, d)

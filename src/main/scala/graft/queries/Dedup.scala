@@ -302,28 +302,25 @@ object Dedup {
   private[graft] def tfidfBlocks(wt: DataFrame): DataFrame = {
     // 60 hyperplane signs per shingle: 48 bits from md5 hex chars 1-12
     // plus 12 bits from chars 13-15 (exact BIGINT conversions in both
-    // engines). Built RELATIONALLY — explode the 60 bit positions and
-    // hash-aggregate the signed weights — rather than a per-posting
-    // array lambda: higher-order functions run interpreted and
-    // allocate a 60-long array per step (measured 11 s at sf0.1 for
-    // 260k postings), while the explode + two partial-agg'd groupBys
-    // stay inside whole-stage codegen.
-    val contrib = wt.select(col("doc_id"), col("w"),
+    // engines). Built as ONE codegen'd groupBy with 60 conditional
+    // sums — the posting stream shuffles once at its own size. Two
+    // rejected shapes, both measured: a per-posting array lambda runs
+    // interpreted (11 s at sf0.1 — higher-order functions allocate a
+    // 60-long array per step), and an explode of the 60 bit positions
+    // multiplies the shuffle by 60 (156M rows at ×10 sf0.1 — 57 s).
+    val hw = wt.select(col("doc_id"), col("w"),
       expr("CAST(conv(substring(md5(sh), 1, 12), 16, 10) AS BIGINT)").as("h1"),
       expr("CAST(conv(substring(md5(sh), 13, 3), 16, 10) AS BIGINT)").as("h2"))
-      .select(col("doc_id"), col("w"), col("h1"), col("h2"),
-        explode(sequence(lit(0), lit(59))).as("i"))
-      .select(col("doc_id"), col("i"),
-        when(expr("IF(i < 48, (h1 >> i) & 1, (h2 >> (i - 48)) & 1) = 1"),
-          col("w")).otherwise(-col("w")).as("c"))
-    val bits = contrib.groupBy("doc_id", "i")
-      .agg(sum("c").as("s"))
-      .select(col("doc_id"), col("i"), (col("s") > 0).cast("long").as("b"))
-    bits.groupBy("doc_id")
-      .agg(array((0 until 6).map(j =>
-        sum(when(expr("i DIV 10") === j,
-          col("b") * expr("shiftleft(CAST(1 AS BIGINT), CAST(i % 10 AS INT))"))
-          .otherwise(lit(0L)))): _*).as("blk"))
+    val sumCols = (0 until 60).map { i =>
+      val bit = if (i < 48) s"(h1 >> $i) & 1" else s"(h2 >> ${i - 48}) & 1"
+      sum(when(expr(s"($bit) = 1"), col("w")).otherwise(-col("w"))).as(s"s$i")
+    }
+    val sums = hw.groupBy("doc_id").agg(sumCols.head, sumCols.tail: _*)
+    sums.select(col("doc_id"), array((0 until 6).map { j =>
+      (0 until 10).map { t =>
+        when(col(s"s${j * 10 + t}") > 0, lit(1L << t)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*).as("blk"))
   }
 
   /** The LINEAR SCALE FORM of [[dedupTfidf]]: WEIGHTED SimHash
