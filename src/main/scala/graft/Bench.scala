@@ -41,16 +41,9 @@ object Bench {
     // EXEMPT: blocks backing live ModelCache entries — cached model
     // frames are checkpoint-truncated, so their blocks are the only
     // copy; dropping one leaves the next serve-entry cache hit holding
-    // a dead frame (ModelCache.liveRddIds documents the failure mode).
-    def clean(): Unit = {
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      val keep = try graft.core.ModelCache.liveRddIds
-        catch { case _: Throwable => Set.empty[Int] }
-      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
-        if (!keep.contains(r.id))
-          try r.unpersist(blocking = false) catch { case _: Throwable => () }
-      }
-    }
+    // a dead frame (ModelCache.liveRddIds documents the failure mode;
+    // the sweep itself is shared so the exemption cannot drift).
+    def clean(): Unit = graft.core.ModelCache.sweepLeakedBlocks(spark)
     // Warm-up pass: run EVERY benched query once, uncounted, so the
     // timed pass measures steady state (JIT + whole-stage-codegen
     // compilation + parquet footer caches excluded). One-shot codegen

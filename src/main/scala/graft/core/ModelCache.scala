@@ -109,15 +109,18 @@ object ModelCache {
   }
 
   /** RDD ids backing every DataFrame reachable from a LIVE cached
-    * value. A bench-wide storage sweep (Bench.clean drops leaked
-    * localCheckpoint blocks between query executions) must skip
-    * these: cached model frames are checkpoint-truncated, so their
-    * blocks are the ONLY copy — unpersisting one turns the next cache
-    * hit into a dead frame (no lineage to recompute), which is
-    * exactly the r12 bench failure mode this accessor exists to
-    * prevent.
+    * value of `s`'s application. A bench-wide storage sweep
+    * ([[sweepLeakedBlocks]]) must skip these: cached model frames are
+    * checkpoint-truncated, so their blocks are the ONLY copy —
+    * unpersisting one turns the next cache hit into a dead frame (no
+    * lineage to recompute), which is exactly the r12 bench failure
+    * mode this accessor exists to prevent. Stale entries are pruned
+    * first (the get/cached/put convention): RDD ids are a PER-CONTEXT
+    * counter, so a dead application's entry could otherwise exempt an
+    * unrelated live RDD that happens to share its id.
     */
-  def liveRddIds: Set[Int] = {
+  def liveRddIds(s: SparkSession): Set[Int] = {
+    pruneDead(s.sparkContext.applicationId)
     val acc = scala.collection.mutable.Set.empty[Int]
     def walk(v: AnyRef): Unit = v match {
       case ds: org.apache.spark.sql.Dataset[_] =>
@@ -137,5 +140,23 @@ object ModelCache {
     }
     m.values.forEach(walk(_))
     acc.toSet
+  }
+
+  /** Drop every leaked persisted block in `s`'s context EXCEPT those
+    * backing live cache entries — the between-executions storage
+    * hygiene Bench and the dev measurement tools share (one
+    * implementation so the [[liveRddIds]] exemption cannot drift out
+    * of a re-implemented sweep). Iterative/stage-shared operators
+    * truncate lineage via localCheckpoint, whose blocks bypass
+    * `Dataset.unpersist`/catalog cache and otherwise accumulate for
+    * the JVM lifetime.
+    */
+  def sweepLeakedBlocks(s: SparkSession): Unit = {
+    try s.catalog.clearCache() catch { case _: Throwable => () }
+    val keep = try liveRddIds(s) catch { case _: Throwable => Set.empty[Int] }
+    s.sparkContext.getPersistentRDDs.values.foreach { r =>
+      if (!keep.contains(r.id))
+        try r.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
   }
 }

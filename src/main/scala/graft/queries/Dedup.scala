@@ -257,7 +257,15 @@ object Dedup {
   def dedupTfidfOn(docs: DataFrame): DataFrame = {
     val byTerm = tfidfByTerm(docs)
     val wt = tfidfPostings(byTerm)
+    // zero-norm docs (every capped shingle at idf_q = 0 — e.g. a term
+    // present in ALL docs of a tiny corpus) are dropped HERE: their
+    // cosine would be 0/0, where Spark's double→long floor-cast yields
+    // 0 but DuckDB carries NaN (and NaN ranks ABOVE every number in
+    // its ORDER BY) — the cross-engine split the ee9f900 degenerate-
+    // division guards exist for. An all-zero vector has no direction,
+    // so excluding it is the semantics, not a workaround.
     val nrm = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2"))
+      .filter(col("nrm2") > 0)
     val pairs = byTerm
       .filter(size(col("ids")) > 1)
       .select(col("idf_q"), col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
@@ -353,7 +361,15 @@ object Dedup {
     // verify fetches) — materialize once or the tf/df chain re-runs
     // per consumer (measured 4×5 s at sf0.1 unpersisted)
     val wt = tfidfPostings(byTerm).stable
+    // zero-norm docs (every capped shingle at idf_q = 0 — e.g. a term
+    // present in ALL docs of a tiny corpus) are dropped HERE: their
+    // cosine would be 0/0, where Spark's double→long floor-cast yields
+    // 0 but DuckDB carries NaN (and NaN ranks ABOVE every number in
+    // its ORDER BY) — the cross-engine split the ee9f900 degenerate-
+    // division guards exist for. An all-zero vector has no direction,
+    // so excluding it is the semantics, not a workaround.
     val nrm = wt.groupBy("doc_id").agg(sum(col("w") * col("w")).as("nrm2"))
+      .filter(col("nrm2") > 0)
     val sig = tfidfBlocks(wt)
     val keyed = sig.select(col("doc_id"), col("blk"),
       explode(array(SimhashBlockCombos.zipWithIndex.map {
@@ -1317,7 +1333,7 @@ object Dedup {
        |  FROM tf JOIN dfs USING (sh) CROSS JOIN nd
        |  WHERE dfs.df <= $HotShingleCap),
        |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm2
-       |        FROM wt GROUP BY 1)""".stripMargin
+       |        FROM wt GROUP BY 1 HAVING sum(w * w) > 0)""".stripMargin
 
   private[queries] def shSqlOver(src: String): String =
     s"""sh AS (

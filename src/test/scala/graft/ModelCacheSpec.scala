@@ -90,14 +90,11 @@ class ModelCacheSpec extends SparkSuite {
       df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
     ModelCache.clear()
     val cold = rows(Mf.mfPredict(spark, sfDir)) // trains + caches factors
-    assert(ModelCache.liveRddIds.nonEmpty,
+    val keep = ModelCache.liveRddIds(spark)
+    assert(keep.nonEmpty,
       "the trained factor frames must surface their checkpoint RDD ids")
-    // Bench.clean's sweep, verbatim semantics
-    spark.catalog.clearCache()
-    val keep = ModelCache.liveRddIds
-    spark.sparkContext.getPersistentRDDs.values.foreach { r =>
-      if (!keep.contains(r.id)) r.unpersist(blocking = false)
-    }
+    // THE shared sweep (Bench.clean / WallScale delegate here)
+    ModelCache.sweepLeakedBlocks(spark)
     // cache hit over swept storage: must not die, must not drift
     assert(rows(Mf.mfPredict(spark, sfDir)) == cold)
     // control: the exemption is load-bearing — the cached frames' RDDs

@@ -83,12 +83,9 @@ object WallScale {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def clean(): Unit = {
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      spark.sparkContext.getPersistentRDDs.values.foreach { r =>
-        try r.unpersist(blocking = false) catch { case _: Throwable => () }
-      }
-    }
+    // the shared Bench sweep (exempts live ModelCache-backed blocks —
+    // required the moment a serve entry joins Ops)
+    def clean(): Unit = graft.core.ModelCache.sweepLeakedBlocks(spark)
     // JIT/codegen warm-up on the untouched base dir so ×1 is steady state
     Ops.foreach { op =>
       SparkEntry.queries(op)(spark, Base).count(); clean()
@@ -103,7 +100,9 @@ object WallScale {
         val rows = SparkEntry.queries(op)(spark, dir).count()
         val sec = (System.nanoTime() - t1) / 1e9
         clean()
-        if (k == factors.min) x1(op) = sec
+        // baseline = the FIRST factor processed (not factors.min, which
+        // records nothing until reached when the list is unordered)
+        if (!x1.contains(op)) x1(op) = sec
         val ratio = x1.get(op).map(b => f"${sec / b}%.1f").getOrElse("-")
         println(f"[wall-scale] x$k%-3d $op%-20s rows=$rows%-9d wall=$sec%7.2f s  vs_x1=$ratio")
       }
