@@ -243,6 +243,20 @@ object Cluster {
       .select(col("doc_a"), col("doc_b")))
   }
 
+  /** The WEIGHTED member of the keep family: canonical corpus over
+    * tf·idf-cosine edges ([[Dedup.tfidfScoredOn]] at its 0.6 emit
+    * threshold) — dedups by WEIGHTED overlap, so rare-passage reuse
+    * collapses into one survivor where boilerplate-only overlap does
+    * not (set Jaccard ties them; see dedup_tfidf). Same CC + min-id
+    * keep tail as the other edge producers; cost = the Σdf²-capped
+    * weighted pair producer + edge-linear rounds.
+    */
+  def dedupKeepTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    dedupKeepFrom(docs,
+      Dedup.tfidfScoredOn(docs).select(col("doc_a"), col("doc_b")))
+  }
+
   /** Quality-aware survivor selection: keep each cluster's MEDOID —
     * the doc with the highest summed similarity (Jaccard) to its
     * cluster peers — instead of the arbitrary min doc_id. In a real
@@ -987,6 +1001,7 @@ object Cluster {
     "dedup_cluster_minhash" -> dedupClusterMinhash,
     "dedup_keep" -> dedupKeep,
     "dedup_keep_minhash" -> dedupKeepMinhash,
+    "dedup_keep_tfidf" -> dedupKeepTfidf,
     "dedup_keep_central" -> dedupKeepCentral,
     "dedup_keep_central_minhash" -> dedupKeepCentralMinhash,
     "split_leakfree" -> splitLeakfree,
@@ -1127,6 +1142,14 @@ object Cluster {
             |FROM lab JOIN sz USING (cluster_id)""".stripMargin),
       "dedup_keep_minhash" ->
         ("WITH RECURSIVE " + edges06 + ",\n" + ccSymSql + "\n" +
+          """SELECT d.doc_id, coalesce(sz.n_docs, 1) AS cluster_size
+            |FROM documents d
+            |LEFT JOIN lab ON lab.node = d.doc_id
+            |LEFT JOIN sz ON sz.cluster_id = lab.cluster_id
+            |WHERE lab.node IS NULL OR lab.node = lab.cluster_id""".stripMargin),
+      "dedup_keep_tfidf" ->
+        ("WITH RECURSIVE " + Dedup.tfidfWtSqlCtes + ",\n" +
+          Dedup.tfidfScoredSqlCtes + ",\n" + ccSymSql + "\n" +
           """SELECT d.doc_id, coalesce(sz.n_docs, 1) AS cluster_size
             |FROM documents d
             |LEFT JOIN lab ON lab.node = d.doc_id

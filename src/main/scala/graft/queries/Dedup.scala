@@ -254,7 +254,18 @@ object Dedup {
         (col("p.tf") * col("idf_q")).as("w"))
 
   /** [[dedupTfidf]] over any (doc_id, text) frame (spec surface). */
-  def dedupTfidfOn(docs: DataFrame): DataFrame = {
+  def dedupTfidfOn(docs: DataFrame): DataFrame =
+    tfidfScoredOn(docs)
+      .orderBy(col("cos").desc, col("doc_a").asc, col("doc_b").asc)
+      .limit(50)
+
+  /** ALL weighted-cosine pairs at the [[TfidfMinCos]] threshold —
+    * `(doc_a, doc_b, n_shared, cos)`, unlimited: the EDGE-PRODUCER
+    * form consumed by the weighted keep ([[Cluster.dedupKeepTfidf]])
+    * the way ngramScored/minhashScored feed their cluster stages;
+    * [[dedupTfidfOn]] is its top-50 report head.
+    */
+  def tfidfScoredOn(docs: DataFrame): DataFrame = {
     val byTerm = tfidfByTerm(docs)
     val wt = tfidfPostings(byTerm)
     // zero-norm docs (every capped shingle at idf_q = 0 — e.g. a term
@@ -288,8 +299,6 @@ object Dedup {
           (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double")))
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("cos"))
       .filter(col("cos") >= TfidfMinCos)
-      .orderBy(col("cos").desc, col("doc_a").asc, col("doc_b").asc)
-      .limit(50)
   }
 
   /** All C(6,3) = 20 index triples over the 6 signature blocks of
@@ -1301,6 +1310,25 @@ object Dedup {
     * the same 3-gram letters-only distinct shingle definition every
     * dedup oracle inlines.
     */
+  /** CTE chain `dt, scored` over [[tfidfWtSqlCtes]]'s `wt`/`nrm` —
+    * `scored(doc_a, doc_b)` is the thresholded weighted edge set
+    * ([[tfidfScoredOn]]'s pairs), the composable edge producer the
+    * weighted keep oracle chains into the recursive CC. Pre-stripped.
+    */
+  private[queries] def tfidfScoredSqlCtes: String =
+    s"""dt AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(sum(a.w * b.w) AS BIGINT) AS dot
+       |  FROM wt a JOIN wt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_a, doc_b
+       |  FROM dt JOIN nrm na ON dt.doc_a = na.doc_id
+       |    JOIN nrm nb ON dt.doc_b = nb.doc_id
+       |  WHERE floor(CAST(dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE))
+       |    * sqrt(CAST(nb.nrm2 AS DOUBLE))) * 1e6 + 0.5) / 1e6
+       |    >= $TfidfMinCos)""".stripMargin
+
   /** `(c, x, y, z)` VALUES rows mirroring [[SimhashBlockCombos]]. */
   private[queries] def simhashCombosSql: String =
     SimhashBlockCombos.zipWithIndex

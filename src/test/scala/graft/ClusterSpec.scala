@@ -154,6 +154,25 @@ class ClusterSpec extends SparkSuite {
     assert(minhash === ngram)
   }
 
+  test("dedup_keep_tfidf: keep partition holds and no weighted edge survives whole on sf0.001") {
+    val kept = Cluster.dedupKeepTfidf(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = graft.core.Tables.documents(spark, sfDir)
+    val edges = graft.queries.Dedup.tfidfScoredOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "sf0.001 must plant weighted near-dup edges")
+    // survivor-exclusivity: a weighted edge joins its endpoints into
+    // one cluster, so at most one endpoint may survive
+    edges.foreach { case (a, b) =>
+      assert(!(kept.contains(a) && kept.contains(b)),
+        s"edge ($a,$b) survived whole — keep must collapse it")
+    }
+    // partition accounting: survivors' cluster sizes sum to the corpus
+    assert(kept.values.sum === docs.count())
+    // dedup happened: strictly fewer survivors than docs
+    assert(kept.size < docs.count().toInt)
+  }
+
   test("dedupKeepFrom with minhash edges keeps min-id per planted group") {
     val a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima " +
       "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray yankee zulu"
