@@ -3,9 +3,18 @@
 engine): compares Verify.scala's parquet dumps against DuckDB running
 SparkEntry.oracleSql on the same tables. Usage:
   python3 scripts/check_oracle.py <sfDir> <verifyOutDir> [query...]
+
+A FULL run (no query filter) also writes CORRECTNESS_LATEST.json at
+the repo root in the driver artifact's exact per-query schema
+(rows_match/schema_match/hash_match/spark_rows/oracle_rows/err), so a
+driver-side capture failure (CORRECTNESS_r12.json arrived as `{}`)
+can never again leave a round without a durable, repo-tracked
+correctness record — the Bench/BENCH_LATEST.json convention.
 """
 import sys, os, json, math, glob
 import duckdb
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -37,12 +46,21 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    record = {}
+
+    def rec(name, spark_rows=None, oracle_rows=None, rows=False,
+            schema=False, h=False, err=None):
+        record[name] = {
+            "rows_match": rows, "schema_match": schema, "hash_match": h,
+            "spark_rows": spark_rows, "oracle_rows": oracle_rows, "err": err}
+
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
         spark_glob = f"{out_dir}/{name}/*.parquet"
         if not glob.glob(spark_glob):
             print(f"FAIL {name}: no spark output")
+            rec(name, err="no spark output")
             n_fail += 1
             continue
         try:
@@ -54,6 +72,7 @@ def main():
             stypes = dict(zip(srel.columns, [str(t) for t in srel.types]))
             if sorted(ocols) != sorted(scols):
                 print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+                rec(name, err=f"columns spark={sorted(scols)} oracle={sorted(ocols)}")
                 n_fail += 1
                 continue
             cols = ", ".join(f'"{c}"' for c in sorted(ocols))
@@ -62,6 +81,8 @@ def main():
             tmis = [c for c in sorted(ocols) if otypes[c] != stypes[c]]
             if len(orows) != len(srows):
                 print(f"FAIL {name}: rows spark={len(srows)} oracle={len(orows)}")
+                rec(name, len(srows), len(orows), schema=True,
+                    err=f"rows spark={len(srows)} oracle={len(orows)}")
                 n_fail += 1
                 continue
             bad = None
@@ -72,15 +93,25 @@ def main():
             exact = srows == orows
             if bad:
                 print(f"FAIL {name}: row {bad[0]} spark={bad[1]} oracle={bad[2]}")
+                rec(name, len(srows), len(orows), rows=True, schema=True,
+                    err=f"row {bad[0]} spark={bad[1]} oracle={bad[2]}")
                 n_fail += 1
             else:
                 note = "" if exact else " (float-tolerant only — NOT hash-exact!)"
                 tnote = f" [type mismatch: {tmis}]" if tmis else ""
                 print(f"PASS {name}: {len(srows)} rows{note}{tnote}")
+                rec(name, len(srows), len(orows), rows=True, schema=True,
+                    h=exact)
                 n_pass += 1
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
+            rec(name, err=f"{type(e).__name__}: {e}")
             n_fail += 1
+    if not only:
+        latest = os.path.join(REPO_ROOT, "CORRECTNESS_LATEST.json")
+        with open(latest, "w") as f:
+            json.dump({k: record[k] for k in sorted(record)}, f, indent=2)
+        print(f"wrote {latest} ({len(record)} queries)")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 

@@ -43,11 +43,19 @@ object ModelCache {
   private val m = new ConcurrentHashMap[String, AnyRef]()
 
   /** Unpersist every DataFrame reachable inside a cached value
-    * (bare frame, tuple/case class of frames, or a collection).
+    * (bare frame, tuple/case class of frames, an array, or a
+    * collection). The Array arm matters: a cached Array[DataFrame]
+    * is not a Product/Iterable, and a walk that misses it would
+    * leave [[liveRddIds]] blind to its blocks — sweepLeakedBlocks
+    * would then unpersist the only copy of a live model frame.
     */
   private def releaseValue(v: AnyRef): Unit = v match {
     case ds: org.apache.spark.sql.Dataset[_] => Checkpoints.release(ds.toDF)
     case p: Product => p.productIterator.foreach {
+      case r: AnyRef => releaseValue(r)
+      case _ => ()
+    }
+    case a: Array[_] => a.foreach {
       case r: AnyRef => releaseValue(r)
       case _ => ()
     }
@@ -129,6 +137,10 @@ object ModelCache {
           case _ => ()
         } catch { case _: Throwable => () }
       case p: Product => p.productIterator.foreach {
+        case r: AnyRef => walk(r)
+        case _ => ()
+      }
+      case a: Array[_] => a.foreach {
         case r: AnyRef => walk(r)
         case _ => ()
       }

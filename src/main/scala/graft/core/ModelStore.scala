@@ -104,9 +104,12 @@ object ModelStore {
     * retrained. JVM-wide monotone counters — the measurement tool
     * reads them to PROVE a fresh JVM warm-started from
     * `spark.graft.modelDir` rather than silently retraining.
+    * AtomicLong, not volatile+`+=`: a read-modify-write under
+    * concurrent resolutions would silently drop counts, and these
+    * counters present as proof.
     */
-  @volatile var diskHits: Long = 0L
-  @volatile var retrains: Long = 0L
+  val diskHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  val retrains = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Get-or-train through BOTH tiers: session cache first, then the
     * disk store, then `train` (whose result is saved for the next
@@ -118,9 +121,9 @@ object ModelStore {
       toFrames: T => Seq[DataFrame])(fromFrames: Seq[DataFrame] => T): T =
     ModelCache.cached(s, d, name) {
       load(s, d, name, constants, n).map { fs =>
-        diskHits += 1; fromFrames(fs)
+        diskHits.incrementAndGet(); fromFrames(fs)
       }.getOrElse {
-        retrains += 1
+        retrains.incrementAndGet()
         val m = train
         save(s, d, name, constants, toFrames(m))
         m

@@ -414,14 +414,33 @@ object Advanced {
     * event_id) order key is a total order, so tile membership — and
     * hence every aggregate — is deterministic despite duplicate
     * values.
+    *
+    * Scale shape: a per-type window would put EACH event type's whole
+    * population on one core (types are few, populations are huge).
+    * Instead: ONE range-partitioned global sort on (type, value, id)
+    * (ScalableRank.rowNumber), per-type offsets from a prefix-sum over
+    * the \|types\|-cell count frame, per-type rank = global − offset,
+    * and the closed-form NTILE — hash-identical to the window form.
     */
-  def ntileHist(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .withColumn("q", ntile(10).over(
-        Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))))
+  def ntileHist(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n_g"))
+    val offs = graft.core.ScalableRank
+      .prefixSum(counts, "n_g", "cum_g", col("event_type").asc)
+      .select(col("event_type"), col("n_g"),
+        (col("cum_g") - col("n_g")).as("off"))
+    graft.core.ScalableRank
+      .rowNumber(ev, "grn",
+        col("event_type").asc, col("value").asc, col("event_id").asc)
+      .join(broadcast(offs), "event_type")
+      .withColumn("rn", col("grn") - col("off"))
+      .withColumn("q",
+        graft.core.ScalableRank.ntileExpr("rn", "n_g", 10).cast("int"))
       .groupBy("event_type", "q")
       .agg(count(lit(1)).as("n"),
         round(min("value"), 6).as("lo"), round(max("value"), 6).as("hi"))
+  }
 
   /** Ordered string aggregation (listagg WITHIN GROUP): nation roster
     * per region — deterministic via the explicit ORDER BY.

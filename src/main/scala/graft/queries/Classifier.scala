@@ -300,15 +300,21 @@ object Classifier {
     * integers.
     */
   def classifierCalibration(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vec = featurize(s, d)
     val w = weightsCached(s, d, vec)
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val scored = vec.select(col("doc_id"), col("y"),
       floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)).cast("long").as("score_q"))
-    val out = scored
+    // ntile over a total order WITHOUT the single-partition window:
+    // range-partitioned global row number + the closed-form NTILE
+    // bucket from (rn, N) — hash-identical to ntile(10).over(orderBy)
+    // in both engines, parallel at any corpus size (ScalableRank).
+    val nF = scored.agg(count(lit(1)).as("n_total"))
+    val out = graft.core.ScalableRank
+      .rowNumber(scored, "rn", col("score_q").asc, col("doc_id").asc)
+      .crossJoin(broadcast(nF)) // 1-row total attachment
       .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("score_q").asc, col("doc_id").asc)))
+        graft.core.ScalableRank.ntileExpr("rn", "n_total", 10).cast("int"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_docs"),
         (floor(sum("score_q") / count(lit(1)).cast("double") / 100 + 0.5) / 1e4)
@@ -330,28 +336,33 @@ object Classifier {
     * float rank sums anywhere. AUC_micro then derives from three
     * exact integers: Σ₊2·avg_rank, P, N.
     *
-    * Scale note: the rank window is a total order over the scored
-    * eval frame — the same single-partition contract as
-    * classifier_calibration's ntile (metrics run on eval sets, not
-    * the corpus; for corpus-sized frames the decile/histogram form is
-    * the scale path).
+    * Scale note: ranks come from a per-score-cell running count
+    * (ScalableRank.prefixSum), not a rank window — the global sort is
+    * range-partitioned and the shuffled frame is \|distinct score
+    * cells\|, so the statistic stays parallel on corpus-sized inputs.
     */
   def classifierAuc(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vec = featurize(s, d)
     val w = weightsCached(s, d, vec)
     val wl = array(w.map(lit).toIndexedSeq: _*)
     val scored = vec.select(col("doc_id"), col("y"),
       floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)).cast("long").as("score_q"))
-    val ranked = scored
-      .withColumn("r_min", rank().over(Window.orderBy(col("score_q").asc)))
-      .withColumn("ties", count(lit(1)).over(Window.partitionBy(col("score_q"))))
-      .select(col("y"),
-        (lit(2L) * col("r_min") + col("ties") - lit(1L)).as("ar2"))
-    val out = ranked.agg(
-        sum(col("y").cast("long")).as("n_pos"),
-        (count(lit(1)) - sum(col("y").cast("long"))).as("n_neg"),
-        sum(when(col("y") === 1.0, col("ar2")).otherwise(lit(0L))).as("sum_ar2"))
+    // Tie-averaged ranks without a corpus-wide rank window: collapse
+    // to per-score cells (c docs, pos positives at score s), then a
+    // range-partitioned running count gives cum_c = #docs ≤ s, so
+    //   r_min = cum_c − c + 1  and  2·avg_rank = 2·cum_c − c + 1
+    // — every positive at s contributes that ar2 (ScalableRank; no
+    // single-partition stage, and the shuffle carries |distinct
+    // scores| cells, not docs).
+    val perScore = scored.groupBy("score_q")
+      .agg(count(lit(1)).as("c"), sum(col("y").cast("long")).as("pos"))
+    val cum = graft.core.ScalableRank
+      .prefixSum(perScore, "c", "cum_c", col("score_q").asc)
+    val out = cum.agg(
+        sum("pos").as("n_pos"),
+        (sum("c") - sum("pos")).as("n_neg"),
+        sum(col("pos") * (lit(2L) * col("cum_c") - col("c") + lit(1L)))
+          .as("sum_ar2"))
       .select(col("n_pos"), col("n_neg"),
         floor((col("sum_ar2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
           / (lit(2.0) * col("n_pos") * col("n_neg")) * 1e6 + lit(0.5))
@@ -469,9 +480,10 @@ object Classifier {
     * and total, so the list is stable across engines and retries.
     *
     * Scale shape: one featurize pass (model-cache shared), a map-only
-    * scoring pass, and a top-k over the disagreement subset — the
-    * rank window runs on eval-sized survivors, and the id-keyed
-    * source join fetches [[NoiseTopK]] rows.
+    * scoring pass, and a TakeOrderedAndProject top-k over the
+    * disagreement subset — the rank window runs on the
+    * [[NoiseTopK]]-row leaderboard only, and the id-keyed source join
+    * fetches [[NoiseTopK]] rows.
     */
   def labelNoiseReport(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -481,11 +493,16 @@ object Classifier {
     val scored = vec.select(col("doc_id"), col("y").cast("int").as("label"),
       floor(dot(col("x"), wl) * lit(1e6) + lit(0.5)).cast("long")
         .as("margin_micro"))
+    // orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    // top-k + driver merge of K×P rows); the row_number window then
+    // runs only on the NoiseTopK-row leaderboard, never on the full
+    // disagreement set (the Graphs.scala hits_scores idiom).
     val out = scored
       .filter((col("margin_micro") > 0) =!= (col("label") === 1))
+      .orderBy(abs(col("margin_micro")).desc, col("doc_id").asc)
+      .limit(NoiseTopK)
       .withColumn("rk", row_number().over(
         Window.orderBy(abs(col("margin_micro")).desc, col("doc_id").asc)))
-      .filter(col("rk") <= NoiseTopK)
       .join(graft.core.Tables.documents(s, d).select("doc_id", "source"),
         "doc_id")
       .select(col("rk"), col("doc_id"), col("source"), col("label"),

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.Tables
@@ -62,10 +61,15 @@ object Conformal {
           - (col("slope_micro") * col("x") + col("intercept_micro"))))
     val cal = scored.filter(col("sp") === 1)
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    // exact order statistic: rank k = ceil((n_cal+1)*(1-alpha))
-    val rkW = Window.orderBy(col("resid").asc, col("id").asc)
-    val qhat = cal.crossJoin(broadcast(nCal))
-      .withColumn("rk", row_number().over(rkW))
+    // exact order statistic: rank k = ceil((n_cal+1)*(1-alpha)).
+    // The rank is a range-partitioned global row number (ScalableRank
+    // — no single-partition window over the calibration half); the
+    // k-th element itself is an orderBy+limit(1) TakeOrdered on the
+    // ≥k tail.
+    val qhat = graft.core.ScalableRank
+      .rowNumber(cal.select(col("id"), col("resid")), "rk",
+        col("resid").asc, col("id").asc)
+      .crossJoin(broadcast(nCal)) // 1-row count attachment
       .filter(col("rk") * 1000 >= (col("n_cal") + 1)
         * (1000 - AlphaPermille))
       .orderBy(col("rk").asc).limit(1)

@@ -208,9 +208,10 @@ object Dedup {
     * Cross-engine exactness: the single libm term ln((N+1)/(df+1)) is
     * quantized to int 1e-4 units immediately (the bm25 convention);
     * weights w = tf·idf_q, dots Σ wa·wb and norms Σ w² are then exact
-    * int64 (rail: tf ≤ 100-ish and ln N ≤ 25 keep Σw² < 2^63 up to
-    * ~millions of shingles per doc), and the one double division is
-    * micro-quantized before the threshold/order.
+    * int64 (rail ENFORCED by the [[TfClamp]] tf clamp in both
+    * engines: Σw² < 2^63 up to ~millions of shingles per doc), and
+    * the one double division is micro-quantized before the
+    * threshold/order.
     *
     * Scale: the [[ngramScoredFull]] envelope — corpus shingled and
     * shuffled ONCE to (shingle) groups, df > [[HotShingleCap]] groups
@@ -223,10 +224,24 @@ object Dedup {
   def dedupTfidf(s: SparkSession, d: String): DataFrame =
     dedupTfidfOn(Tables.documents(s, d))
 
+  /** Per-(doc, shingle) term-frequency clamp. The int64-exactness
+    * rail (Σ tf²·idf_q² per pair < 2^63) was previously only
+    * documented; past it Spark silently WRAPS int64 arithmetic where
+    * DuckDB errors on BIGINT overflow — wrong-answer vs hard-failure
+    * divergence. Clamping tf in BOTH engines (here and the oracle's
+    * `wt` CTE) enforces the rail: idf_q ≤ ln(N+1)·1e4 ≈ 3.5e5 at a
+    * trillion docs, so a pair dot term tf²·idf_q² ≤ 1e6 · 1.2e11 ≈
+    * 1.2e17 and even 10⁶ shared shingles stay < 2^63. A 3-gram
+    * repeated 1000+ times inside one document is boilerplate, not
+    * signal — the clamp is the semantics, not a truncation.
+    */
+  private[graft] val TfClamp = 1000L
+
   /** `(sh, ids(doc_id, tf), n_docs, idf_q)` over the capped shingle
     * space — the weighted term frame [[dedupTfidfOn]] and its LSH
     * scale twin [[dedupTfidfSimhashOn]] both derive from (3-gram
-    * multiplicity counts, df-capped groups, 1e-4-quantized idf).
+    * multiplicity counts clamped at [[TfClamp]], df-capped groups,
+    * 1e-4-quantized idf).
     */
   private[graft] def tfidfByTerm(docs: DataFrame): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
@@ -237,7 +252,8 @@ object Dedup {
         i => concat_ws(" ", element_at(col("ws"), i),
           element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
         .as("sh"))
-    val tf = grams.groupBy("doc_id", "sh").agg(count(lit(1)).as("tf"))
+    val tf = grams.groupBy("doc_id", "sh")
+      .agg(least(count(lit(1)), lit(TfClamp)).as("tf"))
     tf.groupBy("sh")
       .agg(collect_list(struct(col("doc_id"), col("tf"))).as("ids"))
       .filter(size(col("ids")) <= lit(HotShingleCap))
@@ -1350,7 +1366,7 @@ object Dedup {
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 2),
        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
        |  FROM wsx WHERE len(ws) >= 3),
-       |tf AS (SELECT doc_id, sh, CAST(count(*) AS BIGINT) AS tf
+       |tf AS (SELECT doc_id, sh, CAST(least(count(*), $TfClamp) AS BIGINT) AS tf
        |       FROM g GROUP BY 1, 2),
        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
        |dfs AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),

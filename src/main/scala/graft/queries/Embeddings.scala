@@ -16,9 +16,6 @@ import graft.core.Tables
   */
 object Embeddings {
 
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.DotProduct.dotCol(a, b)
-
   /** Per-dimension corpus statistics: n, mean, min, max, L2 mass —
     * the report that catches dead dimensions (all-zero), saturated
     * ones (|x| pinned), and scale drift between snapshots. One
@@ -39,88 +36,116 @@ object Embeddings {
   /** Power-iteration rounds for [[pcaTop]]. */
   val PcaIters = 10
 
-  /** Dominant right singular vector of the (uncentered) embedding
-    * matrix via distributed power iteration: per round, the map-side
-    * score s = v·x uses the literal current vector (zero shuffle),
-    * the update X^T s reduces through posexplode to dim cells, and
-    * the driver renormalizes a dim-length vector. Sign convention:
-    * first component with |w| > 1e-9 is made positive, so the result
-    * is deterministic up to float-sum noise (spec tolerance 1e-6
-    * against a sequential reference in EmbeddingsSpec).
+  /** Quantization scale of the integer power iteration: embeddings
+    * quantize to micro units once, and every iterate is re-normalized
+    * to L∞ = [[PcaScale]] (max |component| = 1e6 exactly).
     */
-  /** Up to `k` orthonormal principal directions by power iteration
-    * with Gram-Schmidt deflation: each round multiplies by X^T X
-    * distributed (map-side score with the literal current vector →
-    * posexplode → dim cells), then the DRIVER orthogonalizes the
-    * dim-length update against the already-extracted components
-    * (k·dim flops — bounded) and renormalizes. Component 0 starts at
-    * the uniform vector (identical to the single-component form);
-    * later components start from a seeded deterministic Gaussian so
-    * the start is never parallel to an earlier direction. Sign
-    * convention per component: first |w| > 1e-9 entry positive.
-    * Degenerate input: empty corpus → no components; a zero-norm
-    * update (all-zero corpus / k past the rank collapsing to 0)
-    * keeps the previous iterate rather than going NaN.
+  val PcaScale = 1000000L
+
+  /** Up to `k` principal directions by INTEGER power iteration with
+    * deflation — every arithmetic step is exact int128-bounded
+    * integer math, so the fixed-iteration result is bit-identical
+    * across engines and the DuckDB oracle replays the whole chain
+    * (the classifier_train unrolled-CTE convention, applied to PCA):
+    *
+    *   - x quantizes once: xq = floor(x·1e6 + 0.5) (the only float
+    *     op; single correctly-rounded IEEE chain in both engines);
+    *   - per round, s = Σ xqᵢ·vᵢ map-side (int64), the update
+    *     w = Σ s·xq reduces through posexplode to dim cells in
+    *     DECIMAL(38,0) (HUGEINT in the oracle) — magnitudes stay
+    *     < 1e38 up to ~1e12 rows by the rails in the Scaladoc below;
+    *   - normalization is L∞, not L2: v' = (w·1e6) div max|w| —
+    *     integer division truncating toward zero in Spark, DuckDB
+    *     and BigInt alike; no sqrt anywhere;
+    *   - deflation against each extracted u (sequentially):
+    *     d = (Σu²)·v − (Σv·u)·u, renormalized after every step;
+    *   - sign: first nonzero entry made positive, every round.
+    *
+    * Component 0 starts at the uniform vector (all 1e6); component
+    * c > 0 starts from the md5 lattice (md5₄₈("pca:c:pos") mod 2001
+    * − 1000) deflated against the extracted components — the repo's
+    * md5-seeding convention, exactly reproducible in SQL. Degenerate
+    * input: empty corpus → no components; a zero update (all-zero
+    * corpus / k past the rank) keeps the previous iterate.
+    *
+    * Scale shape unchanged from the float form: the per-round
+    * map-side score uses the literal current vector (zero shuffle),
+    * the reduce carries dim-bounded cells, and the driver touches
+    * only dim-length integer vectors (BigInt, k·dim work).
     */
-  def pcaComponents(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
-    val s = embeddings.sparkSession
-    graft.functions.DotProduct.register(s)
-    val all = embeddings
-      .select(col("embedding").cast("array<double>").as("v"))
+  def pcaComponents(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
+    val xq = embeddings
+      .select(transform(col("embedding").cast("array<double>"),
+        e => floor(e * lit(1e6) + lit(0.5)).cast("long")).as("x"))
       .persist()
     // degenerate corpus: no rows → no components, not a .first() crash
-    val head = all.select(size(col("v"))).limit(1).collect()
+    val head = xq.select(size(col("x"))).limit(1).collect()
     if (head.isEmpty) {
-      all.unpersist(false)
+      xq.unpersist(false)
       return Seq.empty
     }
     val dim = head(0).getInt(0)
-    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    def orthogonalize(x: Array[Double]): Unit = comps.foreach { u =>
-      var p = 0.0
-      var i = 0
-      while (i < dim) { p += x(i) * u(i); i += 1 }
-      i = 0
-      while (i < dim) { x(i) -= p * u(i); i += 1 }
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    // L∞ renormalize to PcaScale; None on the zero vector
+    def linf(x: Array[BigInt]): Option[Array[Long]] = {
+      val m = x.map(_.abs).max
+      if (m == 0) None else Some(x.map(v => ((v * PcaScale) / m).toLong))
     }
+    // sequential exact deflation, renormalized after every step; a
+    // step that lands exactly in the span keeps its input
+    def deflate(x0: Array[Long]): Array[Long] = {
+      var cur = x0
+      comps.foreach { u =>
+        val p = (0 until dim).map(i => BigInt(cur(i)) * u(i)).sum
+        val uu = (0 until dim).map(i => BigInt(u(i)) * u(i)).sum
+        val d = Array.tabulate(dim)(i => uu * cur(i) - p * u(i))
+        linf(d).foreach(n => cur = n)
+      }
+      cur
+    }
+    def signFix(x: Array[Long]): Array[Long] =
+      if (x.find(_ != 0L).exists(_ < 0L)) x.map(v => -v) else x
     for (c <- 0 until math.min(k, dim)) {
-      var vec =
-        if (c == 0) Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-        else {
-          val r = new java.util.Random(c.toLong) // algorithm-specified → deterministic
-          val g = Array.fill(dim)(r.nextGaussian())
-          orthogonalize(g)
-          val n = math.sqrt(g.map(x => x * x).sum)
-          g.map(_ / n)
-        }
+      var vec: Array[Long] =
+        if (c == 0) Array.fill(dim)(PcaScale)
+        else signFix(deflate(Array.tabulate(dim)(pos => pcaSeed(c, pos))))
       for (_ <- 1 to iters) {
         val vLit = array(vec.map(lit).toIndexedSeq: _*)
-        val next = all
-          .select(dot(col("v"), vLit).as("s"), posexplode(col("v")))
+        val sCol = aggregate(zip_with(col("x"), vLit, (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t)
+        val next = xq
+          .select(sCol.as("s"), posexplode(col("x")))
           .groupBy("pos")
-          .agg(sum(col("s") * col("col")).as("w"))
+          .agg(sum(col("s").cast("decimal(38,0)") * col("col")).as("w"))
           .collect() // dim rows — the bounded per-round driver action
-        val raw = new Array[Double](dim)
-        next.foreach(r => raw(r.getInt(0)) = r.getDouble(1))
-        orthogonalize(raw)
-        val nrm = math.sqrt(raw.map(x => x * x).sum)
-        val sign = raw.find(math.abs(_) > 1e-9).map(x => math.signum(x)).getOrElse(1.0)
-        if (nrm > 0) vec = raw.map(_ / nrm * sign)
+        val raw = Array.fill(dim)(BigInt(0))
+        next.foreach(r => raw(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+        val n0 = linf(raw).getOrElse(vec)
+        vec = signFix(deflate(n0))
       }
       comps += vec
     }
-    all.unpersist(false)
+    xq.unpersist(false)
     comps.toSeq
+  }
+
+  /** md5₄₈-lattice init entry for component `c`, position `pos` —
+    * ∈ [−1000, 1000], mirrored verbatim by the oracle SQL.
+    */
+  private[graft] def pcaSeed(c: Int, pos: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"pca:$c:$pos".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
   }
 
   def pcaTopOn(embeddings: DataFrame, iters: Int = PcaIters): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     val comps = pcaComponents(embeddings, k = 1, iters)
-    comps.headOption.getOrElse(Array.empty[Double])
+    comps.headOption.getOrElse(Array.empty[Long])
       .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
-      .toDF("dim", "weight")
-      .select(col("dim"), round(col("weight"), 6).as("weight"))
+      .toDF("dim", "weight_micro")
   }
 
   def pcaTop(s: SparkSession, d: String): DataFrame =
@@ -129,18 +154,18 @@ object Embeddings {
   /** Components for [[pcaTopk]]. */
   val PcaK = 4
 
-  /** Top-k principal directions as (component, dim, weight) scalar
-    * rows. Not SQL-expressible (iterative, plan-time literals) →
-    * rows-only for the driver; ≡ a sequential deflated reference and
-    * pairwise-orthogonal within 1e-6 in EmbeddingsSpec.
+  /** Top-k principal directions as (component, dim, weight_micro)
+    * scalar rows — EXACT integers under the full DuckDB oracle (the
+    * unrolled-CTE chain replays every iteration); additionally ≡ a
+    * sequential BigInt reference and pairwise-orthogonal in
+    * EmbeddingsSpec.
     */
   def pcaTopkOn(embeddings: DataFrame, k: Int = PcaK, iters: Int = PcaIters): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     pcaComponents(embeddings, k, iters).zipWithIndex.flatMap { case (u, c) =>
       u.zipWithIndex.map { case (w, i) => (c.toLong, i.toLong, w) }
-    }.toDF("component", "dim", "weight")
-      .select(col("component"), col("dim"), round(col("weight"), 6).as("weight"))
+    }.toDF("component", "dim", "weight_micro")
   }
 
   def pcaTopk(s: SparkSession, d: String): DataFrame =
@@ -249,28 +274,32 @@ object Embeddings {
   /** Projection onto the top-k principal directions — the
     * dimensionality-reduction map that feeds 2-D corpus atlases and
     * compact downstream features. Components are [[pcaComponents]]
-    * plan-time literals, so the projection is one map-side dot product
-    * per component: (vec_id, component, score) with no shuffle of
-    * vectors. Iterative plan-time state → rows-only for the driver;
-    * ≡ a driver-side projection at 1e-6 in EmbeddingsSpec.
+    * plan-time literals, so the projection is one map-side integer
+    * dot product per component: (vec_id, component, score_q) with no
+    * shuffle of vectors. score_q = Σ xqᵢ·uᵢ is exact int64 (micro²
+    * units: ≤ 64·1e6·1e6 per vector) — hash-exact under the full
+    * DuckDB oracle, which retrains the identical integer chain.
     */
   def embedProjectOn(embeddings: DataFrame, k: Int = PcaK,
       iters: Int = PcaIters): DataFrame = {
     val comps = pcaComponents(embeddings, k, iters)
-    if (comps.isEmpty) { // empty corpus
-      val s = embeddings.sparkSession
-      import s.implicits._
-      return Seq.empty[(Long, Long, Double)].toDF("vec_id", "component", "score")
-    }
+    val s = embeddings.sparkSession
+    import s.implicits._
+    if (comps.isEmpty) // empty corpus
+      return Seq.empty[(Long, Long, Long)].toDF("vec_id", "component", "score_q")
     val all = embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          e => floor(e * lit(1e6) + lit(0.5)).cast("long")).as("x"))
     val scores = array(comps.zipWithIndex.map { case (u, c) =>
+      val uLit = array(u.map(lit).toIndexedSeq: _*)
       struct(lit(c.toLong).as("component"),
-        round(dot(col("v"), array(u.map(lit).toIndexedSeq: _*)), 6).as("score"))
+        aggregate(zip_with(col("x"), uLit, (a, b) => a * b),
+          lit(0L), (acc, t) => acc + t).as("score_q"))
     }.toIndexedSeq: _*)
     all.select(col("vec_id"), explode(scores).as("p"))
       .select(col("vec_id"), col("p.component").as("component"),
-        col("p.score").as("score"))
+        col("p.score_q").as("score_q"))
   }
 
   def embedProject(s: SparkSession, d: String): DataFrame =
@@ -284,10 +313,111 @@ object Embeddings {
     "pca_top" -> pcaTop,
     "pca_topk" -> pcaTopk)
 
-  /** pca_top is iterative plan-time state — rows-only for the driver,
-    * pinned to a sequential power iteration in EmbeddingsSpec.
+  /** Unrolled-CTE mirror of [[pcaComponents]] (the classifier_train
+    * convention): emits the full `dims, xe, …` chain whose final
+    * per-component frames are `v_{c}_$iters(i, v)` with i 1-based and
+    * v the L∞-1e6 integer iterate — every step HUGEINT-exact, `//`
+    * truncating toward zero exactly like Spark's div and BigInt `/`.
+    * Returns (chain, finalFrameNames).
     */
+  private[queries] def pcaChainSql(k: Int, iters: Int): (String, Seq[String]) = {
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[String]
+    ctes += s"""dims AS MATERIALIZED (
+       |  SELECT unnest(generate_series(1,
+       |    (SELECT CAST(max(len(embedding)) AS INTEGER) FROM embeddings))) AS i)"""
+      .stripMargin
+    ctes += s"""xe AS MATERIALIZED (
+       |  SELECT vec_id, i,
+       |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)
+       |      AS xv
+       |  FROM embeddings, dims WHERE i <= len(embedding))""".stripMargin
+    // L∞ renormalize `src` to 1e6, keeping `prev` when the max is 0
+    def norm(tag: String, src: String, srcCol: String, prev: String, out: String): Unit = {
+      ctes += s"m_$tag AS MATERIALIZED (SELECT max(abs($srcCol)) AS m FROM $src)"
+      ctes += s"""$out AS MATERIALIZED (
+         |  SELECT d.i, CASE WHEN (SELECT m FROM m_$tag) > 0
+         |    THEN (d.$srcCol * 1000000) // (SELECT m FROM m_$tag)
+         |    ELSE a.v END AS v
+         |  FROM $src d JOIN $prev a USING (i))""".stripMargin
+    }
+    // sequential deflation of `in0` against final comps 0..c-1, then
+    // the first-nonzero-positive sign fix, emitting `out`
+    def deflateSign(tag: String, in0: String, c: Int, out: String): Unit = {
+      var cur = in0
+      (0 until c).foreach { j =>
+        val u = s"v_${j}_$iters"
+        ctes += s"""p_${tag}_$j AS MATERIALIZED (
+           |  SELECT CAST(sum(a.v * u.v) AS HUGEINT) AS p
+           |  FROM $cur a JOIN $u u USING (i))""".stripMargin
+        ctes += s"""d_${tag}_$j AS MATERIALIZED (
+           |  SELECT a.i,
+           |    (SELECT uu FROM uu_$j) * a.v - (SELECT p FROM p_${tag}_$j) * u.v
+           |      AS w
+           |  FROM $cur a JOIN $u u USING (i))""".stripMargin
+        norm(s"${tag}_$j", s"d_${tag}_$j", "w", cur, s"n_${tag}_$j")
+        cur = s"n_${tag}_$j"
+      }
+      ctes += s"""sg_$tag AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT v FROM $cur WHERE v <> 0 ORDER BY i LIMIT 1)
+         |    < 0 THEN -1 ELSE 1 END AS sg)""".stripMargin
+      ctes += s"$out AS MATERIALIZED (SELECT i, v * (SELECT sg FROM sg_$tag) AS v FROM $cur)"
+    }
+    (0 until k).foreach { c =>
+      if (c == 0)
+        ctes += s"v_0_0 AS MATERIALIZED (SELECT i, CAST(1000000 AS HUGEINT) AS v FROM dims)"
+      else {
+        // md5-lattice init (pcaSeed), deflated against comps 0..c-1
+        ctes += s"""h_$c AS MATERIALIZED (
+           |  SELECT i, CAST(('0x' || substr(md5('pca:$c:' ||
+           |      CAST(i - 1 AS VARCHAR)), 1, 12))::UBIGINT % 2001 AS HUGEINT)
+           |    - 1000 AS v
+           |  FROM dims)""".stripMargin
+        deflateSign(s"i$c", s"h_$c", c, s"v_${c}_0")
+      }
+      (1 to iters).foreach { t =>
+        val prev = s"v_${c}_${t - 1}"
+        ctes += s"""s_${c}_$t AS MATERIALIZED (
+           |  SELECT xe.vec_id, CAST(sum(xe.xv * v.v) AS HUGEINT) AS s
+           |  FROM xe JOIN $prev v USING (i) GROUP BY 1)""".stripMargin
+        ctes += s"""w_${c}_$t AS MATERIALIZED (
+           |  SELECT xe.i, CAST(sum(s.s * xe.xv) AS HUGEINT) AS w
+           |  FROM xe JOIN s_${c}_$t s USING (vec_id) GROUP BY 1)""".stripMargin
+        norm(s"w${c}_$t", s"w_${c}_$t", "w", prev, s"nw_${c}_$t")
+        deflateSign(s"t${c}_$t", s"nw_${c}_$t", c, s"v_${c}_$t")
+      }
+      // Σu² of the finished component, reused by every later deflation
+      ctes += s"""uu_$c AS MATERIALIZED (
+         |  SELECT CAST(sum(v * v) AS HUGEINT) AS uu FROM v_${c}_$iters)"""
+        .stripMargin
+    }
+    (ctes.mkString("WITH ", ",\n", ""),
+      (0 until k).map(c => s"v_${c}_$iters"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "pca_top" -> {
+      val (chain, frames) = pcaChainSql(1, PcaIters)
+      s"""$chain
+         |SELECT CAST(i - 1 AS BIGINT) AS dim, CAST(v AS BIGINT) AS weight_micro
+         |FROM ${frames.head}""".stripMargin
+    },
+    "pca_topk" -> {
+      val (chain, frames) = pcaChainSql(PcaK, PcaIters)
+      val legs = frames.zipWithIndex.map { case (f, c) =>
+        s"""SELECT CAST($c AS BIGINT) AS component, CAST(i - 1 AS BIGINT) AS dim,
+           |  CAST(v AS BIGINT) AS weight_micro FROM $f""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$chain\n$legs"
+    },
+    "embed_project" -> {
+      val (chain, frames) = pcaChainSql(PcaK, PcaIters)
+      val legs = frames.zipWithIndex.map { case (f, c) =>
+        s"""SELECT xe.vec_id, CAST($c AS BIGINT) AS component,
+           |  CAST(sum(xe.xv * v.v) AS BIGINT) AS score_q
+           |FROM xe JOIN $f v USING (i) GROUP BY 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"$chain\n$legs"
+    },
     "embed_quantize" ->
       """WITH dims AS (
         |  SELECT unnest(generate_series(1,

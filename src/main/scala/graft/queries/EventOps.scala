@@ -475,9 +475,19 @@ object EventOps {
       .select(col("user_id"),
         expr("(now - last_ts) DIV 3600000000000").as("recency_h"),
         col("frequency"), col("monetary"))
-    rfm.withColumn("m_quartile",
-      ntile(4).over(org.apache.spark.sql.expressions.Window
-        .orderBy(col("monetary").desc, col("user_id"))).cast("int"))
+    // monetary quartiles over ALL purchasing users — |users| scales
+    // with the corpus, so the total order is a range-partitioned
+    // ScalableRank row number + closed-form NTILE, never an
+    // unpartitioned ntile window
+    val rfmS = { import graft.core.Checkpoints.StableOps; rfm.stable }
+    val nF = rfmS.agg(count(lit(1)).as("n_total"))
+    graft.core.ScalableRank
+      .rowNumber(rfmS, "rn", col("monetary").desc, col("user_id").asc)
+      .crossJoin(broadcast(nF)) // 1-row count attachment
+      .withColumn("m_quartile",
+        graft.core.ScalableRank.ntileExpr("rn", "n_total", 4).cast("int"))
+      .select(col("user_id"), col("recency_h"), col("frequency"),
+        col("monetary"), col("m_quartile"))
   }
 
   /** Markov JOURNEY analysis: the user-path transition matrix —
@@ -701,8 +711,9 @@ object EventOps {
     * standard "did this metric's distribution shift" gate.
     *
     * D = max_v |F̂_a(v) − F̂_b(v)| evaluated at the pooled distinct
-    * values: per-value counts (one hash agg), two cumulative-sum
-    * windows over the value order, a max. Everything after the agg is
+    * values: per-value counts (one hash agg), a range-partitioned
+    * two-column prefix sum over the value order (ScalableRank — no
+    * single-partition window), a max. Everything after the agg is
     * \|distinct values\|-sized. The empirical CDFs are exact-integer
     * ratios, so the max and its argmin location are cross-engine
     * deterministic; the statistic floor-quantizes at 6dp.
@@ -715,11 +726,11 @@ object EventOps {
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("a_n"),
         sum(when(!col("is_a"), 1L).otherwise(0L)).as("b_n"))
     val totals = perValue.agg(sum("a_n").as("tot_a"), sum("b_n").as("tot_b"))
-    val cumW = org.apache.spark.sql.expressions.Window.orderBy("value")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val diffs = perValue
-      .withColumn("cum_a", sum("a_n").over(cumW))
-      .withColumn("cum_b", sum("b_n").over(cumW))
+    // distinct values grow with the corpus: both CDFs come from ONE
+    // range-partitioned two-column prefix sum, not a global window
+    val diffs = graft.core.ScalableRank
+      .prefixSums(perValue, Seq("a_n", "b_n"), Seq("cum_a", "cum_b"),
+        col("value").asc)
       .crossJoin(broadcast(totals))
       .withColumn("d_q", floor(abs(
         col("cum_a").cast("double") / col("tot_a") -
@@ -768,8 +779,9 @@ object EventOps {
     * a +1 at its start and a −1 at its end, and a running sum over
     * the totally-ordered event points (ts, +1-before-−1, user) yields
     * the active count after each change. Output is change-point rows
-    * (2·\|sessions\|, corpus-sublinear); the single-partition window
-    * input is the already-aggregated session list, not the stream.
+    * (2·\|sessions\|, corpus-sublinear — but still growing with the
+    * corpus, so the running sum is a range-partitioned prefix sum
+    * over the point order, never a single-partition window).
     */
   def concurrencyProfile(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -786,12 +798,12 @@ object EventOps {
       .agg(min("ts").as("sstart"), max("ts").as("send"))
     val points = sess.select(col("user_id"), col("sstart").as("pts"), lit(1).as("delta"))
       .unionAll(sess.select(col("user_id"), col("send").as("pts"), lit(-1).as("delta")))
-    val sweep = Window.orderBy(col("pts").asc, col("delta").desc, col("user_id").asc)
-    points
-      .withColumn("n_active",
-        sum("delta").over(sweep.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("dl", col("delta").cast("long"))
+    graft.core.ScalableRank
+      .prefixSum(points, "dl", "n_active",
+        col("pts").asc, col("delta").desc, col("user_id").asc)
       .select(expr(s"pts DIV $NanosPerSec").as("ts_s"), col("delta"),
-        col("user_id"), col("n_active").cast("long").as("n_active"))
+        col("user_id"), col("n_active"))
   }
 
   /** Conversion-latency quartiles: per converting user, the gap from

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 
@@ -173,29 +173,38 @@ object Sharding {
     * Determinism: files are ntile(64) over a fully tie-broken order
     * (x, y, orderkey) — identical in both engines; everything else
     * is integer min/max/count. Scale shape: a layout eval IS a sort
-    * (that's what it measures); stats+pruning run on the 64-row
-    * stats frame with the probes exploded map-side — no join.
+    * (that's what it measures) — each layout's sort is the
+    * range-partitioned ScalableRank row number + closed-form NTILE
+    * (never a single-partition window over orders); stats+pruning
+    * run on the 64-row stats frame with the probes exploded
+    * map-side — no join.
     */
   val EvalFiles = 64
 
   def zorderEval(s: SparkSession, d: String): DataFrame = {
+    import graft.core.Checkpoints.StableOps
     graft.functions.ZValue.register(s)
+    // checkpointed once: two independent global sorts consume it
     val b = Tables.orders(s, d)
       .select(col("o_orderkey").as("k"), col("o_custkey").as("x"),
         datediff(col("o_orderdate").cast("date"),
           lit("1970-01-01").cast("date")).cast("long").as("y"))
       .withColumn("z", call_function("z_value", col("x"), col("y")))
-    val wz = org.apache.spark.sql.expressions.Window.orderBy(col("z").asc, col("k").asc)
-    val wx = org.apache.spark.sql.expressions.Window.orderBy(col("x").asc, col("y").asc, col("k").asc)
-    val filed = b.withColumn("file_z", ntile(EvalFiles).over(wz))
-      .withColumn("file_x", ntile(EvalFiles).over(wx))
-    def stats(fileCol: String, layout: String) =
-      filed.groupBy(col(fileCol).as("file"))
+      .stable
+    val nF = b.agg(count(lit(1)).as("n_total"))
+    def stats(layout: String, sort: Column*): DataFrame =
+      graft.core.ScalableRank.rowNumber(b, "rn", sort: _*)
+        .crossJoin(broadcast(nF)) // 1-row total attachment
+        .withColumn("file",
+          graft.core.ScalableRank.ntileExpr("rn", "n_total", EvalFiles)
+            .cast("int"))
+        .groupBy("file")
         .agg(count(lit(1)).as("n"),
           min("x").as("x1"), max("x").as("x2"),
           min("y").as("y1"), max("y").as("y2"))
         .withColumn("layout", lit(layout))
-    val st = stats("file_x", "linear_xy").unionAll(stats("file_z", "zorder"))
+    val st = stats("linear_xy", col("x").asc, col("y").asc, col("k").asc)
+      .unionAll(stats("zorder", col("z").asc, col("k").asc))
     // probe boxes: (name, xlo, xhi, ylo, yhi) — wide = no constraint
     val probes =
       """array(

@@ -100,11 +100,12 @@ object TextLaws {
       .groupBy((col("doc_id") / HeapsBucket).cast("long").as("bucket"))
       .agg(sum("n_toks").as("b_toks"),
         sum(coalesce(col("n_new"), lit(0L))).as("b_new"))
-    val w = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket.select(col("bucket"),
-      sum("b_toks").over(w).as("n_cum_tokens"),
-      sum("b_new").over(w).as("v_cum_types"))
+    // buckets grow with the corpus (doc_id div 32): the running sums
+    // are range-partitioned prefix sums, not a single-partition window
+    graft.core.ScalableRank
+      .prefixSums(perBucket, Seq("b_toks", "b_new"),
+        Seq("n_cum_tokens", "v_cum_types"), col("bucket").asc)
+      .select(col("bucket"), col("n_cum_tokens"), col("v_cum_types"))
   }
 
   /** Heaps exponent: ln V = ln k + b·ln N OLS over the checkpoints.

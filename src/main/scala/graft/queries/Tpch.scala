@@ -200,21 +200,21 @@ object Tpch {
 
   /** TPC-H Q15: top supplier(s) — revenue per supplier over 1996Q1,
     * keeping every supplier whose revenue EQUALS the maximum. The
-    * view+scalar-subquery form becomes one aggregation plus an
-    * unpartitioned window max; equality is decided on the
-    * already-rounded cents so "ties at max" is well-defined across
-    * engines. The window input is |suppliers| rows of (key, cents) —
-    * single-partition is safe at any SF.
+    * view+scalar-subquery form becomes one aggregation plus a 1-row
+    * broadcast max (NOT an unpartitioned window — |suppliers| scales
+    * with SF, and a window max would drag every supplier cell onto
+    * one partition); equality is decided on the already-rounded
+    * cents so "ties at max" is well-defined across engines.
     */
   def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val rev = lineitem(s, d)
       .filter(col("l_shipdate") >= tsLit("1996-01-01") &&
         col("l_shipdate") < tsLit("1996-04-01"))
       .groupBy("l_suppkey")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
         .as("total_revenue"))
-    rev.withColumn("max_rev", max("total_revenue").over(Window.partitionBy()))
+    val mx = rev.agg(max("total_revenue").as("max_rev"))
+    rev.crossJoin(broadcast(mx))
       .filter(col("total_revenue") === col("max_rev"))
       .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"), col("total_revenue"))

@@ -4,8 +4,11 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.queries.Embeddings
 
-/** Distributed power iteration vs a sequential reference with the same
-  * init, round count, and sign convention; embed_stats invariants.
+/** Distributed INTEGER power iteration vs a sequential BigInt
+  * reference implementing the identical algorithm (same quantization,
+  * init, L∞ renormalization, deflation order, sign convention) —
+  * equality is EXACT, that being the whole point of the integer
+  * convention; embed_stats invariants.
   */
 class EmbeddingsSpec extends SparkSuite {
 
@@ -14,90 +17,86 @@ class EmbeddingsSpec extends SparkSuite {
       .select(col("embedding").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toArray)
 
-  private def referencePower(m: Array[Array[Double]], iters: Int): Array[Double] = {
+  /** Sequential mirror of Embeddings.pcaComponents: exact integer
+    * power iteration with L∞-1e6 renormalization and sequential
+    * deflation, written independently (plain loops over the collected
+    * matrix) so a Spark-side aggregation bug cannot self-verify.
+    */
+  private def referenceDeflatedQ(m: Array[Array[Double]], k: Int,
+      iters: Int): Seq[Array[Long]] = {
+    if (m.isEmpty) return Seq.empty
     val dim = m.head.length
-    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-    for (_ <- 1 to iters) {
-      val raw = new Array[Double](dim)
-      m.foreach { row =>
-        var s = 0.0; var i = 0
-        while (i < dim) { s += row(i) * v(i); i += 1 }
-        var j = 0
-        while (j < dim) { raw(j) += s * row(j); j += 1 }
+    val xq = m.map(_.map(e => math.floor(e * 1e6 + 0.5).toLong))
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    def linf(x: Array[BigInt]): Option[Array[Long]] = {
+      val mx = x.map(_.abs).max
+      if (mx == 0) None else Some(x.map(v => ((v * 1000000L) / mx).toLong))
+    }
+    def deflate(x0: Array[Long]): Array[Long] = {
+      var cur = x0
+      comps.foreach { u =>
+        val p = (0 until dim).map(i => BigInt(cur(i)) * u(i)).sum
+        val uu = (0 until dim).map(i => BigInt(u(i)) * u(i)).sum
+        val d = Array.tabulate(dim)(i => uu * cur(i) - p * u(i))
+        linf(d).foreach(n => cur = n)
       }
-      val nrm = math.sqrt(raw.map(x => x * x).sum)
-      val sign = raw.find(math.abs(_) > 1e-9).map(math.signum).getOrElse(1.0)
-      v = raw.map(_ / nrm * sign)
+      cur
     }
-    v
-  }
-
-  test("pca_top ≡ sequential power iteration within 1e-6 per component") {
-    val want = referencePower(mat, Embeddings.PcaIters)
-    val got = Embeddings.pcaTop(spark, sfDir).collect()
-      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-    assert(got.size === want.length)
-    want.zipWithIndex.foreach { case (w, i) =>
-      assert(math.abs(got(i) - w) < 1e-6, s"dim $i: got ${got(i)} want $w")
-    }
-    // unit vector (up to the 1e-6 output rounding)
-    val nrm = math.sqrt(got.values.map(x => x * x).sum)
-    assert(math.abs(nrm - 1.0) < 1e-4)
-  }
-
-  private def referenceDeflated(m: Array[Array[Double]], k: Int, iters: Int): Seq[Array[Double]] = {
-    val dim = m.head.length
-    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
-    def ortho(x: Array[Double]): Unit = comps.foreach { u =>
-      val p = (0 until dim).map(i => x(i) * u(i)).sum
-      (0 until dim).foreach(i => x(i) -= p * u(i))
-    }
+    def signFix(x: Array[Long]): Array[Long] =
+      if (x.find(_ != 0L).exists(_ < 0L)) x.map(v => -v) else x
     for (c <- 0 until math.min(k, dim)) {
-      var v =
-        if (c == 0) Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
-        else {
-          val r = new java.util.Random(c.toLong)
-          val g = Array.fill(dim)(r.nextGaussian())
-          ortho(g)
-          val n = math.sqrt(g.map(x => x * x).sum)
-          g.map(_ / n)
-        }
+      var v: Array[Long] =
+        if (c == 0) Array.fill(dim)(1000000L)
+        else signFix(deflate(Array.tabulate(dim)(p => Embeddings.pcaSeed(c, p))))
       for (_ <- 1 to iters) {
-        val raw = new Array[Double](dim)
-        m.foreach { row =>
-          var s = 0.0; var i = 0
+        val raw = Array.fill(dim)(BigInt(0))
+        xq.foreach { row =>
+          var s = 0L; var i = 0
           while (i < dim) { s += row(i) * v(i); i += 1 }
           var j = 0
-          while (j < dim) { raw(j) += s * row(j); j += 1 }
+          while (j < dim) { raw(j) += BigInt(s) * row(j); j += 1 }
         }
-        ortho(raw)
-        val nrm = math.sqrt(raw.map(x => x * x).sum)
-        val sign = raw.find(math.abs(_) > 1e-9).map(math.signum).getOrElse(1.0)
-        if (nrm > 0) v = raw.map(_ / nrm * sign)
+        val n0 = linf(raw).getOrElse(v)
+        v = signFix(deflate(n0))
       }
       comps += v
     }
     comps.toSeq
   }
 
-  test("pca_topk ≡ sequential deflated power iteration; components pairwise orthogonal") {
+  test("pca_top ≡ sequential integer power iteration EXACTLY") {
+    val want = referenceDeflatedQ(mat, 1, Embeddings.PcaIters).head
+    val got = Embeddings.pcaTop(spark, sfDir).collect()
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(got.size === want.length)
+    want.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i) === w, s"dim $i: got ${got(i)} want $w")
+    }
+    // L∞-normalized: the max-magnitude entry is exactly ±1e6
+    assert(got.values.map(math.abs).max === 1000000L)
+  }
+
+  test("pca_topk ≡ sequential deflated integer iteration EXACTLY; pairwise orthogonal") {
     val k = Embeddings.PcaK
-    val want = referenceDeflated(mat, k, Embeddings.PcaIters)
+    val want = referenceDeflatedQ(mat, k, Embeddings.PcaIters)
     val got = Embeddings.pcaTopk(spark, sfDir).collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2)).toMap
     val dim = mat.head.length
     assert(got.size === k * dim)
     want.zipWithIndex.foreach { case (u, c) =>
       u.zipWithIndex.foreach { case (w, i) =>
-        assert(math.abs(got((c, i)) - w) < 1e-6, s"comp $c dim $i: got ${got((c, i))} want $w")
+        assert(got((c, i)) === w, s"comp $c dim $i: got ${got((c, i))} want $w")
       }
     }
-    // orthonormal within rounding: |u_i·u_j| tiny, |u_i| ≈ 1
+    // near-orthogonal relative to the component norms (exact-integer
+    // deflation leaves only renormalization truncation, ≤1e-4 relative)
     val comps = (0 until k).map(c => (0 until dim).map(i => got((c, i))).toArray)
-    for (a <- 0 until k; b <- 0 until k) {
-      val d = (0 until dim).map(i => comps(a)(i) * comps(b)(i)).sum
-      if (a == b) assert(math.abs(d - 1.0) < 1e-4, s"comp $a not unit: $d")
-      else assert(math.abs(d) < 1e-4, s"comps $a,$b not orthogonal: $d")
+    def dotD(a: Array[Long], b: Array[Long]): Double =
+      (0 until dim).map(i => a(i).toDouble * b(i)).sum
+    for (a <- 0 until k; b <- 0 until k if a != b) {
+      val rel = math.abs(dotD(comps(a), comps(b))) /
+        math.sqrt(dotD(comps(a), comps(a)) * dotD(comps(b), comps(b)))
+      assert(rel < 1e-4, s"comps $a,$b not orthogonal: $rel")
     }
   }
 
@@ -109,10 +108,12 @@ class EmbeddingsSpec extends SparkSuite {
         1.0 * ((i % 7) - 3) / 3.0, 0.0)
     }
     val comps = Embeddings.pcaTopkOn(rows.toDF("embedding"), k = 3, iters = 30)
-      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
-    assert(math.abs(comps((0, 0))) > 0.99, s"comp0 should be e1: $comps")
-    assert(math.abs(comps((1, 1))) > 0.99, s"comp1 should be e2: $comps")
-    assert(math.abs(comps((2, 2))) > 0.99, s"comp2 should be e3: $comps")
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2)).toMap
+    // L∞-1e6 scale: the dominant axis entry is (near-)±1e6 and every
+    // off-axis entry is comparatively tiny
+    assert(math.abs(comps((0, 0))) > 990000L, s"comp0 should be e1: $comps")
+    assert(math.abs(comps((1, 1))) > 990000L, s"comp1 should be e2: $comps")
+    assert(math.abs(comps((2, 2))) > 990000L, s"comp2 should be e3: $comps")
   }
 
   test("pca_top captures the dominant direction of a planted anisotropic cloud") {
@@ -124,9 +125,9 @@ class EmbeddingsSpec extends SparkSuite {
     }
     val df = rows.toDF("embedding")
     val v = Embeddings.pcaTopOn(df, iters = 20).collect()
-      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
-    assert(math.abs(v(0)) > 0.99, s"expected e1-dominant, got $v")
-    assert(math.abs(v(2)) < 1e-6 && math.abs(v(3)) < 1e-6)
+      .map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    assert(math.abs(v(0)) > 990000L, s"expected e1-dominant, got $v")
+    assert(math.abs(v(2)) <= 1L && math.abs(v(3)) <= 1L)
   }
 
   test("embed_normalize: per-dim mean ~0 / sd ~1; map-only plan (no Exchange)") {
@@ -154,9 +155,11 @@ class EmbeddingsSpec extends SparkSuite {
     val empty = Seq.empty[Seq[Double]].toDF("embedding")
     assert(Embeddings.pcaTopOn(empty, iters = 3).collect().isEmpty)
     val zeros = Seq.fill(5)(Seq(0.0, 0.0, 0.0)).toDF("embedding")
-    val v = Embeddings.pcaTopOn(zeros, iters = 3).collect().map(_.getDouble(1))
+    val v = Embeddings.pcaTopOn(zeros, iters = 3).collect().map(_.getLong(1))
     assert(v.length === 3)
-    assert(v.forall(x => !x.isNaN && !x.isInfinite), s"NaN leak: ${v.toSeq}")
+    // zero update keeps the uniform init (integer convention: no NaN
+    // is even representable)
+    assert(v.forall(_ === 1000000L), s"kept-iterate convention broke: ${v.toSeq}")
   }
 
   test("embed_quantize: q in [-128,127], per-dim extremes hit the rails, map-only plan") {
@@ -175,21 +178,22 @@ class EmbeddingsSpec extends SparkSuite {
     assert(!plan.contains("Exchange"), s"quantize must be map-only:\n$plan")
   }
 
-  test("embed_project ≡ driver-side projection onto the deflated components at 1e-6") {
+  test("embed_project ≡ driver-side integer projection EXACTLY") {
     val k = 3
-    val comps = referenceDeflated(mat, k, Embeddings.PcaIters)
+    val comps = referenceDeflatedQ(mat, k, Embeddings.PcaIters)
     val got = Embeddings.embedProjectOn(
       Tables.embeddings(spark, sfDir), k, Embeddings.PcaIters)
-      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getDouble(2)).toMap
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt) -> r.getLong(2)).toMap
     assert(got.size === mat.length * k)
-    // check every vector against the reference dot product
+    // check every vector against the reference integer dot product
     val vecRows = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     vecRows.foreach { case (id, v) =>
+      val xq = v.map(e => math.floor(e * 1e6 + 0.5).toLong)
       comps.zipWithIndex.foreach { case (u, c) =>
-        val want = v.zip(u).map { case (a, b) => a * b }.sum
-        assert(math.abs(got((id, c)) - want) < 1e-6, s"vec $id comp $c")
+        val want = xq.zip(u).map { case (a, b) => a * b }.sum
+        assert(got((id, c)) === want, s"vec $id comp $c")
       }
     }
   }

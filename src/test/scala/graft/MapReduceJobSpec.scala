@@ -156,6 +156,44 @@ class MapReduceJobSpec extends SparkSuite {
     assert(overlapping >= 1, s"no concurrent tasks observed: $spans")
   }
 
+  test("A6/F11 executor-PROCESS death: SIGKILL'd executor JVM mid-map, job completes correctly (crash.go os.Exit parity)") {
+    // the shared suite context is local[4,2] (one JVM) — a multi-
+    // process cluster needs its own SparkContext, so the probe forks:
+    // graft.tools.ExecutorDeathProbe runs local-cluster[2,1,1024],
+    // halts one executor JVM mid-map via an atomically-claimed marker,
+    // and exits 0 only if the job finished with sequential-model rows
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java")
+      .getAbsolutePath
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx1g",
+      // standalone Worker resolves the executor launch home from
+      // spark.test.home / SPARK_HOME
+      "-Dspark.test.home=/opt/spark",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.ExecutorDeathProbe")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_HOME", "/opt/spark")
+    // normally set by bin/load-spark-env.sh, which this direct java
+    // launch bypasses; the Worker's executor command builder needs it
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.redirectErrorStream(true)
+    val p = pb.start()
+    val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+    val code = p.waitFor()
+    assert(code == 0 && out.contains("[executor-death] ok"),
+      s"probe failed (exit $code):\n${out.takeRight(6000)}")
+  }
+
   test("mr_pipeline stages under spark.graft.scratchDir when set (cluster-safe path)") {
     val root = Files.createTempDirectory("graft_scratch").toString
     spark.conf.set("spark.graft.scratchDir", root)

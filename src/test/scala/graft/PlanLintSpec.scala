@@ -112,8 +112,12 @@ class PlanLintSpec extends SparkSuite {
     "user_rfm", "quality_ensemble", "forecast_baseline", "basket_pairs",
     // graph census: three 1-row stat frames cross-joined
     "graph_stats",
-    // 1-row broadcast scalar thresholds (mean part value / avg balance)
-    "q11_part_value", "q22_global_balance",
+    // 1-row broadcast scalar thresholds (mean part value / avg balance
+    // / max supplier revenue)
+    "q11_part_value", "q22_global_balance", "q15_top_supplier",
+    // 1-row corpus-count frames feeding the closed-form NTILE of the
+    // ScalableRank rewrites (the scalar-subquery class)
+    "zorder_eval",
     // 1-row broadcast scalar frames: arm stats, FK check total, KS
     // max + totals, global LOO fallback, freshness watermark
     "ab_test_readout", "dq_checks", "drift_ks", "feature_target_encode",
@@ -129,14 +133,18 @@ class PlanLintSpec extends SparkSuite {
     // Neyman allocation: two 1-row scalar frames (Σw, shortfall)
     "sample_neyman")
 
-  private lazy val plans: Map[String, String] = {
+  private lazy val frames: Map[String, Either[String, org.apache.spark.sql.DataFrame]] = {
     val s = spark
     SparkEntry.queries.map { case (name, fn) =>
-      val txt =
-        try fn(s, sfDir).queryExecution.executedPlan.toString
-        catch { case e: Throwable => s"PLAN_BUILD_FAILED: ${e.getMessage}" }
-      name -> txt
+      name -> (try Right(fn(s, sfDir))
+        catch { case e: Throwable => Left(s"PLAN_BUILD_FAILED: ${e.getMessage}") })
     }
+  }
+
+  private lazy val plans: Map[String, String] = frames.map { case (name, e) =>
+    name -> e.fold(identity, df =>
+      try df.queryExecution.executedPlan.toString
+      catch { case ex: Throwable => s"PLAN_BUILD_FAILED: ${ex.getMessage}" })
   }
 
   test("every registered query plans without error") {
@@ -159,6 +167,49 @@ class PlanLintSpec extends SparkSuite {
     assert(offenders.isEmpty,
       s"unreviewed non-equi joins in: $offenders — add to nonEquiOk ONLY " +
         "after confirming the broadcast side is O(1)/O(queries)")
+  }
+
+  /** Queries whose optimized plans legitimately retain an
+    * UNPARTITIONED window: every entry's window INPUT is bounded by
+    * construction — a K-row orderBy+limit leaderboard, a fixed-domain
+    * spine (days, digits, enum cells), or a capped fit frame — never
+    * a corpus-sized relation. Corpus-scale total orders must go
+    * through graft.core.ScalableRank (range-partitioned two-pass
+    * rank/ntile/prefix-sum) instead: an unpartitioned WindowExec
+    * moves its whole input to ONE partition — the first OOM at 100×.
+    */
+  private val globalWindowOk: Set[String] = Set(
+    // contingency/marginal cells over fixed categorical domains:
+    // arm×event_type, source×lang, |sources|, |event_type| strata
+    "ab_test_chi2", "mutual_info", "mixture_allocate", "sample_neyman",
+    // fixed numeric spines: 9 leading digits; source×length-bucket
+    // grid (doc length is capped, so the bucket domain is fixed)
+    "benford_screen", "drift_psi",
+    // calendar-bounded series cells: day/hour spines and day-granular
+    // lifetime durations — |rows| ≤ time-range, not corpus size
+    "changepoint_cusum", "ts_decompose", "user_growth", "survival_km",
+    // K-row post-limit leaderboards (TakeOrderedAndProject feeds the
+    // window K rows): Gumbel top-k sample, top-256 Zipf ranks
+    "dsir_sample", "zipf_fit",
+    // distinct-cent price cells — p_retailprice is a fixed-width
+    // decimal domain, so the per-price frontier frame is bounded
+    "skyline_2d")
+
+  test("no unpartitioned window over an unbounded input") {
+    val offenders = frames.toSeq.collect { case (n, Right(df)) =>
+      val bad =
+        try df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+        catch { case _: Throwable => Nil }
+      (n, bad.nonEmpty)
+    }.collect { case (n, true) if !globalWindowOk(n) => n }.sorted
+    assert(offenders.isEmpty,
+      s"unpartitioned windows (single-partition sort at scale) in: " +
+        s"$offenders — rewrite on ScalableRank, or add to globalWindowOk " +
+        "ONLY after confirming the window input is bounded (K-row " +
+        "leaderboard / fixed domain)")
   }
 
   test("no ShuffledHashJoin/SortMergeJoin against a dimension table in the TPC-H heads") {

@@ -60,7 +60,7 @@ object ModelStoreCold {
       f"$name=$sec%.2fs rows=$n"
     }
     val (hits, retrains) =
-      (graft.core.ModelStore.diskHits, graft.core.ModelStore.retrains)
+      (graft.core.ModelStore.diskHits.get(), graft.core.ModelStore.retrains.get())
     if (phase == "serve")
       require(hits == ServeQueries.size.toLong && retrains == 0L,
         s"serve phase must be all disk hits: hits=$hits retrains=$retrains")
