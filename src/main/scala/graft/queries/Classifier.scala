@@ -364,9 +364,14 @@ object Classifier {
         sum(col("pos") * (lit(2L) * col("cum_c") - col("c") + lit(1L)))
           .as("sum_ar2"))
       .select(col("n_pos"), col("n_neg"),
-        floor((col("sum_ar2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
-          / (lit(2.0) * col("n_pos") * col("n_neg")) * 1e6 + lit(0.5))
-          .cast("long").as("auc_micro"))
+        // one-class corpora (n_pos or n_neg = 0) have no ranking to
+        // score — report 0 like kappa's degenerate arm, instead of a
+        // divide-by-zero (ANSI) / cross-engine NaN split
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          floor((col("sum_ar2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")) * 1e6 + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(0L)).as("auc_micro"))
       .stable
     vec.unpersist(false)
     out
@@ -641,8 +646,10 @@ object Classifier {
          |    CAST(sum(CASE WHEN y = 1 THEN ar2 ELSE 0 END) AS BIGINT) AS sum_ar2
          |  FROM ranked)
          |SELECT n_pos, n_neg,
-         |  CAST(floor(CAST(sum_ar2 - n_pos * (n_pos + 1) AS DOUBLE)
-         |    / (2.0 * n_pos * n_neg) * 1e6 + 0.5) AS BIGINT) AS auc_micro
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN CAST(floor(CAST(sum_ar2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |      / (2.0 * n_pos * n_neg) * 1e6 + 0.5) AS BIGINT)
+         |    ELSE 0 END AS auc_micro
          |FROM m""".stripMargin,
     "classifier_bias_report" ->
       s"""WITH

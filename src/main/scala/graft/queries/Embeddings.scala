@@ -50,10 +50,18 @@ object Embeddings {
     *
     *   - x quantizes once: xq = floor(x·1e6 + 0.5) (the only float
     *     op; single correctly-rounded IEEE chain in both engines);
-    *   - per round, s = Σ xqᵢ·vᵢ map-side (int64), the update
-    *     w = Σ s·xq reduces through posexplode to dim cells in
-    *     DECIMAL(38,0) (HUGEINT in the oracle) — magnitudes stay
-    *     < 1e38 up to ~1e12 rows by the rails in the Scaladoc below;
+    *   - per round, s = Σ xqᵢ·vᵢ map-side (int64) and the update
+    *     w = Σ s·xq accumulates in ONE closure-based treeAggregate
+    *     job over the persisted quantized vectors — partial
+    *     dim-length BigInt accumulators combine associatively, and
+    *     because every operand is an INTEGER the result is exact in
+    *     ANY combine order (the property that makes a shuffle-free
+    *     partial-agg both correct and bit-stable; a float
+    *     treeAggregate here would be order-dependent). No shuffle,
+    *     no per-iteration plan/codegen rebuild — the 4·10 rounds
+    *     cost 4·10 cheap map jobs. The oracle accumulates the same
+    *     sums in HUGEINT; magnitudes stay < 1e38 up to ~1e12 rows
+    *     by the rails in the Scaladoc below;
     *   - normalization is L∞, not L2: v' = (w·1e6) div max|w| —
     *     integer division truncating toward zero in Spark, DuckDB
     *     and BigInt alike; no sqrt anywhere;
@@ -68,23 +76,24 @@ object Embeddings {
     * input: empty corpus → no components; a zero update (all-zero
     * corpus / k past the rank) keeps the previous iterate.
     *
-    * Scale shape unchanged from the float form: the per-round
-    * map-side score uses the literal current vector (zero shuffle),
-    * the reduce carries dim-bounded cells, and the driver touches
-    * only dim-length integer vectors (BigInt, k·dim work).
+    * Scale shape: the quantized vectors persist once; each round is
+    * one map-only aggregate (zero shuffle — partials are dim-length,
+    * merged tree-wise) and the driver touches only dim-length
+    * integer vectors (BigInt, k·dim work per round).
     */
   def pcaComponents(embeddings: DataFrame, k: Int, iters: Int): Seq[Array[Long]] = {
-    val xq = embeddings
+    val xrdd = embeddings
       .select(transform(col("embedding").cast("array<double>"),
         e => floor(e * lit(1e6) + lit(0.5)).cast("long")).as("x"))
+      .rdd.map(_.getSeq[Long](0).toArray)
       .persist()
     // degenerate corpus: no rows → no components, not a .first() crash
-    val head = xq.select(size(col("x"))).limit(1).collect()
+    val head = xrdd.take(1)
     if (head.isEmpty) {
-      xq.unpersist(false)
+      xrdd.unpersist(false)
       return Seq.empty
     }
-    val dim = head(0).getInt(0)
+    val dim = head(0).length
     val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
     // L∞ renormalize to PcaScale; None on the zero vector
     def linf(x: Array[BigInt]): Option[Array[Long]] = {
@@ -110,22 +119,31 @@ object Embeddings {
         if (c == 0) Array.fill(dim)(PcaScale)
         else signFix(deflate(Array.tabulate(dim)(pos => pcaSeed(c, pos))))
       for (_ <- 1 to iters) {
-        val vLit = array(vec.map(lit).toIndexedSeq: _*)
-        val sCol = aggregate(zip_with(col("x"), vLit, (a, b) => a * b),
-          lit(0L), (acc, t) => acc + t)
-        val next = xq
-          .select(sCol.as("s"), posexplode(col("x")))
-          .groupBy("pos")
-          .agg(sum(col("s").cast("decimal(38,0)") * col("col")).as("w"))
-          .collect() // dim rows — the bounded per-round driver action
-        val raw = Array.fill(dim)(BigInt(0))
-        next.foreach(r => raw(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger))
+        val vv = vec // stable closure capture per round
+        // exact integer X^T(Xv): per-partition dim-length BigInt
+        // accumulators, associatively combined — one map-only job
+        val raw = xrdd.treeAggregate(Array.fill(dim)(BigInt(0)))(
+          (acc, row) => {
+            val n = math.min(dim, row.length)
+            var s = 0L
+            var i = 0
+            while (i < n) { s += row(i) * vv(i); i += 1 }
+            val sb = BigInt(s)
+            var j = 0
+            while (j < n) { acc(j) += sb * row(j); j += 1 }
+            acc
+          },
+          (a, b) => {
+            var j = 0
+            while (j < dim) { a(j) += b(j); j += 1 }
+            a
+          })
         val n0 = linf(raw).getOrElse(vec)
         vec = signFix(deflate(n0))
       }
       comps += vec
     }
-    xq.unpersist(false)
+    xrdd.unpersist(false)
     comps.toSeq
   }
 
@@ -139,17 +157,37 @@ object Embeddings {
     java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
   }
 
+  /** ModelCache'd [[pcaComponents]] at the registry constants (k =
+    * [[PcaK]], [[PcaIters]] rounds) — extract once, serve pca_top and
+    * embed_project from the same components (the weightsCached
+    * convention); `pca_topk` is the family's TRAINER entry (always
+    * re-extracts and refreshes this cache via ModelCache.put, so its
+    * bench cost stays an honest measure of the extraction). Component
+    * 0 of the k=4 run IS the k=1 run's component (deflation is a
+    * no-op for the first), so pca_top serves comps.head without its
+    * own training pass. The cached value is a plain Seq[Array[Long]]
+    * — no frames, nothing for the storage sweep to track.
+    */
+  private def compsCached(s: SparkSession, d: String): Seq[Array[Long]] =
+    graft.core.ModelCache.cached(s, d, "pca_comps") {
+      pcaComponents(Tables.embeddings(s, d), PcaK, PcaIters)
+    }
+
   def pcaTopOn(embeddings: DataFrame, iters: Int = PcaIters): DataFrame = {
     val s = embeddings.sparkSession
-    import s.implicits._
     val comps = pcaComponents(embeddings, k = 1, iters)
+    pcaTopDf(s, comps)
+  }
+
+  private def pcaTopDf(s: SparkSession, comps: Seq[Array[Long]]): DataFrame = {
+    import s.implicits._
     comps.headOption.getOrElse(Array.empty[Long])
       .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toSeq
       .toDF("dim", "weight_micro")
   }
 
   def pcaTop(s: SparkSession, d: String): DataFrame =
-    pcaTopOn(Tables.embeddings(s, d))
+    pcaTopDf(s, compsCached(s, d))
 
   /** Components for [[pcaTopk]]. */
   val PcaK = 4
@@ -160,16 +198,19 @@ object Embeddings {
     * sequential BigInt reference and pairwise-orthogonal in
     * EmbeddingsSpec.
     */
-  def pcaTopkOn(embeddings: DataFrame, k: Int = PcaK, iters: Int = PcaIters): DataFrame = {
-    val s = embeddings.sparkSession
+  def pcaTopkOn(embeddings: DataFrame, k: Int = PcaK, iters: Int = PcaIters): DataFrame =
+    pcaTopkDf(embeddings.sparkSession, pcaComponents(embeddings, k, iters))
+
+  private def pcaTopkDf(s: SparkSession, comps: Seq[Array[Long]]): DataFrame = {
     import s.implicits._
-    pcaComponents(embeddings, k, iters).zipWithIndex.flatMap { case (u, c) =>
+    comps.zipWithIndex.flatMap { case (u, c) =>
       u.zipWithIndex.map { case (w, i) => (c.toLong, i.toLong, w) }
     }.toDF("component", "dim", "weight_micro")
   }
 
   def pcaTopk(s: SparkSession, d: String): DataFrame =
-    pcaTopkOn(Tables.embeddings(s, d))
+    pcaTopkDf(s, graft.core.ModelCache.put(s, d, "pca_comps",
+      pcaComponents(Tables.embeddings(s, d), PcaK, PcaIters)))
 
   /** Per-dimension z-normalization — the feature-scaling pass before
     * indexing or clustering. The dim-bounded (mean, sd) table is
@@ -281,8 +322,10 @@ object Embeddings {
     * DuckDB oracle, which retrains the identical integer chain.
     */
   def embedProjectOn(embeddings: DataFrame, k: Int = PcaK,
-      iters: Int = PcaIters): DataFrame = {
-    val comps = pcaComponents(embeddings, k, iters)
+      iters: Int = PcaIters): DataFrame =
+    projectDf(embeddings, pcaComponents(embeddings, k, iters))
+
+  private def projectDf(embeddings: DataFrame, comps: Seq[Array[Long]]): DataFrame = {
     val s = embeddings.sparkSession
     import s.implicits._
     if (comps.isEmpty) // empty corpus
@@ -303,7 +346,7 @@ object Embeddings {
   }
 
   def embedProject(s: SparkSession, d: String): DataFrame =
-    embedProjectOn(Tables.embeddings(s, d))
+    projectDf(Tables.embeddings(s, d), compsCached(s, d))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_stats" -> embedStats,
