@@ -94,6 +94,55 @@ object ScalableRank {
   def prefixSum(df: DataFrame, valueCol: String, out: String, sortCols: Column*): DataFrame =
     prefixSums(df, Seq(valueCol), Seq(out), sortCols: _*)
 
+  /** Per-group 1-based rank + group size over corpus-scale groups
+    * with SMALL group cardinality (lang / source / event_type): a
+    * `Window.partitionBy(group)` would put EACH group's whole
+    * population on one core (groups are few, populations are huge).
+    * Instead: ONE range-partitioned global sort on (group, sortCols)
+    * ([[rowNumber]]) + per-group offsets from a prefix sum over the
+    * \|groups\|-cell count frame, rank = global − offset. Emits
+    * `rnOut` (1-based within group) and `sizeOut` (group size —
+    * feed both to [[ntileExpr]] for a per-group NTILE).
+    */
+  def groupedRank(df: DataFrame, groupCol: String, rnOut: String,
+      sizeOut: String, sortCols: Column*): DataFrame = {
+    val counts = df.groupBy(groupCol).agg(count(lit(1)).as(sizeOut))
+    val offs = prefixSum(counts, sizeOut, "__cum_g", col(groupCol).asc)
+      .select(col(groupCol), col(sizeOut),
+        (col("__cum_g") - col(sizeOut)).as("__off"))
+    rowNumber(df, "__grn", (col(groupCol).asc +: sortCols): _*)
+      .join(broadcast(offs), groupCol)
+      .withColumn(rnOut, col("__grn") - col("__off"))
+      .drop("__grn", "__off")
+  }
+
+  /** Per-group inclusive running sums of LongType `valueCols` (as
+    * `outCols`) in `sortCols` order — the grouped form of
+    * [[prefixSums]], same shape as [[groupedRank]]: one global range
+    * sort + per-group value offsets from the \|groups\|-cell totals
+    * frame. Never a per-group window partition.
+    */
+  def groupedPrefixSums(df: DataFrame, groupCol: String,
+      valueCols: Seq[String], outCols: Seq[String],
+      sortCols: Column*): DataFrame = {
+    require(valueCols.length == outCols.length, "valueCols/outCols arity")
+    val tCols = valueCols.map("__t_" + _)
+    val aggs = valueCols.zip(tCols).map { case (v, t) => sum(col(v)).as(t) }
+    val totals = df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    val cCols = valueCols.map("__c_" + _)
+    val offs = prefixSums(totals, tCols, cCols, col(groupCol).asc)
+      .select(col(groupCol) +: valueCols.map { v =>
+        (col("__c_" + v) - col("__t_" + v)).as("__o_" + v)
+      }: _*)
+    val gCols = valueCols.map("__g_" + _)
+    val glob = prefixSums(df, valueCols, gCols,
+      (col(groupCol).asc +: sortCols): _*)
+      .join(broadcast(offs), groupCol)
+    valueCols.zip(outCols).foldLeft(glob) { case (acc, (v, o)) =>
+      acc.withColumn(o, col("__g_" + v) - col("__o_" + v))
+    }.drop(gCols ++ valueCols.map("__o_" + _): _*)
+  }
+
   /** SQL `NTILE(k)` from a 1-based row number column `rnCol` and a
     * group-size column `nCol` (both LongType expressions by name):
     * the first `n % k` tiles get `n div k + 1` rows, the rest

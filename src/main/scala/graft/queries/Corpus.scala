@@ -952,18 +952,21 @@ object Corpus {
     * aggregate, merge-order free. ntile(3) assigns identical bucket
     * sizes in both engines (first n mod 3 buckets take the extra row).
     *
-    * Scale: the lm_score chain (one token shuffle) + a per-lang
-    * window over ONE ROW PER DOC (not per token) + a ≤3·|langs|-cell
-    * census. The window partitions by lang — at 100 TB each language
-    * sorts its doc-level rows independently; no global sort.
+    * Scale: the lm_score chain (one token shuffle) + ONE ROW PER DOC
+    * (not per token) through the ScalableRank grouped rank (a
+    * range-partitioned global (lang, nll, doc_id) sort + per-lang
+    * offsets + the closed-form NTILE — a per-lang window partition
+    * would put each language's whole doc population on one core) +
+    * a ≤3·|langs|-cell census.
     */
   def qualityPplBuckets(s: SparkSession, d: String): DataFrame = {
     val scored = lmScore(s, d)
       .join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
-    val w = Window.partitionBy("lang")
-      .orderBy(col("avg_nll").asc, col("doc_id").asc)
-    scored
-      .withColumn("bucket", ntile(3).over(w))
+    graft.core.ScalableRank
+      .groupedRank(scored, "lang", "__rn", "__n_g",
+        col("avg_nll").asc, col("doc_id").asc)
+      .withColumn("bucket",
+        graft.core.ScalableRank.ntileExpr("__rn", "__n_g", 3).cast("int"))
       .withColumn("nll_q",
         floor(col("avg_nll") * 10000 + lit(0.5)).cast("long"))
       .groupBy("lang", "bucket")

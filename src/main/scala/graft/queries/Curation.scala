@@ -205,19 +205,21 @@ object Curation {
     * source (doc_id order = arrival order), docs past the budget are
     * flagged dropped — the quota gate that stops one crawl dump from
     * dominating the mix. Emits the full audit trail (cumulative count +
-    * kept flag) rather than silently filtering. One per-source window,
-    * linear; at 100 TB each source's partition sorts its own docs only.
+    * kept flag) rather than silently filtering. Sources are FEW and
+    * populations huge, so the running sum is a ScalableRank grouped
+    * prefix sum (one range-partitioned global (source, doc_id) sort +
+    * per-source offsets), never a per-source window partition that
+    * would put a whole crawl dump on one core.
     */
-  def capSourceTokens(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        size(Dedup.tokensCol(col("text"))).as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
+  def capSourceTokens(s: SparkSession, d: String): DataFrame =
+    graft.core.ScalableRank.groupedPrefixSums(
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(Dedup.tokensCol(col("text"))).as("n_tokens"))
+        .withColumn("__nt", col("n_tokens").cast("long")),
+      "source", Seq("__nt"), Seq("cum_tokens"), col("doc_id").asc)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
         when(col("cum_tokens") <= TokenBudget, 1).otherwise(0).as("kept"))
-  }
 
   /** Token budget apportioned by [[mixtureAllocate]]. */
   val MixBudget = 1000000L

@@ -23,12 +23,17 @@ object Kfold {
   val Folds = 5L
 
   def stratifiedKfold(s: SparkSession, d: String): DataFrame = {
-    val rkW = Window.partitionBy("lang").orderBy(
-      md5(concat(lit("kf:"), col("doc_id").cast("string"))).asc,
-      col("doc_id").asc)
-    val assigned = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"))
-      .withColumn("fold", (row_number().over(rkW) - 1) % Folds)
+    // per-lang rank via the ScalableRank grouped rank (global range
+    // sort + per-lang offsets) — langs are few and populations huge,
+    // so a per-lang window partition would serialize each language
+    val assigned = graft.core.ScalableRank
+      .groupedRank(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"))
+          .withColumn("__k",
+            md5(concat(lit("kf:"), col("doc_id").cast("string")))),
+        "lang", "__rn", "__n_g", col("__k").asc, col("doc_id").asc)
+      .withColumn("fold", (col("__rn") - 1) % Folds)
     val strat = Window.partitionBy("lang")
     assigned.groupBy("fold", "lang").agg(count(lit(1)).as("n_docs"))
       .withColumn("n_stratum", sum("n_docs").over(strat))

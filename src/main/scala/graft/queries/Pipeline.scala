@@ -66,11 +66,21 @@ object Pipeline {
     * A/B heuristic-vs-model filtering.
     */
   private[graft] def heuristicKeptIds(corpus: DataFrame): DataFrame =
-    TextOps.qualityPerDoc(corpus)
-      .withColumn("thr", expr("percentile(quality, 0.25)")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
-      .filter(col("quality") >= col("thr"))
+    perLangQuantileKeep(TextOps.qualityPerDoc(corpus), "quality")
+
+  /** Keep rows at-or-above the per-lang exact p25 of `scoreCol`. The
+    * threshold is a groupBy aggregate (partial-merged value-count
+    * cells) broadcast back onto the corpus — NOT an unordered
+    * per-lang window, which would gather each language's whole
+    * population on one partition to compute the same number.
+    */
+  private def perLangQuantileKeep(scored: DataFrame, scoreCol: String): DataFrame = {
+    val thr = scored.groupBy("lang")
+      .agg(expr(s"percentile($scoreCol, 0.25)").as("thr"))
+    scored.join(broadcast(thr), "lang")
+      .filter(col(scoreCol) >= col("thr"))
       .select("doc_id")
+  }
 
   /** Model gate: train the classifier ON the corpus being curated
     * (self-distillation of the stopword gate), score every doc by its
@@ -90,10 +100,7 @@ object Pipeline {
         (floor(graft.functions.DotProduct.dotCol(col("x"), wl) * lit(1e6) + lit(0.5))
           / lit(1e6)).as("score"))
       .join(corpus.select("doc_id", "lang"), "doc_id")
-      .withColumn("thr", expr("percentile(score, 0.25)")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
-      .filter(col("score") >= col("thr"))
-      .select("doc_id")
+      .transform(perLangQuantileKeep(_, "score"))
       .stable // materialize before freeing the feature cache
     vec.unpersist(false)
     kept
@@ -113,10 +120,7 @@ object Pipeline {
       .select(col("doc_id"),
         (floor(col("w") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
       .join(corpus.select("doc_id", "lang"), "doc_id")
-      .withColumn("thr", expr("percentile(score, 0.25)")
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("lang")))
-      .filter(col("score") >= col("thr"))
-      .select("doc_id")
+      .transform(perLangQuantileKeep(_, "score"))
 
   private def curateStages(s: SparkSession, d: String,
       edgeProducer: DataFrame => DataFrame,
@@ -261,14 +265,13 @@ object Pipeline {
     val train = splits.filter(col("split") === "train").select("doc_id")
 
     // stage 5 — per-source token budget over train docs, ingest order
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val s5 = corpus.join(train, "doc_id")
-      .select(col("doc_id"), col("source"), col("text"),
-        size(Dedup.tokensCol(col("text"))).as("ntok"))
-      .withColumn("cum", sum("ntok").over(w))
+    // (ScalableRank grouped prefix sum — the cap_source_tokens shape:
+    // never a per-source window partition)
+    val s5 = graft.core.ScalableRank.groupedPrefixSums(
+      corpus.join(train, "doc_id")
+        .select(col("doc_id"), col("source"), col("text"),
+          size(Dedup.tokensCol(col("text"))).cast("long").as("ntok")),
+      "source", Seq("ntok"), Seq("cum"), col("doc_id").asc)
       .filter(col("cum") <= Curation.TokenBudget)
       .select(col("doc_id"), col("text"))
       .stable // census count + chunker both read it

@@ -33,13 +33,14 @@ object Preference {
       .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
       .select(col("doc_id"), col("source"),
         floor(col("quality") * 10000 + lit(0.5)).cast("long").as("q_e4"))
-    val rkW = Window.partitionBy("source")
-      .orderBy(col("q_e4").desc, col("doc_id").asc)
-    val szW = Window.partitionBy("source")
+    // per-source (rank, size) via the ScalableRank grouped rank —
+    // sources are few and populations huge, so a per-source window
+    // partition would serialize each source on one core.
     // checkpointed: the mirror-rank self-join reads it twice, and the
     // tokenize+score pass behind it is the query's whole cost
-    val ranked = q.withColumn("rk", row_number().over(rkW).cast("long"))
-      .withColumn("n", count(lit(1)).over(szW)).stable
+    val ranked = graft.core.ScalableRank
+      .groupedRank(q, "source", "rk", "n",
+        col("q_e4").desc, col("doc_id").asc).stable
     val top = ranked.select(col("source"), col("rk"), col("n"),
       col("doc_id").as("chosen_id"), col("q_e4").as("q_chosen_e4"))
     val bot = ranked.select(col("source"),

@@ -46,25 +46,24 @@ object Sharding {
   /** Sequence packing: concatenate docs in deterministic (lang,
     * doc_id) order and cut a new pack every `CharBudget` chars — the
     * standard context-window packing pass before LLM training. pack =
-    * floor(start_offset / budget) via a running-sum window. Per-lang
-    * windows keep the sort partition-parallel; production packers run
-    * this per SHARD (see [[shardAssignments]]) for the same reason.
+    * floor(start_offset / budget) via a per-lang running sum. Langs
+    * are FEW and populations huge, so the running sum is the
+    * ScalableRank grouped prefix sum (one range-partitioned global
+    * (lang, doc_id) sort + per-lang offsets) — a per-lang window
+    * partition would put each language's whole corpus on one core.
+    * Production packers run this per SHARD (see [[shardAssignments]])
+    * on the same primitive.
     */
   val CharBudget = 4000L
 
-  def packSequences(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("lang"), col("doc_id"), col("n_chars"))
-      .withColumn("pack",
-        floor((sum("n_chars").over(w) - col("n_chars")) / CharBudget))
+  def packSequences(s: SparkSession, d: String): DataFrame =
+    graft.core.ScalableRank.groupedPrefixSums(
+      Tables.documents(s, d).select(col("lang"), col("doc_id"), col("n_chars")),
+      "lang", Seq("n_chars"), Seq("__cum"), col("doc_id").asc)
+      .withColumn("pack", floor((col("__cum") - col("n_chars")) / CharBudget))
       .groupBy("lang", "pack")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("pack_chars"),
         min("doc_id").as("first_doc"))
-  }
 
   /** Bucket = z >> ZShift: each bucket is an axis-aligned Morton cell
     * of at most 2^(ZShift/2) × 2^(ZShift/2) key-space units (1024×1024

@@ -355,12 +355,12 @@ object Stats {
       .select(col("source"), col("doc_id"),
         size(graft.queries.Dedup.tokensCol(col("text"))).cast("long")
           .as("len"))
-    val w = Window.partitionBy("source").orderBy(col("len").asc,
-      col("doc_id").asc)
-    val ws = Window.partitionBy("source")
-    val ranked = lens
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(ws))
+    // per-source (rank, size) via the ScalableRank grouped rank —
+    // a per-source window partition would gather each source's whole
+    // doc population on one core for these order statistics
+    val ranked = graft.core.ScalableRank
+      .groupedRank(lens, "source", "rn", "n",
+        col("len").asc, col("doc_id").asc)
       .withColumn("cut", expr("CAST(n DIV 10 AS BIGINT)"))
     val firstPass = ranked.groupBy("source")
       .agg(max(col("n")).as("n_docs"), max(col("cut")).as("cut"),
@@ -377,9 +377,9 @@ object Stats {
         col("p50"), col("lo_val"), col("hi_val"), col("trim_sum"),
         abs(col("len") - col("p50")).as("ad"),
         greatest(least(col("len"), col("hi_val")), col("lo_val")).as("wl"))
-    val wd = Window.partitionBy("source").orderBy(col("ad").asc,
-      col("doc_id").asc)
-    dev.withColumn("rd", row_number().over(wd))
+    graft.core.ScalableRank
+      .groupedRank(dev, "source", "rd", "__n2",
+        col("ad").asc, col("doc_id").asc)
       .groupBy("source")
       .agg(max(col("n_docs")).as("n_docs"), max(col("p50")).as("p50"),
         max(when(col("rd") === expr("(n_docs + 1) DIV 2"), col("ad")))

@@ -633,8 +633,9 @@ object TextOps {
 
   /** Percentile-gated quality filter: drop each language's bottom
     * quartile by composite quality. The per-lang threshold is an exact
-    * interpolated percentile computed as a whole-partition window — no
-    * second scan, no join. floor(x*1e4+0.5) (not round) on the
+    * interpolated percentile computed as a partial-merged groupBy
+    * aggregate and broadcast back onto the scored frame.
+    * floor(x*1e4+0.5) (not round) on the
     * threshold: interpolation at f=.5 between 1e-4-grid values lands
     * exactly on 4th-decimal halves, where the engines' round() differ.
     */
@@ -672,15 +673,30 @@ object TextOps {
     val q = qualityPerDoc(docs).select(col("doc_id"), col("quality"))
     val nll = Corpus.lmScore(s, d).select(col("doc_id"), col("avg_nll"))
     val dw = Dsir.dsirWeights(s, d).select(col("doc_id"), col("dsir_w"))
-    val joined = docs.select(col("doc_id"), col("lang"))
-      .join(q, "doc_id").join(nll, "doc_id").join(dw, "doc_id")
-    def pr(order: Column*) = percent_rank().over(
-      Window.partitionBy("lang").orderBy(order: _*))
-    joined
+    // checkpointed: three eager global sorts (one per rank order)
+    // consume it, and the lm/dsir chains behind it are the cost
+    val joined = { import graft.core.Checkpoints.StableOps
+      docs.select(col("doc_id"), col("lang"))
+        .join(q, "doc_id").join(nll, "doc_id").join(dw, "doc_id").stable }
+    // three per-lang percentile ranks via the ScalableRank grouped
+    // rank (tie-broken orders, so rank == row_number and
+    // percent_rank == (rn−1)/(n−1) — the identical IEEE division
+    // both engines evaluate); a per-lang window partition would put
+    // each language's whole population on one core, three times
+    val g = Seq[(String, Seq[Column])](
+      "__r1" -> Seq(col("quality").desc, col("doc_id").asc),
+      "__r2" -> Seq(col("avg_nll").asc, col("doc_id").asc),
+      "__r3" -> Seq(col("dsir_w").desc, col("doc_id").asc))
+      .foldLeft(joined) { case (acc, (rn, order)) =>
+        graft.core.ScalableRank.groupedRank(acc, "lang", rn, "__n" + rn,
+          order: _*)
+      }
+    def pr(rn: String) = when(col("__n__r1") > 1,
+      (col(rn) - 1).cast("double") / (col("__n__r1") - 1))
+      .otherwise(lit(0.0))
+    g
       .select(col("doc_id"), col("lang"),
-        pr(col("quality").desc, col("doc_id")).as("rq"),
-        pr(col("avg_nll").asc, col("doc_id")).as("rn"),
-        pr(col("dsir_w").desc, col("doc_id")).as("rd"))
+        pr("__r1").as("rq"), pr("__r2").as("rn"), pr("__r3").as("rd"))
       .select(col("doc_id"), col("lang"),
         (floor(col("rq") * 10000 + 0.5) / 10000.0).as("q_rank"),
         (floor(col("rn") * 10000 + 0.5) / 10000.0).as("nll_rank"),
@@ -691,8 +707,12 @@ object TextOps {
 
   def qualityFilter(s: SparkSession, d: String): DataFrame = {
     val q = qualityPerDoc(Tables.documents(s, d))
-    q.withColumn("thr", expr("percentile(quality, 0.25)")
-        .over(Window.partitionBy("lang")))
+    // per-lang exact p25 as a groupBy aggregate broadcast back — not
+    // an unordered per-lang window gathering each language's whole
+    // population on one partition to compute the same scalar
+    val thr = q.groupBy("lang")
+      .agg(expr("percentile(quality, 0.25)").as("thr"))
+    q.join(broadcast(thr), "lang")
       .filter(col("quality") >= col("thr"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_kept"),
