@@ -11,15 +11,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // In-LOOP lineage truncations always checkpoint reliably
+    // (Checkpoints.stableLoop — the r11/r13 eviction incidents);
+    // cleanCheckpoints lets the ContextCleaner reclaim their files as
+    // frames are GC'd over the 434-query run. SPARK_GRAFT_CKPT_DIR
+    // relocates them (a cluster run points this at HDFS/S3 via
+    // spark.graft.checkpointDir instead). One-shot `.stable` cuts
+    // stay localCheckpoint — measured here: making them all reliable
+    // cost ~2x on the stable-heavy trainer chains for zero benefit
+    // within a single query.
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.speculation", "true") // stragglers; no-op in local mode
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_CKPT_DIR")
+      .foreach(builder.config("spark.graft.loopCheckpointDir", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev-only restriction for re-pin protocol runs (BASELINE.md's
     // min-of-3 drift re-measurements need THIS tool's session config,
@@ -59,11 +71,24 @@ object Bench {
     // and listed in "errors"; the process exits non-zero so a crashing
     // benchmark is never mistaken for a fast one.
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Per-query run diagnostics (r13 flag: a 26 s driver reading on a
+    // 3 s query was undiagnosable from the artifact): GC time spent
+    // across the 3 reps, and the executor-storage footprint right
+    // after the last rep BEFORE the hygiene sweep — eviction pressure
+    // (high storage + high GC) is distinguishable from a code
+    // regression (flat diagnostics, slow anyway) after the fact.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    val diags = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // min of 3 timed reps: one-off scheduler/GC hiccups don't pollute
     // the reported steady-state number (machine-load drift on shared
     // hosts has produced spurious 2x readings on sub-second queries)
     val results = names.map { name =>
-      val times = (1 to 3).flatMap { _ =>
+      val gc0 = gcMs()
+      val times = (1 to 3).flatMap { i =>
         val t0 = System.nanoTime()
         val r =
           try { SparkEntry.queries(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
@@ -71,6 +96,13 @@ object Bench {
             case e: Throwable =>
               System.err.println(s"[bench] $name: $e"); errors += name; None
           }
+        if (i == 3) {
+          val st = spark.sparkContext.getRDDStorageInfo
+          diags(name) = s"""{"gc_ms": ${gcMs() - gc0}, """ +
+            s""""cached_rdds": ${st.length}, """ +
+            s""""storage_mem_mb": ${st.map(_.memSize).sum / 1048576}, """ +
+            s""""storage_disk_mb": ${st.map(_.diskSize).sum / 1048576}}"""
+        }
         clean() // outside the timed span: reps start from identical storage state
         r
       }
@@ -102,6 +134,10 @@ object Bench {
     val latestSha: String = if (only.nonEmpty) "" else try {
       val perQ = rounded.map { case (k, v) => s"""    "$k": $v""" }
         .mkString(",\n")
+      // "diagnostics" is a SEPARATE map (same keys) so the "queries"
+      // values stay plain numbers — the driver's parser contract.
+      val perD = diags.map { case (k, v) => s"""    "$k": $v""" }
+        .mkString(",\n")
       val pretty =
         s"""{
            |  "metric": "total",
@@ -111,6 +147,9 @@ object Bench {
            |  "errors": $errJson,
            |  "queries": {
            |$perQ
+           |  },
+           |  "diagnostics": {
+           |$perD
            |  }
            |}""".stripMargin
       val root = sys.env.get("SPARK_GRAFT_REPO")

@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (custom LogicalPlan + SparkPlan — graft.plans.AsofJoin/BandJoin).
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectPlannerStrategy(_ => graft.plans.BandJoinStrategy)
+    // ScalableRank's two-pass global running sums (boundary-consistent
+    // by construction — graft.plans.GlobalRunningSum).
+    ext.injectPlannerStrategy(_ => graft.plans.GlobalRunningSumStrategy)
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),

@@ -32,6 +32,13 @@ object Checkpoints {
     */
   def stable(df: DataFrame): DataFrame = {
     val s = df.sparkSession
+    // Lint-mode escape hatch (PlanLintSpec): a localCheckpoint cuts
+    // lineage, so plan lints walking a returned frame cannot see
+    // windows/joins UPSTREAM of a `.stable` — with this conf set the
+    // cut is skipped and the full end-to-end plan stays visible.
+    // NEVER set outside plan linting: operators rely on truncation
+    // for bounded plan depth and once-only upstream execution.
+    if (s.conf.get("spark.graft.stableOff", "false").toBoolean) return df
     s.conf.getOption("spark.graft.checkpointDir") match {
       case Some(dir) =>
         // setCheckpointDir appends a per-app unique subdir, so compare
@@ -50,6 +57,50 @@ object Checkpoints {
         out
       case None => df.localCheckpoint(true)
     }
+  }
+
+  /** In-LOOP lineage truncation: like [[stable]], but ALWAYS a
+    * reliable `checkpoint()` — when neither `spark.graft.checkpointDir`
+    * nor `spark.graft.loopCheckpointDir` is set, a per-application
+    * tmp-dir default is used rather than falling back to
+    * localCheckpoint.
+    *
+    * Why loops are different: a localCheckpoint block is the ONLY
+    * copy of its frame (lineage truncated, no recompute path). A
+    * one-shot `.stable` cut holds such blocks for one query — cheap
+    * and acceptable. An iterative operator holds them across EVERY
+    * remaining round, so late-run eviction pressure lands exactly on
+    * the longest-lived state: the r11 dedup_cluster_minhash and r13
+    * graph-family bench incidents (26 s driver readings on 3 s
+    * queries, same binary). Checkpoint FILES are eviction-immune and
+    * recompute-safe, and the frames at loop truncation points are
+    * round-state (node/label/rank tables), orders of magnitude
+    * smaller than the corpus — the write is the cheap side of the
+    * trade. On a cluster, point the conf at shared storage and the
+    * same call sites survive executor death (mr/master.go:111-127's
+    * recovery contract, reference).
+    *
+    * Local tmp default: still strictly better than localCheckpoint in
+    * local mode (same machine, but files instead of block-manager
+    * memory — no competition with execution memory, no eviction).
+    * File retention follows [[stable]]'s note
+    * (`spark.cleaner.referenceTracking.cleanCheckpoints` — Bench and
+    * Verify set it).
+    */
+  def stableLoop(df: DataFrame): DataFrame = {
+    val s = df.sparkSession
+    // same lint-mode escape hatch as [[stable]]
+    if (s.conf.get("spark.graft.stableOff", "false").toBoolean) return df
+    val dir = s.conf.getOption("spark.graft.loopCheckpointDir")
+      .orElse(s.conf.getOption("spark.graft.checkpointDir"))
+      .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_" +
+        s.sparkContext.applicationId)
+    if (!s.sparkContext.getCheckpointDir.exists(_.startsWith(dir)))
+      s.sparkContext.setCheckpointDir(dir)
+    val cached = df.persist()
+    val out = cached.checkpoint()
+    cached.unpersist(false)
+    out
   }
 
   /** Free the storage behind a frame produced by [[stable]] (or a
@@ -73,8 +124,9 @@ object Checkpoints {
       }
     } catch { case _: Throwable => () }
 
-  /** `.stable` chain form of [[stable]]. */
+  /** `.stable` chain form of [[stable]] / [[stableLoop]]. */
   implicit class StableOps(private val df: DataFrame) extends AnyVal {
     def stable: DataFrame = Checkpoints.stable(df)
+    def stableLoop: DataFrame = Checkpoints.stableLoop(df)
   }
 }

@@ -99,12 +99,21 @@ object ModelCache {
     * what the serve entries reuse. The evicted value's checkpoint
     * blocks are released — retention is bounded to ONE live copy per
     * key no matter how many times a trainer reruns.
+    *
+    * `spark.graft.cacheNoRelease=true` (set by Verify's concurrent
+    * dump) skips the release: under concurrent registry entries a
+    * trainer's eviction could destroy checkpoint blocks a running
+    * serve query still reads (truncated lineage ⇒ unrecoverable task
+    * failure). A dump run executes each entry ONCE, so skipping
+    * bounds the leak at one evicted model frame per family.
     */
   def put[T <: AnyRef](s: SparkSession, d: String, name: String, value: T): T = {
     val appId = s.sparkContext.applicationId
     pruneDead(appId)
     val old = m.put(appId + "|" + d + "|" + name, value)
-    if ((old ne null) && (old ne value)) releaseValue(old)
+    val noRelease =
+      s.conf.getOption("spark.graft.cacheNoRelease").exists(_.toBoolean)
+    if ((old ne null) && (old ne value) && !noRelease) releaseValue(old)
     value
   }
 

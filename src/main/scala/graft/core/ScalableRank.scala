@@ -1,8 +1,10 @@
 package graft.core
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Cast, Expression, Literal}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 
 /** Range-partitioned total-order primitives — the scale-safe
   * replacement for `Window.orderBy(...)` with no partition key.
@@ -11,27 +13,69 @@ import org.apache.spark.sql.types.LongType
   * partition: at sf0.1 it is a warning (`WindowExec: No Partition
   * Defined`), at 100 TB it is one core sorting the corpus and the
   * first executor to OOM. Every global rank / ntile / cumulative sum
-  * in this repo goes through the two-pass form instead (the
-  * `shard_pack` idiom, Sharding.scala):
+  * in this repo goes through the two-pass form instead:
   *
   *   1. `repartitionByRange(sortCols)` — a PARALLEL global sort
   *      (Spark samples range boundaries; every partition sorts its
   *      slice independently), then
-  *   2. one lightweight extra job computing per-partition counts (or
-  *      sums) → per-partition offsets, applied map-side. No second
-  *      shuffle, no single-partition stage anywhere.
+  *   2. [[graft.plans.GlobalRunningSumPlan]] — the custom physical
+  *      operator that runs one lightweight subtotal job over the SAME
+  *      executed child (|parts|·|values| longs of driver state) and
+  *      appends the offset-adjusted running sums map-side, at the
+  *      `UnsafeRow` level.
+  *
+  * Unlike the r13 `RDD.zipWithIndex` formulation this is a lazy plan
+  * with no Row-object round-trip — downstream stages resume
+  * whole-stage codegen above the operator, and nothing executes at
+  * DataFrame-construction time. Boundary consistency between the two
+  * passes is structural (one `child.execute()`, one shuffle
+  * dependency — see GlobalRunningSum's scaladoc for why the
+  * pure-relational ReuseExchange formulation is NOT sound). `parts`
+  * is passed explicitly to `repartitionByRange`, so AQE never
+  * coalesces the exchange.
   *
   * Determinism: range-boundary sampling is nondeterministic, but the
   * emitted sequence depends only on the TOTAL order — callers must
-  * pass fully tie-broken sort keys. The offset job makes DataFrame
-  * construction eager (same contract as `RDD.zipWithIndex`, which
-  * `shard_pack` already relies on); upstream plans are recomputed by
-  * the two passes, so callers `.stable` any expensive input first.
+  * pass fully tie-broken sort keys. A task retry re-reads the same
+  * shuffle partition in the same sorted order, so the running sums
+  * are retry-safe.
   */
 object ScalableRank {
 
   private def defaultParts(df: DataFrame): Int =
     math.max(1, df.sparkSession.conf.get("spark.sql.shuffle.partitions", "8").toInt)
+
+  /** `col(name)` with backtick quoting, so dotted/spaced caller names
+    * resolve as one column (ADVICE r13). */
+  private def bq(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** The shared two-pass core: appends, for each `(value, out)` pair,
+    * the global inclusive running sum of `value` in `sortCols` order
+    * as column `out`. `values` must be LongType expressions; nulls
+    * count as 0.
+    */
+  private def withRunningSums(df: DataFrame, parts: Int, sortCols: Seq[Column],
+      mkValues: Seq[Attribute] => Seq[Expression], outCols: Seq[String]): DataFrame = {
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val plan = GraftColumnBridge.logicalPlan(sorted)
+    val outAttrs = outCols.map(o =>
+      AttributeReference(o, LongType, nullable = false)())
+    GraftColumnBridge.ofRows(df.sparkSession,
+      graft.plans.GlobalRunningSumPlan(plan, mkValues(plan.output), outAttrs))
+  }
+
+  /** Resolve `name` against the child's analyzed output (session
+    * resolver — the AsofJoin convention), cast to LongType.
+    */
+  private def longValue(df: DataFrame, attrs: Seq[Attribute], name: String): Expression = {
+    val resolver = df.sparkSession.sessionState.conf.resolver
+    val a = attrs.find(at => resolver(at.name, name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not found in ${attrs.map(_.name)}"))
+    if (a.dataType == LongType) a else Cast(a, LongType)
+  }
 
   /** Appends a global 1-based row number `out` (LongType) in
     * `sortCols` order. `sortCols` must be a total order (tie-broken)
@@ -40,19 +84,14 @@ object ScalableRank {
   def rowNumber(df: DataFrame, out: String, sortCols: Column*): DataFrame =
     rowNumberWith(df, out, defaultParts(df), sortCols: _*)
 
-  def rowNumberWith(df: DataFrame, out: String, parts: Int, sortCols: Column*): DataFrame = {
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val schema = sorted.schema.add(out, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def rowNumberWith(df: DataFrame, out: String, parts: Int, sortCols: Column*): DataFrame =
+    withRunningSums(df, parts, sortCols, _ => Seq(Literal(1L)), Seq(out))
 
-  /** Appends inclusive running sums of the LongType columns
-    * `valueCols` (as `outCols`, positionally) in `sortCols` order.
-    * Nulls count as 0. One extra job computes per-partition subtotals
-    * (the offsets); the running sums themselves are map-side.
+  /** Appends inclusive running sums of the integral columns
+    * `valueCols` (as `outCols`, positionally, LongType) in `sortCols`
+    * order. Nulls count as 0. Non-integral value columns are rejected
+    * up front (ADVICE r13: the old Row accessor deferred the failure
+    * to job runtime).
     */
   def prefixSums(df: DataFrame, valueCols: Seq[String], outCols: Seq[String],
       sortCols: Column*): DataFrame =
@@ -61,33 +100,13 @@ object ScalableRank {
   def prefixSumsWith(df: DataFrame, valueCols: Seq[String], outCols: Seq[String],
       parts: Int, sortCols: Column*): DataFrame = {
     require(valueCols.length == outCols.length, "valueCols/outCols arity")
-    val sorted = df.repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val idxs = valueCols.map(sorted.schema.fieldIndex).toArray
-    val k = idxs.length
-    def longAt(r: Row, i: Int): Long = if (r.isNullAt(i)) 0L else r.getLong(i)
-    // ONE materialized RDD: the subtotal job and the output pass must
-    // see identical range boundaries (a fresh .rdd could resample).
-    val rdd = sorted.rdd
-    val partSums: Array[Array[Long]] = rdd
-      .mapPartitions { it =>
-        val acc = new Array[Long](k)
-        it.foreach(r => { var j = 0; while (j < k) { acc(j) += longAt(r, idxs(j)); j += 1 } })
-        Iterator.single(acc)
-      }.collect()
-    val offsets = partSums.scanLeft(new Array[Long](k)) { (a, b) =>
-      Array.tabulate(k)(j => a(j) + b(j))
+    valueCols.foreach { v =>
+      val dt = df.schema(v).dataType
+      require(Seq(LongType, IntegerType, ShortType, ByteType).contains(dt),
+        s"prefixSums value column '$v' must be integral, got ${dt.simpleString}")
     }
-    val schema = outCols.foldLeft(sorted.schema)(_.add(_, LongType, nullable = false))
-    val res = rdd.mapPartitionsWithIndex { (pi, it) =>
-      val acc = offsets(pi).clone()
-      it.map { r =>
-        var j = 0
-        while (j < k) { acc(j) += longAt(r, idxs(j)); j += 1 }
-        Row.fromSeq(r.toSeq ++ acc.toSeq)
-      }
-    }
-    df.sparkSession.createDataFrame(res, schema)
+    withRunningSums(df, parts, sortCols,
+      attrs => valueCols.map(longValue(df, attrs, _)), outCols)
   }
 
   /** Single-column convenience form of [[prefixSums]]. */
@@ -103,44 +122,55 @@ object ScalableRank {
     * \|groups\|-cell count frame, rank = global − offset. Emits
     * `rnOut` (1-based within group) and `sizeOut` (group size —
     * feed both to [[ntileExpr]] for a per-group NTILE).
+    *
+    * A NULL group key is a group like any other (the
+    * `Window.partitionBy` / DuckDB `PARTITION BY` semantics): the
+    * offset join is null-safe (ADVICE r13 — lang/source/event_type
+    * are optional in the parquet schema, and an equi-join would
+    * silently DROP null-keyed rows).
     */
   def groupedRank(df: DataFrame, groupCol: String, rnOut: String,
       sizeOut: String, sortCols: Column*): DataFrame = {
-    val counts = df.groupBy(groupCol).agg(count(lit(1)).as(sizeOut))
-    val offs = prefixSum(counts, sizeOut, "__cum_g", col(groupCol).asc)
-      .select(col(groupCol), col(sizeOut),
+    val counts = df.groupBy(bq(groupCol)).agg(count(lit(1)).as(sizeOut))
+    val offs = prefixSum(counts, sizeOut, "__cum_g", bq(groupCol).asc)
+      .select(bq(groupCol).as("__srk_grp"), col(sizeOut),
         (col("__cum_g") - col(sizeOut)).as("__off"))
-    rowNumber(df, "__grn", (col(groupCol).asc +: sortCols): _*)
-      .join(broadcast(offs), groupCol)
+    rowNumber(df, "__grn", (bq(groupCol).asc +: sortCols): _*)
+      .join(broadcast(offs), bq(groupCol) <=> col("__srk_grp"))
       .withColumn(rnOut, col("__grn") - col("__off"))
-      .drop("__grn", "__off")
+      .drop("__grn", "__off", "__srk_grp")
   }
 
-  /** Per-group inclusive running sums of LongType `valueCols` (as
+  /** Per-group inclusive running sums of integral `valueCols` (as
     * `outCols`) in `sortCols` order — the grouped form of
     * [[prefixSums]], same shape as [[groupedRank]]: one global range
     * sort + per-group value offsets from the \|groups\|-cell totals
-    * frame. Never a per-group window partition.
+    * frame. Never a per-group window partition. Null group keys form
+    * their own group (null-safe offset join); a group whose values
+    * are all NULL totals 0 (ADVICE r13 — consistent with the
+    * ungrouped "nulls count as 0" contract).
     */
   def groupedPrefixSums(df: DataFrame, groupCol: String,
       valueCols: Seq[String], outCols: Seq[String],
       sortCols: Column*): DataFrame = {
     require(valueCols.length == outCols.length, "valueCols/outCols arity")
     val tCols = valueCols.map("__t_" + _)
-    val aggs = valueCols.zip(tCols).map { case (v, t) => sum(col(v)).as(t) }
-    val totals = df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    val aggs = valueCols.zip(tCols).map { case (v, t) =>
+      coalesce(sum(bq(v)), lit(0L)).as(t)
+    }
+    val totals = df.groupBy(bq(groupCol)).agg(aggs.head, aggs.tail: _*)
     val cCols = valueCols.map("__c_" + _)
-    val offs = prefixSums(totals, tCols, cCols, col(groupCol).asc)
-      .select(col(groupCol) +: valueCols.map { v =>
+    val offs = prefixSums(totals, tCols, cCols, bq(groupCol).asc)
+      .select(bq(groupCol).as("__srk_grp") +: valueCols.map { v =>
         (col("__c_" + v) - col("__t_" + v)).as("__o_" + v)
       }: _*)
     val gCols = valueCols.map("__g_" + _)
     val glob = prefixSums(df, valueCols, gCols,
-      (col(groupCol).asc +: sortCols): _*)
-      .join(broadcast(offs), groupCol)
+      (bq(groupCol).asc +: sortCols): _*)
+      .join(broadcast(offs), bq(groupCol) <=> col("__srk_grp"))
     valueCols.zip(outCols).foldLeft(glob) { case (acc, (v, o)) =>
       acc.withColumn(o, col("__g_" + v) - col("__o_" + v))
-    }.drop(gCols ++ valueCols.map("__o_" + _): _*)
+    }.drop("__srk_grp" +: (gCols ++ valueCols.map("__o_" + _)): _*)
   }
 
   /** SQL `NTILE(k)` from a 1-based row number column `rnCol` and a
@@ -148,13 +178,16 @@ object ScalableRank {
     * the first `n % k` tiles get `n div k + 1` rows, the rest
     * `n div k` — exactly Spark's and DuckDB's NTILE, so a
     * [[rowNumber]]-derived tile is hash-identical to the window form.
+    * Names are backtick-quoted before SQL interpolation (ADVICE r13).
     */
   def ntileExpr(rnCol: String, nCol: String, k: Int): Column = {
-    val q = s"($nCol div $k)"
-    val r = s"($nCol % $k)"
+    def esc(s: String): String = "`" + s.replace("`", "``") + "`"
+    val rn = esc(rnCol)
+    val q = s"(${esc(nCol)} div $k)"
+    val r = s"(${esc(nCol)} % $k)"
     expr(
-      s"""CASE WHEN $rnCol <= $r * ($q + 1)
-         |     THEN ($rnCol + $q) div ($q + 1)
-         |     ELSE $r + ($rnCol - $r * ($q + 1) + $q - 1) div $q END""".stripMargin)
+      s"""CASE WHEN $rn <= $r * ($q + 1)
+         |     THEN ($rn + $q) div ($q + 1)
+         |     ELSE $r + ($rn - $r * ($q + 1) + $q - 1) div $q END""".stripMargin)
   }
 }

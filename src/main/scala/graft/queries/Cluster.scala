@@ -85,7 +85,7 @@ object Cluster {
       // is EVICTED, its recompute chains back through up to 4 |E| joins
       // to the last checkpoint — bounded by the stride, never unbounded.
       val isCkpt = it % 4 == 3
-      next = if (isCkpt) next.stable else next.persist()
+      next = if (isCkpt) next.stableLoop else next.persist()
       val cur = metric(next)
       done = cur.compareTo(last) == 0
       last = cur
@@ -153,7 +153,7 @@ object Cluster {
     var it = 0
     var done = e.isEmpty
     while (!done && it < maxIter) {
-      val e2 = smallStar(largeStar(e)).stable
+      val e2 = smallStar(largeStar(e)).stableLoop
       val s2 = sig(e2)
       done = s2 == s
       s = s2
@@ -418,7 +418,7 @@ object Cluster {
           (lit((1 - damping) / n) + lit(damping) * col("dmass") / lit(n) +
             lit(damping) * coalesce(col("in"), lit(0.0))).as("rank"))
       val isCkpt = i % 4 == 0 || i == iters
-      next = if (isCkpt) next.stable else next.persist()
+      next = if (isCkpt) next.stableLoop else next.persist()
       retired += ranks
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       ranks = next
@@ -706,7 +706,7 @@ object Cluster {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("label"))
-        .stable
+        .stableLoop
       labels.unpersist(false)
       labels = next
     }

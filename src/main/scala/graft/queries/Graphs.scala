@@ -88,7 +88,7 @@ object Graphs {
       val hmax = hraw.agg(max("hraw").as("hmax"))
       val h = hraw.crossJoin(broadcast(hmax))
         .select(col("user_id"), expr("hraw * 1000000L div hmax").as("h"))
-        .stable
+        .stableLoop
       // h is materialized: retire the round's scratch and the
       // superseded frames (the final round's `a` survives as auths)
       araw.unpersist(false); hraw.unpersist(false)
@@ -163,7 +163,7 @@ object Graphs {
       var next = dist.unionAll(relaxed)
         .groupBy("node").agg(min("dist_micro").as("dist_micro"))
       val isCkpt = i % 3 == 0
-      next = if (isCkpt) next.stable else next.persist()
+      next = if (isCkpt) next.stableLoop else next.persist()
       retired += dist
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       dist = next
@@ -246,7 +246,7 @@ object Graphs {
           (coalesce(col("tele_nano"), lit(0L)) +
             expr("coalesce(in_nano, 0L) * 85 div 100")).as("rank_nano"))
       val isCkpt = i % 3 == 0 || i == PprRounds
-      next = if (isCkpt) next.stable else next.persist()
+      next = if (isCkpt) next.stableLoop else next.persist()
       retired += r
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       r = next
@@ -297,7 +297,7 @@ object Graphs {
       var next = dist.unionAll(relaxed)
         .groupBy("seed", "node").agg(min("dist").as("dist"))
       val isCkpt = i % 3 == 0 || i == ClosenessRounds
-      next = if (isCkpt) next.stable else next.persist()
+      next = if (isCkpt) next.stableLoop else next.persist()
       retired += dist
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       dist = next

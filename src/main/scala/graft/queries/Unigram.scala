@@ -7,10 +7,10 @@ import graft.core.Tables
 /** Unigram-LM tokenizer (Kudo '18, the SentencePiece algorithm) —
   * the second of the two real-world subword tokenizers, next to
   * [[Tokenize]]'s BPE: seed a substring vocabulary, then EM — Viterbi-
-  * segment every word under current piece probabilities (E), re-
-  * estimate probabilities from weighted piece usage (M) — for a fixed
-  * round count. Unlike BPE's greedy merges, segmentation is globally
-  * optimal per word under the learned LM.
+  * segment every word under current piece log-probabilities (E), re-
+  * estimate from weighted piece usage (M) — for a fixed round count.
+  * Unlike BPE's greedy merges, segmentation is globally optimal per
+  * word under the learned LM.
   *
   * Scale design (the [[Tokenize.bpeEncode]] distinct-word contract):
   *  - All heavy work runs on the DISTINCT-WORD working set weighted by
@@ -24,17 +24,19 @@ import graft.core.Tables
   *    corpus size — the Kmeans/BPE bounded-collect contract.
   *  - Each EM round is ONE distributed pass: flatMap Viterbi over
   *    distinct words (pure per-row DP, O(len·MaxPieceLen) each) with
-  *    the probs broadcast, partial-agg'd piece counts, vocab-bounded
-  *    collect, driver M-step.
+  *    the log-probs broadcast, partial-agg'd piece counts,
+  *    vocab-bounded collect, driver M-step.
   *
-  * Determinism: integer seed frequencies; Viterbi tie-break is (score,
-  * then longest-last-piece); probabilities are rounded to 1e-9 after
-  * every M-step. Float argmax margins make a cross-engine SQL oracle
-  * flaky by construction (the pca precedent — SURVEY §2.4), so both
-  * queries are spec-certified: UnigramSpec pins the full pipeline to a
-  * sequential in-JVM reference (same seed rules, same EM, shared
-  * Viterbi kernel) and asserts the segmentation-consistency
-  * invariants.
+  * Exactness — the integer micro-rail (the pca graduation recipe,
+  * r12→r13): the ONE libm value per (piece, round) — ln(c/total) — is
+  * quantized to int64 micros immediately ([[lpMicro]]); Viterbi
+  * scores are then integer SUMS of quantized log-probs, so the argmax
+  * and its tie-break (equal score → smaller back-pointer = longer
+  * last piece) are exact and engine-independent. The DuckDB oracle
+  * replays the identical pipeline — substring seed census, capped
+  * vocab, three EM rounds of forward/backward Viterbi as recursive
+  * CTEs over the distinct words — and the driver gate hash-compares
+  * both ends (r13 verdict item #5: previously spec-only).
   */
 object Unigram {
 
@@ -43,32 +45,44 @@ object Unigram {
   val MinFreq = 2L
   val EmRounds = 3
 
-  private def round9(x: Double): Double = math.floor(x * 1e9 + 0.5) / 1e9
-
-  /** Viterbi-best segmentation of `word` under piece probabilities.
-    * Ties: higher score wins; equal score → the split whose LAST piece
-    * is longer (smaller back-pointer) — deterministic everywhere.
-    * Words with uncovered chars fall back to per-char pieces (cannot
-    * happen when the alphabet is retained, asserted in the spec).
+  /** Integer log-prob lattice: floor(ln(c/total)·1e6 + 0.5) per
+    * piece. The only float step in the pipeline; everything
+    * downstream is int64 arithmetic.
     */
-  def viterbi(word: String, probs: scala.collection.Map[String, Double]): List[String] = {
+  private[graft] def lpMicro(counts: scala.collection.Map[String, Long]): Map[String, Long] = {
+    val tot = counts.valuesIterator.sum.toDouble
+    counts.iterator.map { case (p, c) =>
+      p -> math.floor(math.log(c.toDouble / tot) * 1e6 + 0.5).toLong
+    }.toMap
+  }
+
+  /** Viterbi-best segmentation of `word` under integer micro
+    * log-probs `lp`. Ties: higher score wins; equal score → the split
+    * whose LAST piece is longer (smaller back-pointer) —
+    * deterministic everywhere, and exactly reproducible in SQL
+    * (min(i) over the maximizers). Words with uncovered chars fall
+    * back to per-char pieces (cannot happen when the alphabet is
+    * retained, asserted in the spec).
+    */
+  def viterbi(word: String, lp: scala.collection.Map[String, Long]): List[String] = {
     val L = word.length
-    val NEG = Double.NegativeInfinity
+    val NEG = Long.MinValue
     val best = Array.fill(L + 1)(NEG)
     val back = Array.fill(L + 1)(Int.MaxValue)
-    best(0) = 0.0
+    best(0) = 0L
     var j = 1
     while (j <= L) {
       var i = math.max(0, j - MaxPieceLen)
       while (i < j) {
         if (best(i) != NEG) {
-          val p = probs.getOrElse(word.substring(i, j), 0.0)
-          if (p > 0.0) {
-            val sc = best(i) + math.log(p)
-            if (sc > best(j) || (sc == best(j) && i < back(j))) {
-              best(j) = sc
-              back(j) = i
-            }
+          lp.get(word.substring(i, j)) match {
+            case Some(s) =>
+              val sc = best(i) + s
+              if (sc > best(j) || (sc == best(j) && i < back(j))) {
+                best(j) = sc
+                back(j) = i
+              }
+            case None => ()
           }
         }
         i += 1
@@ -120,29 +134,24 @@ object Unigram {
 
   /** The EM loop from a seed vocabulary — shared by the distributed
     * trainer and the spec's sequential reference; `countsOf` supplies
-    * each round's Viterbi usage counts (distributed flatMap pass, or
-    * a local loop in the spec). Returns the final piece → weighted
-    * usage count map.
+    * each round's Viterbi usage counts under the round's integer
+    * log-prob lattice (distributed flatMap pass, or a local loop in
+    * the spec). Returns the final piece → weighted usage count map —
+    * all integers end to end.
     */
   private[graft] def emLoop(
       seed: Seq[(String, Long)],
-      countsOf: (scala.collection.Map[String, Double]) => Seq[(String, Long)])
+      countsOf: (scala.collection.Map[String, Long]) => Seq[(String, Long)])
       : Map[String, Long] = {
-    var probs: Map[String, Double] = {
-      val tot = seed.map(_._2).sum.toDouble
-      seed.map { case (p, c) => p -> round9(c / tot) }.toMap
-    }
-    var counts = Map.empty[String, Long]
+    var counts: Map[String, Long] = seed.toMap
     for (_ <- 1 to EmRounds) {
-      val raw = countsOf(probs).toMap
+      val raw = countsOf(lpMicro(counts)).toMap
       // Laplace-retain the alphabet: a never-used single char keeps
       // count 1 so every word stays segmentable in later rounds.
-      counts = probs.keysIterator.map { p =>
+      counts = counts.keysIterator.map { p =>
         val c = raw.getOrElse(p, 0L)
         p -> (if (p.length == 1) c + 1L else c)
       }.filter(_._2 > 0L).toMap
-      val tot = counts.valuesIterator.sum.toDouble
-      probs = counts.map { case (p, c) => p -> round9(c / tot) }
     }
     counts
   }
@@ -172,16 +181,16 @@ object Unigram {
 
   /** Distributed trainer: returns the final (piece, cnt) counts. Each
     * EM round = one flatMap pass over the cached distinct words with
-    * the probs broadcast + a partial-agg'd count + a vocab-bounded
-    * collect.
+    * the integer log-prob lattice broadcast + a partial-agg'd count +
+    * a vocab-bounded collect.
     */
   private[graft] def trainCounts(s: SparkSession, docs: DataFrame): Map[String, Long] = {
     import s.implicits._
     val wfDs = wordFreq(docs).as[(String, Long)]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      emLoop(seedDistributed(s, wfDs), probs => {
-        val bc = s.sparkContext.broadcast(probs)
+      emLoop(seedDistributed(s, wfDs), lp => {
+        val bc = s.sparkContext.broadcast(lp)
         val out = wfDs.flatMap { case (w, f) =>
           viterbi(w, bc.value).map(p => (p, f))
         }.groupBy("_1").agg(sum("_2").as("c"))
@@ -193,8 +202,9 @@ object Unigram {
   }
 
   /** Registered trainer: final learned vocabulary with usage counts
-    * and 1e-6-rounded probabilities, ordered facts as columns (driver
-    * rows-only check; UnigramSpec carries correctness ≡ sequential).
+    * and 1e-6-rounded probabilities, hash-compared against the
+    * unrolled-EM DuckDB oracle (UnigramSpec additionally pins the
+    * distributed pipeline to the sequential in-JVM reference).
     */
   def unigramTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -213,10 +223,8 @@ object Unigram {
   def unigramEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val counts = trainCounts(s, docs)
-    val tot = counts.valuesIterator.sum.toDouble
-    val probs = counts.map { case (p, c) => p -> round9(c / tot) }
-    val bc = s.sparkContext.broadcast(probs)
+    val lp = lpMicro(trainCounts(s, docs))
+    val bc = s.sparkContext.broadcast(lp)
     val wl = docs.select(col("lang"), explode(Dedup.tokensCol(col("text"))).as("w"))
     val perWord = wl.select("w").distinct().as[String]
       .map(w => (w, viterbi(w, bc.value).size))
@@ -233,9 +241,107 @@ object Unigram {
     "unigram_train" -> unigramTrain,
     "unigram_encode" -> unigramEncode)
 
-  /** Float Viterbi argmax margins make a cross-engine hash flaky by
-    * construction (SURVEY §2.4's pca reasoning) — both entries are
-    * spec-certified, rows-only for the driver.
+  // ——— DuckDB oracle: the identical pipeline in SQL ———
+  //
+  // Shape: wf (distinct words × freq) → substring seed census → capped
+  // vocab c0 → per round r: integer log-prob lattice lp{r} from
+  // c{r-1}, forward Viterbi fw{r} (a recursive CTE whose state row
+  // carries best(j), best(j-1), best(j-2), best(j-3) — the exact
+  // 4-window the MaxPieceLen=4 DP needs), backward walk bk{r} (a
+  // second recursive CTE emitting the chosen piece per step; the
+  // back-pointer is recovered as min(i) over the maximizers — the
+  // Scala tie-break), usage counts u{r}, Laplace-retained counts
+  // c{r}. All scores are int64 micro sums — hash-exact across
+  // engines.
+
+  private val WfSql =
+    """wf AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+      |  SELECT unnest(list_filter(string_split_regex(text, '[^\p{L}]+'),
+      |                            x -> len(x) > 0)) AS w
+      |  FROM documents) GROUP BY w),
+      |dw AS (SELECT w FROM wf),
+      |sub0 AS (SELECT substr(w, i, l) AS p, CAST(sum(f) AS BIGINT) AS c
+      |  FROM (SELECT w, f, unnest(generate_series(1, len(w))) AS i FROM wf) ww,
+      |       (VALUES (1), (2), (3), (4)) ls(l)
+      |  WHERE i + l - 1 <= len(w)
+      |  GROUP BY 1),
+      |c0 AS (SELECT p, c FROM sub0 WHERE len(p) = 1
+      |  UNION ALL
+      |  SELECT p, c FROM (SELECT p, c FROM sub0
+      |    WHERE len(p) > 1 AND c >= 2 ORDER BY c DESC, p LIMIT 4096))""".stripMargin
+
+  /** One EM round (or the final encode pass) in SQL: lattice from
+    * c`prev`, forward + backward Viterbi, usage counts; `withCounts`
+    * additionally emits the Laplace-retained c`r`.
     */
-  def oracleSql: Map[String, String] = Map.empty
+  private def roundSql(r: Int, prev: Int, withCounts: Boolean): String = {
+    val base =
+      s"""lp$r AS (SELECT p, CAST(floor(ln(c::DOUBLE / t.tot) * 1e6 + 0.5) AS BIGINT) AS lp
+         |  FROM c$prev, (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM c$prev) t),
+         |fw$r AS (
+         |  SELECT w, 0 AS j, CAST(0 AS BIGINT) AS b0, CAST(NULL AS BIGINT) AS b1,
+         |         CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3
+         |  FROM dw
+         |  UNION ALL
+         |  SELECT f.w, f.j + 1,
+         |    list_max(list_filter(
+         |      [f.b0 + l1.lp, f.b1 + l2.lp, f.b2 + l3.lp, f.b3 + l4.lp],
+         |      x -> x IS NOT NULL)),
+         |    f.b0, f.b1, f.b2
+         |  FROM fw$r f
+         |  LEFT JOIN lp$r l1 ON l1.p = substr(f.w, f.j + 1, 1)
+         |  LEFT JOIN lp$r l2 ON f.j >= 1 AND l2.p = substr(f.w, f.j, 2)
+         |  LEFT JOIN lp$r l3 ON f.j >= 2 AND l3.p = substr(f.w, f.j - 1, 3)
+         |  LEFT JOIN lp$r l4 ON f.j >= 3 AND l4.p = substr(f.w, f.j - 2, 4)
+         |  WHERE f.j < len(f.w)),
+         |ft$r AS (SELECT w, j, b0 AS best FROM fw$r WHERE b0 IS NOT NULL),
+         |bk$r AS (
+         |  SELECT w, len(w) AS j, CAST(NULL AS VARCHAR) AS piece FROM dw
+         |  UNION ALL
+         |  SELECT s.w, s.i, substr(s.w, s.i + 1, s.j - s.i)
+         |  FROM (SELECT b.w, b.j, min(ft.j) AS i
+         |        FROM bk$r b
+         |        JOIN ft$r cur ON cur.w = b.w AND cur.j = b.j
+         |        JOIN ft$r ft ON ft.w = b.w AND ft.j >= b.j - 4 AND ft.j < b.j
+         |        JOIN lp$r l ON l.p = substr(b.w, ft.j + 1, b.j - ft.j)
+         |        WHERE b.j > 0 AND ft.best + l.lp = cur.best
+         |        GROUP BY b.w, b.j) s)""".stripMargin
+    if (!withCounts) base else base +
+      s""",
+         |u$r AS (SELECT piece AS p, CAST(sum(f) AS BIGINT) AS c
+         |  FROM bk$r JOIN wf USING (w) WHERE piece IS NOT NULL GROUP BY 1),
+         |c$r AS (SELECT p, c FROM (
+         |    SELECT cp.p,
+         |      (CASE WHEN len(cp.p) = 1 THEN 1 ELSE 0 END) + coalesce(u.c, 0) AS c
+         |    FROM c$prev cp LEFT JOIN u$r u USING (p))
+         |  WHERE c > 0)""".stripMargin
+  }
+
+  private def trainChain: String =
+    (WfSql +: (1 to EmRounds).map(r => roundSql(r, r - 1, withCounts = true)))
+      .mkString(",\n")
+
+  def oracleSql: Map[String, String] = Map(
+    "unigram_train" ->
+      s"""WITH RECURSIVE
+         |$trainChain
+         |SELECT p AS piece, c AS cnt,
+         |  floor(c::DOUBLE / t.tot * 1e6 + 0.5) / 1e6 AS p
+         |FROM c$EmRounds, (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM c$EmRounds) t""".stripMargin,
+    "unigram_encode" ->
+      s"""WITH RECURSIVE
+         |$trainChain,
+         |${roundSql(EmRounds + 1, EmRounds, withCounts = false)},
+         |np AS (SELECT w, CAST(count(*) AS BIGINT) AS np
+         |  FROM bk${EmRounds + 1} WHERE piece IS NOT NULL GROUP BY w),
+         |wl AS (SELECT lang,
+         |  unnest(list_filter(string_split_regex(text, '[^\\p{L}]+'),
+         |                     x -> len(x) > 0)) AS w
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(np) AS BIGINT) AS n_pieces,
+         |  floor(CAST(sum(np) AS DOUBLE) / count(*) * 10000 + 0.5) / 10000.0
+         |    AS pieces_per_token
+         |FROM wl JOIN np USING (w)
+         |GROUP BY lang""".stripMargin)
 }

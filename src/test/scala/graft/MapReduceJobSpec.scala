@@ -162,6 +162,13 @@ class MapReduceJobSpec extends SparkSuite {
     // graft.tools.ExecutorDeathProbe runs local-cluster[2,1,1024],
     // halts one executor JVM mid-map via an atomically-claimed marker,
     // and exits 0 only if the job finished with sequential-model rows
+    // a Spark distribution is required (the forked Worker launches
+    // executors from it) — resolve from SPARK_HOME, falling back to
+    // the CI image's /opt/spark; SKIP (not fail) on hosts without one
+    // (ADVICE r13)
+    val sparkHome = sys.env.getOrElse("SPARK_HOME", "/opt/spark")
+    assume(new java.io.File(sparkHome, "bin").isDirectory,
+      s"no Spark distribution at $sparkHome — probe skipped")
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java")
       .getAbsolutePath
@@ -178,11 +185,11 @@ class MapReduceJobSpec extends SparkSuite {
       "-Xmx1g",
       // standalone Worker resolves the executor launch home from
       // spark.test.home / SPARK_HOME
-      "-Dspark.test.home=/opt/spark",
+      "-Dspark.test.home=" + sparkHome,
       "-cp", System.getProperty("java.class.path"),
       "graft.tools.ExecutorDeathProbe")
     val pb = new ProcessBuilder(cmd: _*)
-    pb.environment().put("SPARK_HOME", "/opt/spark")
+    pb.environment().put("SPARK_HOME", sparkHome)
     // normally set by bin/load-spark-env.sh, which this direct java
     // launch bypasses; the Worker's executor command builder needs it
     pb.environment().put("SPARK_SCALA_VERSION", "2.13")

@@ -212,6 +212,86 @@ class PlanLintSpec extends SparkSuite {
         "leaderboard / fixed domain)")
   }
 
+  // ——— the `.stable` blind spot (r13 verdict #2, closed r14) ———
+  // A localCheckpoint truncates lineage, so the walks above cannot
+  // see plan nodes UPSTREAM of a `.stable` cut — an allowlist comment
+  // admitted as much ("its .stable cut hides the BNLJ from this
+  // lint"). Re-build every registry plan with the cuts disabled
+  // (spark.graft.stableOff — the Checkpoints escape hatch) and re-run
+  // the three structural lints end-to-end. Builders still execute
+  // their construction-time driver actions, so this walk is slower
+  // than the truncated one — it runs once per suite.
+  private lazy val noStable: Map[String, (String, Boolean)] = {
+    spark.conf.set("spark.graft.stableOff", "true")
+    try {
+      SparkEntry.queries.map { case (name, fn) =>
+        name -> (try {
+          val df = fn(spark, sfDir)
+          val phys = df.queryExecution.executedPlan.toString
+          val badWin = df.queryExecution.optimizedPlan.collect {
+            case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+          }.nonEmpty
+          (phys, badWin)
+        } catch {
+          case e: Throwable => (s"PLAN_BUILD_FAILED: ${e.getMessage}", false)
+        })
+      }
+    } finally {
+      spark.conf.unset("spark.graft.stableOff")
+      // frames built without truncation must not linger as model-cache
+      // entries for later suites (they'd serve un-truncated plans)
+      graft.core.ModelCache.clear()
+    }
+  }
+
+  /** Additional BNLJ entries visible only end-to-end (upstream of a
+    * `.stable` cut in the returned chain). Each is the SAME bounded
+    * shape as its [[nonEquiOk]] relative: the tf-idf weighted-edge
+    * producer's 1-row corpus-count frame (shared by the simhash twin
+    * and every keep/cluster/incremental consumer that truncates after
+    * it), and lm_score's 1-row vocab-total frame inherited by
+    * downstream scorers that cut before returning.
+    */
+  private val nonEquiOkNoStable: Set[String] = Set.empty
+
+  /** Additional unpartitioned-window entries visible only end-to-end:
+    * same bounded-input classes as [[globalWindowOk]] (K-row
+    * leaderboards / fixed domains upstream of a cut).
+    */
+  private val globalWindowOkNoStable: Set[String] = Set.empty
+
+  test("no CartesianProduct anywhere — with lineage cuts disabled (end-to-end plans)") {
+    val offenders = noStable.collect {
+      case (n, (p, _)) if p.contains("CartesianProduct") => n
+    }.toSeq.sorted
+    assert(offenders.isEmpty, s"cartesian products upstream of .stable cuts in: $offenders")
+  }
+
+  test("BNLJ only where bounded — with lineage cuts disabled (end-to-end plans)") {
+    val offenders = noStable.collect {
+      case (n, (p, _)) if p.contains("BroadcastNestedLoopJoin") &&
+        !nonEquiOk(n) && !nonEquiOkNoStable(n) => n
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"unreviewed non-equi joins upstream of .stable cuts in: $offenders")
+  }
+
+  test("no unpartitioned window over an unbounded input — with lineage cuts disabled") {
+    val offenders = noStable.collect {
+      case (n, (_, true)) if !globalWindowOk(n) && !globalWindowOkNoStable(n) => n
+    }.toSeq.sorted
+    assert(offenders.isEmpty,
+      s"unpartitioned windows upstream of .stable cuts in: $offenders")
+  }
+
+  test("every registered query plans end-to-end with lineage cuts disabled") {
+    val failed = noStable.collect {
+      case (n, (p, _)) if p.startsWith("PLAN_BUILD_FAILED") => n
+    }.toSeq.sorted
+    assert(failed.isEmpty, s"stable-off plan build failed for: $failed")
+  }
+
   test("no ShuffledHashJoin/SortMergeJoin against a dimension table in the TPC-H heads") {
     // the dim joins must broadcast — a shuffled dim join at 100 TB
     // moves the fact table for nothing

@@ -99,4 +99,68 @@ class ScalableRankSpec extends SparkSuite {
       .select("c").as[Long].collect()
     assert(got.toSeq === Seq(9L))
   }
+
+  test("the plan is ONE range exchange under the custom operator — lazy, no Row hop") {
+    // boundary consistency between the subtotal job and the output
+    // pass is structural (GlobalRunningSumExec executes its child
+    // once); the plan must show exactly one range exchange feeding
+    // the operator, and nothing may execute at construction time
+    val df = rows.toDF("k", "id", "v")
+    val out = ScalableRank
+      .rowNumberWith(df, "rn", 7, col("k").asc, col("id").asc)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("GlobalRunningSum"), s"missing operator:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size === 1,
+      s"expected exactly one range exchange:\n$plan")
+  }
+
+  test("rowNumber under heavy skew at many partitions (boundary divergence would misrank)") {
+    // 90% of keys equal → range boundaries depend strongly on the
+    // sample; if the two passes ever sampled independently, offsets
+    // would disagree with partition sizes and the sequence would have
+    // gaps/duplicates. Assert the exact permutation 1..N.
+    val skew = (1L to 5000L).map(i => (if (i % 10 == 0) i else 7L, i))
+      .toDF("k", "id")
+    val rns = ScalableRank
+      .rowNumberWith(skew, "rn", 32, col("k").asc, col("id").asc)
+      .select("rn").as[Long].collect().sorted
+    assert(rns.toSeq === (1L to 5000L))
+  }
+
+  test("groupedRank keeps NULL group keys (window PARTITION BY semantics)") {
+    val df = Seq((Some("a"), 1L), (None, 2L), (Some("b"), 3L),
+      (None, 4L), (Some("a"), 5L)).toDF("g", "id")
+    val got = ScalableRank.groupedRank(df, "g", "rn", "n", col("id").asc)
+      .select("id", "rn", "n").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val w = Window.partitionBy("g").orderBy("id")
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .select("id", "rn", "n").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === want) // an equi-join on g would have dropped ids 2 and 4
+  }
+
+  test("groupedPrefixSums: all-NULL group sums are 0-based, NULL groups kept") {
+    val df = Seq((Some("a"), 1L, Some(3L)), (None, 2L, None),
+      (None, 3L, None), (Some("a"), 4L, Some(2L))).toDF("g", "id", "v")
+    val got = ScalableRank
+      .groupedPrefixSums(df, "g", Seq("v"), Seq("c"), col("id").asc)
+      .select("id", "c").as[(Long, Long)].collect().toMap
+    // nulls count as 0 (ungrouped contract), incl. the all-null group
+    assert(got === Map(1L -> 3L, 2L -> 0L, 3L -> 0L, 4L -> 5L))
+  }
+
+  test("prefixSums casts integer value columns and rejects non-integral ones up front") {
+    val ints = Seq((1, 1L), (2, 2L)).toDF("v", "id")
+    val got = ScalableRank.prefixSum(ints, "v", "c", col("id").asc)
+      .select("c").as[Long].collect().sorted
+    assert(got.toSeq === Seq(1L, 3L))
+    val doubles = Seq((1.5, 1L)).toDF("v", "id")
+    val e = intercept[IllegalArgumentException] {
+      ScalableRank.prefixSum(doubles, "v", "c", col("id").asc)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

@@ -30,13 +30,17 @@ class UnigramSpec extends SparkSuite {
   }
 
   test("viterbi: optimal split, concatenation invariant, unknown-char fallback, ties") {
-    val probs = Map("ab" -> 0.4, "a" -> 0.1, "b" -> 0.1, "c" -> 0.4)
-    assert(Unigram.viterbi("abc", probs) === List("ab", "c"))
-    assert(Unigram.viterbi("cab", probs) === List("c", "ab"))
-    assert(Unigram.viterbi("abcab", probs).mkString === "abcab")
-    assert(Unigram.viterbi("xy", probs) === List("x", "y")) // uncovered fallback
-    // equal-score tie prefers the longer LAST piece: p(ab)=p(a)*p(b)
-    val tied = Map("ab" -> 0.25, "a" -> 0.5, "b" -> 0.5)
+    // integer micro log-probs (the r14 rail): ln(0.4)·1e6 ≈ −916291,
+    // ln(0.1)·1e6 ≈ −2302585
+    val lp = Map("ab" -> -916291L, "a" -> -2302585L, "b" -> -2302585L,
+      "c" -> -916291L)
+    assert(Unigram.viterbi("abc", lp) === List("ab", "c"))
+    assert(Unigram.viterbi("cab", lp) === List("c", "ab"))
+    assert(Unigram.viterbi("abcab", lp).mkString === "abcab")
+    assert(Unigram.viterbi("xy", lp) === List("x", "y")) // uncovered fallback
+    // equal-score tie prefers the longer LAST piece: lp(ab)=lp(a)+lp(b)
+    // EXACTLY (integer scores make the tie class precise)
+    val tied = Map("ab" -> -200L, "a" -> -100L, "b" -> -100L)
     assert(Unigram.viterbi("ab", tied) === List("ab"))
   }
 
