@@ -89,8 +89,14 @@ object Checkpoints {
     */
   def stableLoop(df: DataFrame): DataFrame = {
     val s = df.sparkSession
-    // same lint-mode escape hatch as [[stable]]
-    if (s.conf.get("spark.graft.stableOff", "false").toBoolean) return df
+    // Deliberately NO stableOff escape hatch here (unlike [[stable]]):
+    // a loop cut hides only prior ITERATIONS of the same loop body —
+    // the operators the plan lints look for appear in full in the
+    // first iteration — while removing it grows the plan 2-4× per
+    // round (the hits loop's first stride-4 cut OOM'd the driver just
+    // stringifying the plan) and turns per-round driver collects into
+    // full-chain recomputes. The end-to-end lint walk stays sound AND
+    // terminates.
     val dir = s.conf.getOption("spark.graft.loopCheckpointDir")
       .orElse(s.conf.getOption("spark.graft.checkpointDir"))
       .getOrElse(s"${System.getProperty("java.io.tmpdir")}/graft_ckpt_" +

@@ -639,7 +639,7 @@ object Cluster {
         .join(keep, "src")
         .join(keep.select(col("src").as("dst")), "dst")
         .select("src", "dst")
-        .stable
+        .stableLoop
       sym.unpersist(false)
       sym = next
     }
@@ -775,7 +775,7 @@ object Cluster {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn")
-        .stable
+        .stableLoop
       dist.unpersist(false)
       dist = merged
     }

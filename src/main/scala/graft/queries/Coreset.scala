@@ -76,7 +76,7 @@ object Coreset {
         .select(col("vec_id"), col("qv"),
           least(col("d2min"), d2(col("qv"), col("sqv"))).as("d2min"))
       val isCkpt = rk % 3 == 0 || rk == KCenters
-      next = if (isCkpt) next.stable else next.persist()
+      next = if (isCkpt) next.stableLoop else next.persist()
       retired += best
       if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       best = next

@@ -89,10 +89,10 @@ object Mf {
         count(lit(1)).as("n"))
       val pn = p.join(gp, "u").select(col("u"),
         expr(s"p1 + ($LrMicro * g1) div (1000000L * n)").as("p1"),
-        expr(s"p2 + ($LrMicro * g2) div (1000000L * n)").as("p2")).stable
+        expr(s"p2 + ($LrMicro * g2) div (1000000L * n)").as("p2")).stableLoop
       val qn = q.join(gq, "i").select(col("i"),
         expr(s"q1 + ($LrMicro * g1) div (1000000L * n)").as("q1"),
-        expr(s"q2 + ($LrMicro * g2) div (1000000L * n)").as("q2")).stable
+        expr(s"q2 + ($LrMicro * g2) div (1000000L * n)").as("q2")).stableLoop
       e.unpersist(false); p.unpersist(false); q.unpersist(false)
       p = pn; q = qn
     }

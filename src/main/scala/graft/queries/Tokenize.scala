@@ -115,7 +115,7 @@ object Tokenize {
         merges += ((r, l, rr, c))
         var next = vocab.select(col("f"), applyMerge(col("syms"), l, rr).as("syms"))
         val isCkpt = r % 4 == 0 || r == nMerges
-        next = if (isCkpt) next.stable else next.persist()
+        next = if (isCkpt) next.stableLoop else next.persist()
         retired += vocab
         if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
         vocab = next

@@ -218,9 +218,14 @@ class PlanLintSpec extends SparkSuite {
   // admitted as much ("its .stable cut hides the BNLJ from this
   // lint"). Re-build every registry plan with the cuts disabled
   // (spark.graft.stableOff — the Checkpoints escape hatch) and re-run
-  // the three structural lints end-to-end. Builders still execute
-  // their construction-time driver actions, so this walk is slower
-  // than the truncated one — it runs once per suite.
+  // the three structural lints end-to-end. In-LOOP truncations
+  // (Checkpoints.stableLoop) deliberately stay active: they hide only
+  // prior iterations of the same loop body (the lintable operators
+  // appear in full in iteration 1), and removing them grows loop
+  // plans 2-4x per round — the first blanket walk hung on exactly
+  // that. Builders still execute their construction-time driver
+  // actions, so this walk is slower than the truncated one — it runs
+  // once per suite.
   private lazy val noStable: Map[String, (String, Boolean)] = {
     spark.conf.set("spark.graft.stableOff", "true")
     try {
@@ -246,20 +251,49 @@ class PlanLintSpec extends SparkSuite {
   }
 
   /** Additional BNLJ entries visible only end-to-end (upstream of a
-    * `.stable` cut in the returned chain). Each is the SAME bounded
-    * shape as its [[nonEquiOk]] relative: the tf-idf weighted-edge
-    * producer's 1-row corpus-count frame (shared by the simhash twin
-    * and every keep/cluster/incremental consumer that truncates after
-    * it), and lm_score's 1-row vocab-total frame inherited by
-    * downstream scorers that cut before returning.
+    * `.stable` cut in the returned chain) — reviewed r14, each the
+    * SAME bounded shape as its [[nonEquiOk]] relatives:
+    * - ts_acf: three broadcast scalar frames (1-row series total,
+    *   |lags|-row lag spine, 1-row lag-0 denominator) onto a
+    *   DAY-granular calendar-bounded series; the lag self-join
+    *   itself is equi (day2 = day + lag).
+    * - classifier_bias_report / classifier_calibration / nb_predict /
+    *   tree_predict / tree_train: the classifier/NB/CART trainer
+    *   chains' 1-row count/total frames (the classifier_train /
+    *   nb_train class, hidden by the model-frame cut).
+    * - dedup_tfidf_simhash: the tf-idf weighted-edge producer's 1-row
+    *   corpus-count frame — EXACTLY the case the old dedup_tfidf
+    *   allowlist comment predicted its `.stable` cut was hiding.
+    * - dedup_cross_source / source_overlap_shingles: |sources|² pair
+    *   frames (dimension × dimension, corpus-size-free — the
+    *   source_divergence_js class).
+    * - graph_closeness / graph_hits / graph_modularity: 1-row
+    *   node-count / per-round max-score / edge-mass frames broadcast
+    *   into the round arithmetic.
+    * - pipeline_curate_dsir(+_minhash): DSIR's 1-row totals frame on
+    *   the 128-bucket λ build (the dsir_weights class).
+    * - sample_kcenter: the 1-row selected-center frame broadcast per
+    *   k-center round.
     */
-  private val nonEquiOkNoStable: Set[String] = Set.empty
+  private val nonEquiOkNoStable: Set[String] = Set("ts_acf",
+    "classifier_bias_report", "classifier_calibration", "nb_predict",
+    "tree_predict", "tree_train", "dedup_tfidf_simhash",
+    "dedup_cross_source", "source_overlap_shingles", "graph_closeness",
+    "graph_hits", "graph_modularity", "pipeline_curate_dsir",
+    "pipeline_curate_dsir_minhash", "sample_kcenter")
 
-  /** Additional unpartitioned-window entries visible only end-to-end:
-    * same bounded-input classes as [[globalWindowOk]] (K-row
-    * leaderboards / fixed domains upstream of a cut).
+  /** Additional unpartitioned-window entries visible only end-to-end
+    * — reviewed r14, same bounded-input classes as [[globalWindowOk]]:
+    * - label_noise_report / graph_hits: K-row post-limit leaderboards
+    *   (TakeOrderedAndProject feeds the window K rows — the
+    *   dsir_sample/zipf_fit class).
+    * - tree_train / tree_predict: the CART root split's rank-1 window
+    *   runs over the aggregated (feature × bucket-value) CELL grid —
+    *   4 features × quantized value domain, corpus-size-free counts
+    *   (the drift_psi / skyline_2d fixed-domain class).
     */
-  private val globalWindowOkNoStable: Set[String] = Set.empty
+  private val globalWindowOkNoStable: Set[String] =
+    Set("label_noise_report", "graph_hits", "tree_train", "tree_predict")
 
   test("no CartesianProduct anywhere — with lineage cuts disabled (end-to-end plans)") {
     val offenders = noStable.collect {

@@ -27,6 +27,16 @@ object StreamingBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else Rows
     val spark = ScaleTools.session()
+    // State-partition sizing knob (r13 flag #7): a stateful op's
+    // per-micro-batch floor is the state-store commit fan-out —
+    // partitions × stores-per-op file commits every batch, regardless
+    // of rows (a stream-stream join keeps FOUR stores per side). At
+    // this bench's 20k rows/batch, 32 partitions means the join pays
+    // ~256 commits/batch of pure overhead; real deployments size
+    // state partitions to sustained rows/s, not to the batch CPU
+    // count. The env knob exists to measure that curve.
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
     import spark.implicits._
 
     val types = Array("view", "click", "purchase", "search")

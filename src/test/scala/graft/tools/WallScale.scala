@@ -33,15 +33,18 @@ import graft.SparkEntry
   */
 object WallScale {
   val Base = "/root/testdata/sf0.1"
-  // headline linear-path operators over documents/embeddings/orders;
-  // the tfidf pair times the quadratic-oracle form against its banded
-  // weighted-SimHash scale twin on the same data, and the last two
-  // (round-13 verdict #8) time the ScalableRank two-pass total-order
-  // rewrites — the ranks/ntiles that were single-partition windows
-  // before round 13 and would have serialized on one core here
+  // headline linear-path operators over documents/embeddings/orders/
+  // events; the tfidf pair times the quadratic-oracle form against
+  // its banded weighted-SimHash scale twin on the same data, and the
+  // last three (round-13 verdict #8, extended #6 in r14) time the
+  // ScalableRank two-pass total-order rewrites — the ranks/ntiles
+  // that were single-partition windows before round 13 and would have
+  // serialized on one core here (user_rfm was the most regressed r13
+  // conversion; its curve pins the grouped two-pass form)
   val Ops: Seq[String] = Seq("dedup_exact", "dedup_minhash",
     "dedup_keep_minhash", "quality_score", "lm_score", "ann_ivf",
-    "dedup_tfidf", "dedup_tfidf_simhash", "classifier_auc", "zorder_eval")
+    "dedup_tfidf", "dedup_tfidf_simhash", "classifier_auc", "zorder_eval",
+    "user_rfm")
 
   private def tag(c: Int): String = {
     // letter-only base-26 copy tag ("zaa", "zab", …)
@@ -77,6 +80,16 @@ object WallScale {
       ords.withColumn("o_orderkey", col("o_orderkey") + lit(c * 100000000L))
     }.reduce(_ unionAll _).repartition(32)
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    // events for user_rfm: user_id remapped per copy (ts/type/value
+    // kept), so the purchasing-user population — the rank/NTILE input
+    // — scales linearly with per-user structure intact. Read via
+    // Tables.events (ts normalizes to epoch-nanos long; the copies
+    // write LongType, which Tables.events passes through).
+    val evs = graft.core.Tables.events(s, Base)
+    (0 until k).map { c =>
+      evs.withColumn("user_id", col("user_id") + lit(c * 10000000L))
+    }.reduce(_ unionAll _).repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     dir
   }
 
