@@ -97,11 +97,27 @@ class ModelCacheSpec extends SparkSuite {
     ModelCache.sweepLeakedBlocks(spark)
     // cache hit over swept storage: must not die, must not drift
     assert(rows(Mf.mfPredict(spark, sfDir)) == cold)
-    // control: the exemption is load-bearing — the cached frames' RDDs
-    // really are persisted storage a blanket sweep would have dropped
-    val persisted = spark.sparkContext.getPersistentRDDs.keySet
-    assert(keep.exists(persisted.contains),
-      "cached model frames must live in persistent storage (else this spec guards nothing)")
+    // control: the exemption is load-bearing for BLOCK-backed entries.
+    // MF's own factors now ride reliable checkpoint FILES (stableLoop,
+    // r14 — sweep-immune by construction), so the control plants a
+    // .stable (localCheckpoint) cache entry explicitly: its blocks are
+    // the class a blanket sweep would have dropped.
+    import graft.core.Checkpoints.StableOps
+    import org.apache.spark.storage.StorageLevel
+    def ckptRdd(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }.head
+    val blockBacked = spark.range(32).toDF("x").stable
+    ModelCache.put(spark, "/x", "block", blockBacked)
+    assert(ckptRdd(blockBacked).getStorageLevel != StorageLevel.NONE,
+      "a .stable cache entry must live in persistent storage (else this control guards nothing)")
+    val leaked = spark.range(32).toDF("y").stable // NOT cached
+    ModelCache.sweepLeakedBlocks(spark)
+    assert(ckptRdd(blockBacked).getStorageLevel != StorageLevel.NONE,
+      "the sweep must exempt block-backed live cache entries")
+    assert(ckptRdd(leaked).getStorageLevel == StorageLevel.NONE,
+      "the sweep must drop non-exempt leaked blocks")
     ModelCache.clear()
   }
 }
