@@ -152,14 +152,28 @@ object Cluster {
     var s = sig(e)
     var it = 0
     var done = e.isEmpty
+    // sig() already materializes every round through the persisted
+    // frame; the reliable checkpoint only bounds plan depth (each round
+    // re-references its predecessor ~5× through the two star passes),
+    // so stride 2 halves the checkpoint truncations — ≤ ~25 subtree
+    // refs between cuts, same converged output. The ckpt decision is
+    // taken AFTER the convergence test so the frame the caller receives
+    // is always file-backed (a persist-round exit would otherwise leave
+    // its recompute path chained to retired localCheckpoint blocks).
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!done && it < maxIter) {
-      val e2 = smallStar(largeStar(e)).stableLoop
-      val s2 = sig(e2)
+      val raw = smallStar(largeStar(e)).persist()
+      val s2 = sig(raw)
       done = s2 == s
       s = s2
+      val isCkpt = it % 2 == 1 || done || it == maxIter - 1
+      val e2 = if (isCkpt) raw.stableLoop else raw
+      retired += e
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       e = e2
       it += 1
     }
+    retired.foreach(_.unpersist(false))
     nodes.join(
         e.groupBy("u").agg(min("v").as("cluster_id")).withColumnRenamed("u", "node"),
         Seq("node"), "left")
@@ -632,17 +646,27 @@ object Cluster {
       .unionAll(edges
         .select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .stable
-    for (_ <- 1 to rounds) {
+    // Reliable checkpoint at stride 3 + last, persist() between (the
+    // sssp/ppr pattern): each round references sym 3× (degree agg + two
+    // keep joins), so an un-truncated stride-3 window holds ≤27 subtree
+    // refs — bounded plan, and 8→3 checkpoint truncations per run (a
+    // stableLoop is 2 jobs + a file write+read; the r14 baseline read
+    // kcore at 2.9× its r13 pin after the every-round conversion).
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to rounds) {
       val keep = sym.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select("src")
-      val next = sym
+      var next = sym
         .join(keep, "src")
         .join(keep.select(col("src").as("dst")), "dst")
         .select("src", "dst")
-        .stableLoop
-      sym.unpersist(false)
+      val isCkpt = i % 3 == 0 || i == rounds
+      next = if (isCkpt) next.stableLoop else next.persist()
+      retired += sym
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       sym = next
     }
+    retired.foreach(_.unpersist(false))
     val out = sym.groupBy("src").agg(count(lit(1)).as("core_deg"))
       .select(col("src").as("doc_id"), col("core_deg")).stable
     sym.unpersist(false)
@@ -699,17 +723,25 @@ object Cluster {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).stable
     val w = Window.partitionBy("src").orderBy(col("c").desc, col("label").asc)
-    for (_ <- 1 to rounds) {
-      val next = sym
+    // Each round references labels ONCE (the dst join) — plan growth is
+    // LINEAR, so per-round reliable checkpoints bought nothing but their
+    // 2-jobs+file-I/O cost: stride 3 + last, persist() between (the
+    // sssp/ppr pattern; same eviction-immunity at loop exit).
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to rounds) {
+      var next = sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy("src", "label").agg(count(lit(1)).as("c"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("label"))
-        .stableLoop
-      labels.unpersist(false)
+      val isCkpt = i % 3 == 0 || i == rounds
+      next = if (isCkpt) next.stableLoop else next.persist()
+      retired += labels
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       labels = next
     }
+    retired.foreach(_.unpersist(false))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
     val out = labels.join(sizes, "label")
       .select(col("node").as("doc_id"), col("label").as("community"),
@@ -767,18 +799,25 @@ object Cluster {
         lit(0).as("hops"), col("doc_id").cast("long").as("root"))
       .stable
     val w = Window.partitionBy("node").orderBy(col("hops"), col("root"))
-    for (_ <- 1 to rounds) {
+    // dist is referenced 2× per round (frontier join + the union merge):
+    // stride-2 checkpoints hold ≤4 subtree refs between truncations —
+    // half the stableLoop jobs of the every-round form, same exit state.
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (i <- 1 to rounds) {
       val next = dist
         .join(sym, dist("node") === sym("src"))
         .select(col("dst").as("node"), (col("hops") + 1).as("hops"), col("root"))
-      val merged = dist.unionByName(next)
+      var merged = dist.unionByName(next)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .drop("rn")
-        .stableLoop
-      dist.unpersist(false)
+      val isCkpt = i % 2 == 0 || i == rounds
+      merged = if (isCkpt) merged.stableLoop else merged.persist()
+      retired += dist
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       dist = merged
     }
+    retired.foreach(_.unpersist(false))
     val out = dist.select(col("node").as("doc_id"),
       col("hops").cast("int").as("hops"), col("root"))
     sym.unpersist(false)

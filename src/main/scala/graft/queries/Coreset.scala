@@ -94,15 +94,21 @@ object Coreset {
     "sample_kcenter" -> {
       // cell-join distance form (≡ the Spark zip_with sum); every
       // round CTE MATERIALIZED — b_t is referenced by both the pick
-      // and the next least-join
+      // and the next least-join. The selected center's cells are
+      // pre-filtered in a derived table: with the scalar-subquery
+      // predicate written inline in the join condition DuckDB left it
+      // ABOVE the dim join, making each round |cells|×|vecs| (measured
+      // 376.8 s for the 12-round chain at sf0.001; pre-filtered form
+      // 7.9 s, identical rows — it was the whole gate's slowest oracle
+      // by 9×, a direct driver-capture-budget risk)
       val rounds = (2 to KCenters).map { t =>
         s"""p_$t AS MATERIALIZED (
            |  SELECT vec_id, d2min FROM b_${t - 1}
            |  ORDER BY d2min DESC, vec_id ASC LIMIT 1),
            |dist_$t AS (
            |  SELECT c.vec_id, CAST(sum((c.q - sc.q) * (c.q - sc.q)) AS BIGINT) AS d2
-           |  FROM qcells c JOIN qcells sc ON sc.dim = c.dim
-           |    AND sc.vec_id = (SELECT vec_id FROM p_$t)
+           |  FROM qcells c JOIN (SELECT dim, q FROM qcells
+           |    WHERE vec_id = (SELECT vec_id FROM p_$t)) sc ON sc.dim = c.dim
            |  GROUP BY c.vec_id),
            |b_$t AS MATERIALIZED (
            |  SELECT b.vec_id, least(b.d2min, d.d2) AS d2min
@@ -128,8 +134,8 @@ object Coreset {
          |p_1 AS (SELECT min(vec_id) AS vec_id FROM qcells),
          |dist_1 AS (
          |  SELECT c.vec_id, CAST(sum((c.q - sc.q) * (c.q - sc.q)) AS BIGINT) AS d2
-         |  FROM qcells c JOIN qcells sc ON sc.dim = c.dim
-         |    AND sc.vec_id = (SELECT vec_id FROM p_1)
+         |  FROM qcells c JOIN (SELECT dim, q FROM qcells
+         |    WHERE vec_id = (SELECT vec_id FROM p_1)) sc ON sc.dim = c.dim
          |  GROUP BY c.vec_id),
          |b_1 AS MATERIALIZED (SELECT vec_id, d2 AS d2min FROM dist_1),
          |$rounds

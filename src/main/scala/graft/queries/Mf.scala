@@ -75,7 +75,17 @@ object Mf {
     var q = rat.select(col("i")).distinct()
       .select(col("i"), initF("q", col("i"), 1).as("q1"),
         initF("q", col("i"), 2).as("q2")).stable
-    for (_ <- 1 to Rounds) {
+    // Factor frames reliably checkpoint at stride 2 (persist between):
+    // each round references its predecessors ~3× through the shared
+    // error frame, so a 2-round window holds ≤9 subtree refs — bounded
+    // plan — while halving the 2-jobs-plus-file-I/O truncation cost the
+    // every-round form paid (4 stableLoops/round → 2). Scratch (the
+    // per-round error frame and superseded factors) retires at the next
+    // checkpoint: between checkpoints the new factors are LAZY, so an
+    // early unpersist would void the e-cache both gradient branches
+    // share.
+    val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (t <- 1 to Rounds) {
       val e = rat.join(p, "u").join(q, "i")
         .withColumn("e", expr("r * 1000000L - (p1*q1 + p2*q2) div 1000000L"))
         .persist()
@@ -87,15 +97,20 @@ object Mf {
         sum(expr("(e * p1) div 1000000L")).as("g1"),
         sum(expr("(e * p2) div 1000000L")).as("g2"),
         count(lit(1)).as("n"))
-      val pn = p.join(gp, "u").select(col("u"),
+      var pn = p.join(gp, "u").select(col("u"),
         expr(s"p1 + ($LrMicro * g1) div (1000000L * n)").as("p1"),
-        expr(s"p2 + ($LrMicro * g2) div (1000000L * n)").as("p2")).stableLoop
-      val qn = q.join(gq, "i").select(col("i"),
+        expr(s"p2 + ($LrMicro * g2) div (1000000L * n)").as("p2"))
+      var qn = q.join(gq, "i").select(col("i"),
         expr(s"q1 + ($LrMicro * g1) div (1000000L * n)").as("q1"),
-        expr(s"q2 + ($LrMicro * g2) div (1000000L * n)").as("q2")).stableLoop
-      e.unpersist(false); p.unpersist(false); q.unpersist(false)
+        expr(s"q2 + ($LrMicro * g2) div (1000000L * n)").as("q2"))
+      val isCkpt = t % 2 == 0 || t == Rounds
+      if (isCkpt) { pn = pn.stableLoop; qn = qn.stableLoop }
+      else { pn = pn.persist(); qn = qn.persist() }
+      retired += e; retired += p; retired += q
+      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
       p = pn; q = qn
     }
+    retired.foreach(_.unpersist(false))
     graft.core.Checkpoints.release(rat)
     (p, q)
   }
