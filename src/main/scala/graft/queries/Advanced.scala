@@ -604,9 +604,17 @@ object Advanced {
       .select(col("canon_a").as("doc_a"), col("canon_b").as("doc_b")))
     val lab = Cluster.clustersOf(edges)
       .select(col("doc_id").as("canon_key"), col("cluster_id"))
-    val resolved = names.join(lab, Seq("canon_key"), "left")
-      .select(col("p_name"), col("n_parts"),
-        coalesce(col("cluster_id"), col("canon_key")).as("entity_id"))
+    // `resolved` is self-joined with its own entity-size aggregate —
+    // without a cut, the names⋈labels subtree (whose FORMATTED plan
+    // nests the CC loop's cached-plan expansions, 25k lines at r14)
+    // plans and executes TWICE per run. It is vocabulary-bounded
+    // (|distinct p_name| rows, three narrow columns), so one stable
+    // materialization is cheap and the final join plans over a single
+    // Scan ExistingRDD leaf.
+    val resolved = graft.core.Checkpoints.stable(
+      names.join(lab, Seq("canon_key"), "left")
+        .select(col("p_name"), col("n_parts"),
+          coalesce(col("cluster_id"), col("canon_key")).as("entity_id")))
     val sizes = resolved.groupBy("entity_id")
       .agg(count(lit(1)).as("n_names"), sum("n_parts").as("n_parts_total"))
     resolved.join(sizes, "entity_id")

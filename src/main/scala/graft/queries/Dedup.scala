@@ -109,7 +109,25 @@ object Dedup {
   def ngramScoredFull(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     graft.functions.WordShingles.register(s)
-    val docs = documents.select(col("doc_id"), expr("word_shingles(text)").as("sh"))
+    ngramScoredFullFromShingles(
+      documents.select(col("doc_id"), expr("word_shingles(text)").as("sh")))
+  }
+
+  /** [[ngramScored]] over a precomputed `(doc_id, sh)` shingle frame —
+    * the composed pipeline materializes the corpus shingles ONCE and
+    * feeds both this edge producer and its stage-3 decontamination
+    * scan (the DuckDB oracle already shares its `sh` CTE the same
+    * way), instead of running two word_shingles passes.
+    */
+  def ngramScoredFromShingles(shingled: DataFrame): DataFrame =
+    ngramScoredFullFromShingles(shingled)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") / (col("na") + col("nb") - col("common"))).as("jac"))
+
+  /** [[ngramScoredFull]]'s body over a precomputed `(doc_id, sh)`
+    * frame (see [[ngramScoredFromShingles]]).
+    */
+  def ngramScoredFullFromShingles(docs: DataFrame): DataFrame = {
     // explode_outer: avoids InferFiltersFromGenerate re-evaluating the
     // shingle chain in a pushed-down filter (see minhashPairs); the
     // isNotNull filter drops the empty-doc placeholder row (it sits
@@ -526,10 +544,19 @@ object Dedup {
   def minhashScored(documents: DataFrame, minJac: Double): DataFrame = {
     val s = documents.sparkSession
     graft.functions.WordShingles.register(s)
+    minhashScoredFromShingles(
+      documents.select(col("doc_id"), expr("word_shingles(text)").as("sh")),
+      minJac)
+  }
+
+  /** [[minhashScored]] over a precomputed `(doc_id, sh)` shingle frame
+    * (see [[ngramScoredFromShingles]] — the composed pipeline's shared
+    * shingle materialization feeds both edge-producer flavors).
+    */
+  def minhashScoredFromShingles(shingled: DataFrame, minJac: Double): DataFrame = {
+    val s = shingled.sparkSession
     graft.functions.MinHashBuckets.register(s, NumHashes, Bands)
-    val docs = documents
-      .select(col("doc_id"), expr("word_shingles(text)").as("sh"))
-      .filter(size(col("sh")) > 0)
+    val docs = shingled.filter(size(col("sh")) > 0)
     val cand0 = minhashCandidateSizes(docs)
     val cand =
       if (minJac > 0.0)

@@ -18,10 +18,11 @@ import graft.core.Checkpoints.StableOps
   * Scale: each stage's plan law is inherited from its operator
   * (documented there); the only additions here are doc_id semi/anti
   * joins between stages (digest-width rows). The expensive shared
-  * frames (stage-1 survivors, the cluster labels) are computed once
-  * and reused across stages; the registered quadratic ngram edge
-  * producer is the oracle baseline — swap Dedup.minhashScored for the
-  * linear path exactly as in dedupClusterMinhash.
+  * frames (stage-1 survivors, their shingle frame, the cluster labels)
+  * are computed once and reused across stages; the registered
+  * quadratic ngram edge producer is the oracle baseline — swap
+  * Dedup.minhashScoredFromShingles for the linear path exactly as in
+  * dedupClusterMinhash.
   */
 object Pipeline {
 
@@ -36,7 +37,7 @@ object Pipeline {
     */
   def pipelineCurate(s: SparkSession, d: String): DataFrame =
     pipelineCurateWith(s, d,
-      docs => Dedup.ngramScored(docs)
+      sh => Dedup.ngramScoredFromShingles(sh)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       cell = Some("heuristic_ngram"))
 
@@ -46,17 +47,20 @@ object Pipeline {
     */
   def pipelineCurateMinhash(s: SparkSession, d: String): DataFrame =
     pipelineCurateWith(s, d,
-      docs => Dedup.minhashScored(docs, 0.6)
+      sh => Dedup.minhashScoredFromShingles(sh, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       cell = Some("heuristic_minhash"))
 
   /** The shared stage chain: corpus, quality survivors (stabled),
-    * cluster labels (stabled), dedup survivors, decontaminated ids,
-    * per-doc split labels. Callers MUST unpersist s1 and clusters when
-    * done (after stabling their own output).
+    * their shingle frame (stabled — fed to BOTH the edge producer and
+    * the stage-3 decontamination scan), cluster labels (stabled),
+    * dedup survivors, decontaminated ids, per-doc split labels.
+    * Callers MUST unpersist s1, sh1 and clusters when done (after
+    * stabling their own output).
     */
   private[graft] case class Stages(corpus: DataFrame, s1: DataFrame,
-      clusters: DataFrame, s2: DataFrame, s3: DataFrame, splits: DataFrame)
+      sh1: DataFrame, clusters: DataFrame, s2: DataFrame, s3: DataFrame,
+      splits: DataFrame)
 
   /** Stage-1 ranking functions: both keep the per-lang top 75%, they
     * differ in WHO scores a doc — the heuristic composite
@@ -128,7 +132,10 @@ object Pipeline {
     curateStagesOn(s, Tables.documents(s, d), edgeProducer, keptIdsOf)
 
   /** [[curateStages]] over any documents frame (the ScaleCurve tool
-    * feeds replicated corpora).
+    * feeds replicated corpora). `edgeProducer` receives the stabled
+    * `(doc_id, sh)` SHINGLE frame of the stage-1 survivors (not the
+    * document frame) — see [[Dedup.ngramScoredFromShingles]] /
+    * [[Dedup.minhashScoredFromShingles]].
     */
   private[graft] def curateStagesOn(s: SparkSession, docs: DataFrame,
       edgeProducer: DataFrame => DataFrame,
@@ -142,9 +149,16 @@ object Pipeline {
     // scan — materialize it eagerly so the census union's parallel
     // branches all read the cache instead of racing to compute it
     val s1 = corpus.join(keptIds, "doc_id").stable
+    // the s1 SHINGLE frame is shared by the edge producer and the
+    // stage-3 decontamination scan — materialized once instead of two
+    // word_shingles passes over s1/s2 (the DuckDB oracle shares its
+    // `sh` CTE between pair generation and `contam` exactly the same
+    // way, so the sharing is the spec, not a shortcut)
+    val sh1 = s1
+      .select(col("doc_id"), expr("word_shingles(text)").as("sh")).stable
 
     // stage 2 — near-dup keep (dedup_keep semantics over s1)
-    val edges = edgeProducer(s1)
+    val edges = edgeProducer(sh1)
     val clusters = Cluster.clustersOf(edges).stable // reused by the split
     val keepIds = s1.select("doc_id")
       .join(clusters, Seq("doc_id"), "left")
@@ -156,9 +170,8 @@ object Pipeline {
     // drop survivors sharing ANY shingle with the held-out eval docs
     val bench = docs.filter(col("doc_id") < BenchCap)
       .select(explode(expr("word_shingles(text)")).as("shingle")).distinct()
-    val contaminated = s2
-      .select(col("doc_id"), explode_outer(expr("word_shingles(text)")).as("shingle"))
-      .filter(col("shingle").isNotNull)
+    val contaminated = sh1.join(s2.select("doc_id"), "doc_id")
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
       .join(broadcast(bench), "shingle")
       .select("doc_id").distinct()
     val s3 = s2.select("doc_id").join(contaminated, Seq("doc_id"), "left_anti")
@@ -168,7 +181,7 @@ object Pipeline {
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"), TextOps.splitLabel(TextOps.hashBucket(
         coalesce(col("cluster_id"), col("doc_id")))).as("split"))
-    Stages(corpus, s1, clusters, s2, s3, splits)
+    Stages(corpus, s1, sh1, clusters, s2, s3, splits)
   }
 
   private def cnt(stage: String, df: DataFrame): DataFrame =
@@ -209,6 +222,7 @@ object Pipeline {
         (out.filter(col("stage") < "4").stable, st.splits.stable))
     }
     st.s1.unpersist(false)
+    st.sh1.unpersist(false)
     st.clusters.unpersist(false)
     out
   }
@@ -250,6 +264,7 @@ object Pipeline {
           graft.core.ModelCache.put(s, d, cellKey(c), (census03, splits)))
         val out = pretrainTail(s, d, census03, splits)
         st.s1.unpersist(false)
+        st.sh1.unpersist(false)
         st.clusters.unpersist(false)
         out
     }
@@ -305,13 +320,13 @@ object Pipeline {
     */
   def pipelinePretrain(s: SparkSession, d: String): DataFrame =
     pipelinePretrainWith(s, d,
-      docs => Dedup.ngramScored(docs)
+      sh => Dedup.ngramScoredFromShingles(sh)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       cell = Some("heuristic_ngram"))
 
   def pipelinePretrainMinhash(s: SparkSession, d: String): DataFrame =
     pipelinePretrainWith(s, d,
-      docs => Dedup.minhashScored(docs, 0.6)
+      sh => Dedup.minhashScoredFromShingles(sh, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       cell = Some("heuristic_minhash"))
 
@@ -322,7 +337,7 @@ object Pipeline {
     */
   def pipelinePretrainModel(s: SparkSession, d: String): DataFrame =
     pipelinePretrainWith(s, d,
-      docs => Dedup.ngramScored(docs)
+      sh => Dedup.ngramScoredFromShingles(sh)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       modelKeptIds, cell = Some("model_ngram"))
 
@@ -335,7 +350,7 @@ object Pipeline {
     */
   def pipelineCurateModel(s: SparkSession, d: String): DataFrame =
     pipelineCurateWith(s, d,
-      docs => Dedup.ngramScored(docs)
+      sh => Dedup.ngramScoredFromShingles(sh)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       modelKeptIds, cell = Some("model_ngram"))
 
@@ -344,14 +359,14 @@ object Pipeline {
     */
   def pipelineCurateModelMinhash(s: SparkSession, d: String): DataFrame =
     pipelineCurateWith(s, d,
-      docs => Dedup.minhashScored(docs, 0.6)
+      sh => Dedup.minhashScoredFromShingles(sh, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       modelKeptIds, cell = Some("model_minhash"))
 
   /** DSIR-gated curation (quadratic ngram oracle baseline). */
   def pipelineCurateDsir(s: SparkSession, d: String): DataFrame =
     pipelineCurateWith(s, d,
-      docs => Dedup.ngramScored(docs)
+      sh => Dedup.ngramScoredFromShingles(sh)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       dsirKeptIds, cell = Some("dsir_ngram"))
 
@@ -360,7 +375,7 @@ object Pipeline {
     */
   def pipelineCurateDsirMinhash(s: SparkSession, d: String): DataFrame =
     pipelineCurateWith(s, d,
-      docs => Dedup.minhashScored(docs, 0.6)
+      sh => Dedup.minhashScoredFromShingles(sh, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       dsirKeptIds, cell = Some("dsir_minhash"))
 
@@ -372,19 +387,19 @@ object Pipeline {
     */
   def pipelinePretrainModelMinhash(s: SparkSession, d: String): DataFrame =
     pipelinePretrainWith(s, d,
-      docs => Dedup.minhashScored(docs, 0.6)
+      sh => Dedup.minhashScoredFromShingles(sh, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       modelKeptIds, cell = Some("model_minhash"))
 
   def pipelinePretrainDsir(s: SparkSession, d: String): DataFrame =
     pipelinePretrainWith(s, d,
-      docs => Dedup.ngramScored(docs)
+      sh => Dedup.ngramScoredFromShingles(sh)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       dsirKeptIds, cell = Some("dsir_ngram"))
 
   def pipelinePretrainDsirMinhash(s: SparkSession, d: String): DataFrame =
     pipelinePretrainWith(s, d,
-      docs => Dedup.minhashScored(docs, 0.6)
+      sh => Dedup.minhashScoredFromShingles(sh, 0.6)
         .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
       dsirKeptIds, cell = Some("dsir_minhash"))
 

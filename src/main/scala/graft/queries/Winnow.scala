@@ -93,7 +93,11 @@ object Winnow {
     * (common / min(|fp_a|, |fp_b|)). Top 50 under a total order.
     */
   def dedupWinnow(s: SparkSession, d: String): DataFrame = {
-    val fps = winnowed(s, d).select("doc_id", "fp").distinct().cache()
+    // ride the NATIVE map-only selection (zero exchanges, no window
+    // sort / W-fan-out join-back; WinnowSpec pins it row-identical to
+    // the windowed form, which stays registered as fingerprint_winnow)
+    // — the pair stage only consumes the distinct (doc_id, fp) set
+    val fps = fingerprintWinnowNative(s, d).select("doc_id", "fp").distinct().cache()
     val sizes = fps.groupBy("doc_id").agg(count(lit(1)).as("nfp"))
     val ok = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= DfCap).select("fp")

@@ -98,7 +98,7 @@ object PipelineScaleCurve {
     def run(tag: String, docs: DataFrame): Unit = {
       val t0 = System.nanoTime()
       val st = Pipeline.curateStagesOn(spark, docs,
-        d => Dedup.minhashScored(d, 0.6)
+        d => Dedup.minhashScoredFromShingles(d, 0.6)
           .filter(col("jac") >= 0.6).select(col("doc_a"), col("doc_b")),
         Pipeline.heuristicKeptIds)
       val nCorpus = st.corpus.count()
@@ -118,7 +118,8 @@ object PipelineScaleCurve {
         .filter(col("cum") <= graft.queries.Curation.TokenBudget)
       val nCap = s5.count()
       val tAll = (System.nanoTime() - t0) / 1e9
-      st.s1.unpersist(false); st.clusters.unpersist(false)
+      st.s1.unpersist(false); st.sh1.unpersist(false)
+      st.clusters.unpersist(false)
       println(f"[pipe-scale] $tag corpus=$nCorpus quality=$nS1 " +
         f"clustered=$nClustered dedup=$nS2 decontam=$nS3 train=$nTrain " +
         f"cap=$nCap wall=$tAll%.2f s")
