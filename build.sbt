@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Forked-JVM heap (driver+executors in local mode). Default raised
+  // 8g -> 32g on a full-registry A/B pair at sf0.1 (same binary, same
+  // box, per-query gc_ms diagnostics): 334.9 s -> 297.2 s total,
+  // GC sum 13.1 s -> 6.7 s, median per-query ratio 0.854, improvement
+  // broad rather than outlier-driven — the allocation-heavy joins
+  // (join_similarity, item_cf, the dedup_keep family) were GC-bound at
+  // 8g. The sandbox has 128 GiB; on a cluster the equivalent knob is
+  // properly-sized executor heaps, and SPARK_DRIVER_MEM still
+  // overrides (OPTIMIZATION_r14.md session 2 has the full pair).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
