@@ -138,6 +138,7 @@ object StreamingBench {
          |  "metric": "streaming_throughput",
          |  "rows_per_op": $n,
          |  "micro_batches": $Chunks,
+         |  "state_partitions": ${spark.conf.get("spark.sql.shuffle.partitions")},
          |  "ops": {
          |$body
          |  }
