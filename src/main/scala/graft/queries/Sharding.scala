@@ -23,16 +23,20 @@ object Sharding {
 
   val NumShards = 16
 
-  /** (doc_id, n_chars, shard): deterministic size-balanced assignment. */
+  /** (doc_id, n_chars, shard): deterministic size-balanced assignment.
+    * The global index is [[graft.core.ScalableRank.rowNumberWith]] —
+    * the same range-partition + per-partition-offset two-pass shape
+    * the old `rdd.zipWithIndex` hop computed, but as a lazy codegen-
+    * friendly plan (no Row-object round-trip; the downstream groupBys
+    * stay whole-stage compiled). rowNumber is 1-based where
+    * zipWithIndex was 0-based, so shard = (rn − 1) % N — identical
+    * assignments. */
   def shardAssignments(s: SparkSession, d: String, parts: Int = 8): DataFrame = {
-    import s.implicits._
     val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-    val indexed = docs
-      .repartitionByRange(parts, col("n_chars").desc, col("doc_id").asc)
-      .sortWithinPartitions(col("n_chars").desc, col("doc_id").asc)
-      .as[(Long, Long)].rdd.zipWithIndex()
-      .map { case ((id, nc), idx) => (id, nc, idx % NumShards) }
-    indexed.toDF("doc_id", "n_chars", "shard")
+    graft.core.ScalableRank.rowNumberWith(docs, "__rn", parts,
+        col("n_chars").desc, col("doc_id").asc)
+      .select(col("doc_id"), col("n_chars"),
+        ((col("__rn") - 1) % NumShards).as("shard"))
   }
 
   /** Per-shard packing summary — the balance report a shard writer
