@@ -374,36 +374,44 @@ object Embeddings {
        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS HUGEINT)
        |      AS xv
        |  FROM embeddings, dims WHERE i <= len(embedding))""".stripMargin
-    // L∞ renormalize `src` to 1e6, keeping `prev` when the max is 0
+    // L∞ renormalize `src` to 1e6, keeping `prev` when the max is 0.
+    // The round max rides an OVER () window on the joined frame
+    // instead of a separate MATERIALIZED scalar CTE: every chain
+    // frame spans exactly `dims` (w groups over xe, which covers each
+    // i ≤ max len; d/n join two full frames), so the windowed max
+    // equals the old standalone `SELECT max(abs(..)) FROM src` —
+    // same HUGEINT value, same `//` truncation — while cutting the
+    // ~500-CTE chain's per-materialization overhead (the gate's two
+    // slowest oracles, pca_topk/embed_project, are overhead-bound).
     def norm(tag: String, src: String, srcCol: String, prev: String, out: String): Unit = {
-      ctes += s"m_$tag AS MATERIALIZED (SELECT max(abs($srcCol)) AS m FROM $src)"
+      val _ = tag // kept for call-site readability
       ctes += s"""$out AS MATERIALIZED (
-         |  SELECT d.i, CASE WHEN (SELECT m FROM m_$tag) > 0
-         |    THEN (d.$srcCol * 1000000) // (SELECT m FROM m_$tag)
+         |  SELECT d.i, CASE WHEN max(abs(d.$srcCol)) OVER () > 0
+         |    THEN (d.$srcCol * 1000000) // (max(abs(d.$srcCol)) OVER ())
          |    ELSE a.v END AS v
          |  FROM $src d JOIN $prev a USING (i))""".stripMargin
     }
     // sequential deflation of `in0` against final comps 0..c-1, then
-    // the first-nonzero-positive sign fix, emitting `out`
+    // the first-nonzero-positive sign fix, emitting `out`. The
+    // projection dot product sum(a.v·u.v) is an OVER () window on the
+    // SAME 1:1 join the subtraction reads (one CTE instead of two);
+    // the sign flip inlines its uncorrelated scalar subquery.
     def deflateSign(tag: String, in0: String, c: Int, out: String): Unit = {
       var cur = in0
       (0 until c).foreach { j =>
         val u = s"v_${j}_$iters"
-        ctes += s"""p_${tag}_$j AS MATERIALIZED (
-           |  SELECT CAST(sum(a.v * u.v) AS HUGEINT) AS p
-           |  FROM $cur a JOIN $u u USING (i))""".stripMargin
         ctes += s"""d_${tag}_$j AS MATERIALIZED (
            |  SELECT a.i,
-           |    (SELECT uu FROM uu_$j) * a.v - (SELECT p FROM p_${tag}_$j) * u.v
-           |      AS w
+           |    (SELECT uu FROM uu_$j) * a.v
+           |      - CAST(sum(a.v * u.v) OVER () AS HUGEINT) * u.v AS w
            |  FROM $cur a JOIN $u u USING (i))""".stripMargin
         norm(s"${tag}_$j", s"d_${tag}_$j", "w", cur, s"n_${tag}_$j")
         cur = s"n_${tag}_$j"
       }
-      ctes += s"""sg_$tag AS MATERIALIZED (
-         |  SELECT CASE WHEN (SELECT v FROM $cur WHERE v <> 0 ORDER BY i LIMIT 1)
-         |    < 0 THEN -1 ELSE 1 END AS sg)""".stripMargin
-      ctes += s"$out AS MATERIALIZED (SELECT i, v * (SELECT sg FROM sg_$tag) AS v FROM $cur)"
+      ctes += s"""$out AS MATERIALIZED (
+         |  SELECT i, v * (CASE WHEN (SELECT v FROM $cur WHERE v <> 0
+         |    ORDER BY i LIMIT 1) < 0 THEN -1 ELSE 1 END) AS v
+         |  FROM $cur)""".stripMargin
     }
     (0 until k).foreach { c =>
       if (c == 0)
