@@ -33,7 +33,21 @@ object Coreset {
 
   /** Greedy picks: (rk, vec_id, radius2) — radius2 is the picked
     * point's squared distance to the nearest earlier pick, i.e. the
-    * coverage radius the sample guarantees after rk−1 centers. */
+    * coverage radius the sample guarantees after rk−1 centers.
+    *
+    * Each round's pick is taken to the DRIVER (one k-bounded
+    * TakeOrdered row per round — the [[Embeddings.quantRailsOf]]
+    * bounded-collect class: k·dim longs total) and fed back as column
+    * LITERALS, so every round is a pure map pass over the persisted
+    * state frame — no per-round broadcast-exchange cascade, and the
+    * returned picks frame is a 12-row LOCAL relation instead of a
+    * union of 12 lazy TakeOrdered subtrees that all re-execute (each
+    * through up to stride−1 recomputed map passes) when the final
+    * frame materializes. Measured r14: that re-execution tail was
+    * ~half the query's wall. The greedy schedule, the quantized
+    * arithmetic, and the (d2min DESC, vec_id ASC) pick order are
+    * unchanged — identical rows by construction.
+    */
   def sampleKcenter(s: SparkSession, d: String): DataFrame = {
     val all = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -54,37 +68,38 @@ object Coreset {
     def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0L), (acc, t) => acc + t)
+    def qvLit(v: Seq[Long]): org.apache.spark.sql.Column = typedlit(v)
 
-    var picks: DataFrame = null
+    val pickRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     // first center: smallest id (deterministic, engine-independent)
-    var sel = qvecs.orderBy(col("vec_id").asc).limit(1)
-      .select(col("vec_id").as("sid"), col("qv").as("sqv"),
-        lit(0L).as("srad"))
-    var best = qvecs.crossJoin(broadcast(sel))
-      .select(col("vec_id"), col("qv"),
-        d2(col("qv"), col("sqv")).as("d2min")).persist()
-    picks = sel.select(lit(1L).as("rk"), col("sid").as("vec_id"),
-      col("srad").as("radius2"))
+    val first = qvecs.orderBy(col("vec_id").asc).take(1)
+    if (first.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("rk", "vec_id", "radius2")
+    pickRows += ((1L, first(0).getLong(0), 0L))
+    var best = qvecs.select(col("vec_id"), col("qv"),
+      d2(col("qv"), qvLit(first(0).getSeq[Long](1))).as("d2min")).persist()
     val retired = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    for (rk <- 2 to KCenters) {
-      sel = best.orderBy(col("d2min").desc, col("vec_id").asc).limit(1)
-        .select(col("vec_id").as("sid"), col("qv").as("sqv"),
-          col("d2min").as("srad"))
-      picks = picks.unionAll(sel.select(lit(rk.toLong).as("rk"),
-        col("sid").as("vec_id"), col("srad").as("radius2")))
-      var next = best.crossJoin(broadcast(sel))
-        .select(col("vec_id"), col("qv"),
-          least(col("d2min"), d2(col("qv"), col("sqv"))).as("d2min"))
-      val isCkpt = rk % 3 == 0 || rk == KCenters
-      next = if (isCkpt) next.stableLoop else next.persist()
-      retired += best
-      if (isCkpt) { retired.foreach(_.unpersist(false)); retired.clear() }
-      best = next
+    var done = false
+    for (rk <- 2 to KCenters if !done) {
+      val sel = best.orderBy(col("d2min").desc, col("vec_id").asc).take(1)
+      if (sel.isEmpty) done = true
+      else {
+        pickRows += ((rk.toLong, sel(0).getLong(0), sel(0).getLong(2)))
+        // the post-final-pick distance update has no consumer — skip it
+        if (rk < KCenters) {
+          var next = best.select(col("vec_id"), col("qv"),
+            least(col("d2min"), d2(col("qv"), qvLit(sel(0).getSeq[Long](1))))
+              .as("d2min"))
+          next = if (rk % 3 == 0) next.stableLoop else next.persist()
+          retired += best
+          if (rk % 3 == 0) { retired.foreach(_.unpersist(false)); retired.clear() }
+          best = next
+        }
+      }
     }
-    val out = picks.stable
     best.unpersist(false); qvecs.unpersist(false)
     retired.foreach(_.unpersist(false))
-    out
+    pickRows.toSeq.toDF("rk", "vec_id", "radius2")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
