@@ -201,6 +201,32 @@ object Unigram {
     } finally wfDs.unpersist(false)
   }
 
+  /** Train-once/serve-many wiring (the [[Tokenize.mergesFor]] /
+    * ModelCache convention): `unigram_train` always retrains (honest
+    * trainer cost) and refreshes both cache tiers; `unigram_encode`
+    * serves the learned counts from the cache when present and trains
+    * on demand otherwise. The cached value is the vocab-bounded
+    * (piece, cnt) map — the trainer's own driver-side state, no
+    * executor blocks retained — and the data-derived deterministic EM
+    * makes a hit bit-identical to a fresh run (the hash gate compares
+    * the encode output either way).
+    */
+  private val UnigramConstants =
+    s"maxlen=$MaxPieceLen,seed=$SeedCap,minf=$MinFreq,rounds=$EmRounds"
+
+  private def countFrames(s: SparkSession)(m: Map[String, Long]): Seq[DataFrame] = {
+    import s.implicits._
+    Seq(m.toSeq.sortBy { case (p, c) => (-c, p) }.toDF("piece", "cnt"))
+  }
+
+  private def countsOfFrames(fs: Seq[DataFrame]): Map[String, Long] =
+    fs.head.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+  private[queries] def countsFor(s: SparkSession, d: String): Map[String, Long] =
+    graft.core.ModelStore.cachedDurable(s, d, "unigram_counts",
+      UnigramConstants, 1)(trainCounts(s, Tables.documents(s, d)))(
+      countFrames(s))(countsOfFrames)
+
   /** Registered trainer: final learned vocabulary with usage counts
     * and 1e-6-rounded probabilities, hash-compared against the
     * unrolled-EM DuckDB oracle (UnigramSpec additionally pins the
@@ -208,7 +234,8 @@ object Unigram {
     */
   def unigramTrain(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val counts = trainCounts(s, Tables.documents(s, d))
+    val counts = graft.core.ModelStore.putDurable(s, d, "unigram_counts",
+      UnigramConstants, trainCounts(s, Tables.documents(s, d)))(countFrames(s))
     val tot = counts.valuesIterator.sum.toDouble
     counts.toSeq.sortBy { case (p, c) => (-c, p) }
       .map { case (p, c) => (p, c, math.floor(c / tot * 1e6 + 0.5) / 1e6) }
@@ -218,12 +245,13 @@ object Unigram {
   /** Registered encoder: Viterbi-segment the corpus under the learned
     * LM (per DISTINCT word, joined back to the token stream) and
     * report per-language compression — the unigram twin of
-    * bpe_encode's census.
+    * bpe_encode's census. Serves the learned LM via [[countsFor]]
+    * instead of retraining per invocation.
     */
   def unigramEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    val lp = lpMicro(trainCounts(s, docs))
+    val lp = lpMicro(countsFor(s, d))
     val bc = s.sparkContext.broadcast(lp)
     val wl = docs.select(col("lang"), explode(Dedup.tokensCol(col("text"))).as("w"))
     val perWord = wl.select("w").distinct().as[String]
